@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named
+  * query over the driver's parquet tables; `oracleSql` carries the
+  * DuckDB-equivalent SQL (identical column names + deterministic ORDER
+  * BY) for the hash-compare correctness gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_pushdown" -> (Relational.q02FilterPushdown _),
+    "q03_region_revenue"  -> (Relational.q03RegionRevenue _),
+    "q04_groupby_count"   -> (Relational.q04GroupbyCount _),
+    "q05_minmax"          -> (Relational.q05MinMax _),
+    "q06_distinct_values" -> (Relational.q06DistinctValues _),
+    "q07_union_slices"    -> (Relational.q07UnionSlices _),
+    "q08_descriptive_stats" -> (Relational.q08DescriptiveStats _),
+    "q09_date_buckets"    -> (Relational.q09DateBuckets _),
+    "q10_json_extract"    -> (Relational.q10JsonExtract _),
+    "q11_case_bucket"     -> (Relational.q11CaseBucket _),
+    "q12_dedup_distinct"  -> (Relational.q12DedupDistinct _),
+    "q13_latest_per_key"  -> (Relational.q13LatestPerKey _),
+    "q14_interval_join"   -> (Relational.q14IntervalJoin _),
+    "q15_topk"            -> (Relational.q15TopK _),
+    "q16_anti_join"       -> (Relational.q16AntiJoin _),
+    "q17_rollup"          -> (Relational.q17Rollup _),
+    "q18_concat_key"      -> (Relational.q18ConcatKey _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_filter_pushdown" -> Relational.q02Sql,
+    "q03_region_revenue"  -> Relational.q03Sql,
+    "q04_groupby_count"   -> Relational.q04Sql,
+    "q05_minmax"          -> Relational.q05Sql,
+    "q06_distinct_values" -> Relational.q06Sql,
+    "q07_union_slices"    -> Relational.q07Sql,
+    "q08_descriptive_stats" -> Relational.q08Sql,
+    "q09_date_buckets"    -> Relational.q09Sql,
+    "q10_json_extract"    -> Relational.q10Sql,
+    "q11_case_bucket"     -> Relational.q11Sql,
+    "q12_dedup_distinct"  -> Relational.q12Sql,
+    "q13_latest_per_key"  -> Relational.q13Sql,
+    "q14_interval_join"   -> Relational.q14Sql,
+    "q15_topk"            -> Relational.q15Sql,
+    "q16_anti_join"       -> Relational.q16Sql,
+    "q17_rollup"          -> Relational.q17Sql,
+    "q18_concat_key"      -> Relational.q18Sql,
+  )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver's deterministic parquet tables
+  * (TESTDATA.md): `region nation customer supplier part orders lineitem
+  * events documents embeddings`, one parquet file per table under a
+  * scale-factor directory.
+  *
+  * At cluster scale the same loaders work against a partitioned lake
+  * (directory of files); nothing here assumes a single file.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** The events table carries TIMESTAMP(NANOS) which Spark 4 cannot
+    * read natively. Read it as a long (ns since epoch) and expose BOTH:
+    *  - `ts_ns`: exact int64 nanoseconds — use for ordering/arithmetic
+    *    (bit-exact vs DuckDB's TIMESTAMP_NS semantics);
+    *  - `ts`: µs-truncated TimestampType — use for date/window functions.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Shared helpers for oracle-stable arithmetic.
+  *
+  * The driver hash-compares our parquet output against DuckDB running
+  * the `oracleSql` on the same tables. Floating-point aggregation order
+  * differs between engines, so raw `sum(double)` is not hash-stable.
+  * Strategy: cast inputs to exact decimals, aggregate exactly, cast the
+  * exact result back to double (a deterministic IEEE value), and do any
+  * residual arithmetic (avg, variance) as an identical explicit tree of
+  * IEEE double ops on both sides.
+  */
+object OracleMath {
+  import org.apache.spark.sql.Column
+
+  val Dec: DecimalType = DecimalType(18, 4)
+
+  /** Exact decimal sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact decimal sum of a per-row product, returned as double. */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(Dec) * b.cast(Dec)).cast(DoubleType)
+}
