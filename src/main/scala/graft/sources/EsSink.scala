@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Elasticsearch bulk sink (SURVEY §2.1 S4).
+  *
+  * The reference collects the WHOLE DataFrame to the driver
+  * (`data.toPandas()`, sparktoELKstream.py:34) and bulk-posts from
+  * Python — a driver OOM at any real scale. Here each partition
+  * serializes its own rows to ES bulk NDJSON and posts directly from
+  * the executor, so throughput scales with the cluster and the driver
+  * never materializes data.
+  *
+  * Semantics kept from the reference: ALL columns are sent
+  * (`use_these_keys = data.columns`, sparktoELKstream.py:50) and ES
+  * assigns document ids. The HTTP transport is pluggable so tests (and
+  * this offline container) can capture payloads instead of POSTing.
+  */
+object EsSink {
+
+  type Transport = (String, String) => Unit // (url, ndjsonPayload)
+
+  /** Default transport: HTTP POST via java.net (zero dependencies). */
+  def httpTransport: Transport = (url, payload) => {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-ndjson")
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    val code = conn.getResponseCode
+    if (code >= 300) throw new java.io.IOException(s"ES bulk failed: HTTP $code")
+    conn.getInputStream.close()
+  }
+
+  /** Build bulk NDJSON actions for a partition's rows, chunked at
+    * ~`maxBytes` per request (reference producer caps messages at
+    * 900,000 bytes, electricraw.py:179 — same discipline here). */
+  def bulkChunks(docs: Iterator[String], index: String,
+      maxBytes: Int = 900000): Iterator[String] = {
+    val action = s"""{"index":{"_index":"$index"}}""" + "\n"
+    new Iterator[String] {
+      def hasNext: Boolean = docs.hasNext
+      def next(): String = {
+        val sb = new StringBuilder
+        while (docs.hasNext && sb.length < maxBytes)
+          sb.append(action).append(docs.next()).append('\n')
+        sb.toString
+      }
+    }
+  }
+
+  /** Batch write: every executor partition posts its own bulk chunks. */
+  def write(df: DataFrame, index: String,
+      nodes: String = "http://localhost:9200",
+      transport: Transport = httpTransport,
+      maxBytes: Int = 900000): Unit = {
+    val url = s"$nodes/_bulk"
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      bulkChunks(it, index, maxBytes).foreach(p => transport(url, p))
+    }
+  }
+
+  /** Streaming form: `writeStream.foreachBatch(EsSink.foreachBatch(...))`. */
+  def foreachBatch(index: String, nodes: String = "http://localhost:9200",
+      transport: Transport = httpTransport): (DataFrame, Long) => Unit =
+    (batch, _) => write(batch, index, nodes, transport)
+}
