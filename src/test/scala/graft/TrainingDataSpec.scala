@@ -1,0 +1,188 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens + tokenCount on trimmed whitespace") {
+    val df = Seq("  the quick  brown fox ", "one").toDF("text")
+    val n = df.select(TextFunctions.tokenCount($"text")).as[Int].collect()
+    assert(n.toSeq === Seq(4, 1))
+  }
+
+  test("shingles: distinct word n-grams") {
+    val df = Seq("a b c d").toDF("text")
+    val sh = df.select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh.toSet === Set("a b c", "b c d"))
+  }
+
+  test("jaccard on shingle arrays") {
+    val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.shingles($"x", 2), TextFunctions.shingles($"y", 2)))
+      .as[Double].head()
+    // x: {a b, b c, c d}; y: {a b, b c, c e} → 2/4
+    assert(j === 0.5)
+  }
+
+  test("langIdHeuristic: profile argmax with deterministic ties") {
+    val df = Seq(
+      "the cat of the house",     // en
+      "der hund und die katze",   // de
+      "nothing matching here xyz" // und
+    ).toDF("text")
+    val got = df.select(TextFunctions.langIdHeuristic($"text")).as[String].collect()
+    assert(got.toSeq === Seq("en", "de", "und"))
+  }
+
+  test("fingerprint normalizes whitespace/punct/case") {
+    val df = Seq(("Hello,  World!", "hello world"), ("a b", "ab")).toDF("x", "y")
+    val eq = df.select((TextFunctions.fingerprint($"x") ===
+      TextFunctions.fingerprint($"y")).as("e")).as[Boolean].collect()
+    assert(eq.toSeq === Seq(true, true))
+  }
+
+  test("rollingHash is order-sensitive and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val h = df.select(TextFunctions.rollingHash($"text")).as[Long].collect()
+    assert(h(0) === h(2))
+    assert(h(0) !== h(1))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base + " extra"),                    // near-dup of 0 (high jaccard)
+    (2L, base.replace("quick", "slow")),      // near-dup of 0
+    (3L, "completely different words about spark catalyst optimizer plans and shuffles everywhere"),
+    (4L, base)                                // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical fingerprints") {
+    val g = Dedup.exactByFingerprint(docs)
+    assert(g.count() === 4) // 0&4 merge
+    assert(g.filter($"group_size" === 2).select($"keep_id").as[Long].head() === 0L)
+  }
+
+  test("minhash LSH finds planted near-dups, skips unrelated") {
+    val pairs = Dedup.minHashDupPairs(docs, 0.5, k = 128, bands = 32)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near-dup
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("minhash signature: identical text → identical signature") {
+    val sig = docs.filter($"doc_id".isin(0L, 4L))
+      .select(Dedup.minHashSignature(TextFunctions.shingles($"text", 3), 32))
+      .as[Seq[Long]].collect()
+    assert(sig(0) === sig(1))
+  }
+
+  test("simhash: exact dup at hamming 0; unrelated text never low-hamming") {
+    val pairs = Dedup.simHashDupPairs(docs, maxHamming = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 4L)) === 0L) // identical text → identical signature
+    // doc 3 shares no shingles with the others — must not appear at ≤10
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // near-dups that did surface must be closer than the threshold
+    assert(pairs.values.forall(_ <= 10L))
+  }
+
+  test("ngram jaccard with prefix blocking") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.3, t => substring(t, 1, 20))
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 4L)))
+    assert(pairs.find(p => p._1 == 0L && p._2 == 4L).get._3 === 1.0)
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private lazy val vectors = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.9999, 0.01, 0, 0)), // near-dup of 0
+    (2L, vec(0, 1, 0, 0)),         // orthogonal
+    (3L, vec(-1, 0, 0, 0)),        // opposite
+    (4L, vec(0.7, 0.7, 0, 0))      // diagonal
+  ).toDF("vec_id", "embedding")
+
+  test("cosine expression: exact values on known vectors") {
+    val d = vectors.as("a").join(vectors.as("b"),
+      col("a.vec_id") === 0L && col("b.vec_id") === 2L)
+      .select(Similarity.cosine(
+        Similarity.asDouble(col("a.embedding")),
+        Similarity.asDouble(col("b.embedding"))))
+      .as[Double].head()
+    assert(math.abs(d) < 1e-9) // orthogonal
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val topk = Similarity.bruteForceTopK(
+      vectors.filter($"vec_id" === 0L), vectors, 4)
+      .select($"rank", $"n_id").as[(Int, Long)].collect().toMap
+    assert(topk(1) === 1L) // nearest: near-dup
+    assert(topk(2) === 4L) // diagonal
+    assert(topk(3) === 2L) // orthogonal
+    assert(topk(4) === 3L) // opposite
+  }
+
+  test("hyperplane LSH: identical vectors share a bucket; near-dups verified") {
+    val pairs = Similarity.lshNearDupPairs(vectors, 0.9, dim = 4, bits = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // cos ≈ 0.9999
+    assert(!pairs.contains((0L, 3L))) // opposite never passes verify
+  }
+
+  test("ivfAssign: same vector → same cell; assignment is total") {
+    val dup = Seq((10L, vec(1, 2, 3, 4)), (11L, vec(1, 2, 3, 4))).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(dup, dim = 4, nCells = 8)
+      .select($"cell").as[Int].collect()
+    assert(cells(0) === cells(1))
+    assert(Similarity.ivfAssign(vectors, 4, 8).count() === 5)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media meta plumbing: schema, determinism, null passthrough") {
+    val df = Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.withMediaMeta(Multimodal.mediaFromText(df))
+    assert(out.schema("media_meta").dataType === Multimodal.mediaMetaSchema)
+    val m = out.select($"doc_id", $"media_meta.byte_len", $"media_meta.width",
+      $"media_meta.height", $"media_meta.format")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(m(0)._2 === 11) // "hello world" bytes
+    assert(m(0)._5 === "vid") // odd length
+    assert(m(0)._3 >= 64 && m(0)._3 <= 640 && m(0)._4 >= 64 && m(0)._4 <= 480)
+    // determinism: same input → same stub metadata
+    val again = Multimodal.withMediaMeta(Multimodal.mediaFromText(df))
+      .select($"media_meta.width").as[Int].collect().sorted
+    assert(again.toSeq === m.map(_._3).sorted.toSeq)
+  }
+
+  test("frame sampling explodes stride-spaced indices") {
+    val df = Seq((1L, "some media content here")).toDF("doc_id", "text")
+    val withMeta = Multimodal.withMediaMeta(Multimodal.mediaFromText(df))
+    val n = withMeta.select($"media_meta.n_frames").as[Int].head()
+    val frames = Multimodal.sampleFrames(withMeta, 2)
+      .select($"frame_idx").as[Int].collect()
+    assert(frames.toSeq === (0 until n by 2).toSeq)
+  }
+}
