@@ -48,6 +48,7 @@ object SparkEntry {
     "q28_simhash_dedup"   -> (TrainingData.q28SimHashDedup _),
     "q29_embedding_neardup" -> (TrainingData.q29EmbeddingNearDup _),
     "q30_rolling_fingerprint" -> (TrainingData.q30RollingFingerprint _),
+    "q31_asof_join"       -> (Relational.q31AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,5 +83,6 @@ object SparkEntry {
     // q27-q30 are hash-based (xxhash64 signatures) — no portable SQL
     // oracle; driver records rows-only, exact behavior asserted in
     // ScalaTest with planted fixtures.
+    "q31_asof_join"       -> Relational.q31Sql,
   )
 }

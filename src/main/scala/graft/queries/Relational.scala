@@ -400,6 +400,32 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Native as-of join ([[graft.plans.AsOfJoin]] — custom LogicalPlan
+    * + Strategy + merge-scan SparkPlan): for each purchase, the latest
+    * signup of the same user at or before it. One shuffle+sort per
+    * side, O(n+m) merge — vs the range-join+window rewrite that
+    * shuffles the full match product. Oracle: DuckDB's native ASOF. */
+  def q31AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id", $"ts_ns")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("s_event"), $"user_id".as("s_user"), $"ts_ns".as("s_ns"))
+    graft.plans.AsOf.join(purchases, signups,
+        purchases("user_id"), signups("s_user"),
+        purchases("ts_ns"), signups("s_ns"))
+      .select($"p_event", $"user_id", $"s_event")
+      .orderBy($"p_event")
+  }
+
+  val q31Sql: String =
+    """SELECT l.event_id AS p_event, l.user_id AS user_id, r.event_id AS s_event
+      |FROM (SELECT * FROM events WHERE event_type='purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='signup') r
+      |  ON l.user_id = r.user_id AND r.ts <= l.ts
+      |ORDER BY p_event""".stripMargin
+
   /** Derived concat column (SURVEY §2.2 O7 — ref pointLocation =
     * "lat,lon" string for the geo sink). */
   def q18ConcatKey(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,68 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, time, label)
+  private lazy val trades = Seq(
+    (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 300L, "t3"),
+    (2L, 150L, "t4"),
+    (3L, 50L, "t5") // key with no quotes at all
+  ).toDF("k", "t", "trade")
+
+  private lazy val quotes = Seq(
+    (1L, 90L, 10.0), (1L, 150L, 11.0), (1L, 250L, 12.0),
+    (2L, 150L, 20.0), // exactly-equal timestamp must match (<=)
+    (4L, 1L, 99.0)    // key never joined
+  ).toDF("k", "t", "px")
+
+  private def run(tol: Option[Long] = None) =
+    AsOf.join(trades, quotes,
+      trades("k"), quotes("k"), trades("t"), quotes("t"), tol)
+      .select(trades("k"), trades("t"), $"trade", $"px")
+      .orderBy(trades("k"), trades("t"))
+
+  test("latest right row at or before each left time, per key") {
+    val got = run().as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 100L, "t1", Some(10.0)), // quote@90
+      (1L, 200L, "t2", Some(11.0)), // quote@150
+      (1L, 300L, "t3", Some(12.0)), // quote@250
+      (2L, 150L, "t4", Some(20.0)), // equal ts matches
+      (3L, 50L, "t5", None)))       // no quotes for key
+  }
+
+  test("tolerance bounds the lookback") {
+    val got = run(Some(20L)).as[(Long, Long, String, Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, 100L, "t1", Some(10.0)), // 100-90=10 <= 20
+      (1L, 200L, "t2", None),       // 200-150=50 > 20
+      (1L, 300L, "t3", None),       // 300-250=50 > 20
+      (2L, 150L, "t4", Some(20.0)), // exact: delta 0
+      (3L, 50L, "t5", None)))
+  }
+
+  test("survives multi-partition shuffles (distribution requirements)") {
+    val bigTrades = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), ($"id" * 10).as("t"))
+    val bigQuotes = spark.range(0, 500)
+      .select(($"id" % 7).as("k"), ($"id" * 20).as("t"), ($"id" % 100).as("px"))
+    val out = AsOf.join(bigTrades, bigQuotes,
+      bigTrades("k"), bigQuotes("k"), bigTrades("t"), bigQuotes("t"))
+    assert(out.count() === 1000)
+    // spot-check one row against a window-based reference computation
+    val ref = bigTrades.as("l").join(bigQuotes.as("r"),
+        col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.k").as("k"), col("l.t").as("t"))
+      .agg(max(struct(col("r.t"), col("r.px"))).as("m"))
+      .select($"k", $"t", $"m.px".as("px"))
+    val a = out.select(bigTrades("k"), bigTrades("t"), $"px")
+      .orderBy("k", "t").collect()
+    val b = ref.orderBy("k", "t").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
