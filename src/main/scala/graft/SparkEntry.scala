@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, TrainingData}
+import graft.queries.{Advanced, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,9 @@ object SparkEntry {
     "q29_embedding_neardup" -> (TrainingData.q29EmbeddingNearDup _),
     "q30_rolling_fingerprint" -> (TrainingData.q30RollingFingerprint _),
     "q31_asof_join"       -> (Relational.q31AsofJoin _),
+    "q32_sessionization"  -> (Advanced.q32Sessionization _),
+    "q33_scalar_surface"  -> (Advanced.q33ScalarSurface _),
+    "q34_sketches"        -> (Advanced.q34Sketches _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +87,9 @@ object SparkEntry {
     // oracle; driver records rows-only, exact behavior asserted in
     // ScalaTest with planted fixtures.
     "q31_asof_join"       -> Relational.q31Sql,
+    "q32_sessionization"  -> Advanced.q32Sql,
+    "q33_scalar_surface"  -> Advanced.q33Sql,
+    // q34 is approximate (HLL / t-digest sketches) — rows-only; error
+    // bound vs exact asserted in ScalaTest.
   )
 }

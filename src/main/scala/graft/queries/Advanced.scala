@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Advanced analytics surface: sessionization (the batch form of the
+  * streaming mapGroupsWithState pattern), a wide scalar-function
+  * parity sweep, and sketch aggregates.
+  */
+object Advanced {
+
+  /** Sessionization: per-user sessions split at 30-minute gaps —
+    * lag → new-session flag → running sum (session id) → per-session
+    * aggregates. One shuffle (partitionBy user). The streaming
+    * equivalent lives in streaming/Sessionize. ts ordering/durations
+    * use exact int64 nanoseconds (ts_ns) for oracle stability. */
+  def q32Sessionization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // µs granularity on both sides: DuckDB's parquet reader surfaces
+    // these ns timestamps at µs precision, so ns math would mismatch
+    val gapUs = 30L * 60 * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"ts_us") - min($"ts_us")).as("duration_us"),
+        OracleMath.dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  val q32Sql: String =
+    """SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  max(ts_us) - min(ts_us) AS duration_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_us IS NULL
+      |        OR ts_us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |    FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+      |            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |              ORDER BY epoch_us(ts), event_id) AS prev_us FROM events)))
+      |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  /** Scalar-function surface sweep (SURVEY §2.8 and beyond): string,
+    * date, math and conditional builtins in one projection, checked
+    * value-exact against DuckDB. Engine-semantics notes inline (e.g.
+    * Spark dayofweek is 1=Sunday, DuckDB 0=Sunday). */
+  def q33ScalarSurface(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      upper($"o_orderpriority").as("up"),
+      lower($"o_orderpriority").as("low"),
+      substring($"o_orderpriority", 3, 4).as("sub"),
+      lpad($"o_custkey".cast(StringType), 8, "0").as("pad"),
+      regexp_replace($"o_orderpriority", "[0-9]-", "").as("rex"),
+      instr($"o_orderpriority", "-").as("pos"),
+      reverse($"o_orderstatus").as("rev"),
+      concat_ws("/", $"o_orderstatus", $"o_orderpriority").as("cat"),
+      year($"o_orderdate").as("yr"),
+      month($"o_orderdate").as("mo"),
+      dayofmonth($"o_orderdate").as("dy"),
+      (dayofweek($"o_orderdate") - 1).as("dow"), // align to DuckDB 0=Sunday
+      date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus30"),
+      datediff($"o_orderdate", lit("1995-01-01").cast(DateType)).as("dd"),
+      date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("lastd"),
+      pmod($"o_orderkey", lit(7)).as("m7"),
+      greatest($"o_totalprice", lit(100000.0)).as("gr"),
+      least($"o_totalprice", lit(100000.0)).as("le"),
+      coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("co"),
+      ceil($"o_totalprice").cast(LongType).as("ce"),
+      floor($"o_totalprice").cast(LongType).as("fl"),
+      abs($"o_totalprice" - 250000.0).as("ab"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS up, lower(o_orderpriority) AS low,
+      |  substring(o_orderpriority, 3, 4) AS sub,
+      |  lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS pad,
+      |  regexp_replace(o_orderpriority, '[0-9]-', '', 'g') AS rex,
+      |  instr(o_orderpriority, '-') AS pos,
+      |  reverse(o_orderstatus) AS rev,
+      |  o_orderstatus || '/' || o_orderpriority AS cat,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  dayofmonth(o_orderdate) AS dy, dayofweek(o_orderdate) AS dow,
+      |  strftime((o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS plus30,
+      |  date_diff('day', DATE '1995-01-01', o_orderdate) AS dd,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS lastd,
+      |  mod(o_orderkey, 7) AS m7,
+      |  greatest(o_totalprice, 100000.0) AS gr,
+      |  least(o_totalprice, 100000.0) AS le,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS co,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+      |  abs(o_totalprice - 250000.0) AS ab
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Sketch aggregates (approximate — rows-only for the driver; the
+    * error bound vs exact is asserted in ScalaTest): HLL distinct
+    * counts via the mergeable Datasketches aggregate, plus t-digest
+    * style approximate percentiles. These are the 100 TB answers to
+    * COUNT(DISTINCT) and exact medians: constant memory, one pass,
+    * mergeable across partitions. */
+  def q34Sketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"),
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"))
+      .orderBy($"l_returnflag")
+  }
+}

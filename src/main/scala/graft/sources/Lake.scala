@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet lake writer/reader.
+  *
+  * The reference's raw lake is a flat directory per topic
+  * (eQRawToParquet.py:23) — every query scans everything. At 100 TB
+  * the lake must be partitioned by event date so date predicates prune
+  * at the directory level (PartitionFilters in the scan, zero I/O for
+  * untouched days), with file sizes controlled to avoid the
+  * small-files problem micro-batches create.
+  */
+object Lake {
+
+  /** Write a frame as a date-partitioned lake. `tsCol` drives the
+    * `event_date` partition column; `filesPerPartition` coalesces
+    * micro-batch dribble into sane file counts. */
+  def write(df: DataFrame, path: String, tsCol: String,
+      mode: String = "append", filesPerPartition: Int = 1): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .repartition(filesPerPartition, col("event_date"))
+      .write.mode(mode)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Compact a lake partition range into `nFiles` files (the
+    * maintenance job that keeps file counts bounded under streaming
+    * append). */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
+    val tmp = path.stripSuffix("/") + "__compacting"
+    read(spark, path)
+      .repartition(nFiles, col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

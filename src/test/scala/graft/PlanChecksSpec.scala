@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+
+/** Plan-quality gates: these assert the *physical plan shape* that
+  * makes queries survive 100 TB — filter/projection pushdown to the
+  * parquet scan, broadcast of dimension joins, partition pruning on
+  * the date-partitioned lake, partial aggregation, and salted-join
+  * row parity. A regression here is a performance bug even when
+  * results stay correct.
+  */
+class PlanChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  // run first: under AQE the final plan (incl. WholeStageCodegen
+  // fusion) only exists after execution
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicate and projection reach the parquet scan") {
+    val p = plan(queries.Relational.q02FilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // projection pruning: only the needed columns in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03: dimension joins broadcast; fact join does not") {
+    val p = plan(queries.Relational.q03RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) then final") {
+    val p = plan(queries.Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("partial_"), p) // HashAggregate(partial_sum...)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the scan→project→filter pipeline") {
+    // codegen stages render as "*(n) Op" in the final adaptive plan
+    val p = plan(queries.Relational.q02FilterPushdown(spark, sf))
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("lake: date partition pruning shows in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-prune").toString
+    val ev = Tables.events(spark, sf)
+    Lake.write(ev.select($"event_id", $"ts", $"value"), dir, "ts",
+      mode = "overwrite")
+    val pruned = Lake.read(spark, dir)
+      .filter($"event_date" === "2024-01-03")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters"), p)
+    assert(pruned.count() > 0)
+    // pruning actually limits partitions read
+    val allDates = Lake.read(spark, dir).select($"event_date").distinct().count()
+    assert(allDates > 1)
+  }
+
+  test("salted join: row parity with the plain join under a hot key") {
+    val big = spark.range(0, 10000)
+      .select(when($"id" % 100 === 0, 7L).otherwise($"id" % 50).as("k"),
+        $"id".as("payload"))
+    val small = Seq((7L, "hot"), (1L, "a"), (2L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k").count()
+    val salted = Skew.saltedJoin(big, small, "k", 8, col("payload")).count()
+    assert(salted === plain)
+  }
+
+  test("salted aggregation: exact parity with plain groupBy") {
+    val df = spark.range(0, 5000)
+      .select(($"id" % 3).as("k"), ($"id" % 7).cast("double").as("v"),
+        $"id".as("rid"))
+    val plain = df.groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy($"k").as[(Long, Double, Long)].collect().toSeq
+    val salted = Skew.saltedSumCount(df, "k", "v", 16, col("rid"))
+      .orderBy($"k").as[(Long, Double, Long)].collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("asof join plan: one exchange+sort per side, no cartesian") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("le"), $"user_id", $"ts_ns")
+    val r = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("re"), $"user_id".as("ru"), $"ts_ns".as("rns"))
+    val j = plans.AsOf.join(l, r, l("user_id"), r("ru"), l("ts_ns"), r("rns"))
+    val p = plan(j)
+    assert(p.contains("AsOfJoin"), p) // node renders without Exec suffix
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // AQE prints initial+final trees: 2 hash exchanges each, never more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+}
