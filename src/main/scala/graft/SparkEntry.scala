@@ -52,6 +52,9 @@ object SparkEntry {
     "q32_sessionization"  -> (Advanced.q32Sessionization _),
     "q33_scalar_surface"  -> (Advanced.q33ScalarSurface _),
     "q34_sketches"        -> (Advanced.q34Sketches _),
+    "q35_window_suite"    -> (Advanced.q35WindowSuite _),
+    "q36_pivot"           -> (Advanced.q36Pivot _),
+    "q37_set_ops"         -> (Advanced.q37SetOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +94,8 @@ object SparkEntry {
     "q33_scalar_surface"  -> Advanced.q33Sql,
     // q34 is approximate (HLL / t-digest sketches) — rows-only; error
     // bound vs exact asserted in ScalaTest.
+    "q35_window_suite"    -> Advanced.q35Sql,
+    "q36_pivot"           -> Advanced.q36Sql,
+    "q37_set_ops"         -> Advanced.q37Sql,
   )
 }

@@ -110,6 +110,100 @@ object Advanced {
       |  abs(o_totalprice - 250000.0) AS ab
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Window-function suite (SURVEY §2.7 — absent in the reference; a
+    * complete engine needs ranking/analytic/frame specs): rank,
+    * dense_rank, lag/lead, and a moving frame aggregate, all with
+    * deterministic tie-breaks and decimal-exact sums. */
+  def q35WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 200)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        rank().over(Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")).as("price_rank"),
+        dense_rank().over(Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderpriority")).as("prio_rank"),
+        lag($"o_orderkey", 1).over(byCust).as("prev_order"),
+        lead($"o_orderkey", 1).over(byCust).as("next_order"),
+        sum($"o_totalprice".cast(OracleMath.Dec))
+          .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"),
+        (count(lit(1)).over(Window.partitionBy($"o_custkey"))).as("n_orders"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q35Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Pivot (conditional aggregation — the deterministic form of
+    * `groupBy.pivot`): event counts and value sums per user × type. */
+  def q36Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.flatMap { t =>
+      Seq(sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n_$t"),
+        OracleMath.dsum(when($"event_type" === t, $"value").otherwise(0.0))
+          .as(s"val_$t"))
+    }
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"user_id")
+  }
+
+  val q36Sql: String = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cols = types.flatMap { t =>
+      Seq(s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t",
+        s"CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS val_$t")
+    }
+    s"""SELECT user_id, ${cols.mkString(",\n  ")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Set operations (intersect / except — SURVEY §2.4 notes the
+    * reference lacks them; engine completeness): customers appearing
+    * in both high-value and urgent order sets, and the difference. */
+  def q37SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val highValue = o.filter($"o_totalprice" > 300000.0).select($"o_custkey")
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val both = highValue.intersect(urgent)
+      .withColumn("set_kind", lit("both"))
+    val highOnly = highValue.except(urgent)
+      .withColumn("set_kind", lit("high_only"))
+    both.union(highOnly)
+      .groupBy($"set_kind").agg(count(lit(1)).as("n_customers"))
+      .orderBy($"set_kind")
+  }
+
+  val q37Sql: String =
+    """SELECT set_kind, COUNT(*) AS n_customers FROM (
+      |  SELECT o_custkey, 'both' AS set_kind FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |    INTERSECT
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  UNION ALL
+      |  SELECT o_custkey, 'high_only' AS set_kind FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |    EXCEPT
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+      |GROUP BY set_kind ORDER BY set_kind""".stripMargin
+
   /** Sketch aggregates (approximate — rows-only for the driver; the
     * error bound vs exact is asserted in ScalaTest): HLL distinct
     * counts via the mergeable Datasketches aggregate, plus t-digest

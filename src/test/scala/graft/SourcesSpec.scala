@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.time.{Duration, Instant}
+import graft.sources.{ElectricSeries, HttpPoller}
+import graft.streaming.Correlate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class HttpPollerSpec extends SparkSpec {
+  test("poll windows overlap by design (lookback > period)") {
+    var t = Instant.parse("2023-02-06T10:00:00Z")
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(Instant, Instant)]
+    val poller = new HttpPoller(
+      fetch = (a, b) => { windows += ((a, b)); "[]" },
+      sink = _ => (),
+      lookback = HttpPoller.FreshLookback,
+      clock = () => t)
+    poller.pollOnce()
+    t = t.plus(HttpPoller.FreshPeriod)
+    poller.pollOnce()
+    assert(windows.size === 2)
+    // second window starts before the first ends → overlap → duplicates
+    assert(windows(1)._1.isBefore(windows(0)._2))
+    assert(Duration.between(windows(0)._1, windows(0)._2) ===
+      HttpPoller.FreshLookback)
+  }
+
+  test("fixed-origin poller always re-fetches the full history window") {
+    var captured: (Instant, Instant) = null
+    val poller = new HttpPoller((a, b) => { captured = (a, b); "[]" }, _ => (),
+      Duration.ZERO, () => Instant.parse("2023-02-06T10:00:00Z"))
+    poller.pollFromOrigin(HttpPoller.HistoryOrigin)
+    assert(captured._1 === Instant.parse("2022-01-01T00:00:00Z"))
+  }
+}
+
+class ElectricSeriesSpec extends SparkSpec {
+  test("seek math: 4 bytes per minute since 2000-01-01 (ref :64-68)") {
+    assert(ElectricSeries.offsetOf(Instant.parse("2000-01-01T00:00:00Z")) === 0L)
+    assert(ElectricSeries.offsetOf(Instant.parse("2000-01-01T01:00:00Z")) === 240L)
+    assert(ElectricSeries.offsetOf(Instant.parse("2000-01-02T00:00:00Z")) === 5760L)
+  }
+
+  test("decode: per-minute stamps, NaN→0.0, 2dp rounding (ref :76-87)") {
+    val buf = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putFloat(12.345f).putFloat(Float.NaN).putFloat(-3.999f)
+    val start = Instant.parse("2023-01-01T00:00:00Z")
+    val s = ElectricSeries.decode(buf.array(), start)
+    assert(s.map(_.data) === Seq(12.35, 0.0, -4.0))
+    assert(s(1).time.toInstant === start.plusSeconds(60))
+    assert(ElectricSeries.firstGap(s).get.toInstant === start.plusSeconds(60))
+  }
+}
+
+class CorrelateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eq = Seq(
+    (1L, "2023-02-06 04:17:00", 7.7),
+    (2L, "2023-02-06 10:00:00", 4.0)
+  ).toDF("eventID", "ts", "magnitude")
+    .withColumn("event_ts", to_timestamp($"ts")).drop("ts")
+
+  private val el = Seq(
+    ("2023-02-06 04:10:00", 1.0), ("2023-02-06 04:16:00", 2.0),
+    ("2023-02-06 04:20:00", 3.0), ("2023-02-06 05:00:00", 4.0)
+  ).toDF("t", "data").withColumn("time", to_timestamp($"t")).drop("t")
+
+  test("batch window correlation aggregates samples within ±w") {
+    val out = Correlate.window(eq, el, windowSec = 600)
+      .orderBy($"eventID")
+      .select($"eventID", $"n_samples", $"min_field", $"max_field")
+      .as[(Long, Long, Double, Double)].collect()
+    // event 1 @04:17 ± 10min → samples at 04:10, 04:16, 04:20
+    assert(out(0) === ((1L, 3L, 1.0, 3.0)))
+    assert(out.length === 1) // event 2 has no samples in range
+  }
+
+  test("nearest: as-of to latest preceding sample with tolerance") {
+    val out = Correlate.nearest(eq, el, toleranceSec = Some(3600))
+      .select($"eventID", $"field_at_event")
+      .orderBy($"eventID").as[(Long, Option[Double])].collect()
+    assert(out(0) === ((1L, Some(2.0)))) // 04:16 sample
+    assert(out(1) === ((2L, None)))      // 05:00 is 5h before 10:00 → outside tolerance
+  }
+
+  test("streaming correlation joins within the window under watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val elIn = MemoryStream[(java.sql.Timestamp, Double)]
+    val evS = evIn.toDF().toDF("eventID", "event_ts", "magnitude")
+    val elS = elIn.toDF().toDF("time", "data")
+    val q = Correlate.stream(evS, elS, windowSec = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    try {
+      evIn.addData((1L, java.sql.Timestamp.valueOf("2023-02-06 04:17:00"), 7.7))
+      elIn.addData(
+        (java.sql.Timestamp.valueOf("2023-02-06 04:16:00"), 2.0),
+        (java.sql.Timestamp.valueOf("2023-02-06 06:00:00"), 9.9))
+      q.processAllAvailable()
+      val got = spark.table("corr_out").select($"eventID", $"data")
+        .as[(Long, Double)].collect()
+      assert(got.toSet === Set((1L, 2.0)))
+    } finally q.stop()
+  }
+}
