@@ -1,0 +1,90 @@
+package graft
+
+import graft.model.FaultLines
+import graft.ops.{DescriptiveStats, EarthquakeOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5.4): dedup idempotence, union
+  * additivity of disjoint slices, stats invariants, wire-schema cast
+  * round-trips. Generators run locally; Spark checks run on sampled
+  * cases (a full Spark job per generated case would be minutes). */
+class PropertySpec extends SparkSpec {
+  // scalatest-plus bridge isn't on the classpath; drive ScalaCheck
+  // generators directly over a fixed sample budget
+  private def forAll[A](gen: Gen[A], n: Int = 25)(body: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+  import spark.implicits._
+
+  private val provinces =
+    FaultLines.east ++ FaultLines.north ++ FaultLines.west ++
+      Seq("Trabzon", "Rize", "Nowhere")
+
+  test("dedup idempotence: distinct∘distinct = distinct") {
+    val rows = Gen.listOfN(60, Gen.zip(Gen.choose(1, 5), Gen.oneOf(provinces)))
+      .sample.get
+    val df = rows.toDF("id", "province")
+    val once = df.distinct()
+    assert(once.count() === once.distinct().count())
+  }
+
+  test("union additivity: disjoint region slices partition the filtered set") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"event_type", $"value")
+    val slices = Seq("click", "view", "purchase", "signup", "error")
+      .map(t => df.filter($"event_type" === t))
+    val total = slices.map(_.count()).sum
+    assert(total === df.count()) // exhaustive disjoint slices
+    assert(slices.reduce(_ union _).count() === total) // bag union additivity
+  }
+
+  test("fault-line bucketing is total and matches list membership") {
+    forAll(Gen.oneOf(provinces)) { p =>
+      val expected =
+        if (FaultLines.east.contains(p)) FaultLines.East
+        else if (FaultLines.north.contains(p)) FaultLines.North
+        else if (FaultLines.west.contains(p)) FaultLines.West
+        else ""
+      // evaluate the Column expression through a 1-row frame
+      val got = Seq(p).toDF("province")
+        .select(EarthquakeOps.faultLine(col("province"))).as[String].head()
+      assert(got === expected)
+    }
+  }
+
+  test("stats invariants: min <= mean <= max; stddev² ≈ variance; n>=1") {
+    val xs = Gen.listOfN(50, Gen.choose(-1e6, 1e6)).sample.get
+    val r = DescriptiveStats.compute(xs.toDF("x"), Seq("x")).head()
+    val (mean, variance, sd) = (r.getAs[Double]("mean"),
+      r.getAs[Double]("variance"), r.getAs[Double]("stddev"))
+    assert(r.getAs[Double]("min") <= mean && mean <= r.getAs[Double]("max"))
+    assert(math.abs(sd * sd - variance) <= 1e-6 * math.max(1.0, variance))
+    assert(r.getAs[Long]("n") === xs.size)
+  }
+
+  test("wire-schema cast round-trip: double -> string -> try_cast") {
+    forAll(Gen.choose(-9999.0, 9999.0)) { d =>
+      val v = math.rint(d * 100) / 100 // 2dp like the wire format
+      val got = Seq(v.toString).toDF("s")
+        .select(col("s").try_cast("double")).as[Double].head()
+      assert(got === v)
+    }
+  }
+
+  test("rollingHash: permutation-sensitive, concat-extension changes hash") {
+    val gen = Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(5)))
+    forAll(gen, 8) { words =>
+      whenever(words.toSet.size > 1) {
+        val base = words.mkString(" ")
+        val perm = words.reverse.mkString(" ")
+        val ext = base + " extra"
+        val h = Seq(base, perm, ext).toDF("t")
+          .select(graft.functions.TextFunctions.rollingHash(col("t")))
+          .as[Long].collect()
+        if (base != perm) assert(h(0) !== h(1))
+        assert(h(0) !== h(2))
+      }
+    }
+  }
+}

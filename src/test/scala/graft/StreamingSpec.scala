@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Streaming tests per SURVEY §5 item 5: MemoryStream → pipeline →
   * memory sink; duplicate-window ingest must converge. */
+object StreamingSpec {
+  /** Executor-side capture for the ES transport (works in local mode —
+    * executors share the JVM). */
+  val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -58,6 +64,32 @@ class StreamingSpec extends SparkSpec {
       assert(r.getLong(0) === 3L)
       assert(r.getDouble(1) === 6.0)
     } finally query.stop()
+  }
+
+  test("full eventsToSink job: raw JSON → parse/enrich/dedup → ES bulk payloads") {
+    implicit val sqlCtx = spark.sqlContext
+    StreamingSpec.captured.clear()
+    val input = MemoryStream[String]
+    val raw = input.toDF().selectExpr("cast(value as binary) as value")
+    val cp = java.nio.file.Files.createTempDirectory("es-cp").toString
+    val sink = graft.sources.EsSink.foreachBatch("earthquake-all",
+      transport = (url, payload) => StreamingSpec.captured.add((url, payload)))
+    val q = Jobs.eventsToSink(raw, cp, sink).start()
+    try {
+      input.addData(
+        s"[${mkEvent(100, 10, 6.5)},${mkEvent(101, 11, 3.0)}]",
+        s"[${mkEvent(100, 10, 6.5)}]") // re-poll duplicate
+      q.processAllAvailable()
+      val payloads = StreamingSpec.captured.toArray.map(_.asInstanceOf[(String, String)])
+      assert(payloads.forall(_._1.endsWith("/_bulk")))
+      val lines = payloads.flatMap(_._2.linesIterator).filter(_.nonEmpty)
+      val actions = lines.filter(_.contains("\"_index\":\"earthquake-all\""))
+      val docs = lines.filterNot(_.contains("\"_index\""))
+      assert(actions.length === 2) // dup removed by keyed dedup
+      assert(docs.length === 2)
+      assert(docs.forall(_.contains("\"fault_line\":\"Doğu Anadolu\"")))
+      assert(docs.exists(_.contains("\"pointLocation\":\"37.0,36.0\"")))
+    } finally q.stop()
   }
 
   test("raw archiver passthrough preserves the Kafka source schema") {
