@@ -55,6 +55,8 @@ object SparkEntry {
     "q35_window_suite"    -> (Advanced.q35WindowSuite _),
     "q36_pivot"           -> (Advanced.q36Pivot _),
     "q37_set_ops"         -> (Advanced.q37SetOps _),
+    "q38_dedup_corpus_exact" -> (TrainingData.q38DedupCorpusExact _),
+    "q39_dedup_corpus_near"  -> (TrainingData.q39DedupCorpusNear _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +99,7 @@ object SparkEntry {
     "q35_window_suite"    -> Advanced.q35Sql,
     "q36_pivot"           -> Advanced.q36Sql,
     "q37_set_ops"         -> Advanced.q37Sql,
+    "q38_dedup_corpus_exact" -> TrainingData.q38Sql,
+    // q39 clusters over MinHash signatures — rows-only.
   )
 }

@@ -164,6 +164,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b)
+    * via iterative min-label propagation: each node adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    * Converges in O(diameter) rounds — near-dup clusters are tiny
+    * (pairs of pairs), so 2-4 rounds in practice; every round is two
+    * shuffled joins + an aggregate, checkpoint-free. For web-scale
+    * graphs swap in large-star/small-star; the interface stays. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("comp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("comp", "n_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_comp")).as("n_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .cache()
+      next.count() // materialize before comparing
+      converged = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus-level dedup: returns the docs to KEEP. Exact duplicates
+    * collapse by fingerprint (min id wins); near-duplicate clusters
+    * (MinHash-LSH pairs → connected components) keep only the
+    * cluster's min id. The output is the cleaned corpus — the actual
+    * training-data operation, not just the pair report. */
+  def dedupCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("__fp", fingerprint(col(textCol)))
+    val keepExact = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exactKept = docs.join(keepExact, Seq(idCol), "left_semi")
+    val pairs = minHashDupPairs(exactKept, jaccardThreshold, idCol, textCol)
+    val comps = connectedComponents(pairs)
+    val drop = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    exactKept.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard over prefix-blocked candidates: block on a cheap
     * key (here: text prefix) to avoid the cross join, then exact
     * Jaccard on word shingles. Blocking key choice is the scale lever. */

@@ -218,6 +218,32 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Corpus-level exact dedup: the canonical keeper per normalized
+    * fingerprint (min doc_id) — the output corpus, not a pair report. */
+  def q38DedupCorpusExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("fp", TextFunctions.fingerprint($"text"))
+      .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+      .select($"keep_id")
+      .orderBy($"keep_id")
+  }
+
+  val q38Sql: String =
+    """SELECT min(doc_id) AS keep_id FROM documents
+      |GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+      |ORDER BY keep_id""".stripMargin
+
+  /** Corpus-level near-dedup: MinHash-LSH pairs → connected
+    * components → cluster-min survivors (rows-only; clustering over
+    * hash signatures). */
+  def q39DedupCorpusNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.dedupCorpus(Tables.documents(s, dir), jaccardThreshold = 0.5)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprints (xxhash64-based — rows-only). */
   def q30RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -85,6 +85,24 @@ class PlanChecksSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("no driver-gated query plans a cartesian product or nested loop") {
+    // sweep every SparkEntry query's optimized plan at sf0.001 — any
+    // operator degenerating to an O(n·m) join is a scale bug even if
+    // results are right at test size
+    // q24 brute-force ANN *intends* a BroadcastNestedLoopJoin: the
+    // broadcast side is the bounded query set (10 rows), so the plan
+    // is linear in the corpus — the one legitimate NLJ here.
+    val intendedNlj = Set("q24_ann_topk")
+    for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
+      val p = fn(spark, sf).queryExecution.optimizedPlan.toString
+      assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")
+      val phys = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        s"$name physical plan is nested-loop:\n$phys")
+    }
+  }
+
   test("asof join plan: one exchange+sort per side, no cartesian") {
     val ev = Tables.events(spark, sf)
     val l = ev.filter($"event_type" === "purchase")

@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 10L))
   }
 
+  test("connected components: transitive clusters get the min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("dedupCorpus keeps one canonical doc per exact+near cluster") {
+    val kept = Dedup.dedupCorpus(docs, jaccardThreshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // 4 is an exact dup of 0; 1 and 2 are near-dups of 0 → cluster min 0
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(!kept.contains(4L) && !kept.contains(1L) && !kept.contains(2L))
+  }
+
   test("ngram jaccard with prefix blocking") {
     val pairs = Dedup.ngramJaccardPairs(docs, 0.3, t => substring(t, 1, 20))
       .as[(Long, Long, Double)].collect()
