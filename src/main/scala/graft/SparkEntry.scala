@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_set_ops"         -> (Advanced.q37SetOps _),
     "q38_dedup_corpus_exact" -> (TrainingData.q38DedupCorpusExact _),
     "q39_dedup_corpus_near"  -> (TrainingData.q39DedupCorpusNear _),
+    "q40_explode_dims"    -> (Advanced.q40ExplodeDims _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     "q37_set_ops"         -> Advanced.q37Sql,
     "q38_dedup_corpus_exact" -> TrainingData.q38Sql,
     // q39 clusters over MinHash signatures — rows-only.
+    "q40_explode_dims"    -> Advanced.q40Sql,
   )
 }

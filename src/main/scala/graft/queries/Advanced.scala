@@ -204,6 +204,32 @@ object Advanced {
       |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
       |GROUP BY set_kind ORDER BY set_kind""".stripMargin
 
+  /** Generator + array functions (explode with position): per-dimension
+    * stats over the embedding vectors' first 8 components. The explode
+    * is a generator (no shuffle); the per-dim agg is one hash
+    * aggregate. */
+  def q40ExplodeDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(posexplode($"embedding").as(Seq("pos", "val")))
+      .filter($"pos" < 8)
+      .select(($"pos" + 1).as("dim"), $"val".cast(DoubleType).as("v"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast(DecimalType(20, 10))).cast(DoubleType).as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"dim")
+  }
+
+  val q40Sql: String =
+    """SELECT dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) AS sum_v,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM (
+      |  SELECT gs.i AS dim, CAST(embedding[gs.i] AS DOUBLE) AS v
+      |  FROM embeddings, generate_series(1, 8) AS gs(i)
+      |) GROUP BY dim ORDER BY dim""".stripMargin
+
   /** Sketch aggregates (approximate — rows-only for the driver; the
     * error bound vs exact is asserted in ScalaTest): HLL distinct
     * counts via the mergeable Datasketches aggregate, plus t-digest

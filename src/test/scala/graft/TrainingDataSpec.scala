@@ -46,6 +46,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(eq.toSeq === Seq(true, true))
   }
 
+  test("bpeishTokens splits subword boundaries") {
+    val df = Seq("hello42world!x", "plain words").toDF("text")
+    val got = df.select(TextFunctions.bpeishTokens($"text")).as[Seq[String]].collect()
+    assert(got(0) === Seq("hello", "42", "world", "!", "x"))
+    assert(got(1) === Seq("plain", "words"))
+  }
+
+  test("dot_product is SQL-registered and matches the Column API") {
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT dot_product(a, b) FROM vecs").as[Double].head()
+    val api = df.select(graft.operators.Similarity.dot($"a", $"b")).as[Double].head()
+    assert(sql === 32.0 && api === 32.0)
+  }
+
   test("rollingHash is order-sensitive and deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
     val h = df.select(TextFunctions.rollingHash($"text")).as[Long].collect()
