@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput micro-bench: drives the full parse → enrich →
+  * watermarked-dedup pipeline (streaming/Jobs.eventsPipeline +
+  * dedupStream) from a MemoryStream and reports events/sec, plus the
+  * raw archiver path. Substantiates the BASELINE.md ingest targets
+  * (the reference envelope is ≤ a few msgs/s — SURVEY §6).
+  *
+  * Usage: runMain graft.StreamBench [nBatches] [eventsPerBatch]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.headOption.map(_.toInt).getOrElse(50)
+    val perBatch = args.lift(1).map(_.toInt).getOrElse(2000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def event(id: Long, minute: Int): String =
+      f"""{"date":"2023-02-06T${4 + minute / 60}%02d:${minute % 60}%02d:00","rms":"0.5","eventID":"$id","location":"X","latitude":"37.0","longitude":"36.0","depth":"7.0","type":"Ke","magnitude":"5.1","country":"T","province":"Hatay","district":"D","neighborhood":"N","isEventUpdate":"false","lastUpdateDate":""}"""
+
+    val input = MemoryStream[String]
+    val raw = input.toDF().selectExpr("cast(value as binary) as value")
+    @volatile var rows = 0L
+    val q = graft.streaming.Jobs.eventsToSink(raw,
+      java.nio.file.Files.createTempDirectory("sb-cp").toString,
+      (df, _) => rows += df.count()).start()
+
+    val t0 = System.nanoTime()
+    var id = 0L
+    for (b <- 0 until nBatches) {
+      val msg = (0 until perBatch).map { i =>
+        id += 1; event(id, (b * 7 + i / 100) % 1200)
+      }.mkString("[", ",", "]")
+      input.addData(msg)
+    }
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val total = nBatches.toLong * perBatch
+    println(f"""{"metric":"stream_events_per_sec","value":${total / secs}%.0f,"events":$total,"sec":$secs%.2f,"sunk_rows":$rows}""")
+    spark.stop()
+  }
+}
