@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Relational, TrainingData}
+import graft.queries.{Advanced, MoreRelational, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,11 @@ object SparkEntry {
     "q38_dedup_corpus_exact" -> (TrainingData.q38DedupCorpusExact _),
     "q39_dedup_corpus_near"  -> (TrainingData.q39DedupCorpusNear _),
     "q40_explode_dims"    -> (Advanced.q40ExplodeDims _),
+    "q41_correlated_subquery" -> (MoreRelational.q41CorrelatedSubquery _),
+    "q42_semi_join"       -> (MoreRelational.q42SemiJoin _),
+    "q43_five_way_join"   -> (MoreRelational.q43FiveWayJoin _),
+    "q44_having"          -> (MoreRelational.q44Having _),
+    "q45_string_agg"      -> (MoreRelational.q45StringAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +108,10 @@ object SparkEntry {
     "q38_dedup_corpus_exact" -> TrainingData.q38Sql,
     // q39 clusters over MinHash signatures — rows-only.
     "q40_explode_dims"    -> Advanced.q40Sql,
+    "q41_correlated_subquery" -> MoreRelational.q41Sql,
+    "q42_semi_join"       -> MoreRelational.q42Sql,
+    "q43_five_way_join"   -> MoreRelational.q43Sql,
+    "q44_having"          -> MoreRelational.q44Sql,
+    "q45_string_agg"      -> MoreRelational.q45Sql,
   )
 }
