@@ -216,14 +216,16 @@ object Advanced {
       .select(($"pos" + 1).as("dim"), $"val".cast(DoubleType).as("v"))
       .groupBy($"dim")
       .agg(count(lit(1)).as("n"),
-        sum($"v".cast(DecimalType(20, 10))).cast(DoubleType).as("sum_v"),
+        // scale 4, not 10: double→decimal rounding at fine scales hits
+        // engine-dependent boundary behavior on full-precision floats
+        sum($"v".cast(DecimalType(20, 4))).cast(DoubleType).as("sum_v"),
         min($"v").as("min_v"), max($"v").as("max_v"))
       .orderBy($"dim")
   }
 
   val q40Sql: String =
     """SELECT dim, COUNT(*) AS n,
-      |  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) AS sum_v,
+      |  CAST(SUM(CAST(v AS DECIMAL(20,4))) AS DOUBLE) AS sum_v,
       |  min(v) AS min_v, max(v) AS max_v
       |FROM (
       |  SELECT gs.i AS dim, CAST(embedding[gs.i] AS DOUBLE) AS v

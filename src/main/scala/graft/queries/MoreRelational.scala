@@ -68,16 +68,16 @@ object MoreRelational {
     li.join(o, $"l_orderkey" === $"o_orderkey")
       .join(dims, $"o_custkey" === $"c_custkey")
       .groupBy($"n_name")
-      .agg(sum($"l_extendedprice".cast(Dec) *
-        (lit(1).cast(Dec) - $"l_discount".cast(Dec)))
-        .cast(DoubleType).as("revenue"),
+      .agg(floor(sum($"l_extendedprice".cast(Dec) *
+        (lit(1).cast(Dec) - $"l_discount".cast(Dec))) * 100)
+        .cast(LongType).as("revenue_cents"),
         count(lit(1)).as("n_items"))
       .orderBy($"n_name")
   }
 
   val q43Sql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT) AS revenue_cents,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

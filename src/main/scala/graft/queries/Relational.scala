@@ -36,9 +36,13 @@ object Relational {
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        sum($"l_extendedprice".cast(Dec) *
-          (lit(1).cast(Dec) - $"l_discount".cast(Dec)))
-          .cast(DoubleType).as("sum_disc_price"),
+        // product sums carry scale 8 → the scaled integer passes 2^53
+        // at sf≥0.1 and decimal→double conversion diverges between
+        // engines by 1 ulp; exact integer cents (floor is tie-free)
+        // sidestep the conversion entirely
+        floor(sum($"l_extendedprice".cast(Dec) *
+          (lit(1).cast(Dec) - $"l_discount".cast(Dec))) * 100)
+          .cast(LongType).as("sum_disc_cents"),
         (sum($"l_quantity".cast(Dec)).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("avg_qty"),
         (sum($"l_discount".cast(Dec)).cast(DoubleType) /
@@ -51,7 +55,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT) AS sum_disc_cents,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -190,8 +194,14 @@ object Relational {
         count(lit(1)).as("n"),
         sum(c.cast(Dec)).cast(DoubleType).as("s1"),
         // (19,4)×(18,4) → (38,8): exact in Spark (≤38 digits) AND forces
-        // DuckDB into int128 math (symmetric (18,4)² overflows its int64 path)
-        sum(c.cast(DecimalType(19, 4)) * c.cast(Dec)).cast(DoubleType).as("s2"),
+        // DuckDB into int128 math (symmetric (18,4)² overflows its int64
+        // path). FLOOR to an integer before the double conversion —
+        // scale-8 sums pass 2^53 scaled and decimal→double rounding
+        // diverges between engines; the floored value (exact, tie-free)
+        // converts identically, and the ≤1 unit loss on a ~1e15 sum
+        // shifts the variance by ~1e-15 relative on BOTH sides equally.
+        floor(sum(c.cast(DecimalType(19, 4)) * c.cast(Dec)))
+          .cast(DoubleType).as("s2"),
         min(c).as("min_v"),
         max(c).as("max_v"))
         .select(
@@ -212,7 +222,7 @@ object Relational {
     def one(c: String) =
       s"""SELECT '$c' AS feature, COUNT(*) AS n,
          |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v,
-         |  (CAST(SUM(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(18,4))) AS DOUBLE)
+         |  (CAST(FLOOR(SUM(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(18,4)))) AS DOUBLE)
          |    - CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
          |   / (CAST(COUNT(*) AS DOUBLE) - 1.0) AS var_samp_v,
          |  min($c) AS min_v, max($c) AS max_v,

@@ -70,6 +70,54 @@ object Multimodal {
       explode(sequence(lit(0), col("media_meta.n_frames") - 1,
         lit(stride))))
 
+  /** ======== STUB ========
+    * Deterministic fake feature extractor: binary → fixed-dim float
+    * embedding derived from rolling byte hashes. Real build: the model
+    * forward pass (ONNX/JNI); signature and batch shape identical. */
+  def featurizeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ bytes(i)) * 1099511628211L
+      out(math.floorMod(i, dim)) += (h % 1000) / 1000.0f
+      i += 1
+    }
+    val n = math.sqrt(out.map(x => x.toDouble * x).sum)
+    if (n > 0) out.map(x => (x / n).toFloat) else out
+  }
+  /** ====== END STUB ====== */
+
+  /** Attach a feature embedding extracted from the binary column —
+    * batched per partition, declared output schema; the result feeds
+    * straight into [[graft.operators.Similarity]] ANN/dedup. */
+  def withFeatures(df: DataFrame, dim: Int = 64,
+      binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val vec = if (r.isNullAt(idx)) null
+          else featurizeStub(r.getAs[Array[Byte]](idx), dim).toSeq
+        Row.fromSeq(r.toSeq :+ vec)
+      }
+    }(enc)
+  }
+
+  /** "Resize": recompute metadata for a target box preserving aspect
+    * ratio — pure column arithmetic over the decoded metadata (the
+    * pixel work happens in the decode kernel at materialization). */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("media_meta.width").cast(DoubleType)
+    val h = col("media_meta.height").cast(DoubleType)
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    df.withColumn("resized_w", floor(w * scale).cast(IntegerType))
+      .withColumn("resized_h", floor(h * scale).cast(IntegerType))
+  }
+
   /** Build a synthetic media column from text (UTF-8 bytes) — lets the
     * plumbing be exercised against the driver's documents table. */
   def mediaFromText(df: DataFrame, textCol: String = "text"): DataFrame =

@@ -209,6 +209,36 @@ class MultimodalSpec extends SparkSpec {
     assert(again.toSeq === m.map(_._3).sorted.toSeq)
   }
 
+  test("featurize stub: unit-norm embedding, deterministic, ANN-composable") {
+    val df = Seq((1L, "some text payload"), (2L, "another document"))
+      .toDF("doc_id", "text")
+    val emb = Multimodal.withFeatures(Multimodal.mediaFromText(df), dim = 16)
+    assert(emb.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val vecs = emb.select($"doc_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(vecs(1L).length === 16)
+    val norm = math.sqrt(vecs(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3)
+    // composes with the similarity operators
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      emb.select($"doc_id".as("vec_id"), $"embedding").limit(1),
+      emb.select($"doc_id".as("vec_id"), $"embedding"), 1)
+    assert(knn.count() === 1)
+  }
+
+  test("resize meta preserves aspect ratio within the target box") {
+    val df = Seq((1L, "x" * 500)).toDF("doc_id", "text")
+    val meta = Multimodal.withMediaMeta(Multimodal.mediaFromText(df))
+    val r = Multimodal.resizeMeta(meta, 128, 128)
+      .select($"media_meta.width", $"media_meta.height", $"resized_w", $"resized_h")
+      .as[(Int, Int, Int, Int)].head()
+    assert(r._3 <= 128 && r._4 <= 128)
+    val (ar0, ar1) = (r._1.toDouble / r._2, r._3.toDouble / r._4)
+    assert(math.abs(ar0 - ar1) / ar0 < 0.05)
+  }
+
   test("frame sampling explodes stride-spaced indices") {
     val df = Seq((1L, "some media content here")).toDF("doc_id", "text")
     val withMeta = Multimodal.withMediaMeta(Multimodal.mediaFromText(df))
