@@ -28,6 +28,20 @@ object Lake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Write as a BUCKETED table (hash-bucketed + sorted by `key` into
+    * `nBuckets` files per partition, registered in the session
+    * catalog). Two tables bucketed the same way join WITHOUT a
+    * shuffle — at 100 TB, pre-bucketing the fact tables on their join
+    * key turns every recurring join into a local zip of sorted
+    * buckets. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Compact a lake partition range into `nFiles` files (the
     * maintenance job that keeps file counts bounded under streaming
     * append). */

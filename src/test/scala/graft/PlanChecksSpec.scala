@@ -63,6 +63,33 @@ class PlanChecksSpec extends SparkSpec {
     assert(allDates > 1)
   }
 
+  test("bucketed tables: co-located join runs without a shuffle") {
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+    val l = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity")
+    Lake.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Lake.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+    // force the non-broadcast path so the bucketing (not a broadcast)
+    // is what eliminates the exchange
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val p = plan(j)
+      assert(!p.contains("Exchange hashpartitioning"), p) // no shuffle
+      assert(p.contains("SortMergeJoin"), p)
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
   test("salted join: row parity with the plain join under a hot key") {
     val big = spark.range(0, 10000)
       .select(when($"id" % 100 === 0, 7L).otherwise($"id" % 50).as("k"),
