@@ -63,6 +63,8 @@ object SparkEntry {
     "q43_five_way_join"   -> (MoreRelational.q43FiveWayJoin _),
     "q44_having"          -> (MoreRelational.q44Having _),
     "q45_string_agg"      -> (MoreRelational.q45StringAgg _),
+    "q46_sequence_packing" -> (TrainingData.q46SequencePacking _),
+    "q47_hash_split"      -> (TrainingData.q47HashSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +115,8 @@ object SparkEntry {
     "q43_five_way_join"   -> MoreRelational.q43Sql,
     "q44_having"          -> MoreRelational.q44Sql,
     "q45_string_agg"      -> MoreRelational.q45Sql,
+    "q46_sequence_packing" -> TrainingData.q46Sql,
+    // q47 gates on xxhash64 — rows-only; split stability asserted in
+    // ScalaTest.
   )
 }

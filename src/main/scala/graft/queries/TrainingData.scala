@@ -244,6 +244,43 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** Sequence packing (context-window binning): docs in doc_id order
+    * packed greedily into 4096-token bins; per-pack stats. The window
+    * cumsum is SQL-portable, so this one is fully oracled. */
+  def q46SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
+    graft.operators.Sampling.packSequences(docs, "n_tokens", "doc_id", 4096L)
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+  }
+
+  val q46Sql: String =
+    """SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+      |  FROM (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |        FROM documents))
+      |GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  /** Deterministic hash split + stratified sample accounting
+    * (xxhash64-gated — rows-only; stability asserted in ScalaTest). */
+  def q47HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val (train, test) = graft.operators.Sampling.hashSplit(docs, "doc_id", 90)
+    train.select(lit("train").as("split"), $"lang")
+      .union(test.select(lit("test").as("split"), $"lang"))
+      .groupBy($"split", $"lang").agg(count(lit(1)).as("n"))
+      .orderBy($"split", $"lang")
+  }
+
   /** Rolling-hash document fingerprints (xxhash64-based — rows-only). */
   def q30RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("hashSplit: disjoint, exhaustive, and stable under repartitioning") {
+    val (train, test) = Sampling.hashSplit(docs, "doc_id", 90)
+    val nTrain = train.count()
+    val nTest = test.count()
+    assert(nTrain + nTest === docs.count())
+    assert(train.join(test, "doc_id").count() === 0) // disjoint
+    assert(math.abs(nTrain.toDouble / docs.count() - 0.9) < 0.05)
+    // stability: same membership regardless of partition layout
+    val (train2, _) = Sampling.hashSplit(docs.repartition(13), "doc_id", 90)
+    assert(train2.select("doc_id").as[Long].collect().sorted.toSeq ===
+      train.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("stratifiedSample: every stratum downsampled near the fraction") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.5)
+    val byLang = docs.groupBy($"lang").count()
+      .withColumnRenamed("count", "total")
+      .join(sampled.groupBy($"lang").count(), "lang")
+    val ratios = byLang.select(($"count" / $"total")).as[Double].collect()
+    assert(ratios.forall(r => r > 0.3 && r < 0.7), ratios.mkString(","))
+  }
+
+  test("packSequences: packs respect order; every pack except maybe the last is full-ish") {
+    val withTokens = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount($"text"))
+    val packed = Sampling.packSequences(withTokens, "n_tokens", "doc_id", 2048L)
+    val stats = packed.groupBy($"pack_id")
+      .agg(sum($"n_tokens").as("tok"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .orderBy($"pack_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // contiguity in doc_id order: each pack's range precedes the next's
+    stats.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3)
+      case _ =>
+    }
+    // invariant: a pack is short of the budget by at most one
+    // overflowing document (greedy cumulative binning)
+    val maxDoc = withTokens.agg(max($"n_tokens")).as[Int].head()
+    stats.dropRight(1).foreach { case (_, tok, _, _) =>
+      assert(tok > 2048L - maxDoc, s"pack $tok vs budget 2048, maxDoc $maxDoc")
+    }
+  }
+}
