@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature kernels for the dedup suite.
+  *
+  * The explode → groupBy(id) → 128-column min/sum aggregate shape is
+  * correct and scales, but it pays an exploded-row shuffle and 128
+  * aggregate-buffer updates per feature. These expressions compute the
+  * whole signature in ONE tight pass over the shingle array per row —
+  * a projection, no shuffle at all. Hash = the same XXH64 (seed 42)
+  * Spark's `xxhash64` uses; the k MinHash lanes are rotate-XOR mixes
+  * of three base hashes (double-hashing).
+  */
+object SignatureKernels {
+
+  private def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  private def rot(x: Long, i: Int): Long =
+    if (i == 0) x else java.lang.Long.rotateLeft(x, i)
+
+  /** k-lane MinHash signature over a string array. */
+  def minHash(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = hash(s, 42L)
+      val h2 = XXH64.hashLong(h, 1L)
+      val h3 = XXH64.hashLong(h, 2L)
+      var lane = 0
+      while (lane < k) {
+        val mixed =
+          if (lane < 64) h ^ rot(h2, lane) else h ^ rot(h3, lane - 64)
+        if (mixed < sig(lane)) sig(lane) = mixed
+        lane += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash-64 signature over a string array (±1 bit votes). */
+  def simHash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.minHash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.minHash($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simHash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SignatureExpressions {
+  import org.apache.spark.sql.GraftShims
+  def minHashSig(shingles: Column, k: Int): Column =
+    GraftShims.column(MinHashSig(GraftShims.expression(shingles), k))
+  def simHash64(shingles: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(shingles)))
+}

@@ -32,45 +32,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
   }
 
-  /** MinHash signature as a Column (per-row, for small/test use).
-    * Production path is [[minHashSignatures]] — higher-order-function
-    * expressions are interpreted, not codegen'd, so per-row transform
-    * over k permutations is the slow shape. */
+  /** MinHash signature Column — the native single-pass kernel
+    * ([[graft.functions.MinHashSig]]): one tight loop per row, 3 full
+    * hashes per shingle + k rotate-XOR lane mixes. A pure projection;
+    * the earlier explode→groupBy→k-min-aggregate shape (correct, but
+    * pays an exploded-row shuffle) is superseded. */
   def minHashSignature(shingleCol: Column, k: Int): Column = {
-    val hs = transform(shingleCol, s => xxhash64(s))
-    val sigs = (0 until k).map { i =>
-      array_min(transform(hs, h => xxhash64(h, lit(i))))
-    }
-    array(sigs: _*)
+    require(k <= 128, "lane mixing provides 128 independent permutations")
+    graft.functions.SignatureExpressions.minHashSig(shingleCol, k)
   }
 
-  /** MinHash signatures the scalable way: explode each doc's shingle
-    * hashes to rows, then ONE codegen'd hash-aggregate with k `min`
-    * columns (map-side partial agg keeps the shuffle at k longs per
-    * doc regardless of document size). Each shingle string is hashed
-    * once; the k permutations are cheap long re-hashes. */
-  def minHashSignatures(shingled: DataFrame, k: Int): DataFrame = {
-    require(k <= 128, "lane mixing provides 128 independent permutations")
-    // Per shingle: 3 full hashes; each of the k lanes is a cheap
-    // rotate-XOR mix (double-hashing) instead of k full xxhash64 calls
-    // — ~4× less per-row work in the codegen'd aggregate at equal
-    // banding quality for near-dup thresholds.
-    val hashed = shingled.select(col("id"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("h"))
-      .withColumn("h2", xxhash64(col("h"), lit(1)))
-      .withColumn("h3", xxhash64(col("h"), lit(2)))
-    def rot(c: Column, i: Int): Column =
-      if (i == 0) c
-      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-    val mins = (0 until k).map { i =>
-      val mixed = if (i < 64) col("h").bitwiseXOR(rot(col("h2"), i))
-        else col("h").bitwiseXOR(rot(col("h3"), i - 64))
-      min(mixed).as(s"m$i")
-    }
-    hashed.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** (id, sh) → (id, sh, sig) via the native kernel — no shuffle. */
+  def minHashSignatures(shingled: DataFrame, k: Int): DataFrame =
+    shingled.select(col("id"), minHashSignature(col("sh"), k).as("sig"))
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; a candidate pair shares ≥1 full band. With
@@ -118,25 +92,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** SimHash-64 signatures over shingle hashes: explode each doc's
-    * feature hashes to rows, ONE codegen'd hash-aggregate with 64
-    * ±1-vote sums, then fold the votes into a 64-bit signature.
-    * Shingles (not unigrams) as features: on small-vocabulary corpora
-    * unigram signatures collapse to near-identical values and the
-    * bucket join degenerates to O(n²). */
-  def simHashSignatures(shingled: DataFrame): DataFrame = {
-    val hashed = shingled.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"v$i"))
-    hashed.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-  }
+  /** SimHash-64 signatures over shingle hashes — native single-pass
+    * kernel ([[graft.functions.SimHash64]]): ±1 bit votes folded per
+    * row, a pure projection (the explode→64-sum-aggregate shape paid
+    * an exploded-row shuffle for the same result). Shingles (not
+    * unigrams) as features: on small-vocabulary corpora unigram
+    * signatures collapse to near-identical values and the bucket join
+    * degenerates to O(n²). */
+  def simHashSignatures(shingled: DataFrame): DataFrame =
+    shingled.select(col("id"),
+      graft.functions.SignatureExpressions.simHash64(col("sh")).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
