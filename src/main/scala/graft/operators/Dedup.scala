@@ -54,9 +54,14 @@ object Dedup {
       shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // cache: the shingle projection feeds the signature pass AND both
+    // candidate-hydration joins — 3 recomputes without it (LRU evicts
+    // it after the query; at cluster scale this is a few GB per
+    // million docs, well within executor storage)
     val shingled = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
     val sig = minHashSignatures(shingled, k)
     // one row per (doc, band): ids + bucket hash ONLY — the shingle
     // arrays must NOT ride through the band fan-out (bands× data blowup
