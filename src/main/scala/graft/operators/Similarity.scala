@@ -94,6 +94,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** IVF top-k search: corpus assigned to its best cell ONCE (the
+    * index build — a projection); each query probes its `nProbe` best
+    * cells and brute-forces only those lists. Candidate volume drops
+    * by ~nCells/nProbe vs full brute force; recall is the nProbe dial.
+    * The cell equi-join keeps the plan shuffle-partitioned at scale. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpusCells = ivfAssign(corpus, dim, nCells, idCol, vecCol)
+      .select(col("cell"), col("id").as("n_id"), col("vec").as("n_vec"))
+    val queryCells = ivfAssignTop(queries, dim, nCells, nProbe, idCol, vecCol)
+      .select(col("cell"), col("id").as("q_id"), col("vec").as("q_vec"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+  }
+
+  /** Assignment to the `nProbe` best cells (multi-probe for queries). */
+  def ivfAssignTop(vectors: DataFrame, dim: Int, nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val cellScores = (0 until nCells).map { cIdx =>
+      val centroid = constVec((0 until dim).map(d => hashU(cIdx * 131071L + d)))
+      struct(dot(col("vec"), centroid).as("score"), lit(cIdx).as("cell"))
+    }
+    v.withColumn("__sorted", array_sort(array(cellScores: _*),
+        (l, r) => when(l("score") > r("score"), -1)
+          .when(l("score") < r("score"), 1).otherwise(0)))
+      .withColumn("__probe", explode(slice(col("__sorted"), 1, nProbe)))
+      .withColumn("cell", col("__probe")("cell"))
+      .drop("__sorted", "__probe")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `nCells` deterministic pseudo-random centroids (derived from
     * hashes — stand-in for a trained codebook); queries probe

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+import graft.sources.{EsSink, Lake}
+import org.apache.spark.sql.functions._
+
+class UtilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfTopK: reasonable recall of brute-force neighbors on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 10, dim = 64,
+      nCells = 8, nProbe = 4)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // probing half the cells
+    // full probe = exact
+    val full = Similarity.ivfTopK(queries, emb, 10, dim = 64,
+      nCells = 8, nProbe = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("qualityMetrics bundle computes consistent ratios") {
+    val df = Seq("the quick brown fox the end").toDF("text")
+    val m = TextFunctions.qualityMetrics($"text")
+    val row = df.select(m.map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getAs[Int]("n_tokens") === 6)
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
+    assert(math.abs(row.getAs[Double]("uniq_ratio") - 5.0 / 6) < 1e-12)
+    assert(row.getAs[Double]("punct_ratio") === 0.0)
+  }
+
+  test("EsSink.bulkChunks respects the byte cap and action/doc pairing") {
+    val docs = (1 to 100).map(i => s"""{"id":$i,"pad":"${"x" * 200}"}""")
+    val chunks = EsSink.bulkChunks(docs.iterator, "idx", maxBytes = 2000).toList
+    assert(chunks.size > 1)
+    chunks.foreach { c =>
+      val lines = c.linesIterator.toList
+      assert(lines.size % 2 === 0) // action, doc alternating
+      assert(lines.grouped(2).forall(p => p.head.contains("\"_index\":\"idx\"")))
+    }
+    val total = chunks.flatMap(_.linesIterator).count(_.contains("\"id\":"))
+    assert(total === 100)
+  }
+
+  test("Lake.compact merges small files preserving data and partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"value")
+    // write twice (append) to create small-file dribble
+    Lake.write(ev.limit(100), dir, "ts", mode = "append", filesPerPartition = 3)
+    Lake.write(ev.filter($"event_id" >= 100).limit(100), dir, "ts",
+      mode = "append", filesPerPartition = 3)
+    val before = Lake.read(spark, dir)
+    val beforeCount = before.count()
+    val beforeFiles = before.inputFiles.length
+    Lake.compact(spark, dir, nFiles = 1)
+    val after = Lake.read(spark, dir)
+    assert(after.count() === beforeCount)
+    assert(after.inputFiles.length < beforeFiles)
+    assert(after.columns.contains("event_date"))
+  }
+}
