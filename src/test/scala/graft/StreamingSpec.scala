@@ -92,6 +92,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driver contract: entry() flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
+      Set("q27_minhash_dedup", "q28_simhash_dedup", "q29_embedding_neardup",
+        "q30_rolling_fingerprint", "q34_sketches", "q39_dedup_corpus_near",
+        "q47_hash_split")) // rows-only set is exactly the documented one
+  }
+
+  test("built-in session_window aggregation on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val raw = input.toDF().selectExpr("cast(value as binary) as value")
+    val out = Jobs.eventsPipeline(raw)
+      .withWatermark("event_ts", "0 seconds")
+      .groupBy(session_window($"event_ts", "15 minutes"), $"province")
+      .agg(count(lit(1)).as("n"))
+    val q = out.writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").start()
+    try {
+      // 3 events: two within 15min of each other, one far later
+      input.addData(s"[${mkEvent(1, 0, 5.0)},${mkEvent(2, 10, 5.0)},${mkEvent(3, 50, 5.0)}]")
+      q.processAllAvailable()
+      // push the watermark with a far-future event (different province)
+      input.addData("""[{"date":"2023-02-20T00:00:00","rms":"0","eventID":"9","location":"X","latitude":"1","longitude":"1","depth":"1","type":"Ke","magnitude":"1.0","country":"T","province":"Ankara","district":"D","neighborhood":"N","isEventUpdate":"false","lastUpdateDate":""}]""")
+      q.processAllAvailable()
+      val rows = spark.table("sess_win_out").filter($"province" === "Hatay")
+        .select($"n").as[Long].collect().sorted
+      assert(rows.toSeq === Seq(1L, 2L)) // one 2-event session, one singleton
+    } finally q.stop()
+  }
+
   test("raw archiver passthrough preserves the Kafka source schema") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
