@@ -45,7 +45,7 @@ object Similarity {
       .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("score"))
   }
@@ -111,7 +111,7 @@ object Similarity {
       .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("score"))
   }

@@ -43,8 +43,8 @@ object Advanced {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT user_id, value, ts_us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
       |  FROM (
       |    SELECT *, CASE WHEN prev_us IS NULL
       |        OR ts_us - prev_us > 1800000000
@@ -67,15 +67,15 @@ object Advanced {
       substring($"o_orderpriority", 3, 4).as("sub"),
       lpad($"o_custkey".cast(StringType), 8, "0").as("pad"),
       regexp_replace($"o_orderpriority", "[0-9]-", "").as("rex"),
-      instr($"o_orderpriority", "-").as("pos"),
+      instr($"o_orderpriority", "-").cast(LongType).as("pos"),
       reverse($"o_orderstatus").as("rev"),
       concat_ws("/", $"o_orderstatus", $"o_orderpriority").as("cat"),
-      year($"o_orderdate").as("yr"),
-      month($"o_orderdate").as("mo"),
-      dayofmonth($"o_orderdate").as("dy"),
-      (dayofweek($"o_orderdate") - 1).as("dow"), // align to DuckDB 0=Sunday
+      year($"o_orderdate").cast(LongType).as("yr"),
+      month($"o_orderdate").cast(LongType).as("mo"),
+      dayofmonth($"o_orderdate").cast(LongType).as("dy"),
+      (dayofweek($"o_orderdate") - 1).cast(LongType).as("dow"), // align to DuckDB 0=Sunday
       date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus30"),
-      datediff($"o_orderdate", lit("1995-01-01").cast(DateType)).as("dd"),
+      datediff($"o_orderdate", lit("1995-01-01").cast(DateType)).cast(LongType).as("dd"),
       date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("lastd"),
       pmod($"o_orderkey", lit(7)).as("m7"),
       greatest($"o_totalprice", lit(100000.0)).as("gr"),
@@ -123,9 +123,9 @@ object Advanced {
       .select(
         $"o_custkey", $"o_orderkey",
         rank().over(Window.partitionBy($"o_custkey")
-          .orderBy($"o_totalprice".desc, $"o_orderkey")).as("price_rank"),
+          .orderBy($"o_totalprice".desc, $"o_orderkey")).cast(LongType).as("price_rank"),
         dense_rank().over(Window.partitionBy($"o_custkey")
-          .orderBy($"o_orderpriority")).as("prio_rank"),
+          .orderBy($"o_orderpriority")).cast(LongType).as("prio_rank"),
         lag($"o_orderkey", 1).over(byCust).as("prev_order"),
         lead($"o_orderkey", 1).over(byCust).as("next_order"),
         sum($"o_totalprice".cast(OracleMath.Dec))
@@ -167,7 +167,7 @@ object Advanced {
   val q36Sql: String = {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val cols = types.flatMap { t =>
-      Seq(s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t",
+      Seq(s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
         s"CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS val_$t")
     }
     s"""SELECT user_id, ${cols.mkString(",\n  ")}
@@ -213,7 +213,7 @@ object Advanced {
     Tables.embeddings(s, dir)
       .select(posexplode($"embedding").as(Seq("pos", "val")))
       .filter($"pos" < 8)
-      .select(($"pos" + 1).as("dim"), $"val".cast(DoubleType).as("v"))
+      .select(($"pos" + 1).cast(LongType).as("dim"), $"val".cast(DoubleType).as("v"))
       .groupBy($"dim")
       .agg(count(lit(1)).as("n"),
         // scale 4, not 10: double→decimal rounding at fine scales hits

@@ -263,7 +263,7 @@ object Relational {
   }
 
   val q10Sql: String =
-    """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k FROM (
+    """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
       |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |  FROM events
       |) WHERE k >= 50 GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -449,6 +449,6 @@ object Relational {
 
   val q18Sql: String =
     """SELECT lang || '|' || source AS lang_source, COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS total_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY lang_source""".stripMargin
 }

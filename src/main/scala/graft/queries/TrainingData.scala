@@ -27,12 +27,12 @@ object TrainingData {
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("sum_tokens"),
-        max($"n_tokens").as("max_tokens"))
+        max($"n_tokens").cast("long").as("max_tokens"))
       .orderBy($"lang")
   }
 
   val q19Sql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
       |  MAX(n_tokens) AS max_tokens
       |FROM (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
       |      FROM documents)
@@ -46,11 +46,11 @@ object TrainingData {
     val nTok = size(toks)
     Tables.documents(s, dir).select(
       $"doc_id",
-      length($"text").as("char_len"),
-      nTok.as("n_tokens"),
+      length($"text").cast("long").as("char_len"),
+      nTok.cast("long").as("n_tokens"),
       size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
-        .as("stop_cnt"),
-      size(array_distinct(toks)).as("uniq_cnt"),
+        .cast("long").as("stop_cnt"),
+      size(array_distinct(toks)).cast("long").as("uniq_cnt"),
       (size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
         .cast(DoubleType) / nTok.cast(DoubleType)).as("stop_ratio"),
       (size(array_distinct(toks)).cast(DoubleType) / nTok.cast(DoubleType))
@@ -181,7 +181,7 @@ object TrainingData {
     val media = Multimodal.mediaFromText(Tables.documents(s, dir))
     Multimodal.withMediaMeta(media)
       .select($"doc_id",
-        $"media_meta.byte_len".as("byte_len"),
+        $"media_meta.byte_len".cast("long").as("byte_len"),
         $"media_meta.format".as("format"))
       .orderBy($"doc_id")
   }
@@ -259,7 +259,7 @@ object TrainingData {
   }
 
   val q46Sql: String =
-    """SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+    """SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM (
       |  SELECT doc_id, n_tokens,

@@ -167,7 +167,7 @@ class SimilaritySpec extends SparkSpec {
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val topk = Similarity.bruteForceTopK(
       vectors.filter($"vec_id" === 0L), vectors, 4)
-      .select($"rank", $"n_id").as[(Int, Long)].collect().toMap
+      .select($"rank", $"n_id").as[(Long, Long)].collect().toMap
     assert(topk(1) === 1L) // nearest: near-dup
     assert(topk(2) === 4L) // diagonal
     assert(topk(3) === 2L) // orthogonal

@@ -50,6 +50,14 @@ def main():
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             failures += 1
             continue
+        dt_bad = [(c, str(a[c].dtype), str(b[c].dtype))
+                  for c in a.columns if a[c].dtype != b[c].dtype]
+        if dt_bad:
+            # dtype drift (e.g. DuckDB HUGEINT sum -> float64) breaks the
+            # driver's value hash even when values compare equal
+            print(f"FAIL {name}: dtype drift {dt_bad}")
+            failures += 1
+            continue
         bad = []
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
