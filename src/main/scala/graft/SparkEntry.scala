@@ -116,7 +116,6 @@ object SparkEntry {
     "q44_having"          -> MoreRelational.q44Sql,
     "q45_string_agg"      -> MoreRelational.q45Sql,
     "q46_sequence_packing" -> TrainingData.q46Sql,
-    // q47 gates on xxhash64 — rows-only; split stability asserted in
-    // ScalaTest.
+    "q47_hash_split"      -> TrainingData.q47Sql,
   )
 }

@@ -22,6 +22,32 @@ object Sampling {
     (df.filter(bucket < trainPct), df.filter(bucket >= trainPct))
   }
 
+  /** Cross-engine deterministic bucket in [0, n): the low 48 bits of
+    * the little-endian uint64 of the first 8 md5 digest bytes, mod n.
+    * Chosen because DuckDB exposes exactly this value as
+    * `md5_number_upper(x)` — so the same bucketing is computable in
+    * ANSI-ish SQL for oracle checks (see [[portableBucketSql]]) while
+    * Spark derives it from the md5 hex string. 48 bits keeps the value
+    * inside a signed long on both engines. */
+  def portableBucket(id: Column, n: Int): Column = {
+    val m = md5(id.cast("string"))
+    // little-endian: lowest-order byte is the first hex pair
+    val le48 = concat(Seq(11, 9, 7, 5, 3, 1).map(i => substring(m, i, 2)): _*)
+    conv(le48, 16, 10).cast("long") % n
+  }
+
+  /** DuckDB SQL computing the same bucket as [[portableBucket]]. */
+  def portableBucketSql(expr: String, n: Int): String =
+    s"CAST(md5_number_upper(CAST($expr AS VARCHAR)) & 281474976710655 AS BIGINT) % $n"
+
+  /** [[hashSplit]] variant gated on [[portableBucket]] — slower than
+    * xxhash64 but reproducible outside Spark (any engine with md5). */
+  def hashSplitPortable(df: DataFrame, idCol: String,
+      trainPct: Int): (DataFrame, DataFrame) = {
+    val bucket = portableBucket(col(idCol), 100)
+    (df.filter(bucket < trainPct), df.filter(bucket >= trainPct))
+  }
+
   /** Deterministic per-class downsampling to ~`fraction` of each
     * stratum (hash-gated, not rand-gated). */
   def stratifiedSample(df: DataFrame, idCol: String, classCol: String,
@@ -33,19 +59,50 @@ object Sampling {
   /** Sequence packing for context-window training: documents (in
     * deterministic `orderCol` order) are packed greedily into bins of
     * `budget` tokens — pack_id = floor(running-total-before / budget).
-    * One window pass; at scale, partition the window by a shard column
-    * first (pack within shards) to avoid the single-partition global
-    * window. */
+    *
+    * The global running total is a two-level prefix sum, never a
+    * single-partition window: rows are sharded by a monotonic bucketing
+    * of `orderCol` (so shard order == global order), each shard computes
+    * its local cumsum under a partitioned window, and the per-shard
+    * exclusive offsets — at most `numShards` numbers, the same scale as
+    * AQE partition statistics — are folded on the driver and broadcast
+    * back. Any shard-boundary placement yields the identical result,
+    * and each shard sorts independently, so this survives a 1000-way
+    * cluster where the old global window serialized onto one task. */
   def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
-      budget: Long, shardCol: Option[String] = None): DataFrame = {
+      budget: Long, numShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = shardCol.map(s => Window.partitionBy(col(s)))
-      .getOrElse(Window.partitionBy())
-      .orderBy(col(orderCol))
+    val spark = df.sparkSession
+    val shards =
+      if (numShards > 0) numShards
+      else math.max(32, spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val bounds = df.agg(
+      min(col(orderCol).cast("double")), max(col(orderCol).cast("double"))).head()
+    if (bounds.isNullAt(0)) return df.withColumn("pack_id", lit(0L))
+    val lo = bounds.getDouble(0)
+    val width = math.max(1e-12, (bounds.getDouble(1) - lo) / shards)
+    // monotonic in orderCol => per-shard order concatenates to global order
+    val shardOf = least(
+      floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
+      lit(shards.toLong - 1)).cast("long")
+    val sharded = df.withColumn("__shard", shardOf)
+    val offsets = sharded.groupBy("__shard")
+      .agg(sum(col(tokenCol).cast("long")).as("__tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .scanLeft((-1L, 0L)) { case ((_, acc), (s, tot)) => (s, acc + tot) }
+    val exclusive = offsets.sliding(2).collect {
+      case Array((_, prevAcc), (s, _)) => (s, prevAcc)
+    }.toSeq
+    import spark.implicits._
+    val offDf = exclusive.toDF("__shard", "__off")
+    val w = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+    sharded
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .join(broadcast(offDf), "__shard")
       .withColumn("pack_id",
-        floor((col("__cum") - col(tokenCol)).cast("double") / budget).cast("long"))
-      .drop("__cum")
+        floor((col("__cum") + col("__off") - col(tokenCol)).cast("double") / budget)
+          .cast("long"))
+      .drop("__shard", "__cum", "__off")
   }
 }

@@ -269,16 +269,27 @@ object TrainingData {
       |        FROM documents))
       |GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
-  /** Deterministic hash split + stratified sample accounting
-    * (xxhash64-gated — rows-only; stability asserted in ScalaTest). */
+  /** Deterministic hash split + stratified sample accounting. Gated on
+    * the md5-derived portable bucket so DuckDB can replay the exact
+    * split (the xxhash64 fast path stays in `Sampling.hashSplit`,
+    * covered rows-only by ScalaTest). */
   def q47HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val (train, test) = graft.operators.Sampling.hashSplit(docs, "doc_id", 90)
+    val (train, test) =
+      graft.operators.Sampling.hashSplitPortable(docs, "doc_id", 90)
     train.select(lit("train").as("split"), $"lang")
       .union(test.select(lit("test").as("split"), $"lang"))
       .groupBy($"split", $"lang").agg(count(lit(1)).as("n"))
       .orderBy($"split", $"lang")
+  }
+
+  val q47Sql: String = {
+    val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 100)
+    s"""SELECT split, lang, COUNT(*) AS n FROM (
+       |  SELECT CASE WHEN $bucket < 90 THEN 'train' ELSE 'test' END AS split, lang
+       |  FROM documents)
+       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
   /** Rolling-hash document fingerprints (xxhash64-based — rows-only). */
