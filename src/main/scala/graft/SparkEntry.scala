@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, MoreRelational, Relational, TrainingData}
+import graft.queries.{Advanced, Completeness, MoreRelational, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,11 @@ object SparkEntry {
     "q45_string_agg"      -> (MoreRelational.q45StringAgg _),
     "q46_sequence_packing" -> (TrainingData.q46SequencePacking _),
     "q47_hash_split"      -> (TrainingData.q47HashSplit _),
+    "q48_cube"            -> (Completeness.q48Cube _),
+    "q49_unpivot"         -> (Completeness.q49Unpivot _),
+    "q50_gap_fill"        -> (Completeness.q50GapFill _),
+    "q51_percentiles"     -> (Completeness.q51Percentiles _),
+    "q52_array_ops"       -> (Completeness.q52ArrayOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +122,10 @@ object SparkEntry {
     "q45_string_agg"      -> MoreRelational.q45Sql,
     "q46_sequence_packing" -> TrainingData.q46Sql,
     "q47_hash_split"      -> TrainingData.q47Sql,
+    "q48_cube"            -> Completeness.q48Sql,
+    "q49_unpivot"         -> Completeness.q49Sql,
+    "q50_gap_fill"        -> Completeness.q50Sql,
+    "q51_percentiles"     -> Completeness.q51Sql,
+    "q52_array_ops"       -> Completeness.q52Sql,
   )
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{OracleMath, Tables}
+
+/** Engine-completeness queries beyond the reference's own surface
+  * (SURVEY §2 notes these as absent): multi-dimensional aggregation
+  * (CUBE/grouping sets), unpivot/melt, time-series gap-fill, and exact
+  * percentiles. All fully oracled against DuckDB.
+  */
+object Completeness {
+
+  /** CUBE over status × priority with grouping markers (SURVEY §2.3 —
+    * the reference has only flat group-bys; a complete engine needs
+    * multi-dimensional aggregates). Super-aggregate rows surface the
+    * grouping() bits; null group keys are coalesced to 'ALL' so both
+    * engines order identically. */
+  def q48Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_prio"),
+        count(lit(1)).as("n"),
+        OracleMath.dsum($"o_totalprice").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_status", $"g_prio", $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  val q48Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Unpivot/melt (wide → long): numeric part attributes into
+    * (metric, value) rows — the Spark 4 `unpivot` operator; the oracle
+    * is the portable UNION ALL form. */
+  def q49Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .unpivot(
+        Array($"p_partkey"),
+        Array($"p_size".cast("double").as("p_size"), $"p_retailprice"),
+        "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
+
+  val q49Sql: String =
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** Time-series gap-fill/resample: per-user hourly grid spanning the
+    * user's active range (sequence + explode + left join), then empty-
+    * bucket accounting. The grid size is bounded by span/granularity per
+    * key — at 100 TB the explode stays proportional to key-count ×
+    * span-hours, never to event-count. */
+  def q50GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val perHour = Tables.events(s, dir)
+      .filter($"user_id" < 20)
+      .groupBy($"user_id", expr(s"ts_ns div $hourNs").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val grid = perHour.groupBy($"user_id")
+      .agg(min($"hour_idx").as("mn"), max($"hour_idx").as("mx"))
+      .select($"user_id", explode(sequence($"mn", $"mx")).as("hour_idx"))
+    grid.join(perHour, Seq("user_id", "hour_idx"), "left")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when($"n".isNull, 1L).otherwise(0L)).as("n_empty"),
+        max(coalesce($"n", lit(0L))).as("peak"))
+      .orderBy($"user_id")
+  }
+
+  val q50Sql: String =
+    """WITH per_hour AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_idx, COUNT(*) AS n
+      |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, min(hour_idx) AS mn, max(hour_idx) AS mx
+      |  FROM per_hour GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx)) AS hour_idx FROM spans)
+      |SELECT g.user_id, COUNT(*) AS n_hours,
+      |  CAST(SUM(CASE WHEN p.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      |  CAST(MAX(coalesce(p.n, 0)) AS BIGINT) AS peak
+      |FROM grid g LEFT JOIN per_hour p
+      |  ON p.user_id = g.user_id AND p.hour_idx = g.hour_idx
+      |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin
+
+  /** Exact interpolated percentiles per group. Hash-stable across
+    * engines because l_quantity is integer-valued and the quartile
+    * fractions are dyadic — every interpolation step is exact in IEEE
+    * double on both sides. */
+  def q51Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q51Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Array aggregation + element ops (collect sorted list per key, then
+    * size / first / last / membership) — the array-function surface the
+    * reference never touches. */
+  def q52ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" < 500)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_quantity")).as("qs"))
+      .select(
+        $"l_orderkey",
+        size($"qs").cast("long").as("n_items"),
+        element_at($"qs", 1).as("q_min"),
+        element_at($"qs", -1).as("q_max"),
+        array_contains($"qs", 10.0).as("has_ten"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q52Sql: String =
+    """SELECT l_orderkey, CAST(len(qs) AS BIGINT) AS n_items,
+      |  qs[1] AS q_min, qs[-1] AS q_max,
+      |  list_contains(qs, 10.0) AS has_ten
+      |FROM (SELECT l_orderkey, list(l_quantity ORDER BY l_quantity) AS qs
+      |      FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+}
