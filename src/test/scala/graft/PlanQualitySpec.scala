@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Global plan-quality gate over EVERY driver-contract query: the
+  * physical plan must contain
+  *
+  *  - no unpartitioned WindowExec (whole dataset on one task at scale),
+  *  - no CartesianProduct (O(n·m) pair blowup),
+  *  - no BroadcastNestedLoopJoin except where it is the operator's
+  *    definition (exact brute-force ANN scans query × corpus by design;
+  *    its scale path is the LSH/IVF variant).
+  *
+  * This turns the COVERAGE.md scale claims ("every candidate generator
+  * is a bucket equi-join, nothing is O(n²), no global windows") into an
+  * enforced invariant for all current and future queries.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val nestedLoopAllowed = Set("q24_ann_topk")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name: no global window, no cartesian, no accidental nested loop") {
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val globalWindows = plan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      assert(globalWindows.isEmpty,
+        s"unpartitioned WindowExec — single task at scale: $globalWindows")
+      val cartesian = plan.collectWithSubqueries {
+        case c: CartesianProductExec => c.nodeName
+      }
+      assert(cartesian.isEmpty, s"CartesianProduct in plan: $cartesian")
+      if (!nestedLoopAllowed(name)) {
+        val bnl = plan.collectWithSubqueries {
+          case j: BroadcastNestedLoopJoinExec => j.nodeName
+        }
+        assert(bnl.isEmpty, s"BroadcastNestedLoopJoin in plan: $bnl")
+      }
+    }
+  }
+}
