@@ -85,4 +85,22 @@ object Jobs {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch(sink)
+
+  /** Streaming MERGE: each micro-batch upserts latest-wins into the
+    * keyed date-partitioned lake ([[graft.sources.Lake.upsertLatest]]).
+    * foreachBatch retries replay the same batch — the upsert is
+    * idempotent, so exactly-once lake state falls out. This closes the
+    * reference's update-handling gap: `isEventUpdate` rows REPLACE the
+    * stale event in the archive instead of accumulating beside it. */
+  def upsertStream(updates: DataFrame, path: String, checkpoint: String,
+      keyCol: String, versionCol: String, tsCol: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Lake.upsertLatest(
+          batch.sparkSession, path, batch, keyCol, versionCol, tsCol)
+      }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.Lake
+import graft.streaming.Jobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Latest-wins lake MERGE: partition-scoped rewrite, version
+  * resolution, idempotent replay, and the streaming foreachBatch
+  * wrapper. */
+class LakeUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-upsert").toString
+
+  private def seed(path: String): Unit =
+    Lake.upsertLatest(spark, path,
+      Seq(
+        (1L, 1L, "2024-01-01 10:00:00", "a-v1"),
+        (2L, 1L, "2024-01-01 11:00:00", "b-v1"),
+        (3L, 1L, "2024-01-02 09:00:00", "c-v1"))
+        .toDF("id", "version", "ts", "payload")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+
+  private def state(path: String): Map[Long, (Long, String)] =
+    spark.read.parquet(path).select($"id", $"version", $"payload")
+      .as[(Long, Long, String)].collect()
+      .map { case (i, v, p) => i -> (v, p) }.toMap
+
+  test("upsert replaces lower versions, inserts new keys, keeps the rest") {
+    val path = tmp()
+    seed(path)
+    Lake.upsertLatest(spark, path,
+      Seq(
+        (1L, 2L, "2024-01-01 10:00:00", "a-v2"), // update
+        (4L, 1L, "2024-01-01 12:00:00", "d-v1")) // insert
+        .toDF("id", "version", "ts", "payload")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+    assert(state(path) === Map(
+      1L -> (2L, "a-v2"), 2L -> (1L, "b-v1"),
+      3L -> (1L, "c-v1"), 4L -> (1L, "d-v1")))
+  }
+
+  test("stale update loses; same-version collision prefers the update") {
+    val path = tmp()
+    seed(path)
+    Lake.upsertLatest(spark, path,
+      Seq(
+        (1L, 0L, "2024-01-01 10:00:00", "a-stale"),
+        (2L, 1L, "2024-01-01 11:00:00", "b-v1-rewrite"))
+        .toDF("id", "version", "ts", "payload")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+    val s = state(path)
+    assert(s(1L) === (1L, "a-v1"))         // stale version rejected
+    assert(s(2L) === (1L, "b-v1-rewrite")) // tie → incoming wins
+  }
+
+  test("replaying the same batch is idempotent (foreachBatch retries)") {
+    val path = tmp()
+    seed(path)
+    val batch = Seq((1L, 2L, "2024-01-01 10:00:00", "a-v2"))
+      .toDF("id", "version", "ts", "payload")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    Lake.upsertLatest(spark, path, batch, "id", "version", "ts")
+    val first = state(path)
+    Lake.upsertLatest(spark, path, batch, "id", "version", "ts")
+    assert(state(path) === first)
+  }
+
+  test("untouched date partitions are not rewritten") {
+    val path = tmp()
+    seed(path)
+    def fileSet(p: String) = {
+      val d = new java.io.File(s"$path/event_date=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = fileSet("2024-01-02")
+    Lake.upsertLatest(spark, path,
+      Seq((1L, 2L, "2024-01-01 10:00:00", "a-v2"))
+        .toDF("id", "version", "ts", "payload")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+    assert(fileSet("2024-01-02") === before) // day-2 partition untouched
+    assert(state(path)(1L) === (2L, "a-v2"))
+  }
+
+  test("streaming upsert via foreachBatch reaches latest-wins state") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val input = MemoryStream[(Long, Long, String, String)]
+    val updates = input.toDF()
+      .toDF("id", "version", "ts", "payload")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val query = Jobs.upsertStream(updates, path,
+      Files.createTempDirectory("graft-upsert-ck").toString,
+      "id", "version", "ts").start()
+    try {
+      input.addData((1L, 1L, "2024-01-01 10:00:00", "a-v1"))
+      query.processAllAvailable()
+      input.addData(
+        (1L, 2L, "2024-01-01 10:00:00", "a-v2"),
+        (2L, 1L, "2024-01-02 09:00:00", "b-v1"))
+      query.processAllAvailable()
+      assert(state(path) === Map(1L -> (2L, "a-v2"), 2L -> (1L, "b-v1")))
+    } finally query.stop()
+  }
+}
