@@ -70,6 +70,7 @@ object SparkEntry {
     "q50_gap_fill"        -> (Completeness.q50GapFill _),
     "q51_percentiles"     -> (Completeness.q51Percentiles _),
     "q52_array_ops"       -> (Completeness.q52ArrayOps _),
+    "q53_regex_surface"   -> (Completeness.q53RegexSurface _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +128,6 @@ object SparkEntry {
     "q50_gap_fill"        -> Completeness.q50Sql,
     "q51_percentiles"     -> Completeness.q51Sql,
     "q52_array_ops"       -> Completeness.q52Sql,
+    "q53_regex_surface"   -> Completeness.q53Sql,
   )
 }

@@ -150,4 +150,31 @@ object Completeness {
       |FROM (SELECT l_orderkey, list(l_quantity ORDER BY l_quantity) AS qs
       |      FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
+
+  /** Regex surface over documents (extract / extract-all counts /
+    * membership / masking). Patterns stay in the Java∩RE2 common
+    * subset — plain character classes — so both engines match
+    * identically. */
+  def q53RegexSurface(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0)))
+        .cast("long").as("n_words"),
+      size(regexp_extract_all($"text", lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_nums"),
+      regexp_extract($"text", "([0-9]+)", 1).as("first_num"),
+      $"text".rlike("[A-Z][a-z]+").as("has_capword"),
+      substring(regexp_replace($"text", "[0-9]", "#"), 1, 40).as("masked40"))
+      .orderBy($"doc_id")
+  }
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+      |  regexp_extract(text, '([0-9]+)', 1) AS first_num,
+      |  regexp_matches(text, '[A-Z][a-z]+') AS has_capword,
+      |  substring(regexp_replace(text, '[0-9]', '#', 'g'), 1, 40) AS masked40
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -31,4 +31,24 @@ class SketchSpec extends SparkSpec {
       assert(p50 <= p95)
     }
   }
+
+  test("HLL sketches merge across shards (partial → union ≈ global)") {
+    // the 100 TB pattern: each partition/day/shard keeps a tiny binary
+    // sketch; the global distinct count is a union of sketches, never a
+    // re-scan. DataSketches unions promote to the HLL_8 target type, so
+    // the estimate can drift a fraction of a percent from the
+    // single-pass sketch — bound it tightly rather than bit-compare.
+    val sf = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("shard", pmod($"l_orderkey", lit(7)))
+    val merged = li.groupBy($"shard")
+      .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    val global = li
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))"))
+      .head().getLong(0)
+    assert(math.abs(merged - global).toDouble / global < 0.005,
+      s"merged=$merged global=$global")
+  }
 }
