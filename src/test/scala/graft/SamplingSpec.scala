@@ -50,4 +50,27 @@ class SamplingSpec extends SparkSpec {
       assert(tok > 2048L - maxDoc, s"pack $tok vs budget 2048, maxDoc $maxDoc")
     }
   }
+
+  test("packSequences: shard count and partition layout never change the packing") {
+    // the two-level prefix sum must equal the logical global cumsum for
+    // ANY shard granularity — 1 shard (degenerate: one group), many
+    // small shards, and an arbitrary input partitioning
+    val withTokens = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount($"text"))
+    def packing(df: org.apache.spark.sql.DataFrame, shards: Int) =
+      Sampling.packSequences(df, "n_tokens", "doc_id", 2048L, numShards = shards)
+        .select($"doc_id", $"pack_id").as[(Long, Long)].collect().sorted.toSeq
+    val reference = packing(withTokens, 1)
+    for (shards <- Seq(3, 17, 64))
+      assert(packing(withTokens, shards) === reference, s"shards=$shards")
+    assert(packing(withTokens.repartition(11), 17) === reference)
+  }
+
+  test("portableBucket matches its SQL form and splits ~90/10") {
+    val (train, test) = Sampling.hashSplitPortable(docs, "doc_id", 90)
+    assert(train.count() + test.count() === docs.count())
+    assert(train.join(test, "doc_id").count() === 0)
+    val frac = train.count().toDouble / docs.count()
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
 }
