@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity harness: amplifies the sf0.1 tables in place
+  * (deterministic copies with perturbed identity) and measures the
+  * heavy pipelines at 1× and N×. The point is the RATIO: a pipeline
+  * whose runtime grows ~linearly in rows here has no hidden quadratic
+  * candidate blowup or single-task stage, which is the property that
+  * matters at 100 TB. Results print as one JSON line per pipeline:
+  *   {"pipeline":"minhash_pairs","x1_sec":…,"xN_sec":…,"factor":N,
+  *    "ratio":xN/x1}
+  *
+  * Amplified copies perturb each duplicate's text with a unique suffix
+  * so they are NEAR-duplicates (jaccard ≈ shingles/(shingles+2)) —
+  * the dedup pipelines face a denser candidate graph than the base
+  * corpus, i.e. the amplified run is a strictly harder instance, not
+  * just more rows.
+  */
+object ScaleBench {
+
+  private def time[T](f: => T): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scratch = "target/scale"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val factor = args.headOption.map(_.toInt).getOrElse(4)
+
+    // ---- amplified tables (materialized to parquet so both runs read
+    // from disk with the same access path) ----
+    val docs = Tables.documents(spark, sf)
+    docs.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        ($"doc_id" * factor + $"copy").as("doc_id"),
+        when($"copy" === 0, $"text")
+          .otherwise(concat($"text", lit(" uniqcopy"), $"copy")).as("text"),
+        $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$scratch/documents")
+    val events = Tables.events(spark, sf)
+    events.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        ($"event_id" * factor + $"copy").as("event_id"),
+        $"ts_ns", $"ts",
+        ($"user_id" + $"copy" * 10000L).as("user_id"),
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$scratch/events")
+    val li = Tables.lineitem(spark, sf)
+    li.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$scratch/lineitem")
+
+    // 1× baselines re-materialized with the SAME writer/layout so the
+    // comparison isolates data volume, not file layout
+    docs.write.mode("overwrite").parquet(s"$scratch/documents_x1")
+    events.write.mode("overwrite").parquet(s"$scratch/events_x1")
+    li.write.mode("overwrite").parquet(s"$scratch/lineitem_x1")
+
+    val docs1 = spark.read.parquet(s"$scratch/documents_x1")
+    val events1 = spark.read.parquet(s"$scratch/events_x1")
+    val li1 = spark.read.parquet(s"$scratch/lineitem_x1")
+    val docsN = spark.read.parquet(s"$scratch/documents")
+    val eventsN = spark.read.parquet(s"$scratch/events")
+    val liN = spark.read.parquet(s"$scratch/lineitem")
+
+    def sessionize(ev: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      ev.withColumn("prev", lag($"ts_ns", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev".isNull || $"ts_ns" - $"prev" > 1800L * 1000000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum($"new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess_id").agg(count(lit(1)))
+        .count()
+    }
+
+    val pipelines: Seq[(String, DataFrame => Long, DataFrame, DataFrame)] = Seq(
+      ("agg_q01_shape",
+        (d: DataFrame) => d.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity"), avg($"l_extendedprice"), count(lit(1))).count(),
+        li1, liN),
+      ("sessionization", sessionize _, events1, eventsN),
+      ("minhash_pairs",
+        (d: DataFrame) => graft.operators.Dedup
+          .minHashDupPairs(d, 0.5).count(),
+        docs1, docsN),
+      ("corpus_dedup",
+        (d: DataFrame) => graft.operators.Dedup.dedupCorpus(d, 0.5).count(),
+        docs1, docsN))
+
+    // warm-up
+    docs1.count(); docsN.count(); events1.count(); eventsN.count()
+    li1.count(); liN.count()
+
+    pipelines.foreach { case (name, run, base, amplified) =>
+      // two interleaved runs each, min taken: the first pass absorbs
+      // codegen/JIT for this plan shape, which otherwise dwarfs the 1×
+      // runtime and makes the ratio meaningless
+      val t1 = Seq(time(run(base)), time(run(base))).min
+      val tN = Seq(time(run(amplified)), time(run(amplified))).min
+      println(f"""{"pipeline":"$name","x1_sec":$t1%.2f,"xN_sec":$tN%.2f,"factor":$factor,"ratio":${tN / t1}%.2f}""")
+    }
+    spark.stop()
+  }
+}
