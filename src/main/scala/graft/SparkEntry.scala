@@ -71,6 +71,7 @@ object SparkEntry {
     "q51_percentiles"     -> (Completeness.q51Percentiles _),
     "q52_array_ops"       -> (Completeness.q52ArrayOps _),
     "q53_regex_surface"   -> (Completeness.q53RegexSurface _),
+    "q54_edit_distance"   -> (Completeness.q54EditDistance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +130,6 @@ object SparkEntry {
     "q51_percentiles"     -> Completeness.q51Sql,
     "q52_array_ops"       -> Completeness.q52Sql,
     "q53_regex_surface"   -> Completeness.q53Sql,
+    "q54_edit_distance"   -> Completeness.q54Sql,
   )
 }

@@ -216,6 +216,30 @@ object Dedup {
     exactKept.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Typo-level near-dup pairs via blocked edit distance: normalize,
+    * block on the normalized prefix (two docs within a few edits almost
+    * always agree on a 12-char prefix; recall holes at the prefix are
+    * the standard blocked-fuzzy-join tradeoff), verify with
+    * `levenshtein` over the first `maxLen` normalized chars. Both
+    * levenshtein and the blocking are engine-portable, so this family
+    * member is fully oracle-checkable — and the verify is codegen'd.
+    * Blocking bounds candidates: never O(n²). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      prefixLen: Int = 12, maxLen: Int = 80): DataFrame = {
+    val norm = substring(
+      lower(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")), 1, maxLen)
+    val keyed = docs.select(col(idCol).as("id"), norm.as("nrm"))
+      .withColumn("blk", substring(col("nrm"), 1, prefixLen))
+    val a = keyed.select(col("blk"), col("id").as("id_a"), col("nrm").as("nrm_a"))
+    val b = keyed.select(col("blk"), col("id").as("id_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("nrm_a"), col("nrm_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** N-gram Jaccard over prefix-blocked candidates: block on a cheap
     * key (here: text prefix) to avoid the cross join, then exact
     * Jaccard on word shingles. Blocking key choice is the scale lever. */

@@ -177,4 +177,26 @@ object Completeness {
       |  regexp_matches(text, '[A-Z][a-z]+') AS has_capword,
       |  substring(regexp_replace(text, '[0-9]', '#', 'g'), 1, 40) AS masked40
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Typo-level near-dup pairs (blocked levenshtein ≤ 5) — the
+    * edit-distance member of the dedup family, fully oracled because
+    * both blocking and verification are engine-portable. */
+  def q54EditDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup
+      .editDistancePairs(Tables.documents(s, dir), maxDist = 5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q54Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id AS id,
+      |    substring(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), 1, 80) AS nrm
+      |  FROM documents)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.nrm, b.nrm) AS BIGINT) AS dist
+      |FROM keyed a JOIN keyed b
+      |  ON substring(a.nrm, 1, 12) = substring(b.nrm, 1, 12) AND a.id < b.id
+      |WHERE levenshtein(a.nrm, b.nrm) <= 5
+      |ORDER BY id_a, id_b""".stripMargin
 }
