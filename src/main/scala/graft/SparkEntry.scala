@@ -72,6 +72,7 @@ object SparkEntry {
     "q52_array_ops"       -> (Completeness.q52ArrayOps _),
     "q53_regex_surface"   -> (Completeness.q53RegexSurface _),
     "q54_edit_distance"   -> (Completeness.q54EditDistance _),
+    "q55_ivf_topk"        -> (Completeness.q55IvfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +132,6 @@ object SparkEntry {
     "q52_array_ops"       -> Completeness.q52Sql,
     "q53_regex_surface"   -> Completeness.q53Sql,
     "q54_edit_distance"   -> Completeness.q54Sql,
+    "q55_ivf_topk"        -> Completeness.q55Sql,
   )
 }

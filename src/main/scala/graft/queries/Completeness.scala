@@ -188,6 +188,24 @@ object Completeness {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** IVF top-k — the ANN scale path — run at FULL probe width, where
+    * it is provably identical to exact brute force (every cell probed;
+    * the corpus is in exactly one cell each — asserted in UtilitySpec).
+    * Same oracle as q24: the driver hash-checks that the partitioned
+    * cell-join + per-cell scan reproduces exact cosine top-k. Dialing
+    * nProbe below nCells trades that recall for a ~nCells/nProbe
+    * candidate reduction. */
+  def q55IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.ivfTopK(
+      emb.filter($"vec_id" < 10), emb, k = 5, dim = 64,
+      nCells = 16, nProbe = 16)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q55Sql: String = TrainingData.q24Sql
+
   val q54Sql: String =
     """WITH keyed AS (
       |  SELECT doc_id AS id,
