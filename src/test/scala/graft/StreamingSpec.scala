@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: re-stamped duplicate keys collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val raw = input.toDF().selectExpr("cast(value as binary) as value")
+    val out = Jobs.dedupStreamWithinWatermark(Jobs.eventsPipeline(raw))
+    val query = out.writeStream
+      .format("memory").queryName("wmdedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      // same eventID re-polled with a DIFFERENT lastUpdateDate — the
+      // keyed (eventID, lastUpdateDate) dedup keeps both; within-
+      // watermark key dedup must collapse them
+      input.addData(s"[${mkEvent(7, 10, 5.0)},${mkEvent(8, 11, 3.0)}]")
+      input.addData(s"[${mkEvent(7, 10, 5.0, "2023-02-06T06:00:00")}]")
+      query.processAllAvailable()
+      assert(spark.table("wmdedup_out").count() === 2)
+      assert(spark.table("wmdedup_out")
+        .filter($"eventID" === "7").count() === 1)
+    } finally query.stop()
+  }
+
   test("full eventsToSink job: raw JSON → parse/enrich/dedup → ES bulk payloads") {
     implicit val sqlCtx = spark.sqlContext
     StreamingSpec.captured.clear()

@@ -115,6 +115,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 10L))
   }
 
+  test("editDistancePairs: planted typos found, unrelated and far texts skipped") {
+    val typoDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonite"),  // 2 edits
+      (2L, "the quick brown fox leaps over seven lazy dogs today"), // > 5 edits
+      (3L, "completely different subject matter altogether here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(typoDocs, maxDist = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) <= 3L)
+    assert(!pairs.contains((0L, 2L))) // same block, too many edits
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("connected components: transitive clusters get the min label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
