@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_regex_surface"   -> (Completeness.q53RegexSurface _),
     "q54_edit_distance"   -> (Completeness.q54EditDistance _),
     "q55_ivf_topk"        -> (Completeness.q55IvfTopK _),
+    "q56_asof_forward"    -> (Completeness.q56AsofForward _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +134,6 @@ object SparkEntry {
     "q53_regex_surface"   -> Completeness.q53Sql,
     "q54_edit_distance"   -> Completeness.q54Sql,
     "q55_ivf_topk"        -> Completeness.q55Sql,
+    "q56_asof_forward"    -> Completeness.q56Sql,
   )
 }

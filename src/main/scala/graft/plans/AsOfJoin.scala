@@ -12,7 +12,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join (SURVEY §2.6): for each left row, the latest
   * right row with the same key and `rightTime <= leftTime` (optionally
-  * within `tolerance`). This is the operator behind the reference's
+  * within `tolerance`); with `forward = true`, the EARLIEST right row
+  * with `rightTime >= leftTime` instead (pandas merge_asof / DuckDB
+  * ASOF direction semantics). This is the operator behind the reference's
   * *promised* earthquake⟷electric-field correlation (README.md:17,27
   * — never implemented there), and the one operator Spark's built-ins
   * can't express without an O(rows·matches) range join + window.
@@ -32,7 +34,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -50,6 +53,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long],
+    forward: Boolean,
     output: Seq[Attribute]) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -65,6 +69,7 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val tol = tolerance
+    val isForward = forward
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
@@ -108,7 +113,10 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
+        override def next(): InternalRow =
+          if (isForward) nextForward() else nextBackward()
+
+        private def nextBackward(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyEval.eval(l)
           val lt = lTimeEval.eval(l).asInstanceOf[Long]
@@ -135,6 +143,32 @@ case class AsOfJoinExec(
             tol.forall(t => lt - matchedTime <= t)
           outProj(joined(l, if (ok) matched else nullRight))
         }
+
+        private def nextForward(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyEval.eval(l)
+          val lt = lTimeEval.eval(l).asInstanceOf[Long]
+          // skip right rows strictly before (lk, lt); the first
+          // remaining same-key row is the earliest at-or-after match.
+          // Skipped rows can never match later left rows (left times
+          // ascend), and the match is NOT consumed — the next left row
+          // may share it.
+          var continue = rCurr != null
+          while (continue) {
+            val c = keyOrdering.compare(rKeyVal.asInstanceOf[AnyRef],
+              lk.asInstanceOf[AnyRef])
+            if (c < 0 || (c == 0 && rTimeVal < lt)) {
+              advanceRight()
+              continue = rCurr != null
+            } else continue = false
+          }
+          val ok = rCurr != null &&
+            keyOrdering.compare(rKeyVal.asInstanceOf[AnyRef],
+              lk.asInstanceOf[AnyRef]) == 0 &&
+            rTimeVal >= lt &&
+            tol.forall(t => rTimeVal - lt <= t)
+          outProj(joined(l, if (ok) rCurr else nullRight))
+        }
       }
     }
   }
@@ -149,8 +183,8 @@ case class AsOfJoinExec(
   * `spark.experimental.extraStrategies`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol,
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd,
         plan.output) :: Nil
     case _ => Nil
   }
@@ -158,13 +192,17 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 object AsOf {
   /** DataFrame API: as-of join `left` with `right` on equal `key`,
-    * latest `rightTime <= leftTime` (within tolerance if given).
+    * latest `rightTime <= leftTime` (within tolerance if given), or —
+    * with `direction = "forward"` — earliest `rightTime >= leftTime`.
     * Right columns come back nullable. Registers the strategy on the
     * session idempotently. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"unknown as-of direction: $direction")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -181,6 +219,7 @@ object AsOf {
     }
     GraftShims.ofRows(spark, AsOfJoin(lp, rp,
       resolve(lp, leftKey), resolve(rp, rightKey),
-      resolve(lp, leftTime), resolve(rp, rightTime), tolerance))
+      resolve(lp, leftTime), resolve(rp, rightTime), tolerance,
+      direction == "forward"))
   }
 }

@@ -206,6 +206,32 @@ object Completeness {
 
   val q55Sql: String = TrainingData.q24Sql
 
+  /** FORWARD as-of join (custom operator, `direction = "forward"`):
+    * for each signup, the user's next purchase at or after it — same
+    * one-shuffle-per-side O(n+m) merge as the backward q31, mirrored.
+    * Oracle: DuckDB native ASOF with the inequality flipped. */
+  def q56AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("s_event"), $"user_id", $"ts_ns")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id".as("p_user"), $"ts_ns".as("p_ns"))
+    graft.plans.AsOf.join(signups, purchases,
+        signups("user_id"), purchases("p_user"),
+        signups("ts_ns"), purchases("p_ns"),
+        direction = "forward")
+      .select($"s_event", $"user_id", $"p_event")
+      .orderBy($"s_event")
+  }
+
+  val q56Sql: String =
+    """SELECT l.event_id AS s_event, l.user_id AS user_id, r.event_id AS p_event
+      |FROM (SELECT * FROM events WHERE event_type='signup') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+      |  ON l.user_id = r.user_id AND r.ts >= l.ts
+      |ORDER BY s_event""".stripMargin
+
   val q54Sql: String =
     """WITH keyed AS (
       |  SELECT doc_id AS id,

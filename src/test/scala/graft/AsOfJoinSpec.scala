@@ -46,6 +46,46 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 50L, "t5", None)))
   }
 
+  test("forward direction: earliest right row at or after each left time") {
+    val got = AsOf.join(trades, quotes,
+        trades("k"), quotes("k"), trades("t"), quotes("t"),
+        direction = "forward")
+      .select(trades("k"), trades("t"), $"trade", $"px")
+      .orderBy(trades("k"), trades("t"))
+      .as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 100L, "t1", Some(11.0)), // next quote@150
+      (1L, 200L, "t2", Some(12.0)), // next quote@250
+      (1L, 300L, "t3", None),       // nothing after 300
+      (2L, 150L, "t4", Some(20.0)), // equal ts matches (>=)
+      (3L, 50L, "t5", None)))
+  }
+
+  test("forward direction with tolerance bounds the lookahead") {
+    val got = AsOf.join(trades, quotes,
+        trades("k"), quotes("k"), trades("t"), quotes("t"),
+        tolerance = Some(49L), direction = "forward")
+      .select(trades("k"), trades("t"), $"trade", $"px")
+      .orderBy(trades("k"), trades("t"))
+      .as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 100L, "t1", None),       // 150-100=50 > 49
+      (1L, 200L, "t2", None),       // 250-200=50 > 49
+      (1L, 300L, "t3", None),
+      (2L, 150L, "t4", Some(20.0)), // delta 0
+      (3L, 50L, "t5", None)))
+  }
+
+  test("forward direction: one shared match serves consecutive left rows") {
+    val l = Seq((1L, 10L, "a"), (1L, 11L, "b"), (1L, 12L, "c")).toDF("k", "t", "lbl")
+    val r = Seq((1L, 15L, 1.5)).toDF("k", "t", "px")
+    val got = AsOf.join(l, r, l("k"), r("k"), l("t"), r("t"),
+        direction = "forward")
+      .select($"lbl", $"px").orderBy($"lbl")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got === Seq(("a", Some(1.5)), ("b", Some(1.5)), ("c", Some(1.5))))
+  }
+
   test("survives multi-partition shuffles (distribution requirements)") {
     val bigTrades = spark.range(0, 1000)
       .select(($"id" % 7).as("k"), ($"id" * 10).as("t"))
