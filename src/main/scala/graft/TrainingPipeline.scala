@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation job — the composed form of the
+  * engine's training-data operators, i.e. what a user actually runs
+  * over a raw document corpus:
+  *
+  *   quality filter → language ID → corpus dedup (exact + MinHash-LSH
+  *   near-dup, canonical survivor) → token counting → greedy sequence
+  *   packing → deterministic train/test split → partitioned parquet.
+  *
+  * Every stage is a DataFrame transform from the operator library; the
+  * whole job is one Catalyst plan per output (no driver-side row
+  * loops), so the same code runs at 100 TB — stage shuffle profiles
+  * are documented on each operator.
+  *
+  * Usage: runMain graft.TrainingPipeline <sfDir> <outDir>
+  */
+object TrainingPipeline {
+
+  /** The transform chain, exposed for tests (no I/O). Returns the
+    * packed, split corpus: one row per kept document with lang,
+    * n_tokens, pack_id, and split columns. */
+  def prepare(docs: DataFrame, budget: Long = 2048L,
+      jaccardThreshold: Double = 0.8, trainPct: Int = 95): DataFrame = {
+    // 1. quality gate: drop empty/degenerate docs before paying for
+    //    signatures (cheap projections first — the 100 TB ordering)
+    val quality = TextFunctions.qualityMetrics(col("text")).toMap
+    val filtered = docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 5 &&
+        quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5)
+    // 2. language ID (pure projection)
+    val langed = filtered.withColumn("lang_pred",
+      TextFunctions.langIdHeuristic(col("text")))
+    // 3. corpus-level dedup: exact collapse + near-dup clusters, keep
+    //    the canonical (min-id) survivor per cluster
+    val deduped = Dedup.dedupCorpus(langed, jaccardThreshold)
+    // 4. sequence packing into context windows (two-level prefix sum)
+    val packed = Sampling.packSequences(deduped, "n_tokens", "doc_id", budget)
+    // 5. deterministic split — stable under repartitioning and retries
+    packed.withColumn("split",
+      when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,
+        lit("train")).otherwise(lit("test")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = prepare(Tables.documents(spark, sfDir))
+    out.write.mode("overwrite")
+      .partitionBy("split")
+      .parquet(outDir)
+    val stats = spark.read.parquet(outDir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("pack_id")).as("packs"),
+        sum(col("n_tokens")).as("tokens"))
+      .collect()
+    stats.foreach(r => println(
+      s"""{"split":"${r.getString(0)}","docs":${r.getLong(1)},""" +
+        s""""packs":${r.getLong(2)},"tokens":${r.getLong(3)}}"""))
+    spark.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** End-to-end invariants of the composed training-data prep job. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val out =
+    TrainingPipeline.prepare(
+      Tables.documents(spark, "/root/testdata/sf0.001")).cache()
+
+  test("output carries every stage's column and no extra rows") {
+    val in = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(out.count() > 0 && out.count() <= in)
+    for (c <- Seq("doc_id", "text", "lang_pred", "n_tokens", "pack_id", "split"))
+      assert(out.columns.contains(c), c)
+  }
+
+  test("no exact duplicates survive the dedup stage") {
+    val n = out.count()
+    assert(out.select(TextFunctions.fingerprint($"text")).distinct().count() === n)
+  }
+
+  test("splits are disjoint, exhaustive, and deterministic") {
+    val splits = out.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet.subsetOf(Set("train", "test")))
+    assert(splits.values.sum === out.count())
+    // re-running the chain reproduces the same membership
+    val again = TrainingPipeline.prepare(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(again.select($"doc_id", $"split").as[(Long, String)].collect().sorted.toSeq ===
+      out.select($"doc_id", $"split").as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("packs are contiguous in doc order and near-budget") {
+    val stats = out.groupBy($"pack_id")
+      .agg(sum($"n_tokens").as("tok"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .orderBy($"pack_id")
+      .as[(Long, Long, Long, Long)].collect()
+    stats.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3)
+      case _ =>
+    }
+    val maxDoc = out.agg(max($"n_tokens".cast("long"))).head().getLong(0)
+    stats.dropRight(1).foreach { case (_, tok, _, _) =>
+      assert(tok > 2048L - maxDoc)
+    }
+  }
+}
