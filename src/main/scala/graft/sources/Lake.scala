@@ -28,6 +28,13 @@ object Lake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a lake whose files span schema versions (columns added over
+    * time, the normal fate of a long-lived archive): union the per-file
+    * schemas, old files surface the new columns as null. Costs a footer
+    * scan per file — use on evolving lakes, not hot paths. */
+  def readEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Write as a BUCKETED table (hash-bucketed + sorted by `key` into
     * `nBuckets` files per partition, registered in the session
     * catalog). Two tables bucketed the same way join WITHOUT a

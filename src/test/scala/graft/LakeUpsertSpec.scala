@@ -90,6 +90,25 @@ class LakeUpsertSpec extends SparkSpec {
     assert(state(path)(1L) === (2L, "a-v2"))
   }
 
+  test("schema evolution: appended files with new columns read back merged") {
+    val path = tmp()
+    Seq((1L, "2024-01-01 10:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("append").parquet(path)
+    // later writer adds a column — the archive must stay readable
+    Seq((2L, "2024-01-02 10:00:00", "extra"))
+      .toDF("id", "ts", "note").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("append").parquet(path)
+    val merged = Lake.readEvolving(spark, path)
+    assert(merged.columns.toSet === Set("id", "ts", "note", "event_date"))
+    val byId = merged.select($"id", $"note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId(1L) === None) // old file: new column null
+    assert(byId(2L) === Some("extra"))
+  }
+
   test("streaming upsert via foreachBatch reaches latest-wins state") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
