@@ -74,6 +74,7 @@ object SparkEntry {
     "q54_edit_distance"   -> (Completeness.q54EditDistance _),
     "q55_ivf_topk"        -> (Completeness.q55IvfTopK _),
     "q56_asof_forward"    -> (Completeness.q56AsofForward _),
+    "q57_grouping_sets"   -> (Completeness.q57GroupingSets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +136,6 @@ object SparkEntry {
     "q54_edit_distance"   -> Completeness.q54Sql,
     "q55_ivf_topk"        -> Completeness.q55Sql,
     "q56_asof_forward"    -> Completeness.q56Sql,
+    "q57_grouping_sets"   -> Completeness.q57Sql,
   )
 }

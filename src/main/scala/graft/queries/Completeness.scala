@@ -42,6 +42,24 @@ object Completeness {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form behind cube/rollup):
+    * per-status totals, per-priority totals, and the grand total in one
+    * pass — issued through the SQL surface so the identical statement
+    * drives both engines (the q41 correlated-subquery pattern). */
+  def q57GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q57Sql)
+  }
+
+  val q57Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   /** Unpivot/melt (wide → long): numeric part attributes into
     * (metric, value) rows — the Spark 4 `unpivot` operator; the oracle
     * is the portable UNION ALL form. */
