@@ -75,6 +75,7 @@ object SparkEntry {
     "q55_ivf_topk"        -> (Completeness.q55IvfTopK _),
     "q56_asof_forward"    -> (Completeness.q56AsofForward _),
     "q57_grouping_sets"   -> (Completeness.q57GroupingSets _),
+    "q58_window_dist"     -> (Completeness.q58WindowDist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +138,6 @@ object SparkEntry {
     "q55_ivf_topk"        -> Completeness.q55Sql,
     "q56_asof_forward"    -> Completeness.q56Sql,
     "q57_grouping_sets"   -> Completeness.q57Sql,
+    "q58_window_dist"     -> Completeness.q58Sql,
   )
 }

@@ -169,6 +169,35 @@ object Completeness {
       |      FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
 
+  /** Distribution window functions (ntile / percent_rank / cume_dist)
+    * — completes the §2.7 window surface. Unique (totalprice, orderkey)
+    * ordering makes every rank deterministic; percent_rank and
+    * cume_dist are ratios of small ints, exact in IEEE double on both
+    * engines. */
+  def q58WindowDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 100)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q58Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Regex surface over documents (extract / extract-all counts /
     * membership / masking). Patterns stay in the Java∩RE2 common
     * subset — plain character classes — so both engines match
