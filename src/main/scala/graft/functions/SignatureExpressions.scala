@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native signature kernels for the dedup suite.
@@ -70,6 +70,29 @@ object SignatureKernels {
     }
     sig
   }
+
+  /** Exact Jaccard of two string arrays in one fused pass: a hash set
+    * of the (distinct) left side, then one membership probe per right
+    * element. The `array_intersect`/`array_union` composition builds
+    * TWO intermediate arrays per pair — on a candidate-verify stage
+    * that runs once per candidate pair, the fused kernel does zero
+    * allocation beyond the set. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val seen = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { seen.add(a.getUTF8String(i)); i += 1 }
+    val sizeA = seen.size
+    val seenB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      val s = b.getUTF8String(i)
+      if (seenB.add(s) && seen.contains(s)) inter += 1
+      i += 1
+    }
+    val union = sizeA + seenB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
@@ -98,10 +121,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaccard_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.jaccard($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object SignatureExpressions {
   import org.apache.spark.sql.GraftShims
   def minHashSig(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(shingles), k))
   def simHash64(shingles: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(shingles)))
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -97,9 +97,11 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     WordShingles.shinglesNative(text, n)
 
-  /** Exact Jaccard similarity between two shingle arrays (int/int
-    * double division — deterministic). */
+  /** Exact Jaccard similarity between two shingle arrays — the native
+    * fused kernel ([[SignatureExpressions.jaccardSim]]): one hash-set
+    * pass instead of materializing `array_intersect` AND `array_union`
+    * intermediates per candidate pair. Same int/int double division
+    * (deterministic, oracle-stable); empty∪empty yields 0.0. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) /
-      size(array_union(a, b)).cast(DoubleType)
+    SignatureExpressions.jaccardSim(a, b)
 }
