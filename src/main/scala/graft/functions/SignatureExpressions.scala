@@ -144,4 +144,28 @@ object SignatureExpressions {
     GraftShims.column(SimHash64(GraftShims.expression(shingles)))
   def jaccardSim(a: Column, b: Column): Column =
     GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** SQL registration of the dedup kernels (the `dot_product` pattern):
+    * `minhash_sig(arr, k)`, `simhash64(arr)`, `jaccard_sim(a, b)`,
+    * `word_shingles(text, n)` — the full dedup surface is then
+    * reachable from `spark.sql` alone. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", exprs =>
+      MinHashSig(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => sys.error(s"minhash_sig k must be a literal, got $other")
+      }), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sim",
+      exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => sys.error(s"word_shingles n must be a literal, got $other")
+      }), "scala_udf")
+  }
 }

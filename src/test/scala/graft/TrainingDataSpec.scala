@@ -62,6 +62,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sql === 32.0 && api === 32.0)
   }
 
+  test("dedup kernels are SQL-registered and match the Column API") {
+    graft.functions.SignatureExpressions.register(spark)
+    val df = Seq(("the quick brown fox jumps", "the quick brown fox leaps"))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("texts")
+    val sql = spark.sql(
+      """SELECT jaccard_sim(word_shingles(a, 2), word_shingles(b, 2)) AS j,
+        |  simhash64(word_shingles(a, 2)) AS sh,
+        |  minhash_sig(word_shingles(a, 2), 16) AS mh FROM texts""".stripMargin)
+      .head()
+    val api = df.select(
+      TextFunctions.jaccard(
+        TextFunctions.shingles($"a", 2), TextFunctions.shingles($"b", 2)).as("j"),
+      graft.functions.SignatureExpressions.simHash64(
+        TextFunctions.shingles($"a", 2)).as("sh"),
+      graft.functions.SignatureExpressions.minHashSig(
+        TextFunctions.shingles($"a", 2), 16).as("mh"))
+      .head()
+    assert(sql.getDouble(0) === api.getDouble(0))
+    assert(sql.getLong(1) === api.getLong(1))
+    assert(sql.getSeq[Long](2) === api.getSeq[Long](2))
+  }
+
   test("rollingHash is order-sensitive and deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
     val h = df.select(TextFunctions.rollingHash($"text")).as[Long].collect()
