@@ -76,6 +76,7 @@ object SparkEntry {
     "q56_asof_forward"    -> (Completeness.q56AsofForward _),
     "q57_grouping_sets"   -> (Completeness.q57GroupingSets _),
     "q58_window_dist"     -> (Completeness.q58WindowDist _),
+    "q59_range_correlate" -> (Completeness.q59RangeCorrelate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +140,6 @@ object SparkEntry {
     "q56_asof_forward"    -> Completeness.q56Sql,
     "q57_grouping_sets"   -> Completeness.q57Sql,
     "q58_window_dist"     -> Completeness.q58Sql,
+    "q59_range_correlate" -> Completeness.q59Sql,
   )
 }

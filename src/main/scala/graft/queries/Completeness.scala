@@ -198,6 +198,38 @@ object Completeness {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Equi-free time-range correlation (purchases ↔ errors within
+    * ±60 s, NO shared key): Spark would plan this as a nested-loop
+    * O(n·m) join; [[graft.plans.BinRangeJoinRule]] rewrites it into an
+    * exploded-bin equi-join (2× left fan-out buys a shuffled hash
+    * join). The plan gate proves the rule fired — q59 is in
+    * PlanQualitySpec's no-nested-loop set — and the oracle proves the
+    * rewrite is semantically invisible. µs timestamps on both engines
+    * so boundary pairs cannot flip on ns truncation. */
+  def q59RangeCorrelate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.BinRangeJoin.install(s)
+    val winUs = 60L * 1000000L
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), expr("ts_ns div 1000").as("p_us"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("e_event"), expr("ts_ns div 1000").as("e_us"))
+    purchases.join(errors,
+        errors("e_us") >= purchases("p_us") - lit(winUs) &&
+        errors("e_us") <= purchases("p_us") + lit(winUs))
+      .select($"p_event", $"e_event")
+      .orderBy($"p_event", $"e_event")
+  }
+
+  val q59Sql: String =
+    """SELECT l.event_id AS p_event, r.event_id AS e_event
+      |FROM (SELECT * FROM events WHERE event_type='purchase') l
+      |JOIN (SELECT * FROM events WHERE event_type='error') r
+      |  ON epoch_us(r.ts) >= epoch_us(l.ts) - 60000000
+      | AND epoch_us(r.ts) <= epoch_us(l.ts) + 60000000
+      |ORDER BY p_event, e_event""".stripMargin
+
   /** Regex surface over documents (extract / extract-all counts /
     * membership / masking). Patterns stay in the Java∩RE2 common
     * subset — plain character classes — so both engines match
