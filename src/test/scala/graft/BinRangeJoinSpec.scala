@@ -15,6 +15,11 @@ class BinRangeJoinSpec extends SparkSpec {
   }
 
   test("rule rewrites pure range join to binned equi-join, same results") {
+    // other suites (q59 via PlanQualitySpec) install the rule on the
+    // shared session — strip it so the "before" baseline is genuine
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.BinRangeJoinRule)
     // without the rule: nested-loop plan
     val before = rangeJoin()
     val expected = before.as[(Long, Long)].collect().toSet
