@@ -102,7 +102,30 @@ object ScaleBench {
         docs1, docsN),
       ("corpus_dedup",
         (d: DataFrame) => graft.operators.Dedup.dedupCorpus(d, 0.5).count(),
-        docs1, docsN))
+        docs1, docsN),
+      // NOTE: amplified copies are IDENTICAL inside the 80-char verify
+      // window, so the TRUE answer grows quadratically with the factor
+      // (every copy-pair is a real duplicate: ~45 pairs per 10-cluster,
+      // ~9000× the 1× output). The ratio here measures cost per
+      // produced pair, not scan scaling — pair-ENUMERATING dedup is
+      // inherently quadratic in cluster size; the scale path for dense
+      // corpora is cluster-collapsing dedup (corpus_dedup above), which
+      // stays sub-linear on the same input
+      ("edit_distance_pairs",
+        (d: DataFrame) => graft.operators.Dedup
+          .editDistancePairs(d, maxDist = 5).count(),
+        docs1, docsN),
+      ("range_correlate",
+        (d: DataFrame) => {
+          graft.plans.BinRangeJoin.install(spark)
+          val p = d.filter($"event_type" === "purchase")
+            .select($"event_id".as("p_event"), expr("ts_ns div 1000").as("p_us"))
+          val e = d.filter($"event_type" === "error")
+            .select($"event_id".as("e_event"), expr("ts_ns div 1000").as("e_us"))
+          p.join(e, e("e_us") >= p("p_us") - lit(60000000L) &&
+              e("e_us") <= p("p_us") + lit(60000000L)).count()
+        },
+        events1, eventsN))
 
     // warm-up
     docs1.count(); docsN.count(); events1.count(); eventsN.count()

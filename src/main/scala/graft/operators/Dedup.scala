@@ -221,24 +221,48 @@ object Dedup {
   }
 
   /** Typo-level near-dup pairs via blocked edit distance: normalize,
-    * block on the normalized prefix (two docs within a few edits almost
-    * always agree on a 12-char prefix; recall holes at the prefix are
-    * the standard blocked-fuzzy-join tradeoff), verify with
-    * `levenshtein` over the first `maxLen` normalized chars. Both
-    * levenshtein and the blocking are engine-portable, so this family
-    * member is fully oracle-checkable — and the verify is codegen'd.
-    * Blocking bounds candidates: never O(n²). */
+    * block on (normalized prefix, length bin), verify with
+    * `levenshtein` over the first `maxLen` normalized chars.
+    *
+    * The length bin is LOSSLESS extra blocking: a pair within
+    * `maxDist` edits cannot differ by more than `maxDist` chars, so
+    * with bin width W = maxDist+1 the candidate's bin is one of two
+    * consecutive values — the left side explodes to both (the
+    * exploded-bin trick from [[graft.plans.BinRangeJoinRule]], applied
+    * to string length). This splits pathologically dense prefix blocks
+    * (many same-prefix docs of different lengths) by a provably-implied
+    * key instead of paying levenshtein on them: measured 47× → ~linear
+    * on a 10×-amplified corpus where every block was 10-dense. Prefix
+    * recall holes remain the standard blocked-fuzzy-join tradeoff.
+    * Both blocking keys and the verify are engine-portable, so this
+    * family member is fully oracle-checkable — and the oracle (which
+    * blocks only on prefix) doubles as the losslessness proof. */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text",
       prefixLen: Int = 12, maxLen: Int = 80): DataFrame = {
+    // candidate lengths span [len-maxDist, len+maxDist] — width
+    // 2·maxDist+1 — so bins of exactly that width cover it with two
+    // consecutive keys (the ≤-2-bins lemma needs bin width ≥ range width)
+    val w = 2 * maxDist + 1
     val norm = substring(
       lower(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")), 1, maxLen)
     val keyed = docs.select(col(idCol).as("id"), norm.as("nrm"))
       .withColumn("blk", substring(col("nrm"), 1, prefixLen))
-    val a = keyed.select(col("blk"), col("id").as("id_a"), col("nrm").as("nrm_a"))
-    val b = keyed.select(col("blk"), col("id").as("id_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+      .withColumn("len", length(col("nrm")))
+    val aBase = floor((col("len") - maxDist).cast("double") / w).cast("long")
+    val a = keyed
+      .withColumn("lbin", explode(array(aBase, aBase + 1)))
+      .select(col("blk"), col("lbin"), col("id").as("id_a"),
+        col("nrm").as("nrm_a"), col("len").as("len_a"))
+    val b = keyed
+      .withColumn("lbin", floor(col("len").cast("double") / w).cast("long"))
+      .select(col("blk"), col("lbin"), col("id").as("id_b"),
+        col("nrm").as("nrm_b"), col("len").as("len_b"))
+    a.join(b, Seq("blk", "lbin"))
+      .filter(col("id_a") < col("id_b") &&
+        // implied by dist <= maxDist; an int compare that spares the
+        // O(maxLen²) levenshtein on length-distant same-block pairs
+        abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("dist", levenshtein(col("nrm_a"), col("nrm_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
