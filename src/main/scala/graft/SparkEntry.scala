@@ -77,6 +77,7 @@ object SparkEntry {
     "q57_grouping_sets"   -> (Completeness.q57GroupingSets _),
     "q58_window_dist"     -> (Completeness.q58WindowDist _),
     "q59_range_correlate" -> (Completeness.q59RangeCorrelate _),
+    "q60_multimodal_ann"  -> (Completeness.q60MultimodalAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,5 +142,8 @@ object SparkEntry {
     "q57_grouping_sets"   -> Completeness.q57Sql,
     "q58_window_dist"     -> Completeness.q58Sql,
     "q59_range_correlate" -> Completeness.q59Sql,
+    // q60 runs the deterministic stub featurizer — no portable SQL
+    // oracle; stage-exact behavior asserted in Multimodal/Similarity
+    // specs.
   )
 }

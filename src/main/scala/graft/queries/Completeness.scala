@@ -42,6 +42,24 @@ object Completeness {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Multimodal → ANN integration (rows-only: the deterministic stub
+    * featurizer has no SQL equivalent): binary media column → batched
+    * feature extraction → exact cosine top-3 neighbors for the first
+    * five documents. Exercises the full binary-column plumbing
+    * (schema-declared mapPartitions, null discipline, embedding
+    * handoff) under the driver contract; exact behavior of each stage
+    * is asserted in MultimodalSpec/SimilaritySpec. */
+  def q60MultimodalAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Multimodal.mediaFromText(
+      Tables.documents(s, dir).select($"doc_id", $"text"))
+    val emb = graft.sources.Multimodal.withFeatures(media, dim = 64)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    graft.operators.Similarity
+      .bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Explicit GROUPING SETS (the general form behind cube/rollup):
     * per-status totals, per-priority totals, and the grand total in one
     * pass — issued through the SQL surface so the identical statement

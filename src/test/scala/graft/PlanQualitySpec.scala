@@ -20,7 +20,9 @@ class PlanQualitySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private val nestedLoopAllowed = Set("q24_ann_topk")
+  // exact brute-force ANN is BY DESIGN a broadcast nested loop over the
+  // tiny query set (q24 on raw embeddings, q60 on stub-featurized media)
+  private val nestedLoopAllowed = Set("q24_ann_topk", "q60_multimodal_ann")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no global window, no cartesian, no accidental nested loop") {
