@@ -51,14 +51,38 @@ object EsSink {
     }
   }
 
-  /** Batch write: every executor partition posts its own bulk chunks. */
+  /** Wrap a transport with bounded exponential-backoff retry —
+    * transient bulk rejections (429 queue-full, 503) are routine under
+    * indexing pressure; a chunk that still fails after `attempts`
+    * surfaces the last error (the task retry then re-runs the
+    * partition, which is safe: ES auto-ids make re-posts duplicates,
+    * not corruption — same at-least-once contract as the reference). */
+  def retrying(transport: Transport, attempts: Int = 3,
+      baseDelayMs: Long = 200L): Transport = (url, payload) => {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { transport(url, payload); done = true }
+      catch {
+        case e: Exception if attempt < attempts - 1 =>
+          Thread.sleep(baseDelayMs * (1L << attempt))
+          attempt += 1
+        case e: Exception => throw e
+      }
+    }
+  }
+
+  /** Batch write: every executor partition posts its own bulk chunks
+    * (with bounded-backoff retry per chunk). */
   def write(df: DataFrame, index: String,
       nodes: String = "http://localhost:9200",
       transport: Transport = httpTransport,
-      maxBytes: Int = 900000): Unit = {
+      maxBytes: Int = 900000,
+      retryAttempts: Int = 3): Unit = {
     val url = s"$nodes/_bulk"
     df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      bulkChunks(it, index, maxBytes).foreach(p => transport(url, p))
+      val post = retrying(transport, retryAttempts)
+      bulkChunks(it, index, maxBytes).foreach(p => post(url, p))
     }
   }
 

@@ -116,10 +116,11 @@ class PlanChecksSpec extends SparkSpec {
     // sweep every SparkEntry query's optimized plan at sf0.001 — any
     // operator degenerating to an O(n·m) join is a scale bug even if
     // results are right at test size
-    // q24 brute-force ANN *intends* a BroadcastNestedLoopJoin: the
-    // broadcast side is the bounded query set (10 rows), so the plan
-    // is linear in the corpus — the one legitimate NLJ here.
-    val intendedNlj = Set("q24_ann_topk")
+    // q24/q60 brute-force ANN *intend* a BroadcastNestedLoopJoin: the
+    // broadcast side is the bounded query set, so the plan is linear
+    // in the corpus — the legitimate NLJs here (same allowlist as
+    // PlanQualitySpec).
+    val intendedNlj = Set("q24_ann_topk", "q60_multimodal_ann")
     for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
       val p = fn(spark, sf).queryExecution.optimizedPlan.toString
       assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")

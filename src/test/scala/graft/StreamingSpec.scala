@@ -119,7 +119,8 @@ class StreamingSpec extends SparkSpec {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
       Set("q27_minhash_dedup", "q28_simhash_dedup", "q29_embedding_neardup",
         "q30_rolling_fingerprint", "q34_sketches", "q39_dedup_corpus_near",
-        "q47_hash_split")) // rows-only set is exactly the documented one
+        "q60_multimodal_ann")) // rows-only set is exactly the documented one
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
   test("built-in session_window aggregation on the stream") {

@@ -48,6 +48,24 @@ class UtilitySpec extends SparkSpec {
     assert(total === 100)
   }
 
+  test("EsSink.retrying: transient failures retried with backoff, hard failures surface") {
+    var calls = 0
+    val flaky: EsSink.Transport = (_, _) => {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("HTTP 429")
+    }
+    EsSink.retrying(flaky, attempts = 3, baseDelayMs = 1L)("u", "p")
+    assert(calls === 3) // two rejections, third attempt lands
+    var calls2 = 0
+    val dead: EsSink.Transport = (_, _) => {
+      calls2 += 1; throw new java.io.IOException("HTTP 500")
+    }
+    intercept[java.io.IOException] {
+      EsSink.retrying(dead, attempts = 3, baseDelayMs = 1L)("u", "p")
+    }
+    assert(calls2 === 3) // bounded: gives up after the budget
+  }
+
   test("Lake.compact merges small files preserving data and partitions") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
