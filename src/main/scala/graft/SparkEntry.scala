@@ -78,6 +78,7 @@ object SparkEntry {
     "q58_window_dist"     -> (Completeness.q58WindowDist _),
     "q59_range_correlate" -> (Completeness.q59RangeCorrelate _),
     "q60_multimodal_ann"  -> (Completeness.q60MultimodalAnn _),
+    "q61_range_frame"     -> (Completeness.q61RangeFrame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,5 +146,6 @@ object SparkEntry {
     // q60 runs the deterministic stub featurizer — no portable SQL
     // oracle; stage-exact behavior asserted in Multimodal/Similarity
     // specs.
+    "q61_range_frame"     -> Completeness.q61Sql,
   )
 }

@@ -42,6 +42,35 @@ object Completeness {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** RANGE (value-based) window frames — the time-windowed form row
+    * frames can't express: per event, the count and exact sum over the
+    * user's trailing hour. Value-based frames include ties identically
+    * on both engines; the sum is decimal-exact. */
+  def q61RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-hourUs, 0L)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(
+        $"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_trailing_hr"),
+        sum($"value".cast(OracleMath.Dec)).over(w)
+          .cast("double").as("sum_trailing_hr"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q61Sql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS n_trailing_hr,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing_hr
+      |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Multimodal → ANN integration (rows-only: the deterministic stub
     * featurizer has no SQL equivalent): binary media column → batched
     * feature extraction → exact cosine top-3 neighbors for the first
