@@ -62,9 +62,16 @@ object Lake {
     * "updated events resolved by whole-row distinct"
     * (sparktoELKstream.py:94-99): updates REPLACE, not accumulate.
     * Idempotent — replaying the same batch (foreachBatch retry
-    * semantics) reaches the same state. */
+    * semantics) reaches the same state.
+    *
+    * `tsCol` must be non-null: a null event date can neither address a
+    * partition nor be matched by the affected-dates filter, so such
+    * rows are rejected up front rather than silently skipping the
+    * merge. */
   def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, versionCol: String, tsCol: String): Unit = {
+    require(updates.filter(col(tsCol).isNull).isEmpty,
+      s"upsertLatest: null $tsCol rows cannot be partition-merged")
     import org.apache.spark.sql.expressions.Window
     val updDated = updates.withColumn("event_date", to_date(col(tsCol)))
     val fs = org.apache.hadoop.fs.FileSystem.get(
