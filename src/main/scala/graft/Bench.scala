@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * (BENCH_r{N}.json). A warm-up pass (table counts + one tiny query)
   * runs first so per-query numbers measure steady-state execution,
   * not JVM/codegen/file-index warm-up — whichever query ran first was
-  * otherwise charged ~4 s of session startup.
+  * otherwise charged ~4 s of session startup. Each query is then timed
+  * over SPARK_GRAFT_BENCH_PASSES (default 3) interleaved passes and
+  * the per-query MEDIAN is reported — single cache-cleared runs on a
+  * shared 32-core box showed up to 7× run-to-run noise at sub-second
+  * query times.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,15 +38,30 @@ object Bench {
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per-query median of N interleaved passes: pass 1 runs q01..q61,
+    // then pass 2 runs q01..q61 again, etc. Interleaving (rather than
+    // back-to-back repeats) spreads transient machine load across all
+    // queries instead of concentrating it on whichever query was
+    // unlucky — single cache-cleared runs produced phantom 3-7×
+    // regressions on this shared box (see BASELINE.md variance notes).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // untimed: drop caches a query built (e.g. the shingle projection)
       // so accumulated storage pressure can't skew later measurements
       spark.catalog.clearCache()
-      name -> elapsed
+      samples(name) = elapsed :: samples(name)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

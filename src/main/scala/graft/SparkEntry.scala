@@ -110,19 +110,24 @@ object SparkEntry {
     "q24_ann_topk"        -> TrainingData.q24Sql,
     "q25_ngram_jaccard"   -> TrainingData.q25Sql,
     "q26_multimodal_meta" -> TrainingData.q26Sql,
-    // q27-q30 are hash-based (xxhash64 signatures) — no portable SQL
-    // oracle; driver records rows-only, exact behavior asserted in
-    // ScalaTest with planted fixtures.
+    // q27/q39: LSH pipelines gated against an independent brute-force
+    // exact baseline the oracle computes (all-pairs Jaccard; recursive
+    // -CTE connected components) — LSH recall on this corpus is
+    // provably complete (all true pairs have J ≥ 0.9, miss prob 1e-15).
+    "q27_minhash_dedup"   -> TrainingData.q27Sql,
+    // q28 is xxhash64-signature-based — no portable SQL oracle; exact
+    // behavior asserted in ScalaTest with planted fixtures.
     "q31_asof_join"       -> Relational.q31Sql,
     "q32_sessionization"  -> Advanced.q32Sql,
     "q33_scalar_surface"  -> Advanced.q33Sql,
-    // q34 is approximate (HLL / t-digest sketches) — rows-only; error
-    // bound vs exact asserted in ScalaTest.
+    // q34: exact distinct counts hash-compared across engines; sketch
+    // estimates gated as within-bound booleans the oracle pins TRUE.
+    "q34_sketches"        -> Advanced.q34Sql,
     "q35_window_suite"    -> Advanced.q35Sql,
     "q36_pivot"           -> Advanced.q36Sql,
     "q37_set_ops"         -> Advanced.q37Sql,
     "q38_dedup_corpus_exact" -> TrainingData.q38Sql,
-    // q39 clusters over MinHash signatures — rows-only.
+    "q39_dedup_corpus_near" -> TrainingData.q39Sql,
     "q40_explode_dims"    -> Advanced.q40Sql,
     "q41_correlated_subquery" -> MoreRelational.q41Sql,
     "q42_semi_join"       -> MoreRelational.q42Sql,

@@ -232,21 +232,44 @@ object Advanced {
       |  FROM embeddings, generate_series(1, 8) AS gs(i)
       |) GROUP BY dim ORDER BY dim""".stripMargin
 
-  /** Sketch aggregates (approximate — rows-only for the driver; the
-    * error bound vs exact is asserted in ScalaTest): HLL distinct
-    * counts via the mergeable Datasketches aggregate, plus t-digest
-    * style approximate percentiles. These are the 100 TB answers to
-    * COUNT(DISTINCT) and exact medians: constant memory, one pass,
-    * mergeable across partitions. */
+  /** Sketch aggregates, bound-gated: HLL distinct counts via the
+    * mergeable Datasketches aggregate, plus t-digest style approximate
+    * percentiles — the 100 TB answers to COUNT(DISTINCT) and exact
+    * medians (constant memory, one pass, mergeable across partitions).
+    *
+    * Oracle design: exact distinct counts are computed in BOTH engines
+    * (hash-compared); each sketch estimate is compared Spark-side
+    * against the exact value computed in the same pass and emitted as
+    * a within-bound boolean that the oracle pins to TRUE — a sketch
+    * drifting past its published error bound flips the boolean and
+    * fails the driver's hash compare. The estimates themselves are
+    * engine-specific and deliberately not in the output. */
   def q34Sketches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"),
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"))
+        countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("__hll"),
+        approx_count_distinct($"l_partkey").as("__acd"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("__p50a"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("__p95a"),
+        expr("percentile(l_extendedprice, 0.5)").as("__p50e"),
+        expr("percentile(l_extendedprice, 0.95)").as("__p95e"))
+      .select($"l_returnflag", $"exact_orders", $"exact_parts",
+        (abs($"__hll" - $"exact_orders") <= $"exact_orders" * 0.02).as("hll_ok"),
+        (abs($"__acd" - $"exact_parts") <= $"exact_parts" * 0.05).as("approx_parts_ok"),
+        (abs($"__p50a" - $"__p50e") <= abs($"__p50e") * 0.01).as("p50_ok"),
+        (abs($"__p95a" - $"__p95e") <= abs($"__p95e") * 0.01).as("p95_ok"))
       .orderBy($"l_returnflag")
   }
+
+  val q34Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS hll_ok, TRUE AS approx_parts_ok,
+      |  TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

@@ -314,12 +314,19 @@ object Relational {
     * to the second, never raw. */
   def q13LatestPerKey(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts_ns".desc, $"event_id".desc)
+    // Latest-per-key as ONE hash aggregate (max_by over a (ts_ns,
+    // event_id) ordering struct) instead of window row_number: no sort,
+    // map-side partial aggregation, and at 100 TB the state per key is
+    // a single struct rather than a sorted partition. Tie-break on
+    // event_id matches the previous window ordering exactly.
     Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_id", $"event_type",
-        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_sec"))
+      .groupBy($"user_id")
+      .agg(max_by(
+        struct($"event_id", $"event_type",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_sec")),
+        struct($"ts_ns", $"event_id")).as("latest"))
+      .select($"user_id", $"latest.event_id".as("event_id"),
+        $"latest.event_type".as("event_type"), $"latest.ts_sec".as("ts_sec"))
       .orderBy($"user_id")
   }
 

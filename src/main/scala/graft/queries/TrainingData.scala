@@ -191,16 +191,38 @@ object TrainingData {
       |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img' ELSE 'vid' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ---- rows-only queries (hash-based; exact oracles not expressible
-  // in portable SQL — asserted in ScalaTest with planted fixtures) ----
-
   /** MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket
-    * join→exact-Jaccard verify). */
+    * join→exact-Jaccard verify). Fully oracled: the output is the
+    * exact-Jaccard-verified pair set, and on this corpus every true
+    * pair has J ≥ 0.9 (measured), where a 32-band/r=4 LSH miss has
+    * probability (1-0.9⁴)³² ≈ 1e-15 — so the LSH candidates provably
+    * cover the truth set and the output equals DuckDB's all-pairs
+    * exact Jaccard at the same threshold. */
   def q27MinHashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minHashDupPairs(Tables.documents(s, dir), 0.3)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** All-pairs exact Jaccard — the independent brute-force baseline
+    * for the LSH pipeline (fine at correctness SF; the Spark side is
+    * the one that scales). Shingle/jaccard SQL identical to q25Sql. */
+  val q27Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-duplicate pairs (64-bit signature, banded buckets,
     * Hamming ≤ 6 verify). */
@@ -235,14 +257,49 @@ object TrainingData {
       |ORDER BY keep_id""".stripMargin
 
   /** Corpus-level near-dedup: MinHash-LSH pairs → connected
-    * components → cluster-min survivors (rows-only; clustering over
-    * hash signatures). */
+    * components → cluster-min survivors. Fully oracled: DuckDB
+    * replays the whole pipeline independently — exact-dup collapse,
+    * brute-force all-pairs Jaccard ≥ 0.5 (LSH recall is provably
+    * complete here, see q27), connected components via a recursive
+    * CTE, cluster-min keeper. */
   def q39DedupCorpusNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.dedupCorpus(Tables.documents(s, dir), jaccardThreshold = 0.5)
       .select($"doc_id", $"source")
       .orderBy($"doc_id")
   }
+
+  val q39Sql: String =
+    """WITH RECURSIVE kept AS (
+      |  SELECT d.* FROM documents d
+      |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
+      |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
+      |  ON d.doc_id = k.doc_id),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM kept)
+      |  WHERE len(toks) >= 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src)
+      |SELECT doc_id, source FROM kept
+      |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Sequence packing (context-window binning): docs in doc_id order
     * packed greedily into 4096-token bins; per-pack stats. The window

