@@ -117,6 +117,13 @@ object SparkEntry {
     "q27_minhash_dedup"   -> TrainingData.q27Sql,
     // q28 is xxhash64-signature-based — no portable SQL oracle; exact
     // behavior asserted in ScalaTest with planted fixtures.
+    // q29: DuckDB replays the full hyperplane-LSH spec (normalize →
+    // sign-bucket against the same embedded hyperplane constants →
+    // bucket join → dot verify) — every computational step is gated.
+    "q29_embedding_neardup" -> TrainingData.q29Sql,
+    // q30: the md5-derived portable rolling hash, replayed in DuckDB
+    // via list_reduce (xxhash64 fast path stays spec-covered).
+    "q30_rolling_fingerprint" -> TrainingData.q30Sql,
     "q31_asof_join"       -> Relational.q31Sql,
     "q32_sessionization"  -> Advanced.q32Sql,
     "q33_scalar_surface"  -> Advanced.q33Sql,

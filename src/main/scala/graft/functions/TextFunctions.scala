@@ -90,6 +90,32 @@ object TextFunctions {
       (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
 
+  /** [[rollingHash]] variant in a 48-bit domain with md5-derived token
+    * hashes — same rotate-XOR structure, but reproducible outside
+    * Spark (any engine with md5 + bit ops), so the driver query can be
+    * oracle-gated (the q47 `hashSplitPortable` play). Values stay
+    * positive and < 2^48, sidestepping cross-engine signed-shift
+    * differences. */
+  def rollingHashPortable(text: Column): Column = {
+    val mask = lit(281474976710655L) // 2^48 - 1
+    aggregate(tokens(text), lit(281474976710597L),
+      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 43))
+        .bitwiseAND(mask)
+        .bitwiseXOR(graft.operators.Sampling.portableHash48(t)))
+  }
+
+  /** DuckDB SQL replaying [[rollingHashPortable]] over `expr`. */
+  def rollingHashPortableSql(expr: String): String = {
+    val tokHash = graft.operators.Sampling.portableHash48Sql("t")
+    s"""list_reduce(
+       |  list_prepend(CAST(281474976710597 AS BIGINT),
+       |    list_transform(string_split_regex(trim($expr), '\\s+'),
+       |      t -> $tokHash)),
+       |  (acc, h) -> xor(((acc << 5) | (acc >> 43)) & 281474976710655, h))""".stripMargin
+    // NB: fully parenthesized — DuckDB gives <<, >>, | EQUAL precedence
+    // (left-to-right), so `a << 5 | a >> 43` parses as ((a<<5)|a)>>43.
+  }
+
   /** Word n-gram shingles (for Jaccard / MinHash) — native codegen'd
     * expression ([[WordShingles]]); the HOF-composed equivalent
     * (`transform(sequence)+slice+concat_ws+array_distinct`) is ~20×

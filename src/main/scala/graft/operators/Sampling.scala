@@ -29,16 +29,26 @@ object Sampling {
     * ANSI-ish SQL for oracle checks (see [[portableBucketSql]]) while
     * Spark derives it from the md5 hex string. 48 bits keeps the value
     * inside a signed long on both engines. */
-  def portableBucket(id: Column, n: Int): Column = {
-    val m = md5(id.cast("string"))
+  def portableBucket(id: Column, n: Int): Column =
+    portableHash48(id.cast("string")) % n
+
+  /** The raw 48-bit md5-derived value behind [[portableBucket]] —
+    * also the portable per-token hash for
+    * [[graft.functions.TextFunctions.rollingHashPortable]]. */
+  def portableHash48(c: Column): Column = {
+    val m = md5(c)
     // little-endian: lowest-order byte is the first hex pair
     val le48 = concat(Seq(11, 9, 7, 5, 3, 1).map(i => substring(m, i, 2)): _*)
-    conv(le48, 16, 10).cast("long") % n
+    conv(le48, 16, 10).cast("long")
   }
+
+  /** DuckDB SQL computing the same value as [[portableHash48]]. */
+  def portableHash48Sql(expr: String): String =
+    s"CAST(md5_number_upper($expr) & 281474976710655 AS BIGINT)"
 
   /** DuckDB SQL computing the same bucket as [[portableBucket]]. */
   def portableBucketSql(expr: String, n: Int): String =
-    s"CAST(md5_number_upper(CAST($expr AS VARCHAR)) & 281474976710655 AS BIGINT) % $n"
+    s"${portableHash48Sql(s"CAST($expr AS VARCHAR)")} % $n"
 
   /** [[hashSplit]] variant gated on [[portableBucket]] — slower than
     * xxhash64 but reproducible outside Spark (any engine with md5). */
@@ -76,6 +86,13 @@ object Sampling {
     val shards =
       if (numShards > 0) numShards
       else math.max(32, spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // fail fast on null order/token values (mirrors upsertLatest's
+    // null-ts guard): a null orderCol would form a null __shard group
+    // and NPE the offset collect below; a null token sum would do the
+    // same — and silently mispack everything after it even if it didn't
+    require(df.filter(col(orderCol).isNull || col(tokenCol).isNull).isEmpty,
+      s"packSequences: null $orderCol/$tokenCol rows cannot be packed " +
+        "deterministically — filter or impute them first")
     val bounds = df.agg(
       min(col(orderCol).cast("double")), max(col(orderCol).cast("double"))).head()
     if (bounds.isNullAt(0)) return df.withColumn("pack_id", lit(0L))

@@ -61,13 +61,19 @@ object Similarity {
   private def constVec(values: Seq[Double]): Column =
     typedLit(values)
 
+  /** The hyperplane constants behind [[hyperplaneBucket]] — exposed so
+    * an oracle can replay the exact bucketing in another engine (the
+    * planes are embedded as double literals in generated SQL; Scala's
+    * `Double.toString` round-trips, so the replay is bit-identical). */
+  def hyperplaneValues(dim: Int, bits: Int): Seq[Seq[Double]] =
+    (0 until bits).map(h => (0 until dim).map(d => hashU(h * 10007L + d)))
+
   /** Random-hyperplane (sign) LSH bucket id: `bits` pseudo-random
     * hyperplanes (literal arrays, reproducible everywhere); each bit =
     * sign of one native dot product against the vector. */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { h =>
-      val plane = constVec((0 until dim).map(d => hashU(h * 10007L + d)))
-      when(dot(vec, plane) > 0, lit(1L << h)).otherwise(lit(0L))
+    val bitCols = hyperplaneValues(dim, bits).zipWithIndex.map { case (p, h) =>
+      when(dot(vec, constVec(p)) > 0, lit(1L << h)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }

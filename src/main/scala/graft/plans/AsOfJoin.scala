@@ -104,12 +104,25 @@ case class AsOfJoinExec(
         private var matchedTime: Long = 0L
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rCurr = rIter.next()
-            rKeyVal = rKeyEval.eval(rCurr)
-            rTimeVal = rTimeEval.eval(rCurr).asInstanceOf[Long]
-          } else rCurr = null
+        // Null discipline (SQL join equality): a right row with a null
+        // key or null time can never match any left row — skip it here
+        // so the merge below never feeds null into the interpreted
+        // ordering (NPE for primitive key types) or silently unboxes a
+        // null time to 0L. Nulls sort FIRST under Ascending, so the
+        // skipped rows are a prefix — the merge invariants hold.
+        private def advanceRight(): Unit = {
+          rCurr = null
+          while (rCurr == null && rIter.hasNext) {
+            val c = rIter.next()
+            val k = rKeyEval.eval(c)
+            val t = rTimeEval.eval(c)
+            if (k != null && t != null) {
+              rCurr = c
+              rKeyVal = k
+              rTimeVal = t.asInstanceOf[Long]
+            }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -119,7 +132,12 @@ case class AsOfJoinExec(
         private def nextBackward(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyEval.eval(l)
-          val lt = lTimeEval.eval(l).asInstanceOf[Long]
+          val ltRaw = lTimeEval.eval(l)
+          // null left key/time never matches (SQL equality); nulls sort
+          // first, so emitting without consuming right keeps the merge
+          // aligned for the non-null suffix
+          if (lk == null || ltRaw == null) return outProj(joined(l, nullRight))
+          val lt = ltRaw.asInstanceOf[Long]
           // consume right rows at or before (lk, lt); remember the last
           // one whose key equals lk — that's the as-of match candidate
           var continue = rCurr != null
@@ -147,7 +165,9 @@ case class AsOfJoinExec(
         private def nextForward(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyEval.eval(l)
-          val lt = lTimeEval.eval(l).asInstanceOf[Long]
+          val ltRaw = lTimeEval.eval(l)
+          if (lk == null || ltRaw == null) return outProj(joined(l, nullRight))
+          val lt = ltRaw.asInstanceOf[Long]
           // skip right rows strictly before (lk, lt); the first
           // remaining same-key row is the earliest at-or-after match.
           // Skipped rows can never match later left rows (left times

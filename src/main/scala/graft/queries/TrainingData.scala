@@ -240,6 +240,35 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Independent DuckDB replay of the full hyperplane-LSH spec —
+    * normalize → sign-bucket against the SAME hyperplane constants
+    * (embedded as round-tripping double literals) → same-bucket join →
+    * dot-product verify at the same threshold. Gates every
+    * computational step of the implementation; the recall/cost dial
+    * (bits) is part of the operator's contract, so the oracle replays
+    * it rather than brute-forcing all pairs. */
+  val q29Sql: String = {
+    val bucketExpr = Similarity.hyperplaneValues(dim = 64, bits = 6)
+      .zipWithIndex.map { case (p, h) =>
+        val plane = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(vec, $plane) > 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString("\n      + ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS raw,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT id, list_transform(raw, x -> x / nrm) AS vec
+       |  FROM v WHERE nrm > 0),
+       |b AS (
+       |  SELECT id, vec, $bucketExpr AS bucket FROM n)
+       |SELECT a.id AS id_a, c.id AS id_b,
+       |  round(list_dot_product(a.vec, c.vec), 4) AS score
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+       |WHERE round(list_dot_product(a.vec, c.vec), 4) >= 0.25
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Corpus-level exact dedup: the canonical keeper per normalized
     * fingerprint (min doc_id) — the output corpus, not a pair report. */
   def q38DedupCorpusExact(s: SparkSession, dir: String): DataFrame = {
@@ -349,11 +378,19 @@ object TrainingData {
        |GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
-  /** Rolling-hash document fingerprints (xxhash64-based — rows-only). */
+  /** Rolling-hash document fingerprints. The driver query uses the
+    * md5-derived portable variant so DuckDB can replay the exact fold
+    * (the q47 `hashSplitPortable` play); the xxhash64 fast path stays
+    * in [[TextFunctions.rollingHash]], covered by ScalaTest. */
   def q30RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", TextFunctions.rollingHash($"text").as("rh"))
+      .select($"doc_id", TextFunctions.rollingHashPortable($"text").as("rh"))
       .orderBy($"doc_id")
   }
+
+  val q30Sql: String =
+    s"""SELECT doc_id,
+       |  ${TextFunctions.rollingHashPortableSql("text")} AS rh
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

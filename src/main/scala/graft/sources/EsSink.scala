@@ -20,6 +20,11 @@ object EsSink {
 
   type Transport = (String, String) => Unit // (url, ndjsonPayload)
 
+  /** Typed HTTP failure so the retry wrapper can tell transient bulk
+    * rejections from permanent errors by status code. */
+  final case class EsHttpError(code: Int)
+    extends java.io.IOException(s"ES bulk failed: HTTP $code")
+
   /** Default transport: HTTP POST via java.net (zero dependencies). */
   def httpTransport: Transport = (url, payload) => {
     val conn = new java.net.URL(url).openConnection()
@@ -30,8 +35,21 @@ object EsSink {
     val out = conn.getOutputStream
     try out.write(payload.getBytes("UTF-8")) finally out.close()
     val code = conn.getResponseCode
-    if (code >= 300) throw new java.io.IOException(s"ES bulk failed: HTTP $code")
+    if (code >= 300) throw EsHttpError(code)
     conn.getInputStream.close()
+  }
+
+  /** Only transient failures earn a retry: bulk-queue pressure
+    * (429) / gateway blips (502-504) / connection-level I/O errors.
+    * Permanent rejections (400 mapping/parse, 401/403 auth) surface
+    * immediately — retrying them just delays the real error. */
+  private[sources] def isTransient(e: Exception): Boolean = e match {
+    case EsHttpError(code) => code == 429 || (code >= 502 && code <= 504)
+    case _: java.net.ConnectException => true
+    case _: java.net.SocketTimeoutException => true
+    case _: java.net.SocketException => true
+    case _: java.net.UnknownHostException => true // transient DNS under failover
+    case _ => false
   }
 
   /** Build bulk NDJSON actions for a partition's rows, chunked at
@@ -64,8 +82,14 @@ object EsSink {
     while (!done) {
       try { transport(url, payload); done = true }
       catch {
-        case e: Exception if attempt < attempts - 1 =>
-          Thread.sleep(baseDelayMs * (1L << attempt))
+        // a task interrupt (speculative kill, cancellation) must
+        // propagate, never be swallowed into a retry
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case e: Exception if isTransient(e) && attempt < attempts - 1 =>
+          try Thread.sleep(baseDelayMs * (1L << attempt))
+          catch { case ie: InterruptedException =>
+            Thread.currentThread().interrupt(); throw ie }
           attempt += 1
         case e: Exception => throw e
       }

@@ -67,15 +67,26 @@ object Lake {
     * `tsCol` must be non-null: a null event date can neither address a
     * partition nor be matched by the affected-dates filter, so such
     * rows are rejected up front rather than silently skipping the
-    * merge. */
+    * merge.
+    *
+    * CONTRACT — partition-scoped MERGE: a key's `event_date` is
+    * assumed stable across updates (the usual case: it derives from
+    * the event's own timestamp, and corrections revise payload/version,
+    * not the day the event happened). An update that *re-dates* a key
+    * to a different event_date merges into the NEW date's partition
+    * only; the superseded row in the old partition is not rewritten
+    * (that partition isn't in the update's affected set — touching it
+    * would make every batch O(lake), not O(affected days)). Readers
+    * that must be robust to cross-date corrections take the global
+    * latest per key at read time, or run [[dropSupersededVersions]]
+    * as a maintenance pass. This behavior is pinned by
+    * LakeUpsertSpec's re-dating case. */
   def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, versionCol: String, tsCol: String): Unit = {
     require(updates.filter(col(tsCol).isNull).isEmpty,
       s"upsertLatest: null $tsCol rows cannot be partition-merged")
     import org.apache.spark.sql.expressions.Window
     val updDated = updates.withColumn("event_date", to_date(col(tsCol)))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dates = updDated.select("event_date").distinct().collect()
       .map(_.get(0))
     // an empty/missing target (first batch) has no schema to read
@@ -98,7 +109,35 @@ object Lake {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date")
       .parquet(path)
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    // resolve the filesystem FROM the scratch path (not the default
+    // FS): with an s3a:///hdfs:// lake the default-FS delete would
+    // throw 'Wrong FS' or aim at the wrong store
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(scratchPath, true)
+  }
+
+  /** Maintenance pass for lakes that DO receive cross-date key
+    * corrections (see the [[upsertLatest]] contract): keep only the
+    * globally-latest version of each key, dropping superseded rows
+    * stranded in other date partitions. O(lake) by necessity — run it
+    * on a schedule, not per batch. */
+  def dropSupersededVersions(spark: SparkSession, path: String,
+      keyCol: String, versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("event_date").desc)
+    val latest = read(spark, path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val tmp = path.stripSuffix("/") + "__dedup_stage"
+    latest.write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   /** Compact a lake partition range into `nFiles` files (the
@@ -109,8 +148,8 @@ object Lake {
     read(spark, path)
       .repartition(nFiles, col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

@@ -86,6 +86,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Seq(("a", Some(1.5)), ("b", Some(1.5)), ("c", Some(1.5))))
   }
 
+  test("null keys/times never match and never crash (SQL equality), both directions") {
+    // nulls on BOTH sides, in keys AND times; nulls sort first, so they
+    // exercise the merge's prefix-skip path
+    val l = Seq[(Option[Long], Option[Long], String)](
+      (None, Some(100L), "lk_null"),   // null left key
+      (Some(1L), None, "lt_null"),     // null left time
+      (Some(1L), Some(200L), "ok"),
+      (Some(9L), Some(50L), "no_match")
+    ).toDF("k", "t", "lbl")
+    val r = Seq[(Option[Long], Option[Long], Option[Double])](
+      (None, Some(90L), Some(66.0)),   // null right key: skipped
+      (Some(1L), None, Some(77.0)),    // null right time: skipped
+      (Some(1L), Some(150L), Some(11.0))
+    ).toDF("k", "t", "px")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOf.join(l, r, l("k"), r("k"), l("t"), r("t"),
+          direction = dir)
+        .select($"lbl", $"px").orderBy($"lbl")
+        .as[(String, Option[Double])].collect().toMap
+      assert(got("lk_null") === None, dir)
+      assert(got("lt_null") === None, dir)
+      assert(got("no_match") === None, dir)
+      // the one valid pairing still joins: 150 <= 200 (backward); for
+      // forward, 150 < 200 means no match at-or-after
+      if (dir == "backward") assert(got("ok") === Some(11.0))
+      else assert(got("ok") === None)
+    }
+  }
+
+  test("null keys with a STRING key type (non-primitive ordering path)") {
+    val l = Seq[(Option[String], Option[Long], String)](
+      (None, Some(10L), "lnull"), (Some("a"), Some(10L), "la")
+    ).toDF("k", "t", "lbl")
+    val r = Seq[(Option[String], Option[Long], Option[Double])](
+      (None, Some(5L), Some(9.0)), (Some("a"), Some(5L), Some(1.0))
+    ).toDF("k", "t", "px")
+    val got = AsOf.join(l, r, l("k"), r("k"), l("t"), r("t"))
+      .select($"lbl", $"px").orderBy($"lbl")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got === Map("lnull" -> None, "la" -> Some(1.0)))
+  }
+
   test("survives multi-partition shuffles (distribution requirements)") {
     val bigTrades = spark.range(0, 1000)
       .select(($"id" % 7).as("k"), ($"id" * 10).as("t"))

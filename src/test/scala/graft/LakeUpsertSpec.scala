@@ -90,6 +90,36 @@ class LakeUpsertSpec extends SparkSpec {
     assert(state(path)(1L) === (2L, "a-v2"))
   }
 
+  test("re-dating a key is partition-scoped (documented contract) and " +
+      "dropSupersededVersions cleans the stray") {
+    val path = tmp()
+    seed(path)
+    // key 1 moves from 2024-01-01 to 2024-01-03 at a higher version:
+    // the new date's partition gets the winner; the superseded row in
+    // the old partition is NOT rewritten — upsertLatest is a
+    // partition-scoped MERGE (the old day isn't in the affected set)
+    Lake.upsertLatest(spark, path,
+      Seq((1L, 2L, "2024-01-03 08:00:00", "a-v2-redated"))
+        .toDF("id", "version", "ts", "payload")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+    val rows = spark.read.parquet(path)
+      .filter($"id" === 1L)
+      .select($"version", $"payload", $"event_date".cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set(
+      (1L, "a-v1", "2024-01-01"),        // stranded superseded row
+      (2L, "a-v2-redated", "2024-01-03"))) // the new winner
+    // the maintenance pass removes the stranded version globally
+    Lake.dropSupersededVersions(spark, path, "id", "version")
+    val after = spark.read.parquet(path)
+      .select($"id", $"version", $"payload").as[(Long, Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.toSet).toMap
+    assert(after(1L) === Set((1L, 2L, "a-v2-redated")))
+    assert(after(2L) === Set((2L, 1L, "b-v1"))) // untouched keys intact
+    assert(after(3L) === Set((3L, 1L, "c-v1")))
+  }
+
   test("schema evolution: appended files with new columns read back merged") {
     val path = tmp()
     Seq((1L, "2024-01-01 10:00:00"))

@@ -116,10 +116,10 @@ class StreamingSpec extends SparkSpec {
 
   test("driver contract: entry() flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++
-      Set("q27_minhash_dedup", "q28_simhash_dedup", "q29_embedding_neardup",
-        "q30_rolling_fingerprint", "q34_sketches", "q39_dedup_corpus_near",
-        "q60_multimodal_ann")) // rows-only set is exactly the documented one
+    // rows-only set is EXACTLY the documented one (set difference, not
+    // union, so a query silently losing its oracle fails here)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
+      Set("q28_simhash_dedup", "q60_multimodal_ann"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

@@ -52,18 +52,46 @@ class UtilitySpec extends SparkSpec {
     var calls = 0
     val flaky: EsSink.Transport = (_, _) => {
       calls += 1
-      if (calls < 3) throw new java.io.IOException("HTTP 429")
+      if (calls < 3) throw EsSink.EsHttpError(429) // bulk queue pressure
     }
     EsSink.retrying(flaky, attempts = 3, baseDelayMs = 1L)("u", "p")
     assert(calls === 3) // two rejections, third attempt lands
     var calls2 = 0
     val dead: EsSink.Transport = (_, _) => {
-      calls2 += 1; throw new java.io.IOException("HTTP 500")
+      calls2 += 1; throw EsSink.EsHttpError(503)
     }
     intercept[java.io.IOException] {
       EsSink.retrying(dead, attempts = 3, baseDelayMs = 1L)("u", "p")
     }
     assert(calls2 === 3) // bounded: gives up after the budget
+  }
+
+  test("EsSink.retrying: permanent errors are NOT retried; interrupts propagate") {
+    // 400 mapping/parse rejection: retrying it only delays the error
+    var badCalls = 0
+    val badRequest: EsSink.Transport = (_, _) => {
+      badCalls += 1; throw EsSink.EsHttpError(400)
+    }
+    intercept[java.io.IOException] {
+      EsSink.retrying(badRequest, attempts = 3, baseDelayMs = 1L)("u", "p")
+    }
+    assert(badCalls === 1)
+    // generic exceptions (auth, serialization bugs) likewise surface once
+    var npes = 0
+    val broken: EsSink.Transport = (_, _) => {
+      npes += 1; throw new IllegalStateException("bad client state")
+    }
+    intercept[IllegalStateException] {
+      EsSink.retrying(broken, attempts = 3, baseDelayMs = 1L)("u", "p")
+    }
+    assert(npes === 1)
+    // a task interrupt must propagate immediately with the flag restored
+    val interrupted: EsSink.Transport = (_, _) =>
+      throw new InterruptedException("task killed")
+    intercept[InterruptedException] {
+      EsSink.retrying(interrupted, attempts = 3, baseDelayMs = 1L)("u", "p")
+    }
+    assert(Thread.interrupted()) // flag was restored (and cleared here)
   }
 
   test("Lake.compact merges small files preserving data and partitions") {
