@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Completeness, MoreRelational, Relational, TrainingData}
+import graft.queries.{Advanced, Completeness, MoreRelational, Relational, StreamingQueries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,6 +79,7 @@ object SparkEntry {
     "q59_range_correlate" -> (Completeness.q59RangeCorrelate _),
     "q60_multimodal_ann"  -> (Completeness.q60MultimodalAnn _),
     "q61_range_frame"     -> (Completeness.q61RangeFrame _),
+    "q62_stream_window_counts" -> (StreamingQueries.q62StreamWindowCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +160,8 @@ object SparkEntry {
     // oracle; stage-exact behavior asserted in Multimodal/Similarity
     // specs.
     "q61_range_frame"     -> Completeness.q61Sql,
+    // q62 runs a REAL streaming job (file stream → watermarked dedup →
+    // windowed agg → memory sink); the oracle is the batch equivalent.
+    "q62_stream_window_counts" -> StreamingQueries.q62Sql,
   )
 }

@@ -14,22 +14,26 @@ import org.apache.spark.sql.types._
   * the real production shape: swap `decodeStub` for an FFI call and
   * nothing else changes.
   */
-object Multimodal {
+/** The codec boundary, as a TYPE: everything Spark-side (schema,
+  * batching, partition parallelism, null discipline) programs against
+  * this trait, so swapping the deterministic test stub for a real
+  * FFI-backed codec (libjpeg/ffmpeg/ONNX via JNI) is compile-checked —
+  * implement these two methods and nothing else changes. Must be
+  * Serializable: instances ship inside `mapPartitions` closures. */
+trait MediaCodec extends Serializable {
+  /** bytes → (width, height, n_frames, format). */
+  def decode(bytes: Array[Byte]): (Int, Int, Int, String)
+  /** bytes → unit-norm feature embedding of length `dim`. */
+  def featurize(bytes: Array[Byte], dim: Int): Array[Float]
+}
 
-  /** Typed metadata emitted by the "decoder". */
-  val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("byte_len", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
-
-  /** ======== STUB ========
-    * Deterministic fake "decode": derives plausible metadata purely
-    * from the bytes. A real build replaces this body with the codec
-    * call (e.g. libjpeg/ffmpeg via JNI); signature and batch shape
-    * stay identical. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
+/** ======== STUB ========
+  * Deterministic fake codec: derives plausible metadata and features
+  * purely from the bytes — no codec libraries exist in this container.
+  * The production build swaps in an FFI-backed [[MediaCodec]]; batch
+  * shape, schema, and everything downstream stay identical. */
+object StubCodec extends MediaCodec {
+  override def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
     val len = bytes.length
     var h = 1125899906842597L
     var i = 0
@@ -39,12 +43,43 @@ object Multimodal {
     val frames = 1 + math.floorMod(h >> 32, 16).toInt   // 1..16
     (width, height, frames, if (len % 2 == 0) "img" else "vid")
   }
-  /** ====== END STUB ====== */
+
+  override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ bytes(i)) * 1099511628211L
+      out(math.floorMod(i, dim)) += (h % 1000) / 1000.0f
+      i += 1
+    }
+    val n = math.sqrt(out.map(x => x.toDouble * x).sum)
+    if (n > 0) out.map(x => (x / n).toFloat) else out
+  }
+}
+/** ====== END STUB ====== */
+
+object Multimodal {
+
+  /** Typed metadata emitted by the decoder. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Back-compat aliases for the stub kernels (specs reference these). */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) =
+    StubCodec.decode(bytes)
+  def featurizeStub(bytes: Array[Byte], dim: Int): Array[Float] =
+    StubCodec.featurize(bytes, dim)
 
   /** Attach decoded metadata to a DataFrame with a binary `media`
     * column. Batched per partition (no per-row task overhead), output
     * schema declared up front — the `mapInPandas` shape. */
-  def withMediaMeta(df: DataFrame, binaryCol: String = "media"): DataFrame = {
+  def withMediaMeta(df: DataFrame, binaryCol: String = "media",
+      codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("media_meta", mediaMetaSchema, nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -54,7 +89,7 @@ object Multimodal {
       rows.map { r =>
         val meta = if (r.isNullAt(idx)) null else {
           val bytes = r.getAs[Array[Byte]](idx)
-          val (w, h, f, fmt) = decodeStub(bytes)
+          val (w, h, f, fmt) = codec.decode(bytes)
           Row(bytes.length, w, h, f, fmt)
         }
         Row.fromSeq(r.toSeq :+ meta)
@@ -70,29 +105,12 @@ object Multimodal {
       explode(sequence(lit(0), col("media_meta.n_frames") - 1,
         lit(stride))))
 
-  /** ======== STUB ========
-    * Deterministic fake feature extractor: binary → fixed-dim float
-    * embedding derived from rolling byte hashes. Real build: the model
-    * forward pass (ONNX/JNI); signature and batch shape identical. */
-  def featurizeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1469598103934665603L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h ^ bytes(i)) * 1099511628211L
-      out(math.floorMod(i, dim)) += (h % 1000) / 1000.0f
-      i += 1
-    }
-    val n = math.sqrt(out.map(x => x.toDouble * x).sum)
-    if (n > 0) out.map(x => (x / n).toFloat) else out
-  }
-  /** ====== END STUB ====== */
-
   /** Attach a feature embedding extracted from the binary column —
     * batched per partition, declared output schema; the result feeds
     * straight into [[graft.operators.Similarity]] ANN/dedup. */
   def withFeatures(df: DataFrame, dim: Int = 64,
-      binaryCol: String = "media"): DataFrame = {
+      binaryCol: String = "media",
+      codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("embedding", ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -101,7 +119,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val vec = if (r.isNullAt(idx)) null
-          else featurizeStub(r.getAs[Array[Byte]](idx), dim).toSeq
+          else codec.featurize(r.getAs[Array[Byte]](idx), dim).toSeq
         Row.fromSeq(r.toSeq :+ vec)
       }
     }(enc)

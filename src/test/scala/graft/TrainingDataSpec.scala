@@ -266,6 +266,29 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.count() === 1)
   }
 
+  test("MediaCodec trait: a custom codec instance flows through both paths") {
+    // the compile-checked FFI seam: implementing MediaCodec is ALL a
+    // real decoder needs — schema/batching/null handling are untouched
+    object FixedCodec extends graft.sources.MediaCodec {
+      override def decode(bytes: Array[Byte]): (Int, Int, Int, String) =
+        (320, 240, 3, "fix")
+      override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+        val v = new Array[Float](dim); v(0) = 1.0f; v
+      }
+    }
+    val df = Seq((1L, "payload")).toDF("doc_id", "text")
+    val meta = Multimodal.withMediaMeta(Multimodal.mediaFromText(df),
+        codec = FixedCodec)
+      .select($"media_meta.width", $"media_meta.height",
+        $"media_meta.n_frames", $"media_meta.format")
+      .as[(Int, Int, Int, String)].head()
+    assert(meta === ((320, 240, 3, "fix")))
+    val vec = Multimodal.withFeatures(Multimodal.mediaFromText(df),
+        dim = 4, codec = FixedCodec)
+      .select($"embedding").as[Seq[Float]].head()
+    assert(vec === Seq(1.0f, 0.0f, 0.0f, 0.0f))
+  }
+
   test("resize meta preserves aspect ratio within the target box") {
     val df = Seq((1L, "x" * 500)).toDF("doc_id", "text")
     val meta = Multimodal.withMediaMeta(Multimodal.mediaFromText(df))
