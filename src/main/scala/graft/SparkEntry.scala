@@ -116,8 +116,10 @@ object SparkEntry {
     // -CTE connected components) — LSH recall on this corpus is
     // provably complete (all true pairs have J ≥ 0.9, miss prob 1e-15).
     "q27_minhash_dedup"   -> TrainingData.q27Sql,
-    // q28 is xxhash64-signature-based — no portable SQL oracle; exact
-    // behavior asserted in ScalaTest with planted fixtures.
+    // q28: DuckDB replays the portable SimHash-48 pipeline (md5-domain
+    // feature hashes → bit votes → banding → hamming verify); the
+    // xxhash64 64-bit signature stays the spec-covered fast path.
+    "q28_simhash_dedup"   -> TrainingData.q28Sql,
     // q29: DuckDB replays the full hyperplane-LSH spec (normalize →
     // sign-bucket against the same embedded hyperplane constants →
     // bucket join → dot verify) — every computational step is gated.

@@ -71,6 +71,40 @@ object SignatureKernels {
     sig
   }
 
+  /** Portable SimHash-48: per-feature hash = little-endian uint64 of
+    * the first 8 md5 digest bytes masked to 48 bits — exactly the
+    * value DuckDB exposes as `md5_number_upper(s) & (2^48-1)` (same
+    * construction as `Sampling.portableHash48`) — then ±1 bit votes
+    * over the 48 bits. Same structure as [[simHash]], but replayable
+    * in any engine with md5 + bit ops, so the driver query using it is
+    * oracle-gated instead of rows-only. */
+  def simHash48(arr: ArrayData): Long = {
+    val votes = new Array[Int](48)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var j = 7
+      while (j >= 0) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
+      h &= 0xFFFFFFFFFFFFL
+      var b = 0
+      while (b < 48) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Exact Jaccard of two string arrays in one fused pass: a hash set
     * of the (distinct) left side, then one membership probe per right
     * element. The `array_intersect`/`array_union` composition builds
@@ -121,6 +155,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SimHash48Portable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash48_portable"
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simHash48(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash48($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash48Portable =
+    copy(child = newChild)
+}
+
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -142,6 +189,8 @@ object SignatureExpressions {
     GraftShims.column(MinHashSig(GraftShims.expression(shingles), k))
   def simHash64(shingles: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(shingles)))
+  def simHash48Portable(shingles: Column): Column =
+    GraftShims.column(SimHash48Portable(GraftShims.expression(shingles)))
   def jaccardSim(a: Column, b: Column): Column =
     GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
 
@@ -159,6 +208,8 @@ object SignatureExpressions {
       }), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash48_portable",
+      exprs => SimHash48Portable(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sim",
       exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",

@@ -138,6 +138,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** [[simHashDupPairs]] in the portable 48-bit md5 domain
+    * ([[graft.functions.SignatureKernels.simHash48]]): same
+    * single-pass projection shape, 4 bands × 12 bits (identical
+    * pigeonhole guarantee to 4 × 16 over 64), hamming verify — but
+    * every step is replayable in DuckDB, so the driver query is
+    * oracle-gated (the `hashSplitPortable`/`rollingHashPortable`
+    * play; the xxhash64 variant stays the production fast path). */
+  def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val sig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.SignatureExpressions.simHash48Portable(col("sh")).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 12).bitwiseAND(0xFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over an undirected pair list (id_a, id_b)
     * via iterative min-label propagation: each node adopts the
     * smallest label among itself and its neighbors until fixpoint.

@@ -224,12 +224,49 @@ object TrainingData {
       |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-duplicate pairs (64-bit signature, banded buckets,
-    * Hamming ≤ 6 verify). */
+  /** SimHash near-duplicate pairs (banded buckets, Hamming ≤ 6
+    * verify). The driver query uses the portable 48-bit md5-domain
+    * signature so DuckDB can replay the whole pipeline — shingle →
+    * per-feature hash → bit votes → banding → bucket join → hamming —
+    * independently (see q28Sql); the xxhash64 64-bit fast path stays
+    * in [[Dedup.simHashDupPairs]], spec-covered. */
   def q28SimHashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.simHashDupPairs(Tables.documents(s, dir), maxHamming = 6)
+    Dedup.simHashDupPairsPortable(Tables.documents(s, dir), maxHamming = 6)
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Independent DuckDB replay of the portable SimHash-48 spec. The
+    * 48 per-bit vote sums are generated terms; everything is fully
+    * parenthesized (DuckDB gives <<, >>, &, | one precedence level). */
+  val q28Sql: String = {
+    val sigTerms = (0 until 48).map { j =>
+      s"(CASE WHEN SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(len(toks) - 2, 1)),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 1),
+       |hv AS (
+       |  SELECT doc_id, CAST(md5_number_upper(s) & 281474976710655 AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sig AS (
+       |  SELECT doc_id, $sigTerms AS sig
+       |  FROM hv GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, gs.i AS band, ((sig >> (gs.i * 12)) & 4095) AS chunk
+       |  FROM sig, generate_series(0, 3) AS gs(i))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Embedding-cosine near-dup via random-hyperplane LSH buckets. */

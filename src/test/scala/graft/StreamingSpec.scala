@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSpec {
     // rows-only set is EXACTLY the documented one (set difference, not
     // union, so a query silently losing its oracle fails here)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("q28_simhash_dedup", "q60_multimodal_ann"))
+      Set("q60_multimodal_ann"))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

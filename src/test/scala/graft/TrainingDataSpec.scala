@@ -70,6 +70,7 @@ class TextFunctionsSpec extends SparkSpec {
     val sql = spark.sql(
       """SELECT jaccard_sim(word_shingles(a, 2), word_shingles(b, 2)) AS j,
         |  simhash64(word_shingles(a, 2)) AS sh,
+        |  simhash48_portable(word_shingles(a, 2)) AS shp,
         |  minhash_sig(word_shingles(a, 2), 16) AS mh FROM texts""".stripMargin)
       .head()
     val api = df.select(
@@ -77,12 +78,15 @@ class TextFunctionsSpec extends SparkSpec {
         TextFunctions.shingles($"a", 2), TextFunctions.shingles($"b", 2)).as("j"),
       graft.functions.SignatureExpressions.simHash64(
         TextFunctions.shingles($"a", 2)).as("sh"),
+      graft.functions.SignatureExpressions.simHash48Portable(
+        TextFunctions.shingles($"a", 2)).as("shp"),
       graft.functions.SignatureExpressions.minHashSig(
         TextFunctions.shingles($"a", 2), 16).as("mh"))
       .head()
     assert(sql.getDouble(0) === api.getDouble(0))
     assert(sql.getLong(1) === api.getLong(1))
-    assert(sql.getSeq[Long](2) === api.getSeq[Long](2))
+    assert(sql.getLong(2) === api.getLong(2))
+    assert(sql.getSeq[Long](3) === api.getSeq[Long](3))
   }
 
   test("rollingHash is order-sensitive and deterministic") {
@@ -135,6 +139,15 @@ class DedupSpec extends SparkSpec {
     // doc 3 shares no shingles with the others — must not appear at ≤10
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
     // near-dups that did surface must be closer than the threshold
+    assert(pairs.values.forall(_ <= 10L))
+  }
+
+  test("simhash portable (md5/48-bit): same planted-fixture behavior as the fast path") {
+    val pairs = Dedup.simHashDupPairsPortable(docs, maxHamming = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 4L)) === 0L) // identical text → identical signature
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
     assert(pairs.values.forall(_ <= 10L))
   }
 
