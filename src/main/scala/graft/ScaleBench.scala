@@ -115,6 +115,18 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Dedup
           .editDistancePairs(d, maxDist = 5).count(),
         docs1, docsN),
+      // the keyless (sensor-less) as-of merge: auto-sharded into
+      // time-contiguous bins — without the auto-shard this whole merge
+      // is ONE task at any scale, the classic hidden serialization
+      ("asof_keyless_autoshard",
+        (d: DataFrame) => {
+          val ev = d.select($"event_id", $"ts".as("event_ts"))
+          val sm = d.filter($"event_type" === "error")
+            .select($"ts".as("time"), $"value".as("data"))
+          graft.streaming.Correlate.nearest(ev, sm,
+            toleranceSec = Some(3600)).count()
+        },
+        events1, eventsN),
       ("range_correlate",
         (d: DataFrame) => {
           graft.plans.BinRangeJoin.install(spark)

@@ -80,6 +80,7 @@ object SparkEntry {
     "q60_multimodal_ann"  -> (Completeness.q60MultimodalAnn _),
     "q61_range_frame"     -> (Completeness.q61RangeFrame _),
     "q62_stream_window_counts" -> (StreamingQueries.q62StreamWindowCounts _),
+    "q63_repetition"      -> (TrainingData.q63Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,5 +166,6 @@ object SparkEntry {
     // q62 runs a REAL streaming job (file stream → watermarked dedup →
     // windowed agg → memory sink); the oracle is the batch equivalent.
     "q62_stream_window_counts" -> StreamingQueries.q62Sql,
+    "q63_repetition"      -> TrainingData.q63Sql,
   )
 }

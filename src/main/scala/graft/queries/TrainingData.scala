@@ -430,4 +430,43 @@ object TrainingData {
     s"""SELECT doc_id,
        |  ${TextFunctions.rollingHashPortableSql("text")} AS rh
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** N-gram repetition scoring (the Gopher/C4-style quality rule:
+    * drop documents whose n-grams repeat excessively). Repetition for
+    * n = 1 - distinct n-grams / total n-grams — int/int double
+    * divisions, deterministic cross-engine. One projection, no
+    * shuffle: the 100 TB cost is the scan. */
+  def q63Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFunctions.tokens($"text")
+    val nTok = size(toks).cast("long")
+    def rep(n: Int): org.apache.spark.sql.Column = {
+      val total = (nTok - lit(n - 1)).cast("double")
+      lit(1.0) - size(TextFunctions.shingles($"text", n)).cast("double") / total
+    }
+    Tables.documents(s, dir)
+      .filter(nTok >= 3) // guard total>0 for both n (all corpus docs pass)
+      .select($"doc_id", nTok.as("n_tokens"),
+        rep(2).as("rep2"), rep(3).as("rep3"),
+        (rep(3) > 0.2).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  val q63Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    1.0 - CAST(len(list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) /
+      |      CAST(len(toks) - 1 AS DOUBLE) AS rep2,
+      |    1.0 - CAST(len(list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) /
+      |      CAST(len(toks) - 2 AS DOUBLE) AS rep3
+      |  FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id, n_tokens, rep2, rep3, rep3 > 0.2 AS repetitive
+      |FROM g ORDER BY doc_id""".stripMargin
 }
