@@ -28,12 +28,21 @@ object TrainingPipeline {
   def prepare(docs: DataFrame, budget: Long = 2048L,
       jaccardThreshold: Double = 0.8, trainPct: Int = 95): DataFrame = {
     // 1. quality gate: drop empty/degenerate docs before paying for
-    //    signatures (cheap projections first — the 100 TB ordering)
+    //    signatures (cheap projections first — the 100 TB ordering).
+    //    Includes the Gopher-style 3-gram repetition rule (q63): docs
+    //    that mostly repeat themselves are near-dup fodder AND bad
+    //    training signal — cut them before the dedup stage pays for
+    //    their signatures.
     val quality = TextFunctions.qualityMetrics(col("text")).toMap
+    val nTok = TextFunctions.tokenCount(col("text"))
+    val rep3 = lit(1.0) -
+      size(TextFunctions.shingles(col("text"), 3)).cast("double") /
+        (nTok - lit(2)).cast("double")
     val filtered = docs
-      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("n_tokens", nTok)
       .filter(col("n_tokens") >= 5 &&
-        quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5)
+        quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5 &&
+        rep3 <= 0.6)
     // 2. language ID (pure projection)
     val langed = filtered.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))
