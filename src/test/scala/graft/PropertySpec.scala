@@ -72,6 +72,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals the join+aggregate reference on random data " +
+      "(both directions, null keys/times)") {
+    import graft.plans.AsOf
+    val gen = for {
+      nL <- Gen.choose(5, 30)
+      nR <- Gen.choose(0, 30)
+      lRows <- Gen.listOfN(nL, Gen.zip(
+        Gen.option(Gen.choose(0L, 3L)), Gen.option(Gen.choose(0L, 60L))))
+      rRows <- Gen.listOfN(nR, Gen.zip(
+        Gen.option(Gen.choose(0L, 3L)), Gen.choose(0L, 60L)))
+    } yield (lRows, rRows)
+    forAll(gen, n = 4) { case (lRows, rRows) =>
+      val l = lRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+      // distinct right (key, time) keeps the as-of winner well-defined
+      // (ties on the full sort key are semantically unordered)
+      val r = rRows.flatMap { case (k, t) => k.map(kk => (kk, t)) }.distinct
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "rk", "rt")
+      for (dir <- Seq("backward", "forward")) {
+        val got = AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt"),
+            direction = dir)
+          .select($"lid", $"rid")
+          .as[(Long, Option[Long])].collect().toMap
+        // reference: plain left join on the inequality + arg-min/max —
+        // the O(matches) plan the custom operator replaces
+        val cmp = if (dir == "backward") col("rt") <= col("t")
+          else col("rt") >= col("t")
+        val pick = if (dir == "backward") max_by(col("rid"), col("rt"))
+          else min_by(col("rid"), col("rt"))
+        val ref = l.join(r, col("k") === col("rk") && cmp, "left")
+          .groupBy(col("lid")).agg(pick.as("rid"))
+          .as[(Long, Option[Long])].collect().toMap
+        assert(got === ref, s"direction=$dir\nL=$lRows\nR=$rRows")
+      }
+    }
+  }
+
   test("rollingHash: permutation-sensitive, concat-extension changes hash") {
     val gen = Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(5)))
     forAll(gen, 8) { words =>
