@@ -194,10 +194,13 @@ object TrainingData {
   /** MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket
     * join→exact-Jaccard verify). Fully oracled: the output is the
     * exact-Jaccard-verified pair set, and on this corpus every true
-    * pair has J ≥ 0.9 (measured), where a 32-band/r=4 LSH miss has
-    * probability (1-0.9⁴)³² ≈ 1e-15 — so the LSH candidates provably
-    * cover the truth set and the output equals DuckDB's all-pairs
-    * exact Jaccard at the same threshold. */
+    * pair has J ≥ 0.9 at sf0.01 / ≥ 0.8 at sf0.1 (measured), where a
+    * 32-band/r=4 LSH miss has probability (1-J⁴)³² ≤ 5e-8 — so the
+    * LSH candidates cover the truth set and the output equals DuckDB's
+    * all-pairs exact Jaccard at the same threshold. Cross-validated at
+    * sf0.1 (where the all-pairs oracle is impractical): the LSH pair
+    * set is IDENTICAL to q25's prefix-blocked exact pair set — two
+    * independent candidate generators agreeing on all 256 pairs. */
   def q27MinHashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minHashDupPairs(Tables.documents(s, dir), 0.3)
