@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Cross-validate the LSH dedup pipelines at scales where the all-pairs
+DuckDB oracle is impractical (the driver's hash gate runs at sf0.01;
+this runs at any SF in minutes, not hours).
+
+Usage: python3 tools/crosscheck_lsh.py <sfDir> <verifyOutDir>
+
+Checks:
+  1. q27 (MinHash-LSH pairs) == q25 (prefix-blocked exact pairs): two
+     INDEPENDENT candidate generators must produce the same verified
+     pair set at the same threshold family.
+  2. q39 (corpus near-dedup survivors) == a DuckDB replay whose
+     candidate pairs come from prefix blocking instead of LSH banding
+     (recursive-CTE connected components, cluster-min keeper).
+
+Exit 1 on any disagreement.
+"""
+import glob, sys
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    bad = 0
+
+    f27 = glob.glob(f"{out_dir}/q27_minhash_dedup/*.parquet")
+    f25 = glob.glob(f"{out_dir}/q25_ngram_jaccard/*.parquet")
+    diff = con.sql(f"""
+      SELECT count(*) FROM (
+        (SELECT id_a, id_b FROM read_parquet({f27!r})
+         EXCEPT SELECT id_a, id_b FROM read_parquet({f25!r}))
+        UNION ALL
+        (SELECT id_a, id_b FROM read_parquet({f25!r})
+         EXCEPT SELECT id_a, id_b FROM read_parquet({f27!r})))
+      """).fetchone()[0]
+    n27 = con.sql(f"SELECT count(*) FROM read_parquet({f27!r})").fetchone()[0]
+    if diff == 0:
+        print(f"OK   q27 == q25 pair sets ({n27} pairs, independent generators)")
+    else:
+        print(f"FAIL q27 vs q25: {diff} asymmetric pairs")
+        bad += 1
+
+    replay = con.sql("""
+      WITH RECURSIVE kept AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
+        ON d.doc_id = k.doc_id),
+      sh AS (
+        SELECT doc_id, substr(text, 1, 40) AS blk,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+              FROM kept)
+        WHERE len(toks) >= 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src)
+      SELECT doc_id, source FROM kept
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+      ORDER BY doc_id
+      """).fetchall()
+    f39 = glob.glob(f"{out_dir}/q39_dedup_corpus_near/*.parquet")
+    got = con.sql(
+        f"SELECT doc_id, source FROM read_parquet({f39!r}) ORDER BY doc_id"
+    ).fetchall()
+    if replay == got:
+        print(f"OK   q39 survivors == prefix-blocked DuckDB replay ({len(got)} docs)")
+    else:
+        print(f"FAIL q39: {len(got)} survivors vs {len(replay)} in replay")
+        bad += 1
+
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main()
