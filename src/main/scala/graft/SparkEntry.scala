@@ -81,6 +81,7 @@ object SparkEntry {
     "q61_range_frame"     -> (Completeness.q61RangeFrame _),
     "q62_stream_window_counts" -> (StreamingQueries.q62StreamWindowCounts _),
     "q63_repetition"      -> (TrainingData.q63Repetition _),
+    "q64_incremental_dedup" -> (TrainingData.q64IncrementalDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,5 +168,6 @@ object SparkEntry {
     // windowed agg → memory sink); the oracle is the batch equivalent.
     "q62_stream_window_counts" -> StreamingQueries.q62Sql,
     "q63_repetition"      -> TrainingData.q63Sql,
+    "q64_incremental_dedup" -> TrainingData.q64Sql,
   )
 }

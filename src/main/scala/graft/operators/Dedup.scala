@@ -249,6 +249,66 @@ object Dedup {
     exactKept.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental corpus dedup — the growing-training-set operation:
+    * dedup a NEW batch against an EXISTING corpus without ever
+    * self-joining the corpus. Returns the rows of `newDocs` to ADD:
+    * first the batch is internally deduped ([[dedupCorpus]] — the new
+    * side is the small one), then exact matches against the corpus are
+    * removed by a fingerprint anti-join (one hash shuffle), then
+    * near-matches by an ASYMMETRIC banded LSH join (new bands × corpus
+    * bands — the corpus contributes a slim banded projection, never a
+    * self-join) with exact-Jaccard verification.
+    *
+    * At 100 TB the corpus side dominates and its cost here is one scan
+    * + one bucket-partitioned shuffle of (id, band, bucket) triples;
+    * candidate volume scales with the NEW batch, which is the whole
+    * point of incremental ingestion. */
+  def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+    val r = k / bands
+    // 1. within-batch dedup (exact + near, canonical survivor)
+    val newKept = dedupCorpus(newDocs, jaccardThreshold, idCol, textCol)
+    // 2. exact cross-dedup: fingerprint anti-join against the corpus
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("__fp")).distinct()
+    val afterExact = newKept
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // 3. near cross-dedup: asymmetric banded join. Both sides project
+    //    to slim (id, band, bucket); shingles are hydrated only for
+    //    surviving candidate pairs (same discipline as lshCandidates).
+    def bandedOf(docs: DataFrame): (DataFrame, DataFrame) = {
+      val shingled = docs
+        .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = minHashSignatures(shingled, k)
+      val bandHashes = array((0 until bands).map { b =>
+        xxhash64(concat_ws("_",
+          lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r))))
+      }: _*)
+      val banded = sig.select(col("id"), posexplode(bandHashes))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      (shingled, banded)
+    }
+    val (newShingled, newBanded) = bandedOf(afterExact)
+    val (corpusShingled, corpusBanded) = bandedOf(corpus)
+    val candidates = newBanded
+      .select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("old_id")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val dupNewIds = candidates
+      .join(newShingled.select(col("id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      .join(corpusShingled.select(col("id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
+      .filter(jaccard(col("sh_n"), col("sh_o")) >= jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+    afterExact.join(dupNewIds, Seq(idCol), "left_anti")
+  }
+
   /** Typo-level near-dup pairs via blocked edit distance: normalize,
     * block on (normalized prefix, length bin), verify with
     * `levenshtein` over the first `maxLen` normalized chars.

@@ -434,6 +434,83 @@ object TrainingData {
        |  ${TextFunctions.rollingHashPortableSql("text")} AS rh
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Incremental corpus dedup (the growing-training-set ingestion op):
+    * docs with id < half are the EXISTING corpus, the rest are the NEW
+    * batch; output = the new rows to add (batch-internal dedup, then
+    * exact + near cross-dedup against the corpus via an asymmetric
+    * banded LSH join — the corpus is never self-joined). Oracled by a
+    * DuckDB replay: within-batch recursive-CTE dedup, then all-pairs
+    * fingerprint/Jaccard removal against the corpus (recall
+    * completeness as measured for q27: true pairs ≥ 0.8 Jaccard). */
+  def q64IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val half = docs.agg(max($"doc_id")).head().getLong(0) / 2 + 1
+    Dedup.dedupIncremental(
+        docs.filter($"doc_id" >= half), docs.filter($"doc_id" < half),
+        jaccardThreshold = 0.5)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val q64Sql: String =
+    """WITH RECURSIVE
+      |half AS (SELECT (max(doc_id) // 2 + 1) AS h FROM documents),
+      |corpus AS (SELECT d.* FROM documents d, half WHERE d.doc_id < h),
+      |fresh AS (SELECT d.* FROM documents d, half WHERE d.doc_id >= h),
+      |kept AS (
+      |  SELECT d.* FROM fresh d
+      |  JOIN (SELECT min(doc_id) AS doc_id FROM fresh
+      |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k2
+      |  ON d.doc_id = k2.doc_id),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM kept)
+      |  WHERE len(toks) >= 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
+      |survivors AS (
+      |  SELECT * FROM kept
+      |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
+      |csh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM corpus)
+      |  WHERE len(toks) >= 1),
+      |cross_dup AS (
+      |  SELECT DISTINCT ssh.doc_id
+      |  FROM (SELECT s.doc_id, sh.shingles FROM survivors s
+      |        JOIN sh ON sh.doc_id = s.doc_id) ssh
+      |  JOIN csh ON CAST(len(list_intersect(ssh.shingles, csh.shingles)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(ssh.shingles, csh.shingles))) AS DOUBLE) >= 0.5
+      |  UNION
+      |  SELECT s.doc_id FROM survivors s
+      |  WHERE md5(regexp_replace(lower(s.text), '[^a-z0-9]', '', 'g')) IN (
+      |    SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+      |    FROM corpus))
+      |SELECT doc_id, source FROM survivors
+      |WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup)
+      |ORDER BY doc_id""".stripMargin
+
   /** N-gram repetition scoring (the Gopher/C4-style quality rule:
     * drop documents whose n-grams repeat excessively). Repetition for
     * n = 1 - distinct n-grams / total n-grams — int/int double

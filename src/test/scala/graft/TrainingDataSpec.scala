@@ -142,6 +142,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 10L))
   }
 
+  test("incremental dedup: new batch deduped internally and against the corpus") {
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst optimizer plans and shuffles everywhere")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base),                              // exact dup of corpus 0 → dropped
+      (11L, base + " extra"),                   // near-dup of corpus 0 → dropped
+      (12L, "a genuinely new document with its own entirely distinct vocabulary and content here today"),
+      (13L, "a genuinely new document with its own entirely distinct vocabulary and content here today"), // exact dup of 12 → dropped (within-batch)
+      (14L, "another brand new subject matter entirely unrelated to anything else in either corpus half")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(fresh, corpus, jaccardThreshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(12L, 14L))
+    // idempotence: adding the kept rows to the corpus and re-ingesting
+    // the same batch yields nothing new
+    val corpus2 = corpus.unionByName(fresh.filter($"doc_id".isin(12L, 14L)))
+    val again = Dedup.dedupIncremental(fresh, corpus2, jaccardThreshold = 0.5)
+    assert(again.isEmpty)
+  }
+
   test("simhash portable (md5/48-bit): same planted-fixture behavior as the fast path") {
     val pairs = Dedup.simHashDupPairsPortable(docs, maxHamming = 10)
       .as[(Long, Long, Long)].collect()
