@@ -82,6 +82,7 @@ object SparkEntry {
     "q62_stream_window_counts" -> (StreamingQueries.q62StreamWindowCounts _),
     "q63_repetition"      -> (TrainingData.q63Repetition _),
     "q64_incremental_dedup" -> (TrainingData.q64IncrementalDedup _),
+    "q65_ivf_trained"     -> (Completeness.q65IvfTrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -169,5 +170,8 @@ object SparkEntry {
     "q62_stream_window_counts" -> StreamingQueries.q62Sql,
     "q63_repetition"      -> TrainingData.q63Sql,
     "q64_incremental_dedup" -> TrainingData.q64Sql,
+    // q65: trained-codebook IVF at full probe ≡ exact brute force —
+    // the same q24 oracle hash-checks the whole trained-index path.
+    "q65_ivf_trained"     -> Completeness.q65Sql,
   )
 }

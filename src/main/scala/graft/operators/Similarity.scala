@@ -122,15 +122,24 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("score"))
   }
 
+  /** Default (untrained) codebook: deterministic pseudo-random
+    * centroids derived from hashes — the stand-in when no training
+    * pass has run. */
+  def hashCentroids(dim: Int, nCells: Int): Seq[Seq[Double]] =
+    (0 until nCells).map(cIdx => (0 until dim).map(d => hashU(cIdx * 131071L + d)))
+
+  private def cellScores(centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, cIdx) =>
+      struct(dot(col("vec"), constVec(c)).as("score"), lit(cIdx).as("cell"))
+    }
+
   /** Assignment to the `nProbe` best cells (multi-probe for queries). */
   def ivfAssignTop(vectors: DataFrame, dim: Int, nCells: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-    val cellScores = (0 until nCells).map { cIdx =>
-      val centroid = constVec((0 until dim).map(d => hashU(cIdx * 131071L + d)))
-      struct(dot(col("vec"), centroid).as("score"), lit(cIdx).as("cell"))
-    }
-    v.withColumn("__sorted", array_sort(array(cellScores: _*),
+    val cs = cellScores(centroids.getOrElse(hashCentroids(dim, nCells)))
+    v.withColumn("__sorted", array_sort(array(cs: _*),
         (l, r) => when(l("score") > r("score"), -1)
           .when(l("score") < r("score"), 1).otherwise(0)))
       .withColumn("__probe", explode(slice(col("__sorted"), 1, nProbe)))
@@ -139,19 +148,83 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest
-    * of `nCells` deterministic pseudo-random centroids (derived from
-    * hashes — stand-in for a trained codebook); queries probe
-    * `nProbe` nearest cells. Returns (cell, id, vec) assignments. */
+    * of `nCells` centroids (trained codebook if given, hash-derived
+    * stand-in otherwise); queries probe `nProbe` nearest cells.
+    * Returns (cell, id, vec) assignments. */
   def ivfAssign(vectors: DataFrame, dim: Int, nCells: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-    val cellScores = (0 until nCells).map { cIdx =>
-      val centroid = constVec((0 until dim).map(d => hashU(cIdx * 131071L + d)))
-      struct(dot(col("vec"), centroid).as("score"), lit(cIdx).as("cell"))
-    }
+    val cs = cellScores(centroids.getOrElse(hashCentroids(dim, nCells)))
     v.withColumn("cell", element_at(
-      array_sort(array(cellScores: _*),
+      array_sort(array(cs: _*),
         (l, r) => when(l("score") > r("score"), -1)
           .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
+  }
+
+  /** Distributed Lloyd's k-means over the (unit-normalized) corpus —
+    * the codebook trainer behind a REAL IVF index (spherical k-means:
+    * assignment by max dot product, update by per-cell mean). Each
+    * iteration is one assignment projection + one aggregate; the only
+    * driver-side state is the k×dim centroid table itself (same
+    * O(small) class as `packSequences`' shard offsets — this is how
+    * distributed k-means works everywhere). Deterministic: seeds are
+    * the `k` lowest-id vectors, ties impossible. Empty cells keep
+    * their previous centroid. */
+  def kmeansCentroids(vectors: DataFrame, nCells: Int, iters: Int,
+      dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val v = vectors
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
+      .withColumn("nrm", norm(col("raw")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), transform(col("raw"), x => x / col("nrm")).as("vec"))
+    var centroids: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(centroids.size == nCells,
+      s"kmeans: need >= $nCells non-zero vectors to seed")
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("cell", element_at(
+        array_sort(array(cellScores(centroids): _*),
+          (l, r) => when(l("score") > r("score"), -1)
+            .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
+      // per-cell mean, elementwise: explode to (cell, pos, x), one
+      // aggregate, k×dim rows back to the driver
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0))) {
+          val m = (0 until dim).map(d => means((c, d)))
+          // spherical k-means: re-normalize the mean (an unnormalized
+          // mean both shrinks the dot-product objective and biases
+          // assignment toward tight clusters)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else old
+        } else old
+      }
+    }
+    centroids
+  }
+
+  /** [[ivfTopK]] with an explicitly trained codebook. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, centroids: Seq[Seq[Double]], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nCells = centroids.size
+    val corpusCells = ivfAssign(corpus, dim, nCells, idCol, vecCol, Some(centroids))
+      .select(col("cell"), col("id").as("n_id"), col("vec").as("n_vec"))
+    val queryCells = ivfAssignTop(queries, dim, nCells, nProbe, idCol, vecCol,
+        Some(centroids))
+      .select(col("cell"), col("id").as("q_id"), col("vec").as("q_vec"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
   }
 }

@@ -369,4 +369,25 @@ object Completeness {
       |  ON substring(a.nrm, 1, 12) = substring(b.nrm, 1, 12) AND a.id < b.id
       |WHERE levenshtein(a.nrm, b.nrm) <= 5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF with a TRAINED codebook (distributed spherical k-means over
+    * the corpus, [[graft.operators.Similarity.kmeansCentroids]]) at
+    * full probe width — like q55, full probe makes the partitioned
+    * cell-join provably identical to exact brute force, so the driver
+    * hash-checks the whole trained-index path (training determinism
+    * included: different centroids would change cell contents but not
+    * this full-probe answer — the training itself is additionally
+    * pinned by KMeansSpec's run-to-run equality). */
+  def q65IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = graft.operators.Similarity.kmeansCentroids(
+      emb, nCells = 10, iters = 3, dim = 64)
+    graft.operators.Similarity.ivfTopKTrained(
+      emb.filter($"vec_id" < 10), emb, k = 5, dim = 64,
+      centroids = centroids, nProbe = 10)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q65Sql: String = TrainingData.q24Sql
 }

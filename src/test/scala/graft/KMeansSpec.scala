@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Distributed spherical k-means (the IVF codebook trainer): run-to-run
+  * determinism, objective improvement over iterations, and the
+  * trained-index full-probe ≡ exact equivalence that q65's oracle also
+  * gates. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def objective(centroids: Seq[Seq[Double]]): Double = {
+    // mean best-cell dot product over the normalized corpus (spherical
+    // k-means maximizes this)
+    val emb = Tables.embeddings(spark, sf)
+    val v = emb.select(Similarity.asDouble($"embedding").as("raw"))
+      .withColumn("nrm", Similarity.norm($"raw"))
+      .filter($"nrm" > 0)
+      .select(transform($"raw", x => x / $"nrm").as("vec"))
+    val best = greatest(centroids.map(c =>
+      Similarity.dot($"vec", typedLit(c))): _*)
+    v.agg(avg(best)).head().getDouble(0)
+  }
+
+  test("k-means is deterministic and improves the spherical objective") {
+    val emb = Tables.embeddings(spark, sf)
+    val c1 = Similarity.kmeansCentroids(emb, nCells = 10, iters = 1, dim = 64)
+    val c5 = Similarity.kmeansCentroids(emb, nCells = 10, iters = 5, dim = 64)
+    val c5again = Similarity.kmeansCentroids(emb, nCells = 10, iters = 5, dim = 64)
+    assert(c5 === c5again) // bit-identical across runs
+    val (o1, o5) = (objective(c1), objective(c5))
+    assert(o5 >= o1 - 1e-12, s"objective regressed: iter1=$o1 iter5=$o5")
+    // and training moved things: the trained codebook beats the
+    // hash-derived stand-in on its own objective
+    val oHash = objective(
+      Similarity.hashCentroids(64, 10).map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+      })
+    assert(o5 > oHash, s"trained=$o5 vs hash=$oHash")
+  }
+
+  test("trained IVF at full probe equals exact brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.kmeansCentroids(emb, nCells = 10, iters = 3, dim = 64)
+    val trained = Similarity.ivfTopKTrained(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64,
+        centroids = centroids, nProbe = 10)
+      .orderBy($"q_id", $"rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3)
+      .orderBy($"q_id", $"rank").collect().toSeq
+    assert(trained === exact)
+  }
+}
