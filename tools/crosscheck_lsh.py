@@ -12,6 +12,9 @@ Checks:
   2. q39 (corpus near-dedup survivors) == a DuckDB replay whose
      candidate pairs come from prefix blocking instead of LSH banding
      (recursive-CTE connected components, cluster-min keeper).
+  3. q64 (incremental dedup survivors) == the same style of replay with
+     prefix-blocked candidates for both the within-batch and the
+     cross-corpus stages.
 
 Exit 1 on any disagreement.
 """
@@ -82,6 +85,75 @@ def main():
         print(f"OK   q39 survivors == prefix-blocked DuckDB replay ({len(got)} docs)")
     else:
         print(f"FAIL q39: {len(got)} survivors vs {len(replay)} in replay")
+        bad += 1
+
+    replay64 = con.sql("""
+      WITH RECURSIVE
+      half AS (SELECT (max(doc_id) // 2 + 1) AS h FROM documents),
+      corpus AS (SELECT d.* FROM documents d, half WHERE d.doc_id < h),
+      fresh AS (SELECT d.* FROM documents d, half WHERE d.doc_id >= h),
+      kept AS (
+        SELECT d.* FROM fresh d
+        JOIN (SELECT min(doc_id) AS doc_id FROM fresh
+              GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k2
+        ON d.doc_id = k2.doc_id),
+      sh AS (
+        SELECT doc_id, substr(text, 1, 40) AS blk,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+              FROM kept)
+        WHERE len(toks) >= 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
+      survivors AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
+      csh AS (
+        SELECT doc_id, substr(text, 1, 40) AS blk,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+              FROM corpus)
+        WHERE len(toks) >= 1),
+      cross_dup AS (
+        SELECT DISTINCT ssh.doc_id
+        FROM (SELECT s.doc_id, sh.blk, sh.shingles FROM survivors s
+              JOIN sh ON sh.doc_id = s.doc_id) ssh
+        JOIN csh ON ssh.blk = csh.blk
+          AND CAST(len(list_intersect(ssh.shingles, csh.shingles)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(ssh.shingles, csh.shingles))) AS DOUBLE) >= 0.5
+        UNION
+        SELECT s.doc_id FROM survivors s
+        WHERE md5(regexp_replace(lower(s.text), '[^a-z0-9]', '', 'g')) IN (
+          SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+          FROM corpus))
+      SELECT doc_id, source FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup)
+      ORDER BY doc_id
+      """).fetchall()
+    f64 = glob.glob(f"{out_dir}/q64_incremental_dedup/*.parquet")
+    got64 = con.sql(
+        f"SELECT doc_id, source FROM read_parquet({f64!r}) ORDER BY doc_id"
+    ).fetchall()
+    if replay64 == got64:
+        print(f"OK   q64 survivors == prefix-blocked DuckDB replay ({len(got64)} docs)")
+    else:
+        print(f"FAIL q64: {len(got64)} survivors vs {len(replay64)} in replay")
         bad += 1
 
     sys.exit(1 if bad else 0)
