@@ -259,42 +259,50 @@ object Dedup {
     * bands — the corpus contributes a slim banded projection, never a
     * self-join) with exact-Jaccard verification.
     *
-    * At 100 TB the corpus side dominates and its cost here is one scan
-    * + one bucket-partitioned shuffle of (id, band, bucket) triples;
-    * candidate volume scales with the NEW batch, which is the whole
-    * point of incremental ingestion. */
+    * At 100 TB the corpus side dominates; it is scanned ONCE into a
+    * cached (id, fingerprint, shingles) projection that feeds the
+    * exact anti-join, the banding pass, and candidate hydration (for
+    * repeated batch ingestion, persist that projection as a real index
+    * table — it IS the index). Candidate volume scales with the NEW
+    * batch, which is the whole point of incremental ingestion. */
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
       jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     val r = k / bands
-    // 1. within-batch dedup (exact + near, canonical survivor)
-    val newKept = dedupCorpus(newDocs, jaccardThreshold, idCol, textCol)
-    // 2. exact cross-dedup: fingerprint anti-join against the corpus
-    val corpusFp = corpus.select(fingerprint(col(textCol)).as("__fp")).distinct()
-    val afterExact = newKept
-      .withColumn("__fp", fingerprint(col(textCol)))
-      .join(corpusFp, Seq("__fp"), "left_anti")
-      .drop("__fp")
-    // 3. near cross-dedup: asymmetric banded join. Both sides project
-    //    to slim (id, band, bucket); shingles are hydrated only for
-    //    surviving candidate pairs (same discipline as lshCandidates).
-    def bandedOf(docs: DataFrame): (DataFrame, DataFrame) = {
-      val shingled = docs
-        .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-        .filter(size(col("sh")) > 0)
+    def bandedOf(shingled: DataFrame): DataFrame = {
       val sig = minHashSignatures(shingled, k)
       val bandHashes = array((0 until bands).map { b =>
         xxhash64(concat_ws("_",
           lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r))))
       }: _*)
-      val banded = sig.select(col("id"), posexplode(bandHashes))
+      sig.select(col("id"), posexplode(bandHashes))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
-      (shingled, banded)
     }
-    val (newShingled, newBanded) = bandedOf(afterExact)
-    val (corpusShingled, corpusBanded) = bandedOf(corpus)
+    def shingledOf(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // 0. the corpus index: one scan, cached, reused three times
+    val corpusPrep = corpus.select(col(idCol).as("id"),
+        fingerprint(col(textCol)).as("__fp"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .cache()
+    // 1. within-batch dedup (exact + near, canonical survivor)
+    val newKept = dedupCorpus(newDocs, jaccardThreshold, idCol, textCol)
+    // 2. exact cross-dedup: fingerprint anti-join against the corpus
+    val afterExact = newKept
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .join(corpusPrep.select(col("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // 3. near cross-dedup: asymmetric banded join. Both sides project
+    //    to slim (id, band, bucket); shingles are hydrated only for
+    //    surviving candidate pairs (same discipline as lshCandidates).
+    val newShingled = shingledOf(afterExact)
+    val newBanded = bandedOf(newShingled)
+    val corpusShingled = corpusPrep.filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"))
+    val corpusBanded = bandedOf(corpusShingled)
     val candidates = newBanded
       .select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("old_id")),

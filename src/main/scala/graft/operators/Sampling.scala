@@ -86,15 +86,18 @@ object Sampling {
     val shards =
       if (numShards > 0) numShards
       else math.max(32, spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    // fail fast on null order/token values (mirrors upsertLatest's
-    // null-ts guard): a null orderCol would form a null __shard group
-    // and NPE the offset collect below; a null token sum would do the
-    // same — and silently mispack everything after it even if it didn't
-    require(df.filter(col(orderCol).isNull || col(tokenCol).isNull).isEmpty,
-      s"packSequences: null $orderCol/$tokenCol rows cannot be packed " +
-        "deterministically — filter or impute them first")
+    // Bounds and the null guard share ONE aggregate pass (a separate
+    // require(filter(...).isEmpty) would be a second full scan of the
+    // input). Fail fast on null order/token values (mirrors
+    // upsertLatest's null-ts guard): a null orderCol would form a null
+    // __shard group and NPE the offset collect below; a null token sum
+    // would silently mispack everything after it even if it didn't.
     val bounds = df.agg(
-      min(col(orderCol).cast("double")), max(col(orderCol).cast("double"))).head()
+      min(col(orderCol).cast("double")), max(col(orderCol).cast("double")),
+      count(when(col(orderCol).isNull || col(tokenCol).isNull, 1))).head()
+    require(bounds.getLong(2) == 0L,
+      s"packSequences: ${bounds.getLong(2)} null $orderCol/$tokenCol rows " +
+        "cannot be packed deterministically — filter or impute them first")
     if (bounds.isNullAt(0)) return df.withColumn("pack_id", lit(0L))
     val lo = bounds.getDouble(0)
     val width = math.max(1e-12, (bounds.getDouble(1) - lo) / shards)

@@ -107,10 +107,12 @@ object Similarity {
     * The cell equi-join keeps the plan shuffle-partitioned at scale. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val corpusCells = ivfAssign(corpus, dim, nCells, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val corpusCells = ivfAssign(corpus, dim, nCells, idCol, vecCol, centroids)
       .select(col("cell"), col("id").as("n_id"), col("vec").as("n_vec"))
-    val queryCells = ivfAssignTop(queries, dim, nCells, nProbe, idCol, vecCol)
+    val queryCells = ivfAssignTop(queries, dim, nCells, nProbe, idCol, vecCol,
+        centroids)
       .select(col("cell"), col("id").as("q_id"), col("vec").as("q_vec"))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -189,10 +191,16 @@ object Similarity {
           (l, r) => when(l("score") > r("score"), -1)
             .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
       // per-cell mean, elementwise: explode to (cell, pos, x), one
-      // aggregate, k×dim rows back to the driver
+      // aggregate, k×dim rows back to the driver. The mean goes
+      // through an exact decimal sum (NOT avg(double)): double
+      // summation order follows shuffle-fetch order, which would make
+      // the trained centroids — and the run-to-run determinism this
+      // operator promises — partitioning-dependent.
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(30, 15))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (means.contains((c, 0))) {
@@ -208,23 +216,11 @@ object Similarity {
     centroids
   }
 
-  /** [[ivfTopK]] with an explicitly trained codebook. */
+  /** [[ivfTopK]] with an explicitly trained codebook — one delegate so
+    * the scoring/tie-break contract lives in exactly one place. */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, centroids: Seq[Seq[Double]], nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nCells = centroids.size
-    val corpusCells = ivfAssign(corpus, dim, nCells, idCol, vecCol, Some(centroids))
-      .select(col("cell"), col("id").as("n_id"), col("vec").as("n_vec"))
-    val queryCells = ivfAssignTop(queries, dim, nCells, nProbe, idCol, vecCol,
-        Some(centroids))
-      .select(col("cell"), col("id").as("q_id"), col("vec").as("q_vec"))
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(queries, corpus, k, dim, centroids.size, nProbe, idCol, vecCol,
+      Some(centroids))
 }

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
 object StreamingQueries {
 
   // memory-sink names must be unique per invocation (Bench runs each
-  // query several times in one session)
+  // query several times in one session); the PREVIOUS invocation's
+  // sink table is dropped so repeated runs don't accumulate results
+  // in driver memory
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val lastSink = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** q62: streaming watermarked keyed dedup → tumbling 1-hour windowed
     * counts per event type, complete output mode. The dedup is a
@@ -47,11 +50,19 @@ object StreamingQueries {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
+    val prev = lastSink.getAndSet(name)
+    if (prev != null) s.catalog.dropTempView(prev)
     s.table(name).orderBy($"window_start", $"event_type")
   }
 
+  /** Batch equivalent. COUNT(DISTINCT event_id) — not COUNT(*) — so the
+    * oracle genuinely gates the stream's keyed dropDuplicates: a corpus
+    * with re-stamped duplicate event_ids would flip COUNT(*) but not
+    * the deduped stream count. (Equivalence requires each event_id to
+    * map to one (window, type) — true for exact-duplicate replays, the
+    * case keyed dedup exists for.) */
   val q62Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-      |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

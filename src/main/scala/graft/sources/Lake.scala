@@ -133,11 +133,26 @@ object Lake {
       .drop("__rn")
     val tmp = path.stripSuffix("/") + "__dedup_stage"
     latest.write.mode("overwrite").partitionBy("event_date").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(spark, path, tmp)
+  }
+
+  /** Replace the dataset at `dst` with the staged one at `tmp` via two
+    * RENAMES (old→trash, tmp→dst) instead of delete-then-rename: a
+    * crash between the renames leaves BOTH copies on disk (recover by
+    * renaming either back), whereas delete-first left a window with
+    * the only surviving copy in the stage dir. Renames are metadata
+    * ops on HDFS/local; on object stores prefer partition-scoped
+    * rewrites ([[upsertLatest]]) over whole-lake swaps. */
+  private def swapInto(spark: SparkSession, dst: String, tmp: String): Unit = {
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(dst.stripSuffix("/") + "__old")
+    fs.delete(trash, true) // stale trash from a prior crash
+    if (fs.exists(dstPath) && !fs.rename(dstPath, trash))
+      throw new java.io.IOException(s"swap: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath))
+      throw new java.io.IOException(s"swap: cannot move $tmp into place")
+    fs.delete(trash, true)
   }
 
   /** Compact a lake partition range into `nFiles` files (the
@@ -148,10 +163,6 @@ object Lake {
     read(spark, path)
       .repartition(nFiles, col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(spark, path, tmp)
   }
 }

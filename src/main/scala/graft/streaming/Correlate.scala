@@ -80,8 +80,14 @@ object Correlate {
         val n = if (shards > 0) shards
           else spark.conf.get("spark.sql.shuffle.partitions").toInt
         val ev0 = events.withColumn("__t_us", unix_micros(col("event_ts")))
+        // null sample times can never match (SQL semantics, same
+        // discipline as AsOfJoinExec) — drop them HERE so the per-bin
+        // aggregate below never forms a null group that would NPE the
+        // driver fold. Null event times flow through as a null bin key,
+        // which the as-of join emits unmatched.
         val sm0 = samples.select(unix_micros(col("time")).as("__s_us"),
           col("data").as("field_at_event"))
+          .filter(col("__s_us").isNotNull)
         // sample time bounds: one tiny agg (2 values to the driver)
         val bounds = sm0.agg(min(col("__s_us")), max(col("__s_us"))).head()
         if (bounds.isNullAt(0)) {

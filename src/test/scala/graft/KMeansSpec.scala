@@ -31,6 +31,11 @@ class KMeansSpec extends SparkSpec {
     val c5 = Similarity.kmeansCentroids(emb, nCells = 10, iters = 5, dim = 64)
     val c5again = Similarity.kmeansCentroids(emb, nCells = 10, iters = 5, dim = 64)
     assert(c5 === c5again) // bit-identical across runs
+    // ...and across PARTITIONINGS: the per-cell means go through exact
+    // decimal sums, so shuffle-fetch order cannot perturb the centroids
+    val c5repart = Similarity.kmeansCentroids(
+      emb.repartition(7), nCells = 10, iters = 5, dim = 64)
+    assert(c5 === c5repart)
     val (o1, o5) = (objective(c1), objective(c5))
     assert(o5 >= o1 - 1e-12, s"objective regressed: iter1=$o1 iter5=$o5")
     // and training moved things: the trained codebook beats the

@@ -131,6 +131,24 @@ class CorrelateSpec extends SparkSpec {
       refTol.orderBy($"eventID").collect().toSeq)
   }
 
+  test("keyless nearest() tolerates null event and sample times (no NPE, no match)") {
+    val ev = Seq(
+      (1L, Some("2023-02-06 04:17:00")),
+      (2L, None) // null event time: emitted unmatched
+    ).toDF("eventID", "ts")
+      .withColumn("event_ts", to_timestamp($"ts")).drop("ts")
+    val sm = Seq(
+      (Some("2023-02-06 04:10:00"), 1.0),
+      (None, 99.0) // null sample time: skipped entirely
+    ).toDF("t", "data")
+      .withColumn("time", to_timestamp($"t")).drop("t")
+    val out = Correlate.nearest(ev, sm, shards = 4)
+      .select($"eventID", $"field_at_event")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(1.0))
+    assert(out(2L) === None)
+  }
+
   test("streaming correlation joins within the window under watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
