@@ -83,6 +83,7 @@ object SparkEntry {
     "q63_repetition"      -> (TrainingData.q63Repetition _),
     "q64_incremental_dedup" -> (TrainingData.q64IncrementalDedup _),
     "q65_ivf_trained"     -> (Completeness.q65IvfTrained _),
+    "q66_text_hash_ann"   -> (TrainingData.q66TextHashAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +174,6 @@ object SparkEntry {
     // q65: trained-codebook IVF at full probe ≡ exact brute force —
     // the same q24 oracle hash-checks the whole trained-index path.
     "q65_ivf_trained"     -> Completeness.q65Sql,
+    "q66_text_hash_ann"   -> TrainingData.q66Sql,
   )
 }

@@ -216,6 +216,50 @@ object Similarity {
     centroids
   }
 
+  /** Hashing-trick TF vectors from raw text — the stub-free
+    * text→vector featurizer: token → md5-portable hash → bucket
+    * `idx = h % dim`, count per (doc, idx). Kept SPARSE ((doc, idx,
+    * cnt) rows): at 100 TB the sparse form is both smaller and the
+    * shape the cosine join below wants; densify only at a model
+    * boundary. Integer counts + portable hashes make every downstream
+    * number exactly replayable in any engine with md5. */
+  def sparseTfVectors(docs: DataFrame, dim: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        (graft.operators.Sampling.portableHash48(col("tok")) % dim).as("idx"))
+      .groupBy(col("id"), col("idx")).agg(count(lit(1)).as("cnt"))
+
+  /** Sparse cosine top-k over TF vectors: query docs (small, filtered)
+    * join the corpus on the BUCKET index — dot products are integer
+    * sums grouped per pair, norms are per-doc aggregates, and the only
+    * floating-point op is the final rounded division, so results are
+    * bit-stable under any partitioning (and cross-engine). Pairs with
+    * zero overlap never form — by construction their cosine is 0 and
+    * they cannot enter a top-k that ranks by similarity. */
+  def sparseCosineTopK(vectors: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    val norms = vectors.groupBy(col("id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)).as("nrm"))
+    val q = vectors.filter(queryIds)
+      .select(col("id").as("q_id"), col("idx"), col("cnt").as("q_cnt"))
+    val dots = vectors
+      .select(col("id").as("n_id"), col("idx"), col("cnt").as("n_cnt"))
+      .join(broadcast(q), Seq("idx"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("q_cnt") * col("n_cnt")).cast(DoubleType).as("dot"))
+    val scored = dots
+      .join(norms.select(col("id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
+      .join(norms.select(col("id").as("n_id"), col("nrm").as("n_nrm")), Seq("n_id"))
+      .withColumn("score", round(col("dot") / (col("q_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+  }
+
   /** [[ivfTopK]] with an explicitly trained codebook — one delegate so
     * the scoring/tie-break contract lives in exactly one place. */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,

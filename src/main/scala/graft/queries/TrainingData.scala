@@ -511,6 +511,50 @@ object TrainingData {
       |WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup)
       |ORDER BY doc_id""".stripMargin
 
+  /** Stub-free text→vector ANN: hashing-trick TF vectors (md5-portable
+    * token hashes into 256 buckets, kept sparse) + sparse cosine top-k
+    * between documents. Every number is exactly replayable in DuckDB —
+    * integer counts, integer dots, one final rounded division — so
+    * unlike the media-stub path (q60) this featurize→search loop is
+    * fully oracle-gated. */
+  def q66TextHashAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Similarity.sparseTfVectors(Tables.documents(s, dir), dim = 256)
+    Similarity.sparseCosineTopK(vecs, col("id") < 10, k = 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q66Sql: String = {
+    val tokHash = graft.operators.Sampling.portableHash48Sql("tok")
+    s"""WITH sparse AS (
+       |  SELECT doc_id, ($tokHash) % 256 AS idx, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+       |  FROM sparse GROUP BY 1),
+       |dots AS (
+       |  SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+       |    CAST(SUM(q.cnt * c.cnt) AS DOUBLE) AS dot
+       |  FROM sparse q JOIN sparse c ON q.idx = c.idx
+       |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |    round(d.dot / (qn.nrm * cn.nrm), 4) AS score
+       |  FROM dots d
+       |  JOIN norms qn ON qn.doc_id = d.q_id
+       |  JOIN norms cn ON cn.doc_id = d.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, n_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, score FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** N-gram repetition scoring (the Gopher/C4-style quality rule:
     * drop documents whose n-grams repeat excessively). Repetition for
     * n = 1 - distinct n-grams / total n-grams — int/int double
