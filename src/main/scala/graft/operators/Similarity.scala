@@ -176,10 +176,15 @@ object Similarity {
   def kmeansCentroids(vectors: DataFrame, nCells: Int, iters: Int,
       dim: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    // guard: non-finite vectors (an Inf/NaN component) would normalize
+    // to NaN elements and crash the ANSI decimal cast in the mean
+    // aggregate below — drop them here (NaN compares LARGER than
+    // anything in Spark, so `nrm > 0` alone would let them through)
     val v = vectors
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
       .withColumn("nrm", norm(col("raw")))
-      .filter(col("nrm") > 0)
+      .filter(col("nrm") > 0 && !isnan(col("nrm")) &&
+        col("nrm") < lit(Double.PositiveInfinity))
       .select(col("id"), transform(col("raw"), x => x / col("nrm")).as("vec"))
     var centroids: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -239,11 +244,17 @@ object Similarity {
     * zero overlap never form — by construction their cosine is 0 and
     * they cannot enter a top-k that ranks by similarity. */
   def sparseCosineTopK(vectors: DataFrame, queryIds: Column, k: Int): DataFrame = {
-    val norms = vectors.groupBy(col("id"))
+    // the sparse-vector aggregate feeds four plan references (two norm
+    // joins, the query side, the neighbor side) — cache it so the
+    // upstream tokenize+count runs once (the lshCandidates discipline;
+    // LRU evicts after the query)
+    val cached = vectors.cache()
+    val norms = cached.groupBy(col("id"))
       .agg(sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)).as("nrm"))
-    val q = vectors.filter(queryIds)
+      .cache()
+    val q = cached.filter(queryIds)
       .select(col("id").as("q_id"), col("idx"), col("cnt").as("q_cnt"))
-    val dots = vectors
+    val dots = cached
       .select(col("id").as("n_id"), col("idx"), col("cnt").as("n_cnt"))
       .join(broadcast(q), Seq("idx"))
       .filter(col("q_id") =!= col("n_id"))
