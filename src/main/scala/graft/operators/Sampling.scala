@@ -46,6 +46,19 @@ object Sampling {
   def portableHash48Sql(expr: String): String =
     s"CAST(md5_number_upper($expr) & 281474976710655 AS BIGINT)"
 
+  /** Plain-JVM twin of [[portableHash48]] for kernels that run inside
+    * `mapPartitions` closures (e.g. [[graft.sources.PortableCodec]])
+    * rather than as Column expressions: the little-endian uint48 of the
+    * first 6 md5 digest bytes — byte-for-byte the value the Column form
+    * assembles from hex pairs (11,9,7,5,3,1) and DuckDB exposes as
+    * `md5_number_upper(x) & (2^48-1)`. Equivalence pinned in
+    * PropertySpec. */
+  def portableHash48Jvm(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(5) & 0xffL) << 40) | ((d(4) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+      ((d(2) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
+  }
+
   /** DuckDB SQL computing the same bucket as [[portableBucket]]. */
   def portableBucketSql(expr: String, n: Int): String =
     s"${portableHash48Sql(s"CAST($expr AS VARCHAR)")} % $n"

@@ -29,30 +29,42 @@ object StreamingQueries {
   def q62StreamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // events.parquet carries TIMESTAMP(NANOS): same nanosAsLong +
-    // µs-derive dance as Tables.events, but through readStream
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source wants a DIRECTORY; select just the events
-    // table out of the scale-factor dir with a glob filter
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"))
-      .select(
-        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        $"event_type", $"n")
-    val name = s"q62_stream_out_${runSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    val prev = lastSink.getAndSet(name)
-    if (prev != null) s.catalog.dropTempView(prev)
-    s.table(name).orderBy($"window_start", $"event_type")
+    // µs-derive dance as Tables.events, but through readStream.
+    // Session hygiene: the flag is restored to its prior state once the
+    // stream has drained — a later query in the same session must see
+    // the conf it would have seen had q62 never run.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = s.conf.getOption(nanosKey)
+    s.conf.set(nanosKey, "true")
+    try {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a DIRECTORY; select just the events
+      // table out of the scale-factor dir with a glob filter
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"event_type", $"n")
+      val name = s"q62_stream_out_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val prev = lastSink.getAndSet(name)
+      if (prev != null) s.catalog.dropTempView(prev)
+      s.table(name).orderBy($"window_start", $"event_type")
+    } finally {
+      nanosPrev match {
+        case Some(v) => s.conf.set(nanosKey, v)
+        case None    => s.conf.unset(nanosKey)
+      }
+    }
   }
 
   /** Batch equivalent. COUNT(DISTINCT event_id) — not COUNT(*) — so the

@@ -59,6 +59,125 @@ object StubCodec extends MediaCodec {
 }
 /** ====== END STUB ====== */
 
+/** Deterministic codec in the PORTABLE md5-48 hash domain
+  * ([[graft.operators.Sampling.portableHash48Jvm]]): every output is
+  * exactly replayable in any engine with md5 — the same play that made
+  * q28/q30/q47 oracle-checkable. Used by the driver-gated multimodal →
+  * ANN query (q60) so the full binary-column pipeline (decode /
+  * featurize → embedding → cosine top-k) is hash-compared against a
+  * DuckDB replay end-to-end, not just spec-asserted.
+  *
+  * featurize: bucket j of the `dim`-length vector is
+  * `(h48(bytes ++ "|j") % 1000) / 1000.0`, unit-normalized in double,
+  * emitted float32 — O(dim · len) md5 work per row, fine for a test
+  * instance (a production codec replaces the whole method). */
+object PortableCodec extends MediaCodec {
+  import graft.operators.Sampling.portableHash48Jvm
+
+  private def tagged(bytes: Array[Byte], tag: String): Long = {
+    val suffix = tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val buf = java.util.Arrays.copyOf(bytes, bytes.length + suffix.length)
+    System.arraycopy(suffix, 0, buf, bytes.length, suffix.length)
+    portableHash48Jvm(buf)
+  }
+
+  override def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val h = portableHash48Jvm(bytes)
+    val width = 64 + (h % 577).toInt          // h is a uint48: no sign
+    val height = 64 + ((h >> 16) % 417).toInt
+    val frames = 1 + ((h >> 32) % 16).toInt
+    (width, height, frames, if (bytes.length % 2 == 0) "img" else "vid")
+  }
+
+  override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val raw = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      raw(j) = (tagged(bytes, "|" + j) % 1000).toDouble / 1000.0
+      j += 1
+    }
+    // left-to-right sum of squares, double sqrt — the same fold DuckDB's
+    // list_dot_product + sqrt performs, so the float32 quotient below is
+    // bit-identical across engines
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += raw(i) * raw(i); i += 1 }
+    val n = math.sqrt(ss)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) {
+      out(i) = if (n > 0) (raw(i) / n).toFloat else raw(i).toFloat
+      i += 1
+    }
+    out
+  }
+}
+
+/** A REAL codec instance behind the [[MediaCodec]] seam — pure-JVM
+  * image decode via `javax.imageio` (PNG/BMP/GIF/JPEG readers ship in
+  * the JDK; no native deps). Proves the trait boundary with genuine
+  * pixel work: metadata comes from the decoded raster, and the feature
+  * vector is an average-pooled grayscale grid (the classic thumbnail
+  * embedding), unit-normalized. [[StubCodec]]/[[PortableCodec]] remain
+  * the deterministic test/oracle instances; this is what production
+  * swaps in when the media column holds actual images. */
+object ImageIoCodec extends MediaCodec {
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(in != null, "ImageIoCodec: bytes are not a decodable image")
+    in
+  }
+
+  private def formatName(bytes: Array[Byte]): String = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) readers.next().getFormatName.toLowerCase else "img"
+    } finally iis.close()
+  }
+
+  override def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val img = readImage(bytes)
+    (img.getWidth, img.getHeight, 1, formatName(bytes))
+  }
+
+  /** Average-pooled grayscale grid: the image is divided into a
+    * √dim × √dim cell grid (dim must be a square); each feature is the
+    * mean luminance of its cell, and the vector is unit-normalized.
+    * Nearby images (crops, recompressions) land nearby in cosine —
+    * a genuine, if simple, visual embedding. */
+  override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val g = math.sqrt(dim.toDouble).toInt
+    require(g * g == dim, s"ImageIoCodec.featurize: dim=$dim is not a square")
+    val img = readImage(bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * g / h, g - 1)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * g / w, g - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = cy * g + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val raw = (0 until dim).map(c =>
+      if (counts(c) > 0) sums(c) / counts(c) else 0.0)
+    val n = math.sqrt(raw.map(v => v * v).sum)
+    raw.map(v => if (n > 0) (v / n).toFloat else v.toFloat).toArray
+  }
+}
+
 object Multimodal {
 
   /** Typed metadata emitted by the decoder. */
