@@ -162,9 +162,10 @@ object SparkEntry {
     "q57_grouping_sets"   -> Completeness.q57Sql,
     "q58_window_dist"     -> Completeness.q58Sql,
     "q59_range_correlate" -> Completeness.q59Sql,
-    // q60 runs the deterministic stub featurizer — no portable SQL
-    // oracle; stage-exact behavior asserted in Multimodal/Similarity
-    // specs.
+    // q60: PortableCodec featurize lives in the md5-48 hash domain, so
+    // the whole media → embedding → cosine top-k pipeline replays in
+    // DuckDB.
+    "q60_multimodal_ann"  -> Completeness.q60Sql,
     "q61_range_frame"     -> Completeness.q61Sql,
     // q62 runs a REAL streaming job (file stream → watermarked dedup →
     // windowed agg → memory sink); the oracle is the batch equivalent.

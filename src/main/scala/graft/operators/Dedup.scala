@@ -46,10 +46,65 @@ object Dedup {
   def minHashSignatures(shingled: DataFrame, k: Int): DataFrame =
     shingled.select(col("id"), minHashSignature(col("sh"), k).as("sig"))
 
+  /** Threshold-derived banding, two-step: (1) the LARGEST row width r
+    * (fewest false-positive candidates — candidate rate for unrelated
+    * pairs falls as j_bg^r) whose MINIMAL band count still fits the
+    * kernel budget; (2) that minimal band count, `ceil(ln(1-floor) /
+    * ln(1-t^r))`, so banding recall `1-(1-t^r)^bands` at j = threshold
+    * clears `recallFloor` without overshooting into 2× the fan-out
+    * cost (filling all kMax hashes at t=0.3 would give 64 bands and
+    * recall .998 for double the candidate volume of the 42 bands that
+    * already deliver .98).
+    *
+    * Fixed (k=128, bands=32) banding silently lost ~13% of true pairs
+    * at j = 0.5 and ~77% at j = 0.3 — deriving from the threshold
+    * makes the recall floor a stated contract instead of an accident
+    * of the corpus. Returns (k, bands) with k = bands·r ≤ kMax (the
+    * kernel's 128-lane independence cap). Derived points: t=0.8 →
+    * (119, 17) r=7; t=0.5 → (90, 30) r=3; t=0.3 → (84, 42) r=2 — all
+    * recall ≥ .98 at j = t, and ≈ 1 for the j ≥ 0.9 pairs real dup
+    * corpora mostly hold. Empirical gates: tools/crosscheck_lsh.py +
+    * the planted-borderline-pair DedupSpec case. */
+  def lshParams(threshold: Double, kMax: Int = 128,
+      recallFloor: Double = 0.98): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    // Double throughout: at r near kMax the minimal band count is
+    // astronomically large (t^r ≈ 0) and would overflow any Int
+    def minBands(r: Int): Double = {
+      val pBand = math.pow(threshold, r)
+      if (pBand >= 1.0) 1.0
+      else math.max(1.0, math.ceil(
+        math.log1p(-recallFloor) / math.log1p(-pBand)))
+    }
+    val r = (kMax to 1 by -1).find(r => minBands(r) * r <= kMax).getOrElse(1)
+    val bands = minBands(r).toInt
+    (bands * r, bands)
+  }
+
+  /** k/bands ≤ 0 (the threshold-taking operators' default) → derive
+    * both from the threshold via [[lshParams]]. */
+  private def resolveLsh(threshold: Double, k: Int, bands: Int): (Int, Int) =
+    if (k > 0 && bands > 0) (k, bands) else lshParams(threshold)
+
+  /** Slim (id, band, bucket) fan-out from (id, sig): band hashes as
+    * `bands` STATIC expressions (driver-side unroll) — higher-order
+    * functions evaluate interpreted, measured 4-20× slower on this
+    * path. Shingle arrays must NOT ride through the fan-out (bands×
+    * data blowup through the shuffle); hydrate them per candidate. */
+  private def bandedOf(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(concat_ws("_",
+        lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r))))
+    }: _*)
+    sig.select(col("id"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
   /** LSH banding: split the k-length signature into `bands` bands of
-    * k/bands rows each; a candidate pair shares ≥1 full band. With
-    * k=128, bands=32 (r=4): P(candidate | j=0.5) per band = 0.0625,
-    * overall ≈ 87%; j=0.8 → ≈ 1-5e-8. Tune per threshold. */
+    * k/bands rows each; a candidate pair shares ≥1 full band. Pass
+    * (k, bands) explicitly, or let the threshold-taking operators
+    * derive them via [[lshParams]]. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
@@ -63,20 +118,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .cache()
     val sig = minHashSignatures(shingled, k)
-    // one row per (doc, band): ids + bucket hash ONLY — the shingle
-    // arrays must NOT ride through the band fan-out (bands× data blowup
-    // through the shuffle); they are re-joined for the few candidates.
-    // band hashes as `bands` STATIC expressions (driver-side unroll):
-    // transform(sequence(...)) computes the same array but higher-order
-    // functions evaluate interpreted — measured 4-20× slower than the
-    // codegen'd unrolled form on this fan-out path
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(concat_ws("_",
-        lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r))))
-    }: _*)
-    val banded = sig.select(col("id"), posexplode(bandHashes))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = bandedOf(sig, bands, r)
     // bucket self-join on the slim (id, band, bucket) set => pair ids
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -92,14 +134,18 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard ≥
-    * threshold (false positives from banding are filtered here). */
+    * threshold (false positives from banding are filtered here; false
+    * NEGATIVES are bounded by [[lshParams]]' recall floor when k/bands
+    * are left defaulted). */
   def minHashDupPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame =
-    lshCandidates(docs, idCol, textCol, shingleSize, k, bands)
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
+    val (kk, bb) = resolveLsh(threshold, k, bands)
+    lshCandidates(docs, idCol, textCol, shingleSize, kk, bb)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** SimHash-64 signatures over shingle hashes — native single-pass
     * kernel ([[graft.functions.SimHash64]]): ±1 bit votes folded per
@@ -207,8 +253,11 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+    edges.count() // materialize the slim edge cache …
+    p.unpersist() // … then release the raw pair cache
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("comp", col("id"))
+    var labelsCheckpointed = false
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -217,14 +266,23 @@ object Dedup {
           .withColumnRenamed("comp", "n_comp"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_comp")).as("n_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val step = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
-        .cache()
+      // localCheckpoint every 3rd round truncates the per-round join
+      // lineage (otherwise plan depth grows linearly and task
+      // serialization dominates on long chains); plain cache on the
+      // other rounds. Superseded CACHED generations are released each
+      // round; CHECKPOINTED ones must stay pinned — they are the
+      // lineage root later rounds recompute from on block loss.
+      val checkpointRound = (i + 1) % 3 == 0
+      val next = if (checkpointRound) step.localCheckpoint() else step.cache()
       next.count() // materialize before comparing
       converged = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
         .filter(col("comp") =!= col("old")).isEmpty
+      if (!labelsCheckpointed) labels.unpersist() // no-op for round 0
       labels = next
+      labelsCheckpointed = checkpointRound
       i += 1
     }
     edges.unpersist()
@@ -237,12 +295,14 @@ object Dedup {
     * cluster's min id. The output is the cleaned corpus — the actual
     * training-data operation, not just the pair report. */
   def dedupCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
     val fp = docs.withColumn("__fp", fingerprint(col(textCol)))
     val keepExact = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val exactKept = docs.join(keepExact, Seq(idCol), "left_semi")
-    val pairs = minHashDupPairs(exactKept, jaccardThreshold, idCol, textCol)
+    val pairs = minHashDupPairs(exactKept, jaccardThreshold, idCol, textCol,
+      shingleSize, k, bands)
     val comps = connectedComponents(pairs)
     val drop = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
@@ -252,57 +312,82 @@ object Dedup {
   /** Incremental corpus dedup — the growing-training-set operation:
     * dedup a NEW batch against an EXISTING corpus without ever
     * self-joining the corpus. Returns the rows of `newDocs` to ADD:
-    * first the batch is internally deduped ([[dedupCorpus]] — the new
-    * side is the small one), then exact matches against the corpus are
-    * removed by a fingerprint anti-join (one hash shuffle), then
-    * near-matches by an ASYMMETRIC banded LSH join (new bands × corpus
-    * bands — the corpus contributes a slim banded projection, never a
-    * self-join) with exact-Jaccard verification.
+    * first the batch is internally deduped (exact fingerprint collapse
+    * + near-dup clustering — the new side is the small one), then
+    * exact matches against the corpus are removed by a fingerprint
+    * anti-join (one hash shuffle), then near-matches by an ASYMMETRIC
+    * banded LSH join with exact-Jaccard verification.
     *
     * At 100 TB the corpus side dominates; it is scanned ONCE into a
-    * cached (id, fingerprint, shingles) projection that feeds the
-    * exact anti-join, the banding pass, and candidate hydration (for
-    * repeated batch ingestion, persist that projection as a real index
-    * table — it IS the index). Candidate volume scales with the NEW
-    * batch, which is the whole point of incremental ingestion. */
+    * cached (id, fingerprint, shingles) projection, and the NEW batch
+    * is shingled + signed ONCE into a cached (id, sh, sig) projection
+    * that feeds the within-batch pass and the cross pass (the round-3
+    * shape computed it twice). */
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
       jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
-    val r = k / bands
-    def bandedOf(shingled: DataFrame): DataFrame = {
-      val sig = minHashSignatures(shingled, k)
-      val bandHashes = array((0 until bands).map { b =>
-        xxhash64(concat_ws("_",
-          lit(b), concat_ws(",", slice(col("sig"), b * r + 1, r))))
-      }: _*)
-      sig.select(col("id"), posexplode(bandHashes))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-    }
-    def shingledOf(docs: DataFrame): DataFrame = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // 0. the corpus index: one scan, cached, reused three times
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
+    val (kk, bb) = resolveLsh(jaccardThreshold, k, bands)
+    val r = kk / bb
+    // 0. the corpus index: one scan, cached, reused three times (for
+    //    repeated batch ingestion, persist this projection as a real
+    //    index table — it IS the index)
     val corpusPrep = corpus.select(col(idCol).as("id"),
         fingerprint(col(textCol)).as("__fp"),
         shingles(col(textCol), shingleSize).as("sh"))
       .cache()
-    // 1. within-batch dedup (exact + near, canonical survivor)
-    val newKept = dedupCorpus(newDocs, jaccardThreshold, idCol, textCol)
-    // 2. exact cross-dedup: fingerprint anti-join against the corpus
+    // 1. exact within-batch collapse (min-id survivor)
+    val keepExact = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exactKept = newDocs.join(keepExact, Seq(idCol), "left_semi")
+    // 2. ONE shingle+signature projection of the exact-kept batch,
+    //    cached: it feeds the within-batch banding, both hydration
+    //    joins, AND the cross pass — the round-3 review flagged the
+    //    previous shape for shingling + signing the batch twice
+    //    (once inside dedupCorpus, again for the cross join)
+    val proj = exactKept
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), kk))
+      .cache()
+    val banded = bandedOf(proj.select(col("id"), col("sig")), bb, r)
+    // 3. within-batch near-dup: banded self-join → hydrate from proj →
+    //    exact-Jaccard verify → connected components → cluster-min
+    val selfPairs = banded
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(proj.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(proj.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(selfPairs)
+    val dropWithin = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    val newKept = exactKept.join(dropWithin, Seq(idCol), "left_anti")
+    // 4. exact cross-dedup: fingerprint anti-join against the corpus
     val afterExact = newKept
       .withColumn("__fp", fingerprint(col(textCol)))
       .join(corpusPrep.select(col("__fp")).distinct(), Seq("__fp"), "left_anti")
       .drop("__fp")
-    // 3. near cross-dedup: asymmetric banded join. Both sides project
-    //    to slim (id, band, bucket); shingles are hydrated only for
-    //    surviving candidate pairs (same discipline as lshCandidates).
-    val newShingled = shingledOf(afterExact)
-    val newBanded = bandedOf(newShingled)
+    // 5. near cross-dedup: ASYMMETRIC banded join (new bands × corpus
+    //    bands — the corpus contributes a slim banded projection,
+    //    never a self-join); the new side's band fan-out is FILTERED
+    //    from the step-2 computation, not recomputed. Candidate volume
+    //    scales with the NEW batch — the point of incremental
+    //    ingestion. Shingles hydrate only for surviving candidates.
+    val newBanded = banded.join(
+      afterExact.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val corpusShingled = corpusPrep.filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"))
-    val corpusBanded = bandedOf(corpusShingled)
+    val corpusBanded = bandedOf(
+      corpusShingled.select(col("id"),
+        minHashSignature(col("sh"), kk).as("sig")), bb, r)
     val candidates = newBanded
       .select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("old_id")),
@@ -310,7 +395,7 @@ object Dedup {
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
     val dupNewIds = candidates
-      .join(newShingled.select(col("id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      .join(proj.select(col("id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
       .join(corpusShingled.select(col("id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
       .filter(jaccard(col("sh_n"), col("sh_o")) >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()

@@ -52,12 +52,17 @@ object Sampling {
     * first 6 md5 digest bytes — byte-for-byte the value the Column form
     * assembles from hex pairs (11,9,7,5,3,1) and DuckDB exposes as
     * `md5_number_upper(x) & (2^48-1)`. Equivalence pinned in
-    * PropertySpec. */
-  def portableHash48Jvm(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    * PropertySpec ("portableHash48Jvm matches the Column form"). */
+  def portableHash48Jvm(bytes: Array[Byte]): Long =
+    le48(java.security.MessageDigest.getInstance("MD5").digest(bytes))
+
+  /** The little-endian uint48 of the first 6 bytes of an md5 digest —
+    * the assembly step of [[portableHash48Jvm]], split out so callers
+    * that reuse one `MessageDigest` across many hashes (digest()
+    * resets it) avoid a new instance per call. */
+  def le48(d: Array[Byte]): Long =
     ((d(5) & 0xffL) << 40) | ((d(4) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
       ((d(2) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
-  }
 
   /** DuckDB SQL computing the same bucket as [[portableBucket]]. */
   def portableBucketSql(expr: String, n: Int): String =

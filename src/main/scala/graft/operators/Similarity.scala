@@ -33,15 +33,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The query-side row budget under which the top-k operators
+    * broadcast. 100k × (64-dim double vector + ids) ≈ 55 MB — inside
+    * executor broadcast budgets; above it the operators fall back to a
+    * non-broadcast join instead of OOMing the broadcast exchange. */
+  val DefaultBroadcastLimit: Int = 100000
+
+  /** Bounded-work guard: probes at most limit+1 rows of `df` (a
+    * `limit` scan, not a full count) to decide whether the query side
+    * honors its broadcast contract. */
+  private def fitsBroadcast(df: DataFrame, limitRows: Int): Boolean =
+    df.limit(limitRows + 1).count() <= limitRows
+
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` is expected small — it is broadcast, so the corpus is
     * scanned once with no shuffle until the per-query top-k window.
-    * Tie-break: (rounded score desc, neighbor id asc) — deterministic. */
+    * If the query side exceeds `broadcastLimit` rows the join falls
+    * back to a shuffle-replicated nested loop (memory-safe; the
+    * O(|Q|·|C|) compute is inherent to brute force — a huge query set
+    * should use [[ivfTopK]]). Tie-break: (rounded score desc,
+    * neighbor id asc) — deterministic. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val joined =
+      if (fitsBroadcast(q, broadcastLimit)) c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      else c.join(q.hint("shuffle_replicate_nl"), col("q_id") =!= col("n_id"))
+    val scored = joined
       .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
@@ -108,13 +128,20 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      centroids: Option[Seq[Seq[Double]]] = None,
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
     val corpusCells = ivfAssign(corpus, dim, nCells, idCol, vecCol, centroids)
       .select(col("cell"), col("id").as("n_id"), col("vec").as("n_vec"))
     val queryCells = ivfAssignTop(queries, dim, nCells, nProbe, idCol, vecCol,
         centroids)
       .select(col("cell"), col("id").as("q_id"), col("vec").as("q_vec"))
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+    // the cell equi-join works shuffled too — an oversized query set
+    // degrades to a shuffle hash join instead of OOMing the broadcast
+    val cellJoined =
+      if (fitsBroadcast(queryCells, broadcastLimit))
+        corpusCells.join(broadcast(queryCells), Seq("cell"))
+      else corpusCells.join(queryCells.hint("shuffle_hash"), Seq("cell"))
+    val scored = cellJoined
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("n_vec")), 4))
     val w = Window.partitionBy(col("q_id"))
@@ -243,7 +270,8 @@ object Similarity {
     * bit-stable under any partitioning (and cross-engine). Pairs with
     * zero overlap never form — by construction their cosine is 0 and
     * they cannot enter a top-k that ranks by similarity. */
-  def sparseCosineTopK(vectors: DataFrame, queryIds: Column, k: Int): DataFrame = {
+  def sparseCosineTopK(vectors: DataFrame, queryIds: Column, k: Int,
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
     // the sparse-vector aggregate feeds four plan references (two norm
     // joins, the query side, the neighbor side) — cache it so the
     // upstream tokenize+count runs once (the lshCandidates discipline;
@@ -254,9 +282,17 @@ object Similarity {
       .cache()
     val q = cached.filter(queryIds)
       .select(col("id").as("q_id"), col("idx"), col("cnt").as("q_cnt"))
-    val dots = cached
-      .select(col("id").as("n_id"), col("idx"), col("cnt").as("n_cnt"))
-      .join(broadcast(q), Seq("idx"))
+    // the bucket-index equi-join works shuffled too — oversized query
+    // sets degrade to a shuffle hash join instead of OOMing the
+    // broadcast
+    val qJoined =
+      if (fitsBroadcast(q, broadcastLimit))
+        cached.select(col("id").as("n_id"), col("idx"), col("cnt").as("n_cnt"))
+          .join(broadcast(q), Seq("idx"))
+      else
+        cached.select(col("id").as("n_id"), col("idx"), col("cnt").as("n_cnt"))
+          .join(q.hint("shuffle_hash"), Seq("idx"))
+    val dots = qJoined
       .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("q_cnt") * col("n_cnt")).cast(DoubleType).as("dot"))

@@ -71,23 +71,66 @@ object Completeness {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
-  /** Multimodal → ANN integration (rows-only: the deterministic stub
-    * featurizer has no SQL equivalent): binary media column → batched
-    * feature extraction → exact cosine top-3 neighbors for the first
+  /** Multimodal → ANN integration, fully oracled: binary media column
+    * → batched feature extraction ([[graft.sources.PortableCodec]], the
+    * md5-48 hash domain) → exact cosine top-3 neighbors for the first
     * five documents. Exercises the full binary-column plumbing
     * (schema-declared mapPartitions, null discipline, embedding
-    * handoff) under the driver contract; exact behavior of each stage
-    * is asserted in MultimodalSpec/SimilaritySpec. */
+    * handoff) under the driver contract, and — because the codec lives
+    * in the portable hash domain — the WHOLE pipeline replays in DuckDB
+    * ([[q60Sql]]): featurize bucket j = (md5h48(bytes ++ "|j") % 1000)
+    * / 1000.0, unit-norm in double, float32 emit, then the q24 cosine
+    * top-k form. Batch shape and codec seam are identical to a
+    * production FFI codec ([[graft.sources.ImageIoCodec]] proves the
+    * seam on real pixels in MultimodalSpec). */
   def q60MultimodalAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = graft.sources.Multimodal.mediaFromText(
       Tables.documents(s, dir).select($"doc_id", $"text"))
-    val emb = graft.sources.Multimodal.withFeatures(media, dim = 64)
+    val emb = graft.sources.Multimodal
+      .withFeatures(media, dim = 64, codec = graft.sources.PortableCodec)
       .select($"doc_id".as("vec_id"), $"embedding")
     graft.operators.Similarity
       .bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
       .orderBy($"q_id", $"rank")
   }
+
+  /** DuckDB replay of [[q60MultimodalAnn]]: the media bytes are the
+    * UTF-8 of `text`, so `text || '|' || j` hashes the same bytes the
+    * JVM codec digests; `md5_number_upper(x) & (2^48-1)` IS
+    * [[graft.operators.Sampling.portableHash48Jvm]]; the list is
+    * normalized by the same left-to-right sum-of-squares
+    * (`list_dot_product(l, l)`), emitted through float32, and scored
+    * with the q24 cosine top-k form. */
+  val q60Sql: String =
+    """WITH feats AS (
+      |  SELECT doc_id, j,
+      |    (CAST(md5_number_upper(text || '|' || CAST(j AS VARCHAR))
+      |          & 281474976710655 AS BIGINT) % 1000) / 1000.0 AS raw
+      |  FROM documents CROSS JOIN range(0, 64) t(j)
+      |), vecs AS (
+      |  SELECT doc_id, list(raw ORDER BY j) AS l FROM feats GROUP BY doc_id
+      |), emb AS (
+      |  SELECT doc_id AS vec_id,
+      |    list_transform(l, x -> CAST(CAST(
+      |      CASE WHEN sqrt(list_dot_product(l, l)) > 0
+      |           THEN x / sqrt(list_dot_product(l, l)) ELSE x END
+      |      AS FLOAT) AS DOUBLE)) AS embedding
+      |  FROM vecs
+      |)
+      |SELECT q_id, rank, n_id, score FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(q.embedding, c.embedding) /
+      |      (sqrt(list_dot_product(q.embedding, q.embedding)) *
+      |       sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_dot_product(q.embedding, c.embedding) /
+      |        (sqrt(list_dot_product(q.embedding, q.embedding)) *
+      |         sqrt(list_dot_product(c.embedding, c.embedding))), 4) DESC,
+      |        c.vec_id ASC) AS rank
+      |  FROM (SELECT * FROM emb WHERE vec_id < 5) q
+      |  JOIN emb c ON q.vec_id <> c.vec_id
+      |) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** Explicit GROUPING SETS (the general form behind cube/rollup):
     * per-status totals, per-priority totals, and the grand total in one

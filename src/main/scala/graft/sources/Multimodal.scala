@@ -63,23 +63,19 @@ object StubCodec extends MediaCodec {
   * ([[graft.operators.Sampling.portableHash48Jvm]]): every output is
   * exactly replayable in any engine with md5 — the same play that made
   * q28/q30/q47 oracle-checkable. Used by the driver-gated multimodal →
-  * ANN query (q60) so the full binary-column pipeline (decode /
-  * featurize → embedding → cosine top-k) is hash-compared against a
-  * DuckDB replay end-to-end, not just spec-asserted.
+  * ANN query (q60, [[graft.queries.Completeness.q60MultimodalAnn]]) so
+  * the full binary-column pipeline (decode / featurize → embedding →
+  * cosine top-k) is hash-compared against a DuckDB replay end-to-end
+  * ([[graft.queries.Completeness.q60Sql]]), not just spec-asserted.
   *
   * featurize: bucket j of the `dim`-length vector is
   * `(h48(bytes ++ "|j") % 1000) / 1000.0`, unit-normalized in double,
-  * emitted float32 — O(dim · len) md5 work per row, fine for a test
-  * instance (a production codec replaces the whole method). */
+  * emitted float32. One `MessageDigest` serves all `dim` hashes
+  * (`digest()` resets it), so there is no per-bucket copy of the
+  * input — `dim` md5 passes per row, fine for a test/oracle instance
+  * (a production codec replaces the whole method). */
 object PortableCodec extends MediaCodec {
-  import graft.operators.Sampling.portableHash48Jvm
-
-  private def tagged(bytes: Array[Byte], tag: String): Long = {
-    val suffix = tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val buf = java.util.Arrays.copyOf(bytes, bytes.length + suffix.length)
-    System.arraycopy(suffix, 0, buf, bytes.length, suffix.length)
-    portableHash48Jvm(buf)
-  }
+  import graft.operators.Sampling.{le48, portableHash48Jvm}
 
   override def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
     val h = portableHash48Jvm(bytes)
@@ -90,10 +86,13 @@ object PortableCodec extends MediaCodec {
   }
 
   override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val raw = new Array[Double](dim)
     var j = 0
     while (j < dim) {
-      raw(j) = (tagged(bytes, "|" + j) % 1000).toDouble / 1000.0
+      md.update(bytes)
+      md.update(("|" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      raw(j) = (le48(md.digest()) % 1000).toDouble / 1000.0
       j += 1
     }
     // left-to-right sum of squares, double sqrt — the same fold DuckDB's
@@ -129,18 +128,32 @@ object ImageIoCodec extends MediaCodec {
     in
   }
 
-  private def formatName(bytes: Array[Byte]): String = {
+  /** (format, n_frames) from the registered ImageReader —
+    * `getNumImages(true)` counts frames of multi-frame formats the JDK
+    * readers support (animated GIF). `createImageInputStream` may
+    * return null per its contract; fall back to defaults then. */
+  private def readerMeta(bytes: Array[Byte]): (String, Int) = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return ("img", 1)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (readers.hasNext) readers.next().getFormatName.toLowerCase else "img"
+      if (!readers.hasNext) ("img", 1)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          (r.getFormatName.toLowerCase, math.max(n, 1))
+        } finally r.dispose()
+      }
     } finally iis.close()
   }
 
   override def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
     val img = readImage(bytes)
-    (img.getWidth, img.getHeight, 1, formatName(bytes))
+    val (fmt, frames) = readerMeta(bytes)
+    (img.getWidth, img.getHeight, frames, fmt)
   }
 
   /** Average-pooled grayscale grid: the image is divided into a

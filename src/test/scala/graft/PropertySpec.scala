@@ -110,6 +110,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portableHash48Jvm matches the Column form on random strings " +
+      "and binaries") {
+    import graft.operators.Sampling
+    // random printable strings incl. empty + multi-byte UTF-8
+    val gen = Gen.listOfN(24,
+      Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(40)),
+        Gen.const(""),
+        Gen.listOfN(8, Gen.choose(0x20.toChar, 0x7e.toChar)).map(_.mkString),
+        Gen.const("çğıöşü⚡"),
+        Gen.const("|0"), Gen.const("a|b|c")))
+    forAll(gen, 3) { strs =>
+      val df = strs.toDF("s")
+      val viaColumn = df
+        .select(col("s"), Sampling.portableHash48(col("s")).as("h"))
+        .as[(String, Long)].collect().toMap
+      strs.foreach { s =>
+        val jvm = Sampling.portableHash48Jvm(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        assert(jvm === viaColumn(s), s"string=$s")
+      }
+    }
+    // raw (non-UTF-8) binaries through the binary-typed Column path
+    val binGen = Gen.listOfN(16, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    forAll(Gen.listOfN(8, binGen), 2) { bins =>
+      val arrays = bins.map(_.toArray)
+      val viaColumn = arrays.zipWithIndex
+        .map { case (b, i) => (i, b) }.toDF("i", "b")
+        .select(col("i"), Sampling.portableHash48(col("b")).as("h"))
+        .as[(Int, Long)].collect().toMap
+      arrays.zipWithIndex.foreach { case (b, i) =>
+        assert(Sampling.portableHash48Jvm(b) === viaColumn(i), s"bin #$i")
+      }
+    }
+  }
+
   test("rollingHash: permutation-sensitive, concat-extension changes hash") {
     val gen = Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(5)))
     forAll(gen, 8) { words =>

@@ -116,10 +116,10 @@ class StreamingSpec extends SparkSpec {
 
   test("driver contract: entry() flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
-    // rows-only set is EXACTLY the documented one (set difference, not
-    // union, so a query silently losing its oracle fails here)
+    // every query is oracled (set difference, not union, so a query
+    // silently losing its oracle fails here)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("q60_multimodal_ann"))
+      Set.empty[String])
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

@@ -204,6 +204,56 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("lshParams: threshold-derived banding meets the recall floor, " +
+      "respects the kernel cap") {
+    for (t <- Seq(0.3, 0.5, 0.8, 0.9)) {
+      val (k, bands) = Dedup.lshParams(t)
+      val r = k / bands
+      assert(k <= 128 && k % bands === 0, s"t=$t -> ($k, $bands)")
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), bands)
+      assert(recall >= 0.98, s"t=$t r=$r bands=$bands recall=$recall")
+      // bands is minimal for this r: one fewer would break the floor
+      assert(1.0 - math.pow(1.0 - math.pow(t, r), bands - 1) < 0.98,
+        s"t=$t: bands=${bands - 1} also meets the floor — not minimal")
+      // r is maximal: one row wider can't fit its minimal bands in 128
+      if (r < 128) {
+        val p2 = math.pow(t, r + 1)
+        val b2 = math.ceil(math.log1p(-0.98) / math.log1p(-p2))
+        assert(b2 * (r + 1) > 128,
+          s"t=$t: r=${r + 1} with $b2 bands fits — derivation not maximal")
+      }
+    }
+    // documented derivation points
+    assert(Dedup.lshParams(0.8) === ((119, 17)))
+    assert(Dedup.lshParams(0.5) === ((90, 30)))
+    assert(Dedup.lshParams(0.3) === ((84, 42)))
+  }
+
+  test("borderline threshold: planted pairs just above j=0.5 all recovered " +
+      "by derived banding") {
+    // 10 planted pairs at jaccard ≈ 0.58 (28 shared / 48 union
+    // 3-shingles): fixed (128, 32) banding recalls only ~87% of such
+    // pairs; the threshold-derived (126, 42) floor is ≥ 0.95
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) =
+      (0 until n).map(i => s"$tag${rnd.nextInt(100000)}w$i")
+    val docs = (0 until 10).flatMap { p =>
+      val shared = words(30, s"s$p")
+      val a = shared ++ words(10, s"a$p")
+      val b = shared ++ words(10, s"b$p")
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minHashDupPairs(docs, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(p => (p * 2L, p * 2L + 1)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted borderline pairs: ${expected -- pairs}")
+    // sanity: the planted pairs really are borderline (j in [0.5, 0.7))
+    val j = Dedup.minHashDupPairs(docs, 0.5)
+      .select($"jaccard").as[Double].collect()
+    assert(j.forall(x => x >= 0.5 && x < 0.7), j.mkString(","))
+  }
+
   test("ngram jaccard with prefix blocking") {
     val pairs = Dedup.ngramJaccardPairs(docs, 0.3, t => substring(t, 1, 20))
       .as[(Long, Long, Double)].collect()
@@ -260,6 +310,50 @@ class SimilaritySpec extends SparkSpec {
       .select($"cell").as[Int].collect()
     assert(cells(0) === cells(1))
     assert(Similarity.ivfAssign(vectors, 4, 8).count() === 5)
+  }
+
+  test("broadcast guard: oversized query side falls back to non-broadcast " +
+      "plans with identical results") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec,
+      CartesianProductExec, ShuffledHashJoinExec}
+    def collectNodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectWithSubqueries {
+        case j: BroadcastNestedLoopJoinExec => "bnl"
+        case j: BroadcastHashJoinExec => "bhj"
+        case j: CartesianProductExec => "cartesian"
+        case j: ShuffledHashJoinExec => "shj"
+      }
+    // brute force: broadcast NLJ normally; shuffle-replicated NL above
+    // the limit — results must be identical
+    val normal = Similarity.bruteForceTopK(vectors, vectors, 2)
+    val fb = Similarity.bruteForceTopK(vectors, vectors, 2, broadcastLimit = 2)
+    assert(collectNodes(normal).contains("bnl"))
+    val fbNodes = collectNodes(fb)
+    assert(!fbNodes.contains("bnl") && fbNodes.contains("cartesian"), fbNodes)
+    assert(fb.collect().toSet === normal.collect().toSet)
+    // IVF: the cell equi-join degrades to a shuffle hash join
+    val ivfN = Similarity.ivfTopK(vectors.filter($"vec_id" === 0L), vectors,
+      2, dim = 4, nCells = 2, nProbe = 2)
+    val ivfF = Similarity.ivfTopK(vectors.filter($"vec_id" === 0L), vectors,
+      2, dim = 4, nCells = 2, nProbe = 2, broadcastLimit = 1)
+    assert(collectNodes(ivfN).contains("bhj"))
+    val ivfNodes = collectNodes(ivfF)
+    assert(!ivfNodes.contains("bhj") && ivfNodes.contains("shj"), ivfNodes)
+    assert(ivfF.collect().toSet === ivfN.collect().toSet)
+    // sparse cosine: the bucket-index equi-join degrades the same way
+    val sv = Seq((0L, 1L, 2L), (0L, 2L, 1L), (1L, 1L, 1L), (2L, 2L, 3L),
+      (2L, 1L, 1L)).toDF("id", "idx", "cnt")
+    val spN = Similarity.sparseCosineTopK(sv, col("id") === 0L, 2)
+    val spF = Similarity.sparseCosineTopK(sv, col("id") === 0L, 2,
+      broadcastLimit = 1)
+    // the two norm-lookup joins stay broadcast (tiny per-doc aggregates);
+    // the guard must demote exactly the big bucket-index join
+    val (nN, nF) = (collectNodes(spN), collectNodes(spF))
+    assert(nN.contains("bhj") && !nN.contains("shj"), nN)
+    assert(nF.contains("shj") &&
+      nF.count(_ == "bhj") === nN.count(_ == "bhj") - 1, nF)
+    assert(spF.collect().toSet === spN.collect().toSet)
   }
 }
 
@@ -342,5 +436,90 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(withMeta, 2)
       .select($"frame_idx").as[Int].collect()
     assert(frames.toSeq === (0 until n by 2).toSeq)
+  }
+
+  /** A real PNG, generated in-test (pure JVM — no fixtures on disk):
+    * left half black, right half white, so the pooled-grid embedding
+    * has a known shape. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A 3-frame animated GIF via the JDK's sequence writer. */
+  private def gifBytes(frames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if ((x + i) % 2 == 0) 0x000000 else 0xffffff)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec: real PNG through the production decode path") {
+    val bytes = pngBytes(40, 20)
+    val df = Seq((1L, bytes)).toDF("doc_id", "media")
+    val meta = Multimodal.withMediaMeta(df, codec = graft.sources.ImageIoCodec)
+      .select($"media_meta.width", $"media_meta.height",
+        $"media_meta.n_frames", $"media_meta.format")
+      .as[(Int, Int, Int, String)].head()
+    assert(meta === ((40, 20, 1, "png")))
+    // pooled-grid embedding: 2×2 grid → left cells dark, right bright
+    val vec = Multimodal.withFeatures(df, dim = 4,
+        codec = graft.sources.ImageIoCodec)
+      .select($"embedding").as[Seq[Float]].head()
+    assert(vec.length === 4)
+    assert(vec(0) < vec(1) && vec(2) < vec(3)) // columns: dark < bright
+    assert(math.abs(math.sqrt(vec.map(x => x.toDouble * x).sum) - 1.0) < 1e-3)
+    // near-identical images land nearby in cosine: recompress at a new size
+    val vec2 = Multimodal.withFeatures(
+        Seq((2L, pngBytes(80, 40))).toDF("doc_id", "media"),
+        dim = 4, codec = graft.sources.ImageIoCodec)
+      .select($"embedding").as[Seq[Float]].head()
+    val cos = vec.zip(vec2).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos > 0.999)
+  }
+
+  test("ImageIoCodec: animated GIF reports its real frame count") {
+    val df = Seq((1L, gifBytes(3))).toDF("doc_id", "media")
+    val meta = Multimodal.withMediaMeta(df, codec = graft.sources.ImageIoCodec)
+      .select($"media_meta.n_frames", $"media_meta.format")
+      .as[(Int, String)].head()
+    assert(meta === ((3, "gif")))
+    // frame sampling now walks genuine frames
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMediaMeta(df, codec = graft.sources.ImageIoCodec), 1)
+      .select($"frame_idx").as[Int].collect()
+    assert(frames.toSeq === Seq(0, 1, 2))
+  }
+
+  test("PortableCodec featurize: md5-domain, unit-norm, replayable") {
+    val text = "portable codec payload"
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val vec = graft.sources.PortableCodec.featurize(bytes, 8)
+    // independent replay of the contract: bucket j =
+    // (h48(bytes ++ "|j") % 1000) / 1000, unit-normalized
+    val raw = (0 until 8).map { j =>
+      (graft.operators.Sampling.portableHash48Jvm(
+        (text + "|" + j).getBytes("UTF-8")) % 1000).toDouble / 1000.0
+    }
+    val n = math.sqrt(raw.map(v => v * v).sum)
+    val expect = raw.map(v => (v / n).toFloat)
+    assert(vec.toSeq === expect)
   }
 }
