@@ -70,9 +70,24 @@ object ScaleBench {
     events.write.mode("overwrite").parquet(s"$scratch/events_x1")
     li.write.mode("overwrite").parquet(s"$scratch/lineitem_x1")
 
+    // synthetic edge lists ABOVE the 1M-edge driver-union-find cutoff,
+    // so both runs exercise the distributed min-label loop (the path no
+    // natural sf0.1 corpus reaches): chains of 5 nodes / 4 edges →
+    // diameter 4, 4-5 label rounds, crossing the every-3rd-round
+    // localCheckpoint at least once. Written to parquet like the rest.
+    def edgeFrame(nEdges: Long): DataFrame =
+      spark.range(nEdges).select(
+        (($"id" / 4) * 5 + pmod($"id", lit(4))).as("id_a"),
+        (($"id" / 4) * 5 + pmod($"id", lit(4)) + 1).as("id_b"))
+    edgeFrame(1200000L).write.mode("overwrite").parquet(s"$scratch/edges_x1")
+    edgeFrame(1200000L * factor).write.mode("overwrite")
+      .parquet(s"$scratch/edges")
+
     val docs1 = spark.read.parquet(s"$scratch/documents_x1")
     val events1 = spark.read.parquet(s"$scratch/events_x1")
     val li1 = spark.read.parquet(s"$scratch/lineitem_x1")
+    val edges1 = spark.read.parquet(s"$scratch/edges_x1")
+    val edgesN = spark.read.parquet(s"$scratch/edges")
     val docsN = spark.read.parquet(s"$scratch/documents")
     val eventsN = spark.read.parquet(s"$scratch/events")
     val liN = spark.read.parquet(s"$scratch/lineitem")
@@ -127,6 +142,14 @@ object ScaleBench {
             toleranceSec = Some(3600)).count()
         },
         events1, eventsN),
+      // the distributed min-label loop at 1.2M / factor×1.2M edges:
+      // ratio ≈ linear means the per-round join+aggregate scales and the
+      // label-cache hygiene (unpersist superseded generations, pinned
+      // checkpoints) holds — the driver union-find path never fires here
+      ("connected_components_distributed",
+        (d: DataFrame) => graft.operators.Dedup
+          .connectedComponents(d).count(),
+        edges1, edgesN),
       ("range_correlate",
         (d: DataFrame) => {
           graft.plans.BinRangeJoin.install(spark)
@@ -141,7 +164,7 @@ object ScaleBench {
 
     // warm-up
     docs1.count(); docsN.count(); events1.count(); eventsN.count()
-    li1.count(); liN.count()
+    li1.count(); liN.count(); edges1.count(); edgesN.count()
 
     pipelines.foreach { case (name, run, base, amplified) =>
       // two interleaved runs each, min taken: the first pass absorbs

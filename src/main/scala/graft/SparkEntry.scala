@@ -84,6 +84,7 @@ object SparkEntry {
     "q64_incremental_dedup" -> (TrainingData.q64IncrementalDedup _),
     "q65_ivf_trained"     -> (Completeness.q65IvfTrained _),
     "q66_text_hash_ann"   -> (TrainingData.q66TextHashAnn _),
+    "q67_stream_correlate" -> (StreamingQueries.q67StreamCorrelate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,5 +177,8 @@ object SparkEntry {
     // the same q24 oracle hash-checks the whole trained-index path.
     "q65_ivf_trained"     -> Completeness.q65Sql,
     "q66_text_hash_ann"   -> TrainingData.q66Sql,
+    // q67 runs a REAL stream-stream join (watermarked bin equi-join +
+    // time-range condition); the oracle is the batch range join (q59).
+    "q67_stream_correlate" -> StreamingQueries.q67Sql,
   )
 }

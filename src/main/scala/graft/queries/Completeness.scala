@@ -85,13 +85,17 @@ object Completeness {
     * seam on real pixels in MultimodalSpec). */
   def q60MultimodalAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = graft.sources.Multimodal.mediaFromText(
-      Tables.documents(s, dir).select($"doc_id", $"text"))
-    val emb = graft.sources.Multimodal
-      .withFeatures(media, dim = 64, codec = graft.sources.PortableCodec)
+    def embed(df: DataFrame): DataFrame = graft.sources.Multimodal
+      .withFeatures(graft.sources.Multimodal.mediaFromText(df),
+        dim = 64, codec = graft.sources.PortableCodec)
       .select($"doc_id".as("vec_id"), $"embedding")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    // filter BEFORE featurizing: a filter cannot push through the
+    // mapPartitions decode, so the query side must narrow at the scan
+    // (doc_id < 5 reaches the parquet reader) or the whole corpus gets
+    // featurized twice
     graft.operators.Similarity
-      .bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .bruteForceTopK(embed(docs.filter($"doc_id" < 5)), embed(docs), 3)
       .orderBy($"q_id", $"rank")
   }
 

@@ -20,6 +20,30 @@ object StreamingQueries {
   // in driver memory
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val lastSink = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val lastSink67 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** events.parquet carries TIMESTAMP(NANOS): same nanosAsLong +
+    * µs-derive dance as Tables.events, but through readStream, with
+    * the flag restored afterwards (session hygiene — a later query
+    * must see the conf it would have seen had this one never run). */
+  private def withNanosFlag[T](s: SparkSession)(body: => T): T = {
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = s.conf.getOption(nanosKey)
+    s.conf.set(nanosKey, "true")
+    try body finally nanosPrev match {
+      case Some(v) => s.conf.set(nanosKey, v)
+      case None    => s.conf.unset(nanosKey)
+    }
+  }
+
+  /** File-stream over the events table (ns → µs timestamps). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
 
   /** q62: streaming watermarked keyed dedup → tumbling 1-hour windowed
     * counts per event type, complete output mode. The dedup is a
@@ -28,23 +52,8 @@ object StreamingQueries {
     * batch aggregation. */
   def q62StreamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // events.parquet carries TIMESTAMP(NANOS): same nanosAsLong +
-    // µs-derive dance as Tables.events, but through readStream.
-    // Session hygiene: the flag is restored to its prior state once the
-    // stream has drained — a later query in the same session must see
-    // the conf it would have seen had q62 never run.
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val nanosPrev = s.conf.getOption(nanosKey)
-    s.conf.set(nanosKey, "true")
-    try {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file stream source wants a DIRECTORY; select just the events
-      // table out of the scale-factor dir with a glob filter
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-      val agg = stream
+    withNanosFlag(s) {
+      val agg = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
         .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -59,11 +68,6 @@ object StreamingQueries {
       val prev = lastSink.getAndSet(name)
       if (prev != null) s.catalog.dropTempView(prev)
       s.table(name).orderBy($"window_start", $"event_type")
-    } finally {
-      nanosPrev match {
-        case Some(v) => s.conf.set(nanosKey, v)
-        case None    => s.conf.unset(nanosKey)
-      }
     }
   }
 
@@ -77,4 +81,40 @@ object StreamingQueries {
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q67: STREAM-STREAM correlate under the driver contract — the
+    * join side of §2.9, previously spec-only. Purchases × errors
+    * within ±60 s via [[graft.streaming.Correlate.stream]] (two
+    * watermarked file streams, bin equi-join + residual time-range
+    * condition — the state-bounded shape a live feed runs), drained
+    * deterministically (single micro-batch over the static table) and
+    * hash-compared against the identical BATCH range join — q59's
+    * oracle, so the stream plan is gated by exactly the semantics its
+    * batch twin already proves. */
+  def q67StreamCorrelate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val purchases = eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("p_event"), $"ts".as("event_ts"))
+      val errors = eventsStream(s, dir)
+        .filter($"event_type" === "error")
+        .select($"event_id".as("e_event"), $"ts".as("time"),
+          $"value".as("data"))
+      val joined = graft.streaming.Correlate
+        .stream(purchases, errors, windowSec = 60)
+        .select($"p_event", $"e_event")
+      val name = s"q67_stream_out_${runSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val prev = lastSink67.getAndSet(name)
+      if (prev != null) s.catalog.dropTempView(prev)
+      s.table(name).orderBy($"p_event", $"e_event")
+    }
+  }
+
+  /** Batch oracle: the stream must produce exactly the pairs the
+    * batch range join (q59) produces. */
+  val q67Sql: String = Completeness.q59Sql
 }
