@@ -85,6 +85,8 @@ object SparkEntry {
     "q65_ivf_trained"     -> (Completeness.q65IvfTrained _),
     "q66_text_hash_ann"   -> (TrainingData.q66TextHashAnn _),
     "q67_stream_correlate" -> (StreamingQueries.q67StreamCorrelate _),
+    "q68_decontaminate"   -> (TrainingData.q68Decontaminate _),
+    "q69_pii_mask"        -> (TrainingData.q69PiiMask _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +182,7 @@ object SparkEntry {
     // q67 runs a REAL stream-stream join (watermarked bin equi-join +
     // time-range condition); the oracle is the batch range join (q59).
     "q67_stream_correlate" -> StreamingQueries.q67Sql,
+    "q68_decontaminate"   -> TrainingData.q68Sql,
+    "q69_pii_mask"        -> TrainingData.q69Sql,
   )
 }

@@ -130,4 +130,25 @@ object TextFunctions {
     * (deterministic, oracle-stable); empty∪empty yields 0.0. */
   def jaccard(a: Column, b: Column): Column =
     SignatureExpressions.jaccardSim(a, b)
+
+  /** PII-masking patterns, deliberately in the Java∩RE2 regex subset
+    * (plain character classes + counted quantifiers — the q53
+    * discipline) so any engine replays them byte-identically. */
+  val EmailRe = "[A-Za-z0-9._%+]+@[A-Za-z0-9.]+\\.[A-Za-z][A-Za-z]+"
+  val PhoneRe =
+    "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
+  val LongDigitsRe = "[0-9]{9,}"
+
+  /** PII masking for training corpora: emails → `<EMAIL>`, 3-3-4
+    * phone shapes → `<PHONE>`, ≥9-digit runs (account/card numbers) →
+    * `<NUM>`. Order matters: emails first (their local parts may
+    * contain digit runs), then phones, then bare digit runs. A pure
+    * projection — the 100 TB cost is the scan; swap patterns per
+    * policy, the operator shape stays. */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongDigitsRe, "<NUM>")
 }

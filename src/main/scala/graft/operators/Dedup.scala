@@ -467,4 +467,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Benchmark DECONTAMINATION — drop training docs that collide with
+    * an evaluation set on any word n-gram (the standard leakage gate:
+    * GPT-3 used 13-gram collision; pick `n` per document length).
+    * Returns the corpus rows that survive.
+    *
+    * Shape at 100 TB: both sides project to DISTINCT n-grams (the
+    * corpus side is a pure generator projection — no shuffle until the
+    * join); the collision test is an equi-join on the n-gram string —
+    * never doc × doc — and the benchmark side is tiny (an eval suite),
+    * so Catalyst broadcasts it and the corpus never shuffles at all;
+    * contaminated ids collapse via distinct + anti-join. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .select(col("id").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

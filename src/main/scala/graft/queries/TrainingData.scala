@@ -555,6 +555,84 @@ object TrainingData {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q68: benchmark decontamination — the corpus (doc_id % 20 ≠ 0)
+    * loses every doc sharing an 8-gram with the "benchmark" slice
+    * (doc_id % 20 = 0): the GPT-3-style leakage gate as a first-class
+    * operator ([[graft.operators.Dedup.decontaminate]]). The corpus's
+    * planted near-dup clusters guarantee real cross-slice collisions,
+    * so the query exercises genuine removals, not a no-op. */
+  def q68Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val survivors = graft.operators.Dedup.decontaminate(
+      docs.filter($"doc_id" % 20 =!= 0),
+      docs.filter($"doc_id" % 20 === 0), n = 8)
+    survivors.select($"doc_id", $"n_chars".cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay: same truncating-slice n-grams as the native
+    * shingler (fewer than n tokens → one all-tokens gram), gram
+    * equi-join, NOT-EXISTS collapse. */
+  val q68Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 7, 1)),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |          WHERE doc_id % 20 = 0),
+      |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+      |         WHERE doc_id % 20 <> 0),
+      |hit AS (SELECT DISTINCT c.doc_id FROM corp c
+      |        JOIN bench b ON c.gram = b.gram)
+      |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d
+      |WHERE d.doc_id % 20 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q69: PII masking ([[TextFunctions.maskPii]]) over documents with
+    * deterministic planted PII (email + 3-3-4 phone + 16-digit card
+    * derived from doc_id — the raw corpus is synthetic and PII-free,
+    * so the plants make every row exercise real replacements). Output
+    * is the fully masked text plus per-kind hit flags; the oracle
+    * replays the same regex chain with RE2 + 'g'. */
+  def q69PiiMask(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pii = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@mail.example.com or 555-"),
+      lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+      lit("-4321 card 4111111122223333"))
+    Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.maskPii(pii).as("masked"))
+      .select($"doc_id", $"masked",
+        (locate("<EMAIL>", $"masked") > 0).as("has_email"),
+        (locate("<PHONE>", $"masked") > 0).as("has_phone"),
+        (locate("<NUM>", $"masked") > 0).as("has_num"))
+      .orderBy($"doc_id")
+  }
+
+  val q69Sql: String =
+    s"""WITH pii AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |       || '@mail.example.com or 555-'
+       |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |       || '-4321 card 4111111122223333' AS t
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+       |    '${TextFunctions.LongDigitsRe}', '<NUM>', 'g') AS masked
+       |  FROM pii)
+       |SELECT doc_id, masked,
+       |  strpos(masked, '<EMAIL>') > 0 AS has_email,
+       |  strpos(masked, '<PHONE>') > 0 AS has_phone,
+       |  strpos(masked, '<NUM>') > 0 AS has_num
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** N-gram repetition scoring (the Gopher/C4-style quality rule:
     * drop documents whose n-grams repeat excessively). Repetition for
     * n = 1 - distinct n-grams / total n-grams — int/int double

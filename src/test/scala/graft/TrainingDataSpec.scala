@@ -29,6 +29,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(j === 0.5)
   }
 
+  test("maskPii: emails, 3-3-4 phones, long digit runs; clean text untouched") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "call 555-123-4567 or 555 987 6543 now",
+      "acct 12345678901 and card 4111111122223333",
+      "no pii here just words and the number 42",
+      "short digits 12345678 stay"  // 8 digits: below the 9-run floor
+    ).toDF("text")
+    val got = df.select(TextFunctions.maskPii($"text")).as[String].collect()
+    assert(got(0) === "mail me at <EMAIL> today")
+    assert(got(1) === "call <PHONE> or <PHONE> now")
+    assert(got(2) === "acct <NUM> and card <NUM>")
+    assert(got(3) === "no pii here just words and the number 42")
+    assert(got(4) === "short digits 12345678 stay")
+  }
+
   test("langIdHeuristic: profile argmax with deterministic ties") {
     val df = Seq(
       "the cat of the house",     // en
@@ -202,6 +218,28 @@ class DedupSpec extends SparkSpec {
     // 4 is an exact dup of 0; 1 and 2 are near-dups of 0 → cluster min 0
     assert(kept.contains(0L) && kept.contains(3L))
     assert(!kept.contains(4L) && !kept.contains(1L) && !kept.contains(2L))
+  }
+
+  test("decontaminate: docs sharing an n-gram with the benchmark drop; " +
+      "clean docs survive") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 4-gram "beta gamma delta epsilon" → contaminated
+      (1L, "prefix words beta gamma delta epsilon suffix tail here now"),
+      // same words, different order → no shared 4-gram → survives
+      (2L, "epsilon delta gamma beta alpha zeta theta eta ordered anew"),
+      (3L, "entirely unrelated vocabulary in this training document")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, n = 4)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L))
+    // n larger than every doc: the benchmark's single all-tokens gram
+    // matches only an exact token-sequence duplicate
+    val keptAll = Dedup.decontaminate(corpus, bench, n = 50)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(keptAll === Seq(1L, 2L, 3L))
   }
 
   test("lshParams: threshold-derived banding meets the recall floor, " +
