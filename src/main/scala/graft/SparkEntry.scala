@@ -87,6 +87,8 @@ object SparkEntry {
     "q67_stream_correlate" -> (StreamingQueries.q67StreamCorrelate _),
     "q68_decontaminate"   -> (TrainingData.q68Decontaminate _),
     "q69_pii_mask"        -> (TrainingData.q69PiiMask _),
+    "q70_span_dedup"      -> (TrainingData.q70SpanDedup _),
+    "q71_semantic_collapse" -> (TrainingData.q71SemanticCollapse _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,5 +186,7 @@ object SparkEntry {
     "q67_stream_correlate" -> StreamingQueries.q67Sql,
     "q68_decontaminate"   -> TrainingData.q68Sql,
     "q69_pii_mask"        -> TrainingData.q69Sql,
+    "q70_span_dedup"      -> TrainingData.q70Sql,
+    "q71_semantic_collapse" -> TrainingData.q71Sql,
   )
 }

@@ -468,6 +468,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** C4-style SPAN-level dedup: the corpus-global "remove repeated
+    * spans, keep the first occurrence" pass (C4 deduplicates
+    * three-sentence spans; this is the flat-text variant on aligned
+    * `spanWords`-token chunks). Each doc's tokens split into
+    * consecutive chunks; a chunk's FIRST occurrence corpus-wide (by
+    * (id, chunk index) — deterministic) survives, later occurrences
+    * are cut, and each doc's text is rebuilt from its surviving chunks
+    * in order. Returns `docs` with `textCol` replaced (docs whose
+    * every chunk was seen elsewhere become empty strings, not dropped
+    * rows — the caller decides the policy).
+    *
+    * Scale shape: one projection to (id, idx, chunk), one
+    * chunk-partitioned window (the dedup decision), one groupBy to
+    * reassemble — all hash-partitioned by chunk/id, nothing global. */
+  def dedupSpans(docs: DataFrame, spanWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / spanWords).cast("int")
+    val chunkList = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
+    val exploded = docs
+      .select(col(idCol).as("__id"), posexplode(chunkList))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col("__id"), col("idx"))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rec = kept.groupBy(col("__id")).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s("chunk")), " ").as("__clean"))
+    docs.join(rec.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
+
   /** Benchmark DECONTAMINATION — drop training docs that collide with
     * an evaluation set on any word n-gram (the standard leakage gate:
     * GPT-3 used 13-gram collision; pick `n` per document length).

@@ -307,6 +307,23 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("score"))
   }
 
+  /** SemDeDup-style corpus collapse on an embedding column: hyperplane
+    * LSH near-dup pairs above `threshold` → connected components →
+    * cluster-min survivors. Returns the surviving rows of `vectors`
+    * (zero-norm vectors never pair, so they always survive). Same
+    * scale shape as [[graft.operators.Dedup.dedupCorpus]]: candidates
+    * from a bucket equi-join, never vector × vector. */
+  def semanticCollapse(vectors: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = lshNearDupPairs(vectors, threshold, dim, bits, idCol, vecCol)
+    val comps = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    val drop = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    vectors.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** [[ivfTopK]] with an explicitly trained codebook — one delegate so
     * the scoring/tie-break contract lives in exactly one place. */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,

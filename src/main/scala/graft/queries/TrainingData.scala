@@ -593,6 +593,94 @@ object TrainingData {
       |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q70: corpus-global span dedup ([[graft.operators.Dedup.dedupSpans]]
+    * — the C4 "repeated span" pass on aligned 10-token chunks): later
+    * occurrences of a chunk are cut and each doc's text rebuilt from
+    * its surviving chunks. The planted near-dup clusters share long
+    * aligned spans, so the pass does real surgery (57 docs change, 4
+    * exact-dup docs empty out at sf0.01). */
+  def q70SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup.dedupSpans(Tables.documents(s, dir), spanWords = 10)
+      .select($"doc_id", $"text".as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay: parallel unnest of (idx, chunk) lists zips
+    * positionally; first corpus-wide occurrence by (doc_id, idx) wins;
+    * string_agg ordered by idx rebuilds the text. */
+  val q70Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS idx,
+      |    unnest(list_transform(
+      |      generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1),
+      |      i -> array_to_string(w[(i*10+1):(i*10+10)], ' '))) AS chunk
+      |  FROM toks),
+      |kept AS (
+      |  SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      |  FROM chunks),
+      |rec AS (
+      |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+      |  FROM kept WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN rec r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q71: SemDeDup-style semantic collapse on the embeddings table
+    * ([[graft.operators.Similarity.semanticCollapse]]): q29's near-dup
+    * graph (hyperplane-LSH pairs at cosine ≥ 0.25) → connected
+    * components → cluster-min survivors — the embedding analog of
+    * q39's text-corpus dedup. */
+  def q71SemanticCollapse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Similarity
+      .semanticCollapse(Tables.embeddings(s, dir),
+        threshold = 0.25, dim = 64, bits = 6)
+      .select($"vec_id")
+      .orderBy($"vec_id")
+  }
+
+  /** DuckDB replay: q29's pair spec (same hyperplane literals) +
+    * recursive-CTE components + cluster-min anti-filter (the q39
+    * pattern). */
+  val q71Sql: String = {
+    val bucketExpr = Similarity.hyperplaneValues(dim = 64, bits = 6)
+      .zipWithIndex.map { case (p, h) =>
+        val plane = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(vec, $plane) > 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString("\n      + ")
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS raw,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT id, list_transform(raw, x -> x / nrm) AS vec
+       |  FROM v WHERE nrm > 0),
+       |b AS (
+       |  SELECT id, vec, $bucketExpr AS bucket FROM n),
+       |pairs AS (
+       |  SELECT a.id AS id_a, c.id AS id_b
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+       |  WHERE round(list_dot_product(a.vec, c.vec), 4) >= 0.25),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |r(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM comp WHERE comp < id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q69: PII masking ([[TextFunctions.maskPii]]) over documents with
     * deterministic planted PII (email + 3-3-4 phone + 16-digit card
     * derived from doc_id — the raw corpus is synthetic and PII-free,

@@ -220,6 +220,23 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("dedupSpans: later span occurrences cut, first kept, text rebuilt") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = ws("s", 10) // one aligned 10-token chunk
+    val fixture = Seq(
+      (0L, shared + " " + ws("a", 10)),  // owns both its chunks
+      (1L, shared + " " + ws("b", 10)),  // chunk 0 duplicates doc 0's
+      (2L, shared + " " + ws("a", 10)),  // exact dup of doc 0 → emptied
+      (3L, ws("c", 7))                   // unique short doc, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(fixture, spanWords = 10)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out(0L) === shared + " " + ws("a", 10)) // first occurrence intact
+    assert(out(1L) === ws("b", 10))                // shared chunk removed
+    assert(out(2L) === "")                         // fully deduplicated
+    assert(out(3L) === ws("c", 7))                 // short doc untouched
+  }
+
   test("decontaminate: docs sharing an n-gram with the benchmark drop; " +
       "clean docs survive") {
     val bench = Seq(
@@ -348,6 +365,19 @@ class SimilaritySpec extends SparkSpec {
       .select($"cell").as[Int].collect()
     assert(cells(0) === cells(1))
     assert(Similarity.ivfAssign(vectors, 4, 8).count() === 5)
+  }
+
+  test("semanticCollapse: near-identical vectors collapse to the min id; " +
+      "distinct and zero vectors survive") {
+    val vs = Seq(
+      (0L, vec(1, 0, 0, 0)),
+      (1L, vec(0.9999, 0.01, 0, 0)), // near-dup of 0 → dropped
+      (2L, vec(0, 1, 0, 0)),         // orthogonal → survives
+      (3L, vec(0, 0, 0, 0))          // zero vector: never pairs → survives
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticCollapse(vs, threshold = 0.9, dim = 4,
+      bits = 4).select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(0L, 2L, 3L))
   }
 
   test("broadcast guard: oversized query side falls back to non-broadcast " +
