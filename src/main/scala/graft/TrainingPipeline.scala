@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * engine's training-data operators, i.e. what a user actually runs
   * over a raw document corpus:
   *
-  *   quality filter → language ID → corpus dedup (exact + MinHash-LSH
-  *   near-dup, canonical survivor) → token counting → greedy sequence
-  *   packing → deterministic train/test split → partitioned parquet.
+  *   quality filter → PII masking → language ID → corpus dedup (exact
+  *   + MinHash-LSH near-dup, canonical survivor) → benchmark
+  *   decontamination → token counting → greedy sequence packing →
+  *   deterministic train/test split → partitioned parquet.
   *
   * Every stage is a DataFrame transform from the operator library; the
   * whole job is one Catalyst plan per output (no driver-side row
@@ -26,7 +27,9 @@ object TrainingPipeline {
     * packed, split corpus: one row per kept document with lang,
     * n_tokens, pack_id, and split columns. */
   def prepare(docs: DataFrame, budget: Long = 2048L,
-      jaccardThreshold: Double = 0.8, trainPct: Int = 95): DataFrame = {
+      jaccardThreshold: Double = 0.8, trainPct: Int = 95,
+      benchmark: Option[DataFrame] = None,
+      decontaminateNgram: Int = 13): DataFrame = {
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs
@@ -43,15 +46,25 @@ object TrainingPipeline {
       .filter(col("n_tokens") >= 5 &&
         quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5 &&
         rep3 <= 0.6)
-    // 2. language ID (pure projection)
-    val langed = filtered.withColumn("lang_pred",
+    // 2. PII masking BEFORE anything derives features from the text:
+    //    masked text is what dedup/packing must see, or two docs
+    //    differing only in PII dedupe inconsistently (pure projection)
+    val masked = filtered.withColumn("text",
+      TextFunctions.maskPii(col("text")))
+    // 3. language ID (pure projection)
+    val langed = masked.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))
-    // 3. corpus-level dedup: exact collapse + near-dup clusters, keep
+    // 4. corpus-level dedup: exact collapse + near-dup clusters, keep
     //    the canonical (min-id) survivor per cluster
     val deduped = Dedup.dedupCorpus(langed, jaccardThreshold)
-    // 4. sequence packing into context windows (two-level prefix sum)
-    val packed = Sampling.packSequences(deduped, "n_tokens", "doc_id", budget)
-    // 5. deterministic split — stable under repartitioning and retries
+    // 5. benchmark decontamination (when an eval set is supplied):
+    //    AFTER dedup — the corpus is smallest here, and a contaminated
+    //    cluster survivor must drop even if its duplicates already did
+    val cleaned = benchmark.fold(deduped)(b =>
+      Dedup.decontaminate(deduped, b, decontaminateNgram))
+    // 6. sequence packing into context windows (two-level prefix sum)
+    val packed = Sampling.packSequences(cleaned, "n_tokens", "doc_id", budget)
+    // 7. deterministic split — stable under repartitioning and retries
     packed.withColumn("split",
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,
         lit("train")).otherwise(lit("test")))

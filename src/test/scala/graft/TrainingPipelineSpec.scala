@@ -34,6 +34,28 @@ class TrainingPipelineSpec extends SparkSpec {
       out.select($"doc_id", $"split").as[(Long, String)].collect().sorted.toSeq)
   }
 
+  test("masking and decontamination stages compose: planted PII is " +
+      "masked in the output, benchmark-overlapping docs are gone") {
+    val bench = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" % 10 === 0)
+    val withPii = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("text", concat($"text", lit(" mail boss"), $"doc_id",
+        lit("@corp.example.net")))
+    val cleaned = TrainingPipeline.prepare(withPii,
+      benchmark = Some(bench), decontaminateNgram = 8)
+    // every surviving doc had its planted email masked
+    val leaked = cleaned.filter($"text".rlike("@corp")).count()
+    assert(leaked === 0)
+    assert(cleaned.filter($"text".contains("<EMAIL>")).count() === cleaned.count())
+    // docs sharing an 8-gram with the benchmark slice are gone (the
+    // benchmark docs themselves collide fully, so their ids vanish
+    // unless kept only as another cluster's survivor with new text)
+    val survivors = cleaned.select($"doc_id").as[Long].collect().toSet
+    val benchIds = bench.select($"doc_id").as[Long].collect().toSet
+    assert(survivors.intersect(benchIds).isEmpty)
+    assert(cleaned.count() > 0)
+  }
+
   test("packs are contiguous in doc order and near-budget") {
     val stats = out.groupBy($"pack_id")
       .agg(sum($"n_tokens").as("tok"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
