@@ -222,27 +222,35 @@ object Similarity {
         array_sort(array(cellScores(centroids): _*),
           (l, r) => when(l("score") > r("score"), -1)
             .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
-      // per-cell mean, elementwise: explode to (cell, pos, x), one
-      // aggregate, k×dim rows back to the driver. The mean goes
-      // through an exact decimal sum (NOT avg(double)): double
-      // summation order follows shuffle-fetch order, which would make
-      // the trained centroids — and the run-to-run determinism this
-      // operator promises — partitioning-dependent.
+      // per-cell mean, elementwise, via the native vector-sum
+      // aggregate ([[graft.functions.VectorDecimalSum]]): ONE buffer
+      // per cell holding dim exact decimal accumulators — no dim× row
+      // explode through the shuffle, no (cell, pos) reassembly
+      // aggregate, k rows back to the driver. Exact decimal addition
+      // is commutative, so the trained centroids — and the run-to-run
+      // determinism this operator promises — are bit-identical under
+      // any partitioning (avg(double) would follow shuffle-fetch
+      // order). Emits the same values as the previous
+      // explode → sum(cast(decimal(30,15))) → cast(double) plan.
       val means = assigned
-        .select(col("cell"), posexplode(col("vec")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("col").cast(DecimalType(30, 15))).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("m"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorAggregates
+            .vectorDecimalSum(col("vec"), dim).as("s"),
+          count(lit(1)).cast(DoubleType).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getSeq[Double](1), r.getDouble(2))))
+        .toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (means.contains((c, 0))) {
-          val m = (0 until dim).map(d => means((c, d)))
-          // spherical k-means: re-normalize the mean (an unnormalized
-          // mean both shrinks the dot-product objective and biases
-          // assignment toward tight clusters)
-          val n = math.sqrt(m.map(x => x * x).sum)
-          if (n > 0) m.map(_ / n) else old
-        } else old
+        means.get(c) match {
+          case Some((sums, cnt)) =>
+            val m = (0 until dim).map(d => sums(d) / cnt)
+            // spherical k-means: re-normalize the mean (an unnormalized
+            // mean both shrinks the dot-product objective and biases
+            // assignment toward tight clusters)
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n > 0) m.map(_ / n) else old
+          case None => old
+        }
       }
     }
     centroids

@@ -47,6 +47,38 @@ class KMeansSpec extends SparkSpec {
     assert(o5 > oHash, s"trained=$o5 vs hash=$oHash")
   }
 
+  test("VectorDecimalSum: matches the explode+decimal reference, " +
+      "bit-identical under repartitioning, SQL-registered") {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = (0 until 300).map(i =>
+      (i % 3, Seq.tabulate(4)(d => 0.1 * d + i * 1e-7)))
+    val df = rows.toDF("k", "v")
+    // reference: the dim×-explode decimal-sum plan this aggregate replaces
+    val ref = df.select($"k", posexplode($"v"))
+      .groupBy($"k", $"pos")
+      .agg(sum($"col".cast(DecimalType(30, 15))).cast("double").as("s"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> xs.sortBy(_._2).map(_._3).toSeq }
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy($"k")
+      .agg(graft.functions.VectorAggregates.vectorDecimalSum($"v", 4).as("s"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val got = run(df)
+    assert(got === ref)
+    // exact decimal accumulation is commutative: ANY partitioning gives
+    // bit-identical sums
+    assert(run(df.repartition(17)) === got)
+    assert(run(df.repartition(1)) === got)
+    // SQL surface
+    graft.functions.VectorAggregates.register(spark)
+    df.createOrReplaceTempView("vds_in")
+    val viaSql = spark.sql(
+      "SELECT k, vector_decimal_sum(v, 4) AS s FROM vds_in GROUP BY k")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(viaSql === got)
+  }
+
   test("trained IVF at full probe equals exact brute force") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = Similarity.kmeansCentroids(emb, nCells = 10, iters = 3, dim = 64)
