@@ -89,6 +89,7 @@ object SparkEntry {
     "q69_pii_mask"        -> (TrainingData.q69PiiMask _),
     "q70_span_dedup"      -> (TrainingData.q70SpanDedup _),
     "q71_semantic_collapse" -> (TrainingData.q71SemanticCollapse _),
+    "q72_stream_neardup"  -> (StreamingQueries.q72StreamNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,5 +189,8 @@ object SparkEntry {
     "q69_pii_mask"        -> TrainingData.q69Sql,
     "q70_span_dedup"      -> TrainingData.q70Sql,
     "q71_semantic_collapse" -> TrainingData.q71Sql,
+    // q72: a REAL stateful stream (flatMapGroupsWithState near-dup);
+    // a drained run ≡ the batch portable-SimHash pipeline (q28 oracle).
+    "q72_stream_neardup"  -> StreamingQueries.q72Sql,
   )
 }

@@ -117,4 +117,34 @@ object StreamingQueries {
   /** Batch oracle: the stream must produce exactly the pairs the
     * batch range join (q59) produces. */
   val q67Sql: String = Completeness.q59Sql
+
+  /** q72: STREAMING NEAR-DUP detection — similarity-level dedup over a
+    * stream, not just exact-key `dropDuplicates`: the documents table
+    * streamed through [[graft.streaming.NearDup.pairs]]
+    * (portable SimHash-48 sign → 12-bit band buckets →
+    * flatMapGroupsWithState compare-against-bucket-state), drained,
+    * cross-band duplicates collapsed on the sink. A fully drained run
+    * emits exactly the batch banding's candidate pairs, so the oracle
+    * is q28's end-to-end DuckDB replay of the same spec. */
+  def q72StreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val pairs = graft.streaming.NearDup.pairs(stream, maxHamming = 6)
+    val name = s"q72_stream_out_${runSeq.incrementAndGet()}"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val prev = lastSink72.getAndSet(name)
+    if (prev != null) s.catalog.dropTempView(prev)
+    s.table(name).dropDuplicates("id_a", "id_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val lastSink72 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Batch oracle: the drained stream ≡ the batch portable-SimHash
+    * pipeline (q28's replay). */
+  val q72Sql: String = TrainingData.q28Sql
 }

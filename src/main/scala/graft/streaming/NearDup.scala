@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING near-duplicate detection — the LSH near-dedup play as a
+  * stateful stream, upgrading the engine's streaming dedup story from
+  * exact-key `dropDuplicates` to similarity-level.
+  *
+  * Each arriving doc is signed (portable SimHash-48, the q28 spec),
+  * banded into four 12-bit chunks, and compared against every
+  * signature previously seen in its (band, chunk) bucket via
+  * `flatMapGroupsWithState`; Hamming ≤ `maxHamming` emits a pair.
+  * Pairs are normalized to (min id, max id), so ARRIVAL ORDER never
+  * changes the emitted SET — a fully drained run produces exactly the
+  * batch [[graft.operators.Dedup.simHashDupPairsPortable]] candidate
+  * pairs, which is what q72's oracle (q28's DuckDB replay) gates.
+  *
+  * A pair sharing several chunks is emitted once per matching band
+  * (different state buckets cannot see each other); consumers collapse
+  * with a batch `dropDuplicates` on the sink — chaining another
+  * stateful dedup after flatMapGroupsWithState inside the stream is
+  * unsupported, and per-band emission is also the honest streaming
+  * contract.
+  *
+  * State per bucket is the (id, sig) list seen so far: 16 bytes per
+  * doc per band. Production bounds it with a TTL
+  * (`GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration`)
+  * matching the ingestion dedup horizon — the reference's 7-day
+  * re-poll window, say — exactly like the watermark on the exact-dedup
+  * path.
+  */
+object NearDup {
+
+  case class DocSig(id: Long, sig: Long)
+
+  /** (doc stream with `idCol`, `textCol`) → streaming pair frame
+    * (id_a, id_b, hamming); one row per matching band. */
+  def pairs(docs: DataFrame, maxHamming: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = graft.functions.TextFunctions.shingles(col(textCol), 3)
+    val sig = docs
+      .select(col(idCol).as("id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.SignatureExpressions.simHash48Portable(col("sh"))
+          .as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 12).bitwiseAND(0xFFFL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val keyed = banded
+      .select(col("id"), col("sig"), col("band"), col("chunk"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+    val out: Dataset[(Long, Long, Long)] = keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+          state: GroupState[List[DocSig]]) =>
+        var seen = state.getOption.getOrElse(Nil)
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        rows.foreach { r =>
+          val d = DocSig(r._1, r._2)
+          seen.foreach { p =>
+            if (p.id != d.id) {
+              val h = java.lang.Long.bitCount(p.sig ^ d.sig).toLong
+              if (h <= maxHamming)
+                emitted += ((math.min(p.id, d.id), math.max(p.id, d.id), h))
+            }
+          }
+          seen = d :: seen
+        }
+        state.update(seen)
+        emitted.iterator
+    }
+    out.toDF("id_a", "id_b", "hamming")
+  }
+}

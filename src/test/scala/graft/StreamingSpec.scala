@@ -123,6 +123,43 @@ class StreamingSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("streaming near-dup: a near-duplicate arriving in a LATER " +
+      "micro-batch still pairs against bucket state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.NearDup.pairs(docs, maxHamming = 6)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark forest tonight without looking back"
+      input.addData((1L, base),
+        (2L, "completely different words about catalyst optimizer plans"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").isEmpty) // nothing similar yet
+      // batch 2: a near-dup of doc 1 and an exact dup of doc 1
+      input.addData((3L, base + " extra"), (4L, base))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select($"id_a", $"id_b", $"hamming")
+        .as[(Long, Long, Long)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) === 0L) // exact
+      assert(pairs.contains((1L, 3L))) // near-dup across batches
+      assert(pairs.contains((3L, 4L))) // both vs each other (same batch)
+      assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L))
+      // the drained set matches the batch pipeline on the same corpus
+      val batch = graft.operators.Dedup.simHashDupPairsPortable(
+        Seq((1L, base),
+          (2L, "completely different words about catalyst optimizer plans"),
+          (3L, base + " extra"), (4L, base)).toDF("doc_id", "text"),
+        maxHamming = 6)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.keySet === batch)
+    } finally q.stop()
+  }
+
   test("built-in session_window aggregation on the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
