@@ -90,6 +90,8 @@ object SparkEntry {
     "q70_span_dedup"      -> (TrainingData.q70SpanDedup _),
     "q71_semantic_collapse" -> (TrainingData.q71SemanticCollapse _),
     "q72_stream_neardup"  -> (StreamingQueries.q72StreamNearDup _),
+    "q73_skew_salted"     -> (Completeness.q73SkewSalted _),
+    "q74_lake_upsert"     -> (Completeness.q74LakeUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,5 +194,10 @@ object SparkEntry {
     // q72: a REAL stateful stream (flatMapGroupsWithState near-dup);
     // a drained run ≡ the batch portable-SimHash pipeline (q28 oracle).
     "q72_stream_neardup"  -> StreamingQueries.q72Sql,
+    // q73: salted two-phase agg must equal the plain group-by.
+    "q73_skew_salted"     -> Completeness.q73Sql,
+    // q74: a REAL double-upsert into a temp partitioned lake; the
+    // oracle replays latest-wins over the same batches.
+    "q74_lake_upsert"     -> Completeness.q74Sql,
   )
 }

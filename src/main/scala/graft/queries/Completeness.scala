@@ -437,4 +437,74 @@ object Completeness {
   }
 
   val q65Sql: String = TrainingData.q24Sql
+
+  /** q73: two-phase SALTED aggregation
+    * ([[graft.operators.Skew.saltedSumCount]]) — the hot-key survival
+    * play at 100 TB: partial aggregate on (key, salt), final on key.
+    * The oracle is the PLAIN group-by, because salting must be
+    * semantically invisible; exact-decimal sums make the two-phase
+    * reassociation bit-safe (double sums would differ by association
+    * order between the one- and two-phase plans). */
+  def q73SkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .withColumn("qty", $"l_quantity".cast(OracleMath.Dec))
+    graft.operators.Skew
+      .saltedSumCount(li, "l_returnflag", "qty", buckets = 16,
+        saltBy = $"l_orderkey")
+      .select($"l_returnflag", $"sum_qty".cast("double").as("sum_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  val q73Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q74: the lake MERGE path under the driver contract — two
+    * deterministic update batches upserted into a throwaway
+    * partitioned lake ([[graft.sources.Lake.upsertLatest]]:
+    * latest-version-wins, dynamic partition overwrite, crash-safe
+    * staged swap), read back, materialized (bounded by the user_id
+    * filter — a few thousand rows), and the temp lake deleted. The
+    * oracle replays latest-wins as a window over the same two
+    * batches, so the driver hash gates what the lake actually holds
+    * after both merges. */
+  def q74LakeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).filter($"user_id" < 50)
+      .select($"event_id".as("key"), $"ts", $"value")
+    val base = ev.filter($"key" % 7 =!= 0).withColumn("version", lit(1L))
+    val fixes = ev.filter($"key" % 3 === 0)
+      .withColumn("version", lit(2L))
+      .withColumn("value", $"value" * 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q74_lake").toString
+    try {
+      graft.sources.Lake.upsertLatest(s, path, base, "key", "version", "ts")
+      graft.sources.Lake.upsertLatest(s, path, fixes, "key", "version", "ts")
+      val data = graft.sources.Lake.read(s, path)
+        .select($"key".cast("long"), $"version".cast("long"),
+          $"value".cast("double"))
+        .as[(Long, Long, Double)].collect().toSeq
+      data.toDF("key", "version", "value").orderBy($"key")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q74Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id AS key, value FROM events WHERE user_id < 50),
+      |b1 AS (SELECT key, CAST(1 AS BIGINT) AS version, value
+      |       FROM ev WHERE key % 7 <> 0),
+      |b2 AS (SELECT key, CAST(2 AS BIGINT) AS version, value * 2 AS value
+      |       FROM ev WHERE key % 3 = 0),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+      |r AS (SELECT key, version, value,
+      |  row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn
+      |  FROM u)
+      |SELECT key, version, value FROM r WHERE rn = 1 ORDER BY key""".stripMargin
 }
