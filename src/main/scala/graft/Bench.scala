@@ -45,7 +45,11 @@ object Bench {
     // unlucky — single cache-cleared runs produced phantom 3-7×
     // regressions on this shared box (see BASELINE.md variance notes).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // local-iteration filter (same contract as Verify's): comma-separated
+    // name substrings; unset — the driver's case — benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to passes; (name, fn) <- names) {

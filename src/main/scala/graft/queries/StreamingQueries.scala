@@ -105,9 +105,22 @@ object StreamingQueries {
         .stream(purchases, errors, windowSec = 60)
         .select($"p_event", $"e_event")
       val name = s"q67_stream_out_${runSeq.incrementAndGet()}"
+      // the drain needs no no-data micro-batch: an inner join emits on
+      // the data batch; the extra batch only advances the watermark to
+      // EVICT state — a full scan of both join state stores (~800k
+      // rows here) that the about-to-stop query never benefits from
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val noDataPrev = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        noDataPrev match {
+          case Some(v) => s.conf.set(noDataKey, v)
+          case None    => s.conf.unset(noDataKey)
+        }
+      }
       val prev = lastSink67.getAndSet(name)
       if (prev != null) s.catalog.dropTempView(prev)
       s.table(name).orderBy($"p_event", $"e_event")
