@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   *    classic shingle→minhash→band→bucket-join plan, with candidate
   *    verification as a second exact-Jaccard filter;
   *  - SimHash: a projection to one 64-bit signature, a band-bucket
-  *    join on 16-bit chunks, and a Hamming-distance verify;
+  *    join on `maxHamming + 1` signature chunks (pigeonhole-complete
+  *    for the promised radius), and a Hamming-distance verify;
   *  - embedding near-dup: random-hyperplane LSH buckets, cosine verify.
   *
   * All candidate generation is bucket-equi-join — never an O(n²)
@@ -161,47 +162,53 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four
-    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
-    * bucket-join, verify hamming ≤ maxHamming. */
-  def simHashDupPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3): DataFrame = {
-    val sig = simHashSignatures(docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+  /** Contiguous chunk layout whose pigeonhole guarantee COVERS
+    * `maxHamming`: `maxHamming + 1` bands, widths as equal as possible
+    * (they differ by at most one bit). A pair within `maxHamming`
+    * differing bits cannot touch all `maxHamming + 1` chunks, so at
+    * least one chunk is identical and the bucket join finds the pair —
+    * recall 1.0 for the promised radius BY CONSTRUCTION, not by luck.
+    * (The previous fixed 4-band layout only guaranteed hamming ≤ 3;
+    * callers asking for 6 silently lost straddling pairs — the same
+    * fixed-banding bug [[lshParams]] fixed for MinHash.)
+    *
+    * Returns (bitOffset, bitWidth) per band. The SAME spec drives the
+    * Spark banding AND the generated DuckDB replay SQL, so the oracle
+    * can never drift from the implementation. */
+  def simHashBandSpec(sigBits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val bands = maxHamming + 1
+    require(maxHamming >= 0 && bands <= sigBits,
+      s"maxHamming=$maxHamming needs ${bands} bands but the signature has only $sigBits bits")
+    val base = sigBits / bands
+    val extra = sigBits % bands
+    val widths = Seq.tabulate(bands)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths) // (offset, width) per band
   }
 
-  /** [[simHashDupPairs]] in the portable 48-bit md5 domain
-    * ([[graft.functions.SignatureKernels.simHash48]]): same
-    * single-pass projection shape, 4 bands × 12 bits (identical
-    * pigeonhole guarantee to 4 × 16 over 64), hamming verify — but
-    * every step is replayable in DuckDB, so the driver query is
-    * oracle-gated (the `hashSplitPortable`/`rollingHashPortable`
-    * play; the xxhash64 variant stays the production fast path). */
-  def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3): DataFrame = {
-    val sig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"),
-        graft.functions.SignatureExpressions.simHash48Portable(col("sh")).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 12).bitwiseAND(0xFFFL)): _*)))
+  /** Banding columns for [[simHashBandSpec]]: chunk b = the spec'd bit
+    * slice of `sig` (arithmetic shift is safe — the mask strips any
+    * sign extension). */
+  private def simHashChunkExprs(sigBits: Int, maxHamming: Int): Seq[Column] =
+    simHashBandSpec(sigBits, maxHamming).map { case (off, w) =>
+      shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+
+  /** Signature-level SimHash pairing: band each (id, sig) row into
+    * `maxHamming + 1` chunks, bucket-join, verify hamming ≤
+    * `maxHamming`. Shared by both signature domains (64-bit xxhash64,
+    * 48-bit portable md5) and unit-testable with PLANTED signatures —
+    * DedupSpec plants a hamming-5 pair whose differing bits straddle
+    * all four legacy chunks and asserts it is found.
+    *
+    * The sig frame is cached: the band fan-out references it once per
+    * join side, and the md5-domain projection is the expensive part of
+    * the portable path (measured ~2× end-to-end — the same reuse
+    * [[lshCandidates]] applies to shingles). */
+  def simHashPairsFromSigs(sig: DataFrame, sigBits: Int,
+      maxHamming: Int): DataFrame = {
+    val cached = sig.cache()
+    val banded = cached.select(col("id"), col("sig"),
+      posexplode(array(simHashChunkExprs(sigBits, maxHamming): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -211,6 +218,36 @@ object Dedup {
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into
+    * `maxHamming + 1` chunks ([[simHashBandSpec]] — recall 1.0 at the
+    * promised radius), bucket-join, verify hamming ≤ maxHamming. */
+  def simHashDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val sig = simHashSignatures(docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0))
+    simHashPairsFromSigs(sig, 64, maxHamming)
+  }
+
+  /** [[simHashDupPairs]] in the portable 48-bit md5 domain
+    * ([[graft.functions.SignatureKernels.simHash48]]): same
+    * single-pass projection shape and [[simHashBandSpec]] banding,
+    * hamming verify — but every step is replayable in DuckDB, so the
+    * driver query is oracle-gated (the `hashSplitPortable`/
+    * `rollingHashPortable` play; the xxhash64 variant stays the
+    * production fast path). */
+  def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val sig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.SignatureExpressions.simHash48Portable(col("sh")).as("sig"))
+    simHashPairsFromSigs(sig, 48, maxHamming)
   }
 
   /** Connected components over an undirected pair list (id_a, id_b)

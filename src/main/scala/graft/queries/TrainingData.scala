@@ -241,12 +241,19 @@ object TrainingData {
 
   /** Independent DuckDB replay of the portable SimHash-48 spec. The
     * 48 per-bit vote sums are generated terms; everything is fully
-    * parenthesized (DuckDB gives <<, >>, &, | one precedence level). */
+    * parenthesized (DuckDB gives <<, >>, &, | one precedence level).
+    * The band table is GENERATED from [[Dedup.simHashBandSpec]] — the
+    * same (offset, width) layout the Spark side bands with, so the
+    * oracle replays the exact pigeonhole contract (7 chunks for
+    * hamming ≤ 6) and cannot drift from the implementation. */
   val q28Sql: String = {
     val sigTerms = (0 until 48).map { j =>
       s"(CASE WHEN SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
         s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
     }.mkString("\n      + ")
+    val bandRows = Dedup.simHashBandSpec(48, 6).zipWithIndex
+      .map { case ((off, w), b) => s"($b, $off, ${(1L << w) - 1})" }
+      .mkString(", ")
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
@@ -262,8 +269,8 @@ object TrainingData {
        |  SELECT doc_id, $sigTerms AS sig
        |  FROM hv GROUP BY doc_id),
        |banded AS (
-       |  SELECT doc_id, sig, gs.i AS band, ((sig >> (gs.i * 12)) & 4095) AS chunk
-       |  FROM sig, generate_series(0, 3) AS gs(i))
+       |  SELECT doc_id, sig, b.band AS band, ((sig >> b.off) & b.mask) AS chunk
+       |  FROM sig, (VALUES $bandRows) AS b(band, off, mask))
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b

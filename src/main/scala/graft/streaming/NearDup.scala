@@ -9,9 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exact-key `dropDuplicates` to similarity-level.
   *
   * Each arriving doc is signed (portable SimHash-48, the q28 spec),
-  * banded into four 12-bit chunks, and compared against every
-  * signature previously seen in its (band, chunk) bucket via
-  * `flatMapGroupsWithState`; Hamming ≤ `maxHamming` emits a pair.
+  * banded into `maxHamming + 1` chunks
+  * ([[graft.operators.Dedup.simHashBandSpec]] — the pigeonhole layout
+  * that guarantees recall at the promised radius), and compared
+  * against every signature previously seen in its (band, chunk)
+  * bucket via `flatMapGroupsWithState`; Hamming ≤ `maxHamming` emits
+  * a pair.
   * Pairs are normalized to (min id, max id), so ARRIVAL ORDER never
   * changes the emitted SET — a fully drained run produces exactly the
   * batch [[graft.operators.Dedup.simHashDupPairsPortable]] candidate
@@ -48,9 +51,12 @@ object NearDup {
       .select(col("id"),
         graft.functions.SignatureExpressions.simHash48Portable(col("sh"))
           .as("sig"))
+    val chunkExprs = graft.operators.Dedup.simHashBandSpec(48, maxHamming)
+      .map { case (off, w) =>
+        shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
+      }
     val banded = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 12).bitwiseAND(0xFFFL)): _*)))
+      posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
     val keyed = banded

@@ -189,6 +189,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 10L))
   }
 
+  test("simhash banding: planted hamming-5 pair straddling all four legacy chunks is FOUND") {
+    // Differing bits 5, 13, 25, 37, 44 hit every legacy 4×12-bit chunk
+    // (0-11, 12-23, 24-35, 36-47), so the old fixed 4-band layout
+    // dropped this pair silently despite hamming 5 ≤ maxHamming 6. The
+    // maxHamming+1 = 7-chunk pigeonhole layout leaves chunks 2 (bits
+    // 14-20) and 4 (bits 28-34) untouched and MUST find it.
+    val sigA = 0x0123456789ABL
+    val diff = Seq(5, 13, 25, 37, 44).map(1L << _).reduce(_ | _)
+    val sigs = Seq((1L, sigA), (2L, sigA ^ diff)).toDF("id", "sig")
+    val found = Dedup.simHashPairsFromSigs(sigs, 48, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(found === Seq((1L, 2L, 5L)))
+  }
+
+  test("simHashBandSpec: maxHamming+1 bands exactly tile the signature") {
+    for (bits <- Seq(48, 64); h <- 0 to 10) {
+      val spec = Dedup.simHashBandSpec(bits, h)
+      assert(spec.size === h + 1)            // pigeonhole: h diffs can't touch all h+1 chunks
+      assert(spec.map(_._2).sum === bits)    // full coverage, no bit unbanded
+      assert(spec.forall(_._2 >= 1))
+      spec.sliding(2).toSeq.foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o2 === o1 + w1) // contiguous
+        case _ =>
+      }
+    }
+  }
+
   test("editDistancePairs: planted typos found, unrelated and far texts skipped") {
     val typoDocs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),
