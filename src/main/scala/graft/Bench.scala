@@ -68,8 +68,15 @@ object Bench {
     val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-pass samples alongside the medians: medians absorb transient
+    // machine load, but a real regression and a noisy pass are
+    // indistinguishable from a single number — the raw passes let a
+    // reader adjudicate (samples are in pass order, pass 1 first)
+    val raw = names.map { case (name, _) =>
+      "\"" + name + "\":" + samples(name).reverse.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

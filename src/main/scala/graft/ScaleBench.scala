@@ -71,14 +71,17 @@ object ScaleBench {
     li.write.mode("overwrite").parquet(s"$scratch/lineitem_x1")
 
     // synthetic edge lists ABOVE the 1M-edge driver-union-find cutoff,
-    // so both runs exercise the distributed min-label loop (the path no
-    // natural sf0.1 corpus reaches): chains of 5 nodes / 4 edges →
-    // diameter 4, 4-5 label rounds, crossing the every-3rd-round
-    // localCheckpoint at least once. Written to parquet like the rest.
+    // so both runs exercise the distributed alternating-star loop (the
+    // path no natural sf0.1 corpus reaches): chains of 64 nodes / 63
+    // edges → diameter 63, the topology min-label propagation needed
+    // ~63 shuffle rounds for; large/small-star collapses it in O(log n)
+    // rounds. Integer `div` keeps the ids exact (plain `/` is double
+    // division — it used to write fractional ids, quietly turning the
+    // chains into a different graph). Written to parquet like the rest.
     def edgeFrame(nEdges: Long): DataFrame =
       spark.range(nEdges).select(
-        (($"id" / 4) * 5 + pmod($"id", lit(4))).as("id_a"),
-        (($"id" / 4) * 5 + pmod($"id", lit(4)) + 1).as("id_b"))
+        (expr("id div 63") * 64 + pmod($"id", lit(63))).as("id_a"),
+        (expr("id div 63") * 64 + pmod($"id", lit(63)) + 1).as("id_b"))
     edgeFrame(1200000L).write.mode("overwrite").parquet(s"$scratch/edges_x1")
     edgeFrame(1200000L * factor).write.mode("overwrite")
       .parquet(s"$scratch/edges")
@@ -142,10 +145,11 @@ object ScaleBench {
             toleranceSec = Some(3600)).count()
         },
         events1, eventsN),
-      // the distributed min-label loop at 1.2M / factor×1.2M edges:
-      // ratio ≈ linear means the per-round join+aggregate scales and the
-      // label-cache hygiene (unpersist superseded generations, pinned
-      // checkpoints) holds — the driver union-find path never fires here
+      // the distributed alternating-star loop at 1.2M / factor×1.2M
+      // edges of diameter-63 chains: ratio ≈ linear means the per-round
+      // aggregate+join scales and the edge-cache hygiene (unpersist
+      // superseded generations, pinned checkpoints) holds — the driver
+      // union-find path never fires here
       ("connected_components_distributed",
         (d: DataFrame) => graft.operators.Dedup
           .connectedComponents(d).count(),
@@ -174,6 +178,21 @@ object ScaleBench {
       val tN = Seq(time(run(amplified)), time(run(amplified))).min
       println(f"""{"pipeline":"$name","x1_sec":$t1%.2f,"xN_sec":$tN%.2f,"factor":$factor,"ratio":${tN / t1}%.2f}""")
     }
+
+    // ---- hot-bucket guard under a PLANTED degenerate bucket: 10k
+    // byte-identical docs share every LSH band bucket, so unguarded
+    // candidate generation is 10k²/2 pairs in ONE task (the straggler
+    // that kills a 100 TB run). With the cap the pipeline must finish
+    // in normal time and warn-log the dropped mass (watch the
+    // graft_hot_buckets warning above this line). ----
+    val degen = spark.range(10000)
+      .select($"id".as("doc_id"),
+        lit("the same degenerate boilerplate text repeated across " +
+          "every copy of this planted document forever and ever").as("text"))
+      .union(docs1.select($"doc_id" + 1000000L, $"text"))
+    val tGuard = time(graft.operators.Dedup
+      .minHashDupPairs(degen, 0.5, maxBucket = 1000).count())
+    println(f"""{"pipeline":"hot_bucket_guard_degenerate","sec":$tGuard%.2f,"planted":10000,"cap":1000}""")
     spark.stop()
   }
 }

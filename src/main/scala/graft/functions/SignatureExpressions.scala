@@ -71,23 +71,30 @@ object SignatureKernels {
     sig
   }
 
-  /** Portable SimHash-48: per-feature hash = little-endian uint64 of
-    * the first 8 md5 digest bytes masked to 48 bits — exactly the
-    * value DuckDB exposes as `md5_number_upper(s) & (2^48-1)` (same
-    * construction as `Sampling.portableHash48`) — then ±1 bit votes
-    * over the 48 bits. Same structure as [[simHash]], but replayable
-    * in any engine with md5 + bit ops, so the driver query using it is
-    * oracle-gated instead of rows-only. */
-  def simHash48(arr: ArrayData): Long = {
+  /** Portable SimHash-48 over HALF the md5 digest: per-feature hash =
+    * little-endian uint64 of digest bytes [part·8, part·8+8) masked to
+    * 48 bits — part 0 is exactly DuckDB's `md5_number_upper(s) &
+    * (2^48-1)` (same construction as `Sampling.portableHash48`), part
+    * 1 is `md5_number_lower(s) & (2^48-1)` (byte-order identities
+    * verified against DuckDB) — then ±1 bit votes over the 48 bits.
+    * Same structure as [[simHash]], but replayable in any engine with
+    * md5 + bit ops, so the driver query using it is oracle-gated
+    * instead of rows-only. The two parts concatenate into a 96-bit
+    * portable signature whose `maxHamming + 1` pigeonhole chunks stay
+    * ≥ 12 bits wide up to maxHamming 7 — a single 48-bit word at
+    * maxHamming 6 left only 6-7-bit chunks (64-128 buckets per band),
+    * a quadratic candidate blowup at scale. */
+  def simHash48(arr: ArrayData, part: Int): Long = {
     val votes = new Array[Int](48)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val off = part * 8
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       val d = md.digest(arr.getUTF8String(i).getBytes)
       var h = 0L
-      var j = 7
-      while (j >= 0) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
+      var j = off + 7
+      while (j >= off) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
       h &= 0xFFFFFFFFFFFFL
       var b = 0
       while (b < 48) {
@@ -103,6 +110,35 @@ object SignatureKernels {
       b += 1
     }
     sig
+  }
+
+  /** 128-bit SimHash via xxhash64 double-hashing — the production fast
+    * path's wide twin: word 0 votes on h = xxh64(s, 42) (bit-identical
+    * to [[simHash]]), word 1 on xxh64_long(h, 1). At maxHamming 6 the
+    * 7 pigeonhole chunks are 18-19 bits wide (256k+ buckets per band)
+    * where a single 64-bit word left 9-10 bits. Returns [w0, w1]. */
+  def simHash128(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](128)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash(arr.getUTF8String(i), 42L)
+      val h2 = XXH64.hashLong(h, 1L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) votes(b + 64) += 1 else votes(b + 64) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    val words = new Array[Long](2)
+    var b = 0
+    while (b < 128) {
+      if (votes(b) > 0) words(b >>> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new GenericArrayData(words)
   }
 
   /** Exact Jaccard of two string arrays in one fused pass: a hash set
@@ -155,16 +191,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class SimHash48Portable(child: Expression) extends UnaryExpression {
+case class SimHash48Portable(child: Expression, part: Int = 0)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash48_portable"
   override def nullSafeEval(input: Any): Any =
-    SignatureKernels.simHash48(input.asInstanceOf[ArrayData])
+    SignatureKernels.simHash48(input.asInstanceOf[ArrayData], part)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash48($c);")
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash48($c, $part);")
   override protected def withNewChildInternal(newChild: Expression): SimHash48Portable =
+    copy(child = newChild)
+}
+
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash128"
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simHash128(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash128($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
     copy(child = newChild)
 }
 
@@ -189,8 +239,10 @@ object SignatureExpressions {
     GraftShims.column(MinHashSig(GraftShims.expression(shingles), k))
   def simHash64(shingles: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(shingles)))
-  def simHash48Portable(shingles: Column): Column =
-    GraftShims.column(SimHash48Portable(GraftShims.expression(shingles)))
+  def simHash128(shingles: Column): Column =
+    GraftShims.column(SimHash128(GraftShims.expression(shingles)))
+  def simHash48Portable(shingles: Column, part: Int = 0): Column =
+    GraftShims.column(SimHash48Portable(GraftShims.expression(shingles), part))
   def jaccardSim(a: Column, b: Column): Column =
     GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
 
@@ -208,8 +260,15 @@ object SignatureExpressions {
       }), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash128",
+      exprs => SimHash128(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash48_portable",
-      exprs => SimHash48Portable(exprs(0)), "scala_udf")
+      exprs => SimHash48Portable(exprs(0), exprs.drop(1) match {
+        case Seq(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+          v.toString.toInt
+        case Seq() => 0
+        case other => sys.error(s"simhash48_portable part must be a literal, got $other")
+      }), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sim",
       exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",

@@ -105,9 +105,12 @@ object Dedup {
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; a candidate pair shares ≥1 full band. Pass
     * (k, bands) explicitly, or let the threshold-taking operators
-    * derive them via [[lshParams]]. */
+    * derive them via [[lshParams]]. The band-bucket self-join is
+    * hot-bucket guarded ([[HotBuckets.guard]]): a degenerate bucket
+    * with B members feeds B² candidates into one task otherwise. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
+      shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // cache: the shingle projection feeds the signature pass AND both
@@ -119,7 +122,8 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .cache()
     val sig = minHashSignatures(shingled, k)
-    val banded = bandedOf(sig, bands, r)
+    val banded = HotBuckets.guard(bandedOf(sig, bands, r),
+      Seq("band", "bucket"), maxBucket, "minhash_lsh")
     // bucket self-join on the slim (id, band, bucket) set => pair ids
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -140,9 +144,10 @@ object Dedup {
     * are left defaulted). */
   def minHashDupPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     val (kk, bb) = resolveLsh(threshold, k, bands)
-    lshCandidates(docs, idCol, textCol, shingleSize, kk, bb)
+    lshCandidates(docs, idCol, textCol, shingleSize, kk, bb, maxBucket)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -158,6 +163,18 @@ object Dedup {
   def simHashSignatures(shingled: DataFrame): DataFrame =
     shingled.select(col("id"),
       graft.functions.SignatureExpressions.simHash64(col("sh")).as("sig"))
+
+  /** 128-bit SimHash signatures as two 64-bit words (sig0 = the
+    * [[simHashSignatures]] bits, sig1 from the double-hash lane) — the
+    * wide fast path: at any maxHamming the pigeonhole chunks are 2×
+    * the single-word width, so band-bucket cardinality stays ≥ 2^18
+    * at the default radius instead of collapsing to a few hundred. */
+  def simHash128Signatures(shingled: DataFrame): DataFrame =
+    shingled
+      .select(col("id"),
+        graft.functions.SignatureExpressions.simHash128(col("sh")).as("s"))
+      .select(col("id"), col("s").getItem(0).as("sig0"),
+        col("s").getItem(1).as("sig1"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -185,79 +202,143 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths) // (offset, width) per band
   }
 
-  /** Banding columns for [[simHashBandSpec]]: chunk b = the spec'd bit
-    * slice of `sig` (arithmetic shift is safe — the mask strips any
-    * sign extension). */
-  private def simHashChunkExprs(sigBits: Int, maxHamming: Int): Seq[Column] =
+  /** The spec'd bit slice `(off, w)` of a signature held as
+    * `wordBits`-bit words (word i = bits [i·wordBits, (i+1)·wordBits)).
+    * A chunk that straddles a word boundary recombines from both words;
+    * unsigned shifts + the width mask make full-64-bit words safe (and
+    * `w == 64` — sigBits 64, maxHamming 0 — no longer overflows the
+    * mask to 0: JVM shifts are mod 64, so `(1L << 64) - 1` was 0 and
+    * every row landed in chunk 0, degenerating the bucket join to the
+    * O(n²) cross join this module forbids). ONE helper for the batch
+    * operators and [[graft.streaming.NearDup]] — the layouts cannot
+    * drift apart. */
+  private[graft] def sigChunkExpr(words: Seq[Column], wordBits: Int,
+      off: Int, w: Int): Column = {
+    require(w <= 64, s"chunk width $w exceeds a long")
+    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1)
+    val i = off / wordBits
+    val r = off % wordBits
+    val lo = shiftrightunsigned(words(i), r)
+    val chunk =
+      if (r + w <= wordBits) lo
+      else lo.bitwiseOR(shiftleft(words(i + 1), wordBits - r))
+    chunk.bitwiseAND(mask)
+  }
+
+  /** All [[simHashBandSpec]] chunk columns for a multi-word signature. */
+  private[graft] def sigChunkExprs(words: Seq[Column], wordBits: Int,
+      sigBits: Int, maxHamming: Int): Seq[Column] =
     simHashBandSpec(sigBits, maxHamming).map { case (off, w) =>
-      shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
+      sigChunkExpr(words, wordBits, off, w)
     }
 
-  /** Signature-level SimHash pairing: band each (id, sig) row into
-    * `maxHamming + 1` chunks, bucket-join, verify hamming ≤
-    * `maxHamming`. Shared by both signature domains (64-bit xxhash64,
-    * 48-bit portable md5) and unit-testable with PLANTED signatures —
-    * DedupSpec plants a hamming-5 pair whose differing bits straddle
-    * all four legacy chunks and asserts it is found.
+  /** Signature-level SimHash pairing over a MULTI-WORD signature
+    * (columns `wordCols`, each holding `wordBits` bits): band each row
+    * into `maxHamming + 1` chunks, bucket-join (hot-bucket guarded),
+    * verify total hamming ≤ `maxHamming`. Shared by both signature
+    * domains — 2×64-bit xxhash64 fast path, 2×48-bit portable md5 —
+    * and unit-testable with PLANTED signatures (DedupSpec plants
+    * straddling pairs and asserts they are found).
     *
-    * The sig frame is cached: the band fan-out references it once per
-    * join side, and the md5-domain projection is the expensive part of
-    * the portable path (measured ~2× end-to-end — the same reuse
-    * [[lshCandidates]] applies to shingles). */
-  def simHashPairsFromSigs(sig: DataFrame, sigBits: Int,
-      maxHamming: Int): DataFrame = {
-    val cached = sig.cache()
-    val banded = cached.select(col("id"), col("sig"),
-      posexplode(array(simHashChunkExprs(sigBits, maxHamming): _*)))
+    * No caching: the band fan-out is referenced once per join side,
+    * but both sides shuffle the SAME banded projection on (band,
+    * chunk), so Catalyst's ReuseExchange computes the signature
+    * kernel once — nothing is pinned in the catalog across calls
+    * (the round-6 `.cache()` here leaked a pinned frame per call in
+    * long-lived sessions). */
+  def simHashPairsFromSigWords(sig: DataFrame, wordCols: Seq[String],
+      wordBits: Int, sigBits: Int, maxHamming: Int,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    require(wordCols.nonEmpty && sigBits <= wordCols.size * wordBits,
+      s"$sigBits bits do not fit ${wordCols.size} ${wordBits}-bit words")
+    val words = wordCols.map(col)
+    val banded = sig.select(
+      col("id") +: words :+
+        posexplode(array(sigChunkExprs(words, wordBits, sigBits, maxHamming): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val guarded = HotBuckets.guard(banded, Seq("band", "chunk"), maxBucket,
+      "simhash")
+    val a = guarded.select(col("band") +: col("chunk") +: col("id").as("id_a") +:
+      wordCols.map(c => col(c).as(c + "_a")): _*)
+    val b = guarded.select(col("band") +: col("chunk") +: col("id").as("id_b") +:
+      wordCols.map(c => col(c).as(c + "_b")): _*)
+    val hamming = wordCols
+      .map(c => bit_count(col(c + "_a").bitwiseXOR(col(c + "_b"))))
+      .reduce(_ + _)
     a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("long"))
+      .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into
-    * `maxHamming + 1` chunks ([[simHashBandSpec]] — recall 1.0 at the
-    * promised radius), bucket-join, verify hamming ≤ maxHamming. */
+  /** [[simHashPairsFromSigWords]] for a single-long signature column
+    * `sig` — the planted-fixture entry point and the shape the 48/64
+    * bit domains used before the round-7 widening. */
+  def simHashPairsFromSigs(sig: DataFrame, sigBits: Int, maxHamming: Int,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame =
+    simHashPairsFromSigWords(sig, Seq("sig"), sigBits, sigBits, maxHamming,
+      maxBucket)
+
+  /** SimHash near-dup pairs on the 128-bit fast-path signature
+    * ([[simHash128Signatures]]): band into `maxHamming + 1` chunks
+    * ([[simHashBandSpec]] — recall 1.0 at the promised radius by
+    * pigeonhole), bucket-join, verify hamming ≤ maxHamming. 128 bits
+    * keep the chunks ≥ 18 bits wide at the default radius — the
+    * single-word 64-bit layout left 9-bit chunks (512 buckets/band),
+    * a candidate blowup at corpus scale. */
   def simHashDupPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3): DataFrame = {
-    val sig = simHashSignatures(docs
+      shingleSize: Int = 3,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    val sig = simHash128Signatures(docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0))
-    simHashPairsFromSigs(sig, 64, maxHamming)
+    simHashPairsFromSigWords(sig, Seq("sig0", "sig1"), 64, 128, maxHamming,
+      maxBucket)
   }
 
-  /** [[simHashDupPairs]] in the portable 48-bit md5 domain
-    * ([[graft.functions.SignatureKernels.simHash48]]): same
-    * single-pass projection shape and [[simHashBandSpec]] banding,
-    * hamming verify — but every step is replayable in DuckDB, so the
-    * driver query is oracle-gated (the `hashSplitPortable`/
-    * `rollingHashPortable` play; the xxhash64 variant stays the
-    * production fast path). */
+  /** [[simHashDupPairs]] in the portable 96-bit md5 domain: two 48-bit
+    * words ([[graft.functions.SignatureKernels.simHash48]] parts 0/1 —
+    * DuckDB's `md5_number_upper/lower & (2^48-1)`), the same
+    * [[simHashBandSpec]] banding, hamming verify — every step
+    * replayable in DuckDB, so the driver query is oracle-gated (the
+    * `hashSplitPortable`/`rollingHashPortable` play; the xxhash64
+    * variant stays the production fast path). 96 bits keep the
+    * pigeonhole chunks 13-14 bits wide at maxHamming 6 — the round-6
+    * single-word 48-bit layout had 6-7-bit chunks (64-128 buckets per
+    * band), a ~56× candidate blowup vs the legacy 12-bit layout and
+    * quadratic at 100× scale. */
   def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3): DataFrame = {
-    val sig = docs
+      shingleSize: Int = 3,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    val shingled = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"),
-        graft.functions.SignatureExpressions.simHash48Portable(col("sh")).as("sig"))
-    simHashPairsFromSigs(sig, 48, maxHamming)
+    val sig = shingled.select(col("id"),
+      graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 0).as("sig0"),
+      graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 1).as("sig1"))
+    simHashPairsFromSigWords(sig, Seq("sig0", "sig1"), 48, 96, maxHamming,
+      maxBucket)
   }
 
-  /** Connected components over an undirected pair list (id_a, id_b)
-    * via iterative min-label propagation: each node adopts the
-    * smallest label among itself and its neighbors until fixpoint.
-    * Converges in O(diameter) rounds — near-dup clusters are tiny
-    * (pairs of pairs), so 2-4 rounds in practice; every round is two
-    * shuffled joins + an aggregate, checkpoint-free. For web-scale
-    * graphs swap in large-star/small-star; the interface stays. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+  /** Connected components over an undirected pair list (id_a, id_b).
+    * Two paths behind one interface:
+    *
+    *  - ≤ `driverThreshold` edges: a driver union-find — post-verify
+    *    near-dup graphs are sparse, and ≤1M edges on the driver beats
+    *    10+ distributed jobs by 10-50×;
+    *  - above it: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond") — converges in
+    *    O(log n) rounds on ANY topology, where the previous min-label
+    *    propagation needed O(diameter) rounds (a 63-hop chain cost 63
+    *    shuffle rounds; the stars collapse it in a handful). Each star
+    *    op is one aggregate + one join on the slim edge list.
+    *
+    * Output: (id, comp) with comp = the component's min id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -265,9 +346,6 @@ object Dedup {
       .cache()
     val nEdges = p.count()
     if (nEdges <= driverThreshold) {
-      // Post-verification near-dup graphs are sparse — a driver
-      // union-find on ≤1M edges beats 10+ distributed jobs by 10-50×.
-      // The iterative path below remains for genuinely huge graphs.
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -286,44 +364,82 @@ object Dedup {
       p.unpersist()
       return out
     }
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val out = largeSmallStar(p, maxIter)
+    p.unpersist()
+    out
+  }
+
+  /** One LARGE-STAR pass: for each node u (over the symmetric
+    * neighborhood), m = min(Γ(u) ∪ {u}); every strictly-larger
+    * neighbor re-hangs onto m. Emits (v, m) edges. */
+  private def largeStarStep(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR pass: edges directed large→small; for each node u,
+    * m = min of its smaller neighborhood (∪ {u}); u and all its
+    * smaller neighbors re-hang onto m. */
+  private def smallStarStep(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Alternating-star driver loop. At the fixpoint the edge set is a
+    * depth-1 star per component (every node → component min), so the
+    * labels fall straight out of the final edge list. */
+  private def largeSmallStar(p: DataFrame, maxIter: Int): DataFrame = {
+    var edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .cache()
-    edges.count() // materialize the slim edge cache …
-    p.unpersist() // … then release the raw pair cache
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("comp", col("id"))
-    var labelsCheckpointed = false
+    var nCur = edges.count()
+    var edgesCheckpointed = false
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("comp", "n_comp"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_comp")).as("n_comp"))
-      val step = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+      val step = smallStarStep(largeStarStep(edges))
       // localCheckpoint every 3rd round truncates the per-round join
       // lineage (otherwise plan depth grows linearly and task
-      // serialization dominates on long chains); plain cache on the
-      // other rounds. Superseded CACHED generations are released each
-      // round; CHECKPOINTED ones must stay pinned — they are the
-      // lineage root later rounds recompute from on block loss.
+      // serialization dominates); plain cache on the other rounds.
+      // Superseded CACHED generations are released each round;
+      // CHECKPOINTED ones must stay pinned — they are the lineage root
+      // later rounds recompute from on block loss.
       val checkpointRound = (i + 1) % 3 == 0
       val next = if (checkpointRound) step.localCheckpoint() else step.cache()
-      next.count() // materialize before comparing
-      converged = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).isEmpty
-      if (!labelsCheckpointed) labels.unpersist() // no-op for round 0
-      labels = next
-      labelsCheckpointed = checkpointRound
+      val nNext = next.count() // materialize before comparing
+      // equal cardinality + empty one-sided difference ⇒ identical sets
+      converged = nNext == nCur && next.except(edges).isEmpty
+      if (!edgesCheckpointed) edges.unpersist()
+      edges = next
+      edgesCheckpointed = checkpointRound
+      nCur = nNext
       i += 1
     }
-    edges.unpersist()
-    labels
+    // isolated self-pairs (id_a == id_b with no other edge) still need
+    // a label: union the input's node set back in as singletons
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    out
   }
 
   /** Corpus-level dedup: returns the docs to KEEP. Exact duplicates
@@ -333,13 +449,14 @@ object Dedup {
     * training-data operation, not just the pair report. */
   def dedupCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     val fp = docs.withColumn("__fp", fingerprint(col(textCol)))
     val keepExact = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val exactKept = docs.join(keepExact, Seq(idCol), "left_semi")
     val pairs = minHashDupPairs(exactKept, jaccardThreshold, idCol, textCol,
-      shingleSize, k, bands)
+      shingleSize, k, bands, maxBucket)
     val comps = connectedComponents(pairs)
     val drop = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
@@ -363,7 +480,8 @@ object Dedup {
   def dedupIncremental(newDocs: DataFrame, corpus: DataFrame,
       jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     val (kk, bb) = resolveLsh(jaccardThreshold, k, bands)
     val r = kk / bb
     // 0. the corpus index: one scan, cached, reused three times (for
@@ -389,7 +507,9 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), kk))
       .cache()
-    val banded = bandedOf(proj.select(col("id"), col("sig")), bb, r)
+    val banded = HotBuckets.guard(
+      bandedOf(proj.select(col("id"), col("sig")), bb, r),
+      Seq("band", "bucket"), maxBucket, "incremental_batch")
     // 3. within-batch near-dup: banded self-join → hydrate from proj →
     //    exact-Jaccard verify → connected components → cluster-min
     val selfPairs = banded
@@ -422,9 +542,10 @@ object Dedup {
       afterExact.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val corpusShingled = corpusPrep.filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"))
-    val corpusBanded = bandedOf(
+    val corpusBanded = HotBuckets.guard(bandedOf(
       corpusShingled.select(col("id"),
-        minHashSignature(col("sh"), kk).as("sig")), bb, r)
+        minHashSignature(col("sh"), kk).as("sig")), bb, r),
+      Seq("band", "bucket"), maxBucket, "incremental_corpus")
     val candidates = newBanded
       .select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("old_id")),
@@ -493,9 +614,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       blockKey: Column => Column,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3): DataFrame = {
-    val keyed = docs.select(col(idCol).as("id"),
-      blockKey(col(textCol)).as("blk"), shingles(col(textCol), shingleSize).as("sh"))
+      shingleSize: Int = 3,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    val keyed = HotBuckets.guard(
+      docs.select(col(idCol).as("id"), blockKey(col(textCol)).as("blk"),
+        shingles(col(textCol), shingleSize).as("sh")),
+      Seq("blk"), maxBucket, "ngram_block")
     val a = keyed.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

@@ -99,10 +99,15 @@ object Similarity {
   }
 
   /** LSH-bucketed near-duplicate pairs: same-bucket equi-join, cosine
-    * verify ≥ threshold. Bucket width (bits) is the recall/cost dial. */
+    * verify ≥ threshold. Bucket width (bits) is the recall/cost dial;
+    * the bucket join is hot-bucket guarded
+    * ([[graft.operators.HotBuckets.guard]] — a degenerate bucket, e.g.
+    * a mass of near-zero vectors all landing on one sign pattern,
+    * otherwise feeds B² pairs into one task). */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     // normalize ONCE per vector (projection), so the per-pair work
     // after the bucket join is a single dot product
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
@@ -111,8 +116,10 @@ object Similarity {
       .select(col("id"),
         transform(col("raw"), x => x / col("nrm")).as("vec"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, bits))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val guarded = HotBuckets.guard(v, Seq("bucket"), maxBucket,
+      "hyperplane_lsh")
+    val a = guarded.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = guarded.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", round(dot(col("vec_a"), col("vec_b")), 4))
@@ -323,8 +330,10 @@ object Similarity {
     * from a bucket equi-join, never vector × vector. */
   def semanticCollapse(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val pairs = lshNearDupPairs(vectors, threshold, dim, bits, idCol, vecCol)
+      vecCol: String = "embedding",
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    val pairs = lshNearDupPairs(vectors, threshold, dim, bits, idCol, vecCol,
+      maxBucket)
     val comps = graft.operators.Dedup.connectedComponents(
       pairs.select(col("id_a"), col("id_b")))
     val drop = comps.filter(col("id") =!= col("comp"))

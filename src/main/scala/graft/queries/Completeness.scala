@@ -466,11 +466,14 @@ object Completeness {
     * deterministic update batches upserted into a throwaway
     * partitioned lake ([[graft.sources.Lake.upsertLatest]]:
     * latest-version-wins, dynamic partition overwrite, crash-safe
-    * staged swap), read back, materialized (bounded by the user_id
-    * filter — a few thousand rows), and the temp lake deleted. The
-    * oracle replays latest-wins as a window over the same two
-    * batches, so the driver hash gates what the lake actually holds
-    * after both merges. */
+    * staged swap), read back, and the temp lake deleted. The read-back
+    * is DISTRIBUTED — `localCheckpoint` pins the executor-side result
+    * blocks so the frame survives the lake's deletion, with no driver
+    * collect in the query body (the result stays a few thousand rows
+    * only because of the user_id gate filter; the operator itself
+    * never materializes). The oracle replays latest-wins as a window
+    * over the same two batches, so the driver hash gates what the lake
+    * actually holds after both merges. */
   def q74LakeUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).filter($"user_id" < 50)
@@ -484,11 +487,11 @@ object Completeness {
     try {
       graft.sources.Lake.upsertLatest(s, path, base, "key", "version", "ts")
       graft.sources.Lake.upsertLatest(s, path, fixes, "key", "version", "ts")
-      val data = graft.sources.Lake.read(s, path)
+      graft.sources.Lake.read(s, path)
         .select($"key".cast("long"), $"version".cast("long"),
           $"value".cast("double"))
-        .as[(Long, Long, Double)].collect().toSeq
-      data.toDF("key", "version", "value").orderBy($"key")
+        .orderBy($"key")
+        .localCheckpoint()
     } finally {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

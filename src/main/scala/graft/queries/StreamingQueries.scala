@@ -134,11 +134,18 @@ object StreamingQueries {
   /** q72: STREAMING NEAR-DUP detection — similarity-level dedup over a
     * stream, not just exact-key `dropDuplicates`: the documents table
     * streamed through [[graft.streaming.NearDup.pairs]]
-    * (portable SimHash-48 sign → 12-bit band buckets →
+    * (portable SimHash-96 sign → 13-14-bit band buckets →
     * flatMapGroupsWithState compare-against-bucket-state), drained,
     * cross-band duplicates collapsed on the sink. A fully drained run
     * emits exactly the batch banding's candidate pairs, so the oracle
-    * is q28's end-to-end DuckDB replay of the same spec. */
+    * is q28's end-to-end DuckDB replay of the same spec. This drained
+    * run leaves `stateTtl` DISARMED: `processAllAvailable` cannot
+    * coexist with a processing-time timeout (the engine then
+    * intentionally never reports "no new data" —
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is always true
+    * — so the drain would never return); production long-running
+    * streams arm the TTL + a trigger interval, covered by the
+    * StreamingSpec TTL-eviction case. */
   def q72StreamNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/documents.parquet").schema

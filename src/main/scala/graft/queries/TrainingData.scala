@@ -228,32 +228,46 @@ object TrainingData {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-duplicate pairs (banded buckets, Hamming ≤ 6
-    * verify). The driver query uses the portable 48-bit md5-domain
-    * signature so DuckDB can replay the whole pipeline — shingle →
-    * per-feature hash → bit votes → banding → bucket join → hamming —
-    * independently (see q28Sql); the xxhash64 64-bit fast path stays
-    * in [[Dedup.simHashDupPairs]], spec-covered. */
+    * verify). The driver query uses the portable 96-bit md5-domain
+    * signature — two 48-bit words from `md5_number_upper/lower` — so
+    * DuckDB can replay the whole pipeline: shingle → per-feature hash
+    * → bit votes → banding → bucket join → hamming — independently
+    * (see q28Sql). 96 bits keep the maxHamming+1 pigeonhole chunks
+    * 13-14 bits wide (≥ 2^13 buckets per band); the xxhash64 128-bit
+    * fast path stays in [[Dedup.simHashDupPairs]], spec-covered. */
   def q28SimHashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.simHashDupPairsPortable(Tables.documents(s, dir), maxHamming = 6)
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Independent DuckDB replay of the portable SimHash-48 spec. The
-    * 48 per-bit vote sums are generated terms; everything is fully
+  /** Independent DuckDB replay of the portable SimHash-96 spec. The
+    * 2×48 per-bit vote sums are generated terms; everything is fully
     * parenthesized (DuckDB gives <<, >>, &, | one precedence level).
-    * The band table is GENERATED from [[Dedup.simHashBandSpec]] — the
-    * same (offset, width) layout the Spark side bands with, so the
-    * oracle replays the exact pigeonhole contract (7 chunks for
+    * The per-band chunk expressions are GENERATED from
+    * [[Dedup.simHashBandSpec]] — the same (offset, width) layout the
+    * Spark side bands with, including the word-straddling recombine —
+    * so the oracle replays the exact pigeonhole contract (7 chunks for
     * hamming ≤ 6) and cannot drift from the implementation. */
   val q28Sql: String = {
-    val sigTerms = (0 until 48).map { j =>
-      s"(CASE WHEN SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
+    def sigTerms(h: String): String = (0 until 48).map { j =>
+      s"(CASE WHEN SUM(CASE WHEN (($h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
         s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
     }.mkString("\n      + ")
-    val bandRows = Dedup.simHashBandSpec(48, 6).zipWithIndex
-      .map { case ((off, w), b) => s"($b, $off, ${(1L << w) - 1})" }
-      .mkString(", ")
+    // the same word/straddle split as Dedup.sigChunkExpr, over the two
+    // 48-bit portable words
+    def chunkSql(off: Int, w: Int): String = {
+      val mask = (1L << w) - 1
+      val i = off / 48
+      val r = off % 48
+      if (r + w <= 48) s"((sig$i >> $r) & $mask)"
+      else s"(((sig0 >> $r) | (sig1 << ${48 - r})) & $mask)"
+    }
+    val chunkCases = Dedup.simHashBandSpec(96, 6).zipWithIndex
+      .map { case ((off, w), b) => s"WHEN $b THEN ${chunkSql(off, w)}" }
+      .mkString("\n    ")
+    val bandRows = Dedup.simHashBandSpec(96, 6).indices
+      .map(b => s"($b)").mkString(", ")
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
@@ -263,19 +277,26 @@ object TrainingData {
        |        FROM documents)
        |  WHERE len(toks) >= 1),
        |hv AS (
-       |  SELECT doc_id, CAST(md5_number_upper(s) & 281474976710655 AS BIGINT) AS h
+       |  SELECT doc_id,
+       |    CAST(md5_number_upper(s) & 281474976710655 AS BIGINT) AS h0,
+       |    CAST(md5_number_lower(s) & 281474976710655 AS BIGINT) AS h1
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
        |sig AS (
-       |  SELECT doc_id, $sigTerms AS sig
+       |  SELECT doc_id, ${sigTerms("h0")} AS sig0,
+       |    ${sigTerms("h1")} AS sig1
        |  FROM hv GROUP BY doc_id),
        |banded AS (
-       |  SELECT doc_id, sig, b.band AS band, ((sig >> b.off) & b.mask) AS chunk
-       |  FROM sig, (VALUES $bandRows) AS b(band, off, mask))
+       |  SELECT doc_id, sig0, sig1, b.band AS band, CASE b.band
+       |    $chunkCases
+       |    END AS chunk
+       |  FROM sig, (VALUES $bandRows) AS b(band))
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  CAST(bit_count(xor(a.sig0, b.sig0)) +
+       |       bit_count(xor(a.sig1, b.sig1)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+       |WHERE bit_count(xor(a.sig0, b.sig0)) +
+       |      bit_count(xor(a.sig1, b.sig1)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -8,10 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stateful stream, upgrading the engine's streaming dedup story from
   * exact-key `dropDuplicates` to similarity-level.
   *
-  * Each arriving doc is signed (portable SimHash-48, the q28 spec),
-  * banded into `maxHamming + 1` chunks
-  * ([[graft.operators.Dedup.simHashBandSpec]] — the pigeonhole layout
-  * that guarantees recall at the promised radius), and compared
+  * Each arriving doc is signed (portable 96-bit SimHash, two 48-bit
+  * md5-domain words — the q28 spec), banded into `maxHamming + 1`
+  * chunks ([[graft.operators.Dedup.simHashBandSpec]] via the SHARED
+  * [[graft.operators.Dedup.sigChunkExprs]] helper — the pigeonhole
+  * layout that guarantees recall at the promised radius, with 13-14
+  * bit chunks so per-band bucket cardinality stays ≥ 2^13 instead of
+  * the 64-128 buckets a single 48-bit word left), and compared
   * against every signature previously seen in its (band, chunk)
   * bucket via `flatMapGroupsWithState`; Hamming ≤ `maxHamming` emits
   * a pair.
@@ -27,21 +30,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unsupported, and per-band emission is also the honest streaming
   * contract.
   *
-  * State per bucket is the (id, sig) list seen so far: 16 bytes per
-  * doc per band. Production bounds it with a TTL
-  * (`GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration`)
-  * matching the ingestion dedup horizon — the reference's 7-day
-  * re-poll window, say — exactly like the watermark on the exact-dedup
-  * path.
+  * State per bucket is the (id, sig0, sig1) list seen so far: 24 bytes
+  * per doc per band. TWO bounds keep it 100-TB-safe:
+  *
+  *  - `stateTtl` arms `GroupStateTimeout.ProcessingTimeTimeout`:
+  *    bucket state untouched for the TTL is evicted, exactly like the
+  *    watermark on the exact-dedup path. Set it to the ingestion dedup
+  *    horizon (the reference's 7-day re-poll window, say); a drained
+  *    test run stays batch-equivalent whenever TTL ≥ drain time. Pair
+  *    a short TTL with a real `Trigger.ProcessingTime` interval: under
+  *    the default continuous trigger, due timeouts make the engine
+  *    spin no-data micro-batches back to back.
+  *  - `maxBucket` caps the per-bucket list: a degenerate bucket stops
+  *    ACCUMULATING past the cap (arrivals still compare against the
+  *    capped state, so no task ever scans an unbounded list — the
+  *    streaming twin of [[graft.operators.HotBuckets.guard]]).
   */
 object NearDup {
 
-  case class DocSig(id: Long, sig: Long)
+  case class DocSig(id: Long, sig0: Long, sig1: Long)
 
   /** (doc stream with `idCol`, `textCol`) → streaming pair frame
     * (id_a, id_b, hamming); one row per matching band. */
   def pairs(docs: DataFrame, maxHamming: Int = 6,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      stateTtl: Option[java.time.Duration] = None,
+      maxBucket: Int = graft.operators.HotBuckets.DefaultCap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = graft.functions.TextFunctions.shingles(col(textCol), 3)
@@ -49,39 +63,53 @@ object NearDup {
       .select(col(idCol).as("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"),
-        graft.functions.SignatureExpressions.simHash48Portable(col("sh"))
-          .as("sig"))
-    val chunkExprs = graft.operators.Dedup.simHashBandSpec(48, maxHamming)
-      .map { case (off, w) =>
-        shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1))
-      }
-    val banded = sig.select(col("id"), col("sig"),
+        graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 0)
+          .as("sig0"),
+        graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 1)
+          .as("sig1"))
+    val chunkExprs = graft.operators.Dedup.sigChunkExprs(
+      Seq(col("sig0"), col("sig1")), 48, 96, maxHamming)
+    val banded = sig.select(col("id"), col("sig0"), col("sig1"),
       posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
     val keyed = banded
-      .select(col("id"), col("sig"), col("band"), col("chunk"))
-      .as[(Long, Long, Int, Long)]
-      .groupByKey(r => (r._3, r._4))
+      .select(col("id"), col("sig0"), col("sig1"), col("band"), col("chunk"))
+      .as[(Long, Long, Long, Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out: Dataset[(Long, Long, Long)] = keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+      OutputMode.Append, timeoutConf) {
+      (_: (Int, Long), rows: Iterator[(Long, Long, Long, Int, Long)],
           state: GroupState[List[DocSig]]) =>
-        var seen = state.getOption.getOrElse(Nil)
-        val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        rows.foreach { r =>
-          val d = DocSig(r._1, r._2)
-          seen.foreach { p =>
-            if (p.id != d.id) {
-              val h = java.lang.Long.bitCount(p.sig ^ d.sig).toLong
-              if (h <= maxHamming)
-                emitted += ((math.min(p.id, d.id), math.max(p.id, d.id), h))
+        if (state.hasTimedOut) {
+          // TTL horizon passed with no arrivals: evict the bucket —
+          // a later duplicate of an evicted doc is a MISS by design,
+          // the same contract as watermark-bounded exact dedup
+          state.remove()
+          Iterator.empty
+        } else {
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val emitted =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          rows.foreach { r =>
+            val d = DocSig(r._1, r._2, r._3)
+            seen.foreach { p =>
+              if (p.id != d.id) {
+                val h = (java.lang.Long.bitCount(p.sig0 ^ d.sig0) +
+                  java.lang.Long.bitCount(p.sig1 ^ d.sig1)).toLong
+                if (h <= maxHamming)
+                  emitted += ((math.min(p.id, d.id), math.max(p.id, d.id), h))
+              }
             }
+            if (n < maxBucket) { seen = d :: seen; n += 1 }
           }
-          seen = d :: seen
+          state.update(seen)
+          stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          emitted.iterator
         }
-        state.update(seen)
-        emitted.iterator
     }
     out.toDF("id_a", "id_b", "hamming")
   }

@@ -128,7 +128,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
-    val out = graft.streaming.NearDup.pairs(docs, maxHamming = 6)
+    // maxHamming 12 over the 96-bit signature ≙ the old 6 over 48 bits
+    // (the radius dial scales with signature width)
+    val out = graft.streaming.NearDup.pairs(docs, maxHamming = 12)
     val q = out.writeStream.format("memory").queryName("neardup_out")
       .outputMode("append").start()
     try {
@@ -154,9 +156,54 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, base),
           (2L, "completely different words about catalyst optimizer plans"),
           (3L, base + " extra"), (4L, base)).toDF("doc_id", "text"),
-        maxHamming = 6)
+        maxHamming = 12)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(pairs.keySet === batch)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup TTL: expired bucket state evicts; a late duplicate no longer pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.NearDup.pairs(docs, maxHamming = 12,
+      stateTtl = Some(java.time.Duration.ofSeconds(2)))
+    // An armed processing-time timeout makes the engine run a batch
+    // every trigger forever (timeouts can fire at any time), so
+    // processAllAvailable would never return — the real trigger
+    // interval bounds the spin and progress is polled instead (the
+    // same reason Spark's own timeout tests use a manual clock).
+    val q = out.writeStream.format("memory").queryName("neardup_ttl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .outputMode("append").start()
+    // add a doc, then wait until the batch covering its (0-based)
+    // MemoryStream offset commits
+    def addAndAwait(doc: (Long, String)): Unit = {
+      val off = input.addData(doc).json.trim.toLong
+      val deadline = System.currentTimeMillis + 60000
+      def done = q.recentProgress.exists(p => p.sources.nonEmpty &&
+        Option(p.sources.head.endOffset).exists(_.trim.toLong >= off))
+      while (!done && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(done, s"stream never committed offset $off")
+    }
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark forest tonight without looking back"
+      addAndAwait((1L, base))
+      // let the 2 s TTL horizon pass: the spinning no-data batches see
+      // doc 1's buckets with no arrivals past their deadline and evict
+      Thread.sleep(3000)
+      // a late exact duplicate of doc 1 lands in doc 1's (now empty)
+      // buckets: NO pair — the dedup horizon is the TTL, exactly like
+      // watermark-bounded exact dedup
+      addAndAwait((2L, base))
+      assert(spark.table("neardup_ttl_out").isEmpty)
+      // state is alive again for doc 2: a prompt duplicate pairs
+      addAndAwait((3L, base))
+      val pairs = spark.table("neardup_ttl_out")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((2L, 3L)))
     } finally q.stop()
   }
 

@@ -87,6 +87,8 @@ class TextFunctionsSpec extends SparkSpec {
       """SELECT jaccard_sim(word_shingles(a, 2), word_shingles(b, 2)) AS j,
         |  simhash64(word_shingles(a, 2)) AS sh,
         |  simhash48_portable(word_shingles(a, 2)) AS shp,
+        |  simhash48_portable(word_shingles(a, 2), 1) AS shp1,
+        |  simhash128(word_shingles(a, 2)) AS sh128,
         |  minhash_sig(word_shingles(a, 2), 16) AS mh FROM texts""".stripMargin)
       .head()
     val api = df.select(
@@ -96,13 +98,23 @@ class TextFunctionsSpec extends SparkSpec {
         TextFunctions.shingles($"a", 2)).as("sh"),
       graft.functions.SignatureExpressions.simHash48Portable(
         TextFunctions.shingles($"a", 2)).as("shp"),
+      graft.functions.SignatureExpressions.simHash48Portable(
+        TextFunctions.shingles($"a", 2), 1).as("shp1"),
+      graft.functions.SignatureExpressions.simHash128(
+        TextFunctions.shingles($"a", 2)).as("sh128"),
       graft.functions.SignatureExpressions.minHashSig(
         TextFunctions.shingles($"a", 2), 16).as("mh"))
       .head()
     assert(sql.getDouble(0) === api.getDouble(0))
     assert(sql.getLong(1) === api.getLong(1))
     assert(sql.getLong(2) === api.getLong(2))
-    assert(sql.getSeq[Long](3) === api.getSeq[Long](3))
+    assert(sql.getLong(3) === api.getLong(3))
+    assert(sql.getSeq[Long](4) === api.getSeq[Long](4))
+    assert(sql.getSeq[Long](5) === api.getSeq[Long](5))
+    // the two md5 halves are independent lanes, word 0 of the 128-bit
+    // fast signature is exactly the 64-bit signature
+    assert(api.getLong(2) !== api.getLong(3))
+    assert(api.getSeq[Long](4).head === api.getLong(1))
   }
 
   test("rollingHash is order-sensitive and deterministic") {
@@ -204,7 +216,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simHashBandSpec: maxHamming+1 bands exactly tile the signature") {
-    for (bits <- Seq(48, 64); h <- 0 to 10) {
+    for (bits <- Seq(48, 64, 96, 128); h <- 0 to 10) {
       val spec = Dedup.simHashBandSpec(bits, h)
       assert(spec.size === h + 1)            // pigeonhole: h diffs can't touch all h+1 chunks
       assert(spec.map(_._2).sum === bits)    // full coverage, no bit unbanded
@@ -214,6 +226,58 @@ class DedupSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("production band layouts keep >= 12-bit chunks (>= 4096 buckets per band)") {
+    // the scale contract behind the round-7 widening: q28/q72's
+    // portable 96-bit layout and the 128-bit fast path must never band
+    // into chunks so narrow the bucket join degenerates (48 bits at
+    // maxHamming 6 left 6-7-bit chunks = 64-128 buckets per band —
+    // a ~n²·bands/2^13 candidate volume at any corpus size)
+    for ((bits, h) <- Seq((96, 6), (96, 7), (128, 6))) {
+      val widths = Dedup.simHashBandSpec(bits, h).map(_._2)
+      assert(widths.forall(_ >= 12),
+        s"sigBits=$bits maxHamming=$h has a chunk narrower than 12 bits: $widths")
+    }
+  }
+
+  test("simhash 96-bit banding: planted word-straddling hamming-6 pair is FOUND") {
+    // Differing bits 7, 21, 35, 47, 62, 90: bits 47 and 62 land in the
+    // band that straddles the 48-bit word boundary (offset 42, width
+    // 14 covers bits 42-55) and in its neighbors — six diffs over
+    // seven chunks leave at least one chunk untouched (pigeonhole), so
+    // the bucket join MUST find the pair even though every differing
+    // bit pattern crosses words. Verifies the two-word chunk recombine
+    // (sig0 >>> r | sig1 << 48-r) end to end with planted signatures.
+    val a0 = 0x0123456789ABL          // word 0: bits 0-47
+    val a1 = 0x00BEEF00DEADL          // word 1: bits 48-95
+    val diffs = Seq(7, 21, 35, 47, 62, 90)
+    val d0 = diffs.filter(_ < 48).map(1L << _).reduce(_ | _)
+    val d1 = diffs.filter(_ >= 48).map(b => 1L << (b - 48)).reduce(_ | _)
+    val sigs = Seq((1L, a0, a1), (2L, a0 ^ d0, a1 ^ d1))
+      .toDF("id", "sig0", "sig1")
+    val found = Dedup.simHashPairsFromSigWords(sigs, Seq("sig0", "sig1"),
+        wordBits = 48, sigBits = 96, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(found === Seq((1L, 2L, 6L)))
+  }
+
+  test("hot-bucket guard: degenerate buckets drop at the cap; default cap leaves results unchanged") {
+    // 40 identical docs: every (band, chunk) bucket holds all 40 — a
+    // planted degenerate bucket. With cap 10 the guard drops them all
+    // (candidate volume bounded); with the default cap the full 40·39/2
+    // pair set survives untouched.
+    val degen = (0L until 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6,
+      maxBucket = 10)
+    assert(capped.isEmpty)
+    val uncapped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6)
+    assert(uncapped.count() === 40L * 39 / 2)
+    // the minhash path: same planted fixture through lshCandidates
+    val cappedMh = Dedup.minHashDupPairs(degen, 0.5, maxBucket = 10)
+    assert(cappedMh.isEmpty)
+    val uncappedMh = Dedup.minHashDupPairs(degen, 0.5)
+    assert(uncappedMh.count() === 40L * 39 / 2)
   }
 
   test("editDistancePairs: planted typos found, unrelated and far texts skipped") {
@@ -237,6 +301,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
     assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("distributed large/small-star components ≡ driver union-find, incl. a 63-hop chain") {
+    // high-diameter chain (the min-label killer: 63 label rounds), a
+    // dense cluster, shuffled insertion order, an isolated pair — the
+    // alternating stars must label all of it identically to the exact
+    // driver union-find, well inside the O(log n) round budget
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val clique = for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)
+    val edges = new scala.util.Random(7).shuffle(
+      (chain ++ clique :+ ((500L, 501L))).toSeq).toDF("id_a", "id_b")
+    val exact = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val distributed = Dedup
+      .connectedComponents(edges, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === exact)
+    assert(distributed(163L) === 100L && distributed(7L) === 0L &&
+      distributed(501L) === 500L)
   }
 
   test("dedupCorpus keeps one canonical doc per exact+near cluster") {
