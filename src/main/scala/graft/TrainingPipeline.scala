@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * engine's training-data operators, i.e. what a user actually runs
   * over a raw document corpus:
   *
-  *   quality filter → PII masking → language ID → corpus dedup (exact
-  *   + MinHash-LSH near-dup, canonical survivor) → benchmark
-  *   decontamination → token counting → greedy sequence packing →
-  *   deterministic train/test split → partitioned parquet.
+  *   quality filter → PII masking → span-level dedup (C4 repeated-span
+  *   cut) → language ID → corpus dedup (exact + MinHash-LSH near-dup,
+  *   canonical survivor) → semantic collapse (embedding near-dup, when
+  *   embeddings are supplied) → benchmark decontamination → token
+  *   counting → greedy sequence packing → deterministic train/test
+  *   split → partitioned parquet.
   *
   * Every stage is a DataFrame transform from the operator library; the
   * whole job is one Catalyst plan per output (no driver-side row
@@ -25,11 +27,20 @@ object TrainingPipeline {
 
   /** The transform chain, exposed for tests (no I/O). Returns the
     * packed, split corpus: one row per kept document with lang,
-    * n_tokens, pack_id, and split columns. */
+    * n_tokens, pack_id, and split columns.
+    *
+    * `spanWords > 0` enables corpus-global span dedup; `embeddings`
+    * (doc_id, embedding Array[Float] of `embeddingDim`) enables
+    * semantic collapse — docs without an embedding row always
+    * survive that stage. */
   def prepare(docs: DataFrame, budget: Long = 2048L,
       jaccardThreshold: Double = 0.8, trainPct: Int = 95,
       benchmark: Option[DataFrame] = None,
-      decontaminateNgram: Int = 13): DataFrame = {
+      decontaminateNgram: Int = 13,
+      spanWords: Int = 10,
+      embeddings: Option[DataFrame] = None,
+      semanticThreshold: Double = 0.97,
+      embeddingDim: Int = 64): DataFrame = {
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs
@@ -42,8 +53,7 @@ object TrainingPipeline {
       size(TextFunctions.shingles(col("text"), 3)).cast("double") /
         (nTok - lit(2)).cast("double")
     val filtered = docs
-      .withColumn("n_tokens", nTok)
-      .filter(col("n_tokens") >= 5 &&
+      .filter(nTok >= 5 &&
         quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5 &&
         rep3 <= 0.6)
     // 2. PII masking BEFORE anything derives features from the text:
@@ -51,20 +61,45 @@ object TrainingPipeline {
     //    differing only in PII dedupe inconsistently (pure projection)
     val masked = filtered.withColumn("text",
       TextFunctions.maskPii(col("text")))
-    // 3. language ID (pure projection)
-    val langed = masked.withColumn("lang_pred",
+    // 3. span-level dedup BEFORE corpus dedup: it MUTATES text, which
+    //    changes fingerprints and shingle signatures — running it
+    //    after would dedup against stale features (the same ordering
+    //    argument as mask-before-dedup above). Token counts are
+    //    recomputed after the cut; docs emptied of every span drop.
+    val spanned =
+      if (spanWords <= 0) masked
+      else Dedup.dedupSpans(masked, spanWords)
+    val counted = spanned
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 1)
+    // 4. language ID (pure projection, on the final text)
+    val langed = counted.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))
-    // 4. corpus-level dedup: exact collapse + near-dup clusters, keep
+    // 5. corpus-level dedup: exact collapse + near-dup clusters, keep
     //    the canonical (min-id) survivor per cluster
     val deduped = Dedup.dedupCorpus(langed, jaccardThreshold)
-    // 5. benchmark decontamination (when an eval set is supplied):
-    //    AFTER dedup — the corpus is smallest here, and a contaminated
-    //    cluster survivor must drop even if its duplicates already did
-    val cleaned = benchmark.fold(deduped)(b =>
-      Dedup.decontaminate(deduped, b, decontaminateNgram))
-    // 6. sequence packing into context windows (two-level prefix sum)
+    // 6. semantic collapse (when embeddings are supplied): AFTER the
+    //    text-level dedup — lexical clusters are already gone cheaply,
+    //    the embedding pass only pays for the paraphrase-level
+    //    remainder. Docs without an embedding row survive.
+    val collapsed = embeddings.fold(deduped) { emb =>
+      val sub = emb.join(deduped.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val kept = graft.operators.Similarity.semanticCollapse(
+        sub, semanticThreshold, embeddingDim, idCol = "doc_id")
+      val drop = sub.select(col("doc_id"))
+        .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      deduped.join(drop, Seq("doc_id"), "left_anti")
+    }
+    // 7. benchmark decontamination (when an eval set is supplied):
+    //    AFTER every dedup stage — the corpus is smallest here, and a
+    //    contaminated cluster survivor must drop even if its
+    //    duplicates already did
+    val cleaned = benchmark.fold(collapsed)(b =>
+      Dedup.decontaminate(collapsed, b, decontaminateNgram))
+    // 8. sequence packing into context windows (two-level prefix sum)
     val packed = Sampling.packSequences(cleaned, "n_tokens", "doc_id", budget)
-    // 7. deterministic split — stable under repartitioning and retries
+    // 9. deterministic split — stable under repartitioning and retries
     packed.withColumn("split",
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,
         lit("train")).otherwise(lit("test")))

@@ -48,11 +48,20 @@ case class VectorDecimalSum(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(dim, arr.numElements())
+      // fail FAST on a shape mismatch: silently clamping a mis-sized
+      // vector would fold a corrupt row into the mean undetected (a
+      // k-means codebook poisoned by one bad row is far harder to
+      // debug than an aggregate error naming it)
+      require(arr.numElements() == dim,
+        s"vector_decimal_sum(dim=$dim) got a ${arr.numElements()}-element vector")
       var i = 0
-      while (i < n) {
-        buf(i) = buf(i).add(JBigDecimal.valueOf(arr.getDouble(i))
-          .setScale(15, RoundingMode.HALF_UP))
+      while (i < dim) {
+        // null elements contribute nothing — the elementwise analogue
+        // of SUM ignoring NULL
+        if (!arr.isNullAt(i)) {
+          buf(i) = buf(i).add(JBigDecimal.valueOf(arr.getDouble(i))
+            .setScale(15, RoundingMode.HALF_UP))
+        }
         i += 1
       }
     }

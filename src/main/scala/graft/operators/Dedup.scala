@@ -77,7 +77,17 @@ object Dedup {
       else math.max(1.0, math.ceil(
         math.log1p(-recallFloor) / math.log1p(-pBand)))
     }
-    val r = (kMax to 1 by -1).find(r => minBands(r) * r <= kMax).getOrElse(1)
+    val r = (kMax to 1 by -1).find(r => minBands(r) * r <= kMax).getOrElse {
+      // even 1-hash bands cannot reach the recall floor inside the
+      // kernel budget (t below ~0.03 at kMax=128): fail FAST with the
+      // actual dial values — silently returning an over-budget k made
+      // the kernel's own require fire two operators downstream, and
+      // clamping would silently ship less recall than promised
+      throw new IllegalArgumentException(
+        s"lshParams: threshold=$threshold needs ${minBands(1).toLong} bands " +
+          s"of 1 hash to reach recall $recallFloor — beyond the $kMax-lane " +
+          "kernel budget; raise the threshold, lower recallFloor, or raise kMax")
+    }
     val bands = minBands(r).toInt
     (bands * r, bands)
   }

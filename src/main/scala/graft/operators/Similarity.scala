@@ -41,9 +41,17 @@ object Similarity {
 
   /** Bounded-work guard: probes at most limit+1 rows of `df` (a
     * `limit` scan, not a full count) to decide whether the query side
-    * honors its broadcast contract. */
+    * honors its broadcast contract.
+    *
+    * The probe is EAGER — it executes the query-side plan once at
+    * operator-build time (bounded by the limit: the scan stops at
+    * limit+1 rows), and the join then executes that side again. That
+    * is the price of choosing broadcast vs shuffle before AQE sees any
+    * statistics; callers who already know their query side is large
+    * pass `broadcastLimit <= 0` to skip the probe and take the
+    * shuffle path directly with zero extra work. */
   private def fitsBroadcast(df: DataFrame, limitRows: Int): Boolean =
-    df.limit(limitRows + 1).count() <= limitRows
+    limitRows > 0 && df.limit(limitRows + 1).count() <= limitRows
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` is expected small — it is broadcast, so the corpus is

@@ -79,6 +79,25 @@ class KMeansSpec extends SparkSpec {
     assert(viaSql === got)
   }
 
+  test("VectorDecimalSum: mis-sized vectors fail fast, null elements sum as 0") {
+    val bad = Seq((0, Seq(1.0, 2.0)), (0, Seq(1.0, 2.0, 3.0, 4.0))).toDF("k", "v")
+    val e = intercept[Exception] {
+      bad.groupBy($"k")
+        .agg(graft.functions.VectorAggregates.vectorDecimalSum($"v", 4).as("s"))
+        .collect()
+    }
+    assert(e.getMessage.contains("vector_decimal_sum") ||
+      Option(e.getCause).exists(_.getMessage.contains("vector_decimal_sum")))
+    val withNulls = Seq(
+      (0, Seq[java.lang.Double](1.0, null, 3.0, 4.0)),
+      (0, Seq[java.lang.Double](1.0, 2.0, null, 4.0))
+    ).toDF("k", "v")
+    val got = withNulls.groupBy($"k")
+      .agg(graft.functions.VectorAggregates.vectorDecimalSum($"v", 4).as("s"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) === Seq(2.0, 2.0, 3.0, 8.0))
+  }
+
   test("trained IVF at full probe equals exact brute force") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = Similarity.kmeansCentroids(emb, nCells = 10, iters = 3, dim = 64)

@@ -262,6 +262,24 @@ class DedupSpec extends SparkSpec {
     assert(found === Seq((1L, 2L, 6L)))
   }
 
+  test("simhash pair generation pins no storage across repeated calls") {
+    // round 6 cached the sig frame per call and never unpersisted —
+    // a long-lived library session accumulated pinned frames. The
+    // widened path relies on ReuseExchange for the self-join reuse
+    // instead: repeated calls must leave the persistent-RDD registry
+    // exactly where it was.
+    val sigs = Seq((1L, 5L), (2L, 7L), (3L, 5L), (4L, 1024L))
+      .toDF("id", "sig")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 30) Dedup.simHashPairsFromSigs(sigs, 48, 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
+  test("lshParams: a threshold below the kernel budget fails fast, not silently") {
+    val e = intercept[IllegalArgumentException](Dedup.lshParams(0.01))
+    assert(e.getMessage.contains("kernel budget"))
+  }
+
   test("hot-bucket guard: degenerate buckets drop at the cap; default cap leaves results unchanged") {
     // 40 identical docs: every (band, chunk) bucket holds all 40 — a
     // planted degenerate bucket. With cap 10 the guard drops them all

@@ -41,8 +41,12 @@ class TrainingPipelineSpec extends SparkSpec {
     val withPii = Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("text", concat($"text", lit(" mail boss"), $"doc_id",
         lit("@corp.example.net")))
+    // spanWords = 0: span dedup would (correctly) cut the repeated
+    // "<EMAIL>"-carrying span from near-dup docs, which is the span
+    // stage's own test — this one pins the masking+decontamination
+    // composition, so every survivor must still carry its masked token
     val cleaned = TrainingPipeline.prepare(withPii,
-      benchmark = Some(bench), decontaminateNgram = 8)
+      benchmark = Some(bench), decontaminateNgram = 8, spanWords = 0)
     // every surviving doc had its planted email masked
     val leaked = cleaned.filter($"text".rlike("@corp")).count()
     assert(leaked === 0)
@@ -54,6 +58,28 @@ class TrainingPipelineSpec extends SparkSpec {
     val benchIds = bench.select($"doc_id").as[Long].collect().toSet
     assert(survivors.intersect(benchIds).isEmpty)
     assert(cleaned.count() > 0)
+  }
+
+  test("span dedup and semantic collapse stages fire inside the composed pipeline") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val boiler = ws("b", 10) // one aligned 10-token chunk
+    val docs = Seq(
+      (1L, boiler + " " + ws("x", 10)), // owns the boilerplate (first by id)
+      (2L, boiler + " " + ws("y", 10)), // later copy of the span → cut
+      (3L, ws("z", 20))                 // distinct text, but doc 2's embedding twin
+    ).toDF("doc_id", "text")
+    val vec = Array(1f, 0f, 0f, 0f)
+    val emb = Seq((2L, vec), (3L, vec)).toDF("doc_id", "embedding")
+    val out = TrainingPipeline.prepare(docs,
+      embeddings = Some(emb), embeddingDim = 4)
+    val toks = out.select($"doc_id", $"n_tokens".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // span stage: doc 2 lost its 10 boilerplate tokens, doc 1 kept all 20
+    assert(toks(1L) === 20L && toks(2L) === 10L)
+    // semantic stage: doc 3 collapsed into its embedding twin (min id 2
+    // survives); doc 1 has no embedding row and survives by default
+    assert(!toks.contains(3L))
+    assert(toks.keySet === Set(1L, 2L))
   }
 
   test("packs are contiguous in doc order and near-budget") {
