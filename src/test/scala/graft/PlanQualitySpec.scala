@@ -24,6 +24,20 @@ class PlanQualitySpec extends SparkSpec {
   // tiny query set (q24 on raw embeddings, q60 on stub-featurized media)
   private val nestedLoopAllowed = Set("q24_ann_topk", "q60_multimodal_ann")
 
+  test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
+    // the SimHash pair join deliberately does NOT cache its signature
+    // projection: both join sides shuffle the same canonical banded
+    // child, so AQE's exchange reuse must compute the md5 kernel once.
+    // If a plan change ever breaks that canonical equality, this gate
+    // fails before the 2× kernel cost ships.
+    val df = SparkEntry.queries("q28_simhash_dedup")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))
+    assert(reused >= 1, s"no reused stage in final q28 plan:\n$plan")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no global window, no cartesian, no accidental nested loop") {
       val plan = fn(spark, sf).queryExecution.sparkPlan
