@@ -67,11 +67,11 @@ object TextFunctions {
       lang -> vocabCount(text, stops)
     }
     // argmax via chained CASE: first language whose score is the max
-    // and positive; ties resolve in profile order (deterministic).
+    // and positive; ties resolve in profile order (deterministic,
+    // because a CASE evaluates its branches top-down).
     val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      when(score === maxScore && score > 0 &&
-        acc === "und", lang).otherwise(acc)
+    scores.foldRight(lit("und")) { case ((lang, score), els) =>
+      when(score === maxScore && score > 0, lang).otherwise(els)
     }
   }
 
