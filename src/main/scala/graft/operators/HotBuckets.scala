@@ -34,8 +34,11 @@ object HotBuckets {
   val DefaultCap = 10000
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: the registry must not pin a stopped session (a strong
+  // static set would leak every session a long-lived JVM ever opened)
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Filter `df` down to rows whose (`keys`) bucket has ≤ `cap`
