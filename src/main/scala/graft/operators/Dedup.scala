@@ -622,10 +622,19 @@ object Dedup {
     * recall holes remain the standard blocked-fuzzy-join tradeoff.
     * Both blocking keys and the verify are engine-portable, so this
     * family member is fully oracle-checkable — and the oracle (which
-    * blocks only on prefix) doubles as the losslessness proof. */
+    * blocks only on prefix) doubles as the losslessness proof.
+    *
+    * Like every candidate join in the module, the (blk, lbin) buckets
+    * are hot-bucket guarded on BOTH sides (the guard windows over the
+    * join's own shuffle key, so it costs no extra shuffle): a
+    * degenerate block — e.g. ten thousand docs opening with the same
+    * twelve characters and near-equal length — is dropped and
+    * warn-logged instead of paying cap² × O(maxLen²) levenshtein
+    * calls in one task. */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      prefixLen: Int = 12, maxLen: Int = 80): DataFrame = {
+      prefixLen: Int = 12, maxLen: Int = 80,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     // candidate lengths span [len-maxDist, len+maxDist] — width
     // 2·maxDist+1 — so bins of exactly that width cover it with two
     // consecutive keys (the ≤-2-bins lemma needs bin width ≥ range width)
@@ -636,14 +645,16 @@ object Dedup {
       .withColumn("blk", substring(col("nrm"), 1, prefixLen))
       .withColumn("len", length(col("nrm")))
     val aBase = floor((col("len") - maxDist).cast("double") / w).cast("long")
-    val a = keyed
+    val a = HotBuckets.guard(keyed
       .withColumn("lbin", explode(array(aBase, aBase + 1)))
       .select(col("blk"), col("lbin"), col("id").as("id_a"),
-        col("nrm").as("nrm_a"), col("len").as("len_a"))
-    val b = keyed
+        col("nrm").as("nrm_a"), col("len").as("len_a")),
+      Seq("blk", "lbin"), maxBucket, "editDistancePairs/a")
+    val b = HotBuckets.guard(keyed
       .withColumn("lbin", floor(col("len").cast("double") / w).cast("long"))
       .select(col("blk"), col("lbin"), col("id").as("id_b"),
-        col("nrm").as("nrm_b"), col("len").as("len_b"))
+        col("nrm").as("nrm_b"), col("len").as("len_b")),
+      Seq("blk", "lbin"), maxBucket, "editDistancePairs/b")
     a.join(b, Seq("blk", "lbin"))
       .filter(col("id_a") < col("id_b") &&
         // implied by dist <= maxDist; an int compare that spares the
