@@ -112,6 +112,46 @@ object SignatureKernels {
     sig
   }
 
+  /** Both portable SimHash-48 words in ONE md5 pass per feature:
+    * word i is bit-identical to `simHash48(arr, i)`, but each shingle
+    * is digested ONCE for both words instead of once per word — the
+    * md5 digest is the expensive part of the portable path, so fusing
+    * halves the kernel cost of every 96-bit signing. Returns
+    * [word0, word1] (= DuckDB `md5_number_upper/lower & (2^48-1)`
+    * vote domains). */
+  def simHash96(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](96)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var w = 0
+      while (w < 2) {
+        val off = w * 8
+        var h = 0L
+        var j = off + 7
+        while (j >= off) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
+        h &= 0xFFFFFFFFFFFFL
+        var b = 0
+        while (b < 48) {
+          if (((h >>> b) & 1L) == 1L) votes(w * 48 + b) += 1
+          else votes(w * 48 + b) -= 1
+          b += 1
+        }
+        w += 1
+      }
+      i += 1
+    }
+    val words = new Array[Long](2)
+    var b = 0
+    while (b < 96) {
+      if (votes(b) > 0) words(b / 48) |= (1L << (b % 48))
+      b += 1
+    }
+    new GenericArrayData(words)
+  }
+
   /** 128-bit SimHash via xxhash64 double-hashing — the production fast
     * path's wide twin: word 0 votes on h = xxh64(s, 42) (bit-identical
     * to [[simHash]]), word 1 on xxh64_long(h, 1). At maxHamming 6 the
@@ -193,6 +233,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 case class SimHash48Portable(child: Expression, part: Int = 0)
     extends UnaryExpression {
+  // fail fast at expression BUILD: an out-of-range part would read
+  // past the 16-byte md5 digest as a per-row execution-time error
+  require(part == 0 || part == 1,
+    s"simhash48_portable part must be 0 (md5 upper) or 1 (lower), got $part")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash48_portable"
@@ -202,6 +246,19 @@ case class SimHash48Portable(child: Expression, part: Int = 0)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash48($c, $part);")
   override protected def withNewChildInternal(newChild: Expression): SimHash48Portable =
+    copy(child = newChild)
+}
+
+case class SimHash96Portable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash96_portable"
+  override def nullSafeEval(input: Any): Any =
+    SignatureKernels.simHash96(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.simHash96($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash96Portable =
     copy(child = newChild)
 }
 
@@ -243,6 +300,8 @@ object SignatureExpressions {
     GraftShims.column(SimHash128(GraftShims.expression(shingles)))
   def simHash48Portable(shingles: Column, part: Int = 0): Column =
     GraftShims.column(SimHash48Portable(GraftShims.expression(shingles), part))
+  def simHash96Portable(shingles: Column): Column =
+    GraftShims.column(SimHash96Portable(GraftShims.expression(shingles)))
   def jaccardSim(a: Column, b: Column): Column =
     GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
 
@@ -269,6 +328,8 @@ object SignatureExpressions {
         case Seq() => 0
         case other => sys.error(s"simhash48_portable part must be a literal, got $other")
       }), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash96_portable",
+      exprs => SimHash96Portable(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sim",
       exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",

@@ -131,8 +131,11 @@ object Dedup {
     * k/bands rows each; a candidate pair shares ≥1 full band. Pass
     * (k, bands) explicitly, or let the threshold-taking operators
     * derive them via [[lshParams]]. The band-bucket self-join is
-    * hot-bucket guarded ([[HotBuckets.guard]]): a degenerate bucket
-    * with B members feeds B² candidates into one task otherwise. */
+    * hot-bucket bounded with a star fallback
+    * ([[HotBuckets.starSelfJoinCandidates]]): a bucket with B > cap
+    * members yields B-1 representative candidates instead of B² —
+    * bounded work AND a mega-cluster of true duplicates still
+    * collapses downstream. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
@@ -147,13 +150,12 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .cache()
     val sig = minHashSignatures(shingled, k)
-    val banded = HotBuckets.guard(bandedOf(sig, bands, r),
-      Seq("band", "bucket"), maxBucket, "minhash_lsh")
-    // bucket self-join on the slim (id, band, bucket) set => pair ids
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // bucket self-join on the slim (id, band, bucket) set => pair ids;
+    // oversized buckets degrade to star candidates vs the bucket-min
+    // (a genuine mega-cluster still collapses downstream — a plain
+    // drop-guard would silently keep every copy of it)
+    val pairs = HotBuckets.starSelfJoinCandidates(bandedOf(sig, bands, r),
+      Seq("band", "bucket"), "id", Nil, maxBucket, "minhash_lsh")
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // hydrate shingles only for surviving candidates
@@ -281,17 +283,14 @@ object Dedup {
       col("id") +: words :+
         posexplode(array(sigChunkExprs(words, wordBits, sigBits, maxHamming): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val guarded = HotBuckets.guard(banded, Seq("band", "chunk"), maxBucket,
-      "simhash")
-    val a = guarded.select(col("band") +: col("chunk") +: col("id").as("id_a") +:
-      wordCols.map(c => col(c).as(c + "_a")): _*)
-    val b = guarded.select(col("band") +: col("chunk") +: col("id").as("id_b") +:
-      wordCols.map(c => col(c).as(c + "_b")): _*)
+    // oversized buckets degrade to star candidates vs the bucket-min
+    // row (signature words ride the representative struct), so a
+    // mega-cluster of true near-dups still collapses downstream
     val hamming = wordCols
       .map(c => bit_count(col(c + "_a").bitwiseXOR(col(c + "_b"))))
       .reduce(_ + _)
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+    HotBuckets.starSelfJoinCandidates(banded, Seq("band", "chunk"), "id",
+      wordCols, maxBucket, "simhash")
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
@@ -312,7 +311,16 @@ object Dedup {
     * pigeonhole), bucket-join, verify hamming ≤ maxHamming. 128 bits
     * keep the chunks ≥ 18 bits wide at the default radius — the
     * single-word 64-bit layout left 9-bit chunks (512 buckets/band),
-    * a candidate blowup at corpus scale. */
+    * a candidate blowup at corpus scale.
+    *
+    * '''Dial semantics''': `maxHamming` is an ABSOLUTE radius over the
+    * signature width, so the round-7 widening at a fixed dial TIGHTENS
+    * the normalized similarity threshold — 6 of 128 bits ≈ 3 of 64.
+    * To keep a pre-widening normalized threshold, scale the dial with
+    * the width (6/64 → 12/128); the price is `maxHamming + 1` bands of
+    * half the chunk width ([[simHashBandSpec]] trades bucket
+    * cardinality for radius — below ~12-bit chunks the bucket join
+    * re-enters the candidate-blowup regime the widening fixed). */
   def simHashDupPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3,
@@ -334,7 +342,9 @@ object Dedup {
     * pigeonhole chunks 13-14 bits wide at maxHamming 6 — the round-6
     * single-word 48-bit layout had 6-7-bit chunks (64-128 buckets per
     * band), a ~56× candidate blowup vs the legacy 12-bit layout and
-    * quadratic at 100× scale. */
+    * quadratic at 100× scale. Dial semantics as in
+    * [[simHashDupPairs]]: `maxHamming` is absolute over the 96 bits,
+    * so 6/96 ≈ the old 3/48 normalized threshold. */
   def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3,
@@ -342,9 +352,12 @@ object Dedup {
     val shingled = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = shingled.select(col("id"),
-      graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 0).as("sig0"),
-      graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 1).as("sig1"))
+    // the fused kernel digests each shingle ONCE for both words — two
+    // SimHash48Portable calls would run the md5 loop twice per doc
+    val sig = shingled
+      .select(col("id"),
+        graft.functions.SignatureExpressions.simHash96Portable(col("sh")).as("s"))
+      .select(col("id"), col("s")(0).as("sig0"), col("s")(1).as("sig1"))
     simHashPairsFromSigWords(sig, Seq("sig0", "sig1"), 48, 96, maxHamming,
       maxBucket)
   }
@@ -483,8 +496,16 @@ object Dedup {
     val labels = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    // eager checkpoint of the (node, comp) result — one row per node —
+    // so the final edge generation can be RELEASED here: returning a
+    // lazy plan over the cached edges would pin one frame per call in
+    // the CacheManager for the session's lifetime (the exact leak the
+    // caching contract above forbids; checkpoint blocks, by contrast,
+    // are freed by the ContextCleaner once the RDD is unreferenced)
     val out = nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint()
+    if (!edgesCheckpointed) edges.unpersist()
     out
   }
 
@@ -553,16 +574,13 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), kk))
       .cache()
-    val banded = HotBuckets.guard(
-      bandedOf(proj.select(col("id"), col("sig")), bb, r),
-      Seq("band", "bucket"), maxBucket, "incremental_batch")
-    // 3. within-batch near-dup: banded self-join → hydrate from proj →
-    //    exact-Jaccard verify → connected components → cluster-min
-    val selfPairs = banded
-      .select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val banded = bandedOf(proj.select(col("id"), col("sig")), bb, r)
+    // 3. within-batch near-dup: banded self-join (star fallback for
+    //    oversized buckets — a batch full of one templated page must
+    //    still collapse) → hydrate from proj → exact-Jaccard verify →
+    //    connected components → cluster-min
+    val selfPairs = HotBuckets.starSelfJoinCandidates(banded,
+      Seq("band", "bucket"), "id", Nil, maxBucket, "incremental_batch")
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(proj.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -584,14 +602,22 @@ object Dedup {
     //    from the step-2 computation, not recomputed. Candidate volume
     //    scales with the NEW batch — the point of incremental
     //    ingestion. Shingles hydrate only for surviving candidates.
-    val newBanded = banded.join(
-      afterExact.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    //    Oversized buckets on EITHER side reduce to their bucket-min
+    //    representative ([[HotBuckets.guardRep]]) instead of dropping:
+    //    a new doc duplicating an oversized-bucket corpus mega-cluster
+    //    is still verified against the cluster's representative, and
+    //    the bucket's cross-product contribution stays O(cap). The
+    //    rep-guard runs AFTER the survivor semi-join so the new side's
+    //    representative is itself a within-batch survivor.
+    val newBanded = HotBuckets.guardRep(banded.join(
+      afterExact.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+      Seq("band", "bucket"), "id", maxBucket, "incremental_batch_cross")
     val corpusShingled = corpusPrep.filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"))
-    val corpusBanded = HotBuckets.guard(bandedOf(
+    val corpusBanded = HotBuckets.guardRep(bandedOf(
       corpusShingled.select(col("id"),
         minHashSignature(col("sh"), kk).as("sig")), bb, r),
-      Seq("band", "bucket"), maxBucket, "incremental_corpus")
+      Seq("band", "bucket"), "id", maxBucket, "incremental_corpus")
     val candidates = newBanded
       .select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("old_id")),
@@ -644,17 +670,25 @@ object Dedup {
     val keyed = docs.select(col(idCol).as("id"), norm.as("nrm"))
       .withColumn("blk", substring(col("nrm"), 1, prefixLen))
       .withColumn("len", length(col("nrm")))
+    // guard on the CANONICAL (blk, bin-of-length) BEFORE the a-side
+    // explode: guarding the exploded side would count the union of two
+    // adjacent bins per bucket — the cap would fire at half the
+    // promised per-bin density, and drop a-side rows whose bin side b
+    // still keeps (asymmetric pair loss below the dial's promise).
+    // Guarding once upstream removes an oversized bin's docs from BOTH
+    // sides symmetrically, and both branches share the guard's
+    // exchange (side b joins on the same key the window partitioned).
+    val guarded = HotBuckets.guard(keyed
+      .withColumn("lbin", floor(col("len").cast("double") / w).cast("long")),
+      Seq("blk", "lbin"), maxBucket, "editDistancePairs")
     val aBase = floor((col("len") - maxDist).cast("double") / w).cast("long")
-    val a = HotBuckets.guard(keyed
+    val a = guarded.drop("lbin")
       .withColumn("lbin", explode(array(aBase, aBase + 1)))
       .select(col("blk"), col("lbin"), col("id").as("id_a"),
-        col("nrm").as("nrm_a"), col("len").as("len_a")),
-      Seq("blk", "lbin"), maxBucket, "editDistancePairs/a")
-    val b = HotBuckets.guard(keyed
-      .withColumn("lbin", floor(col("len").cast("double") / w).cast("long"))
+        col("nrm").as("nrm_a"), col("len").as("len_a"))
+    val b = guarded
       .select(col("blk"), col("lbin"), col("id").as("id_b"),
-        col("nrm").as("nrm_b"), col("len").as("len_b")),
-      Seq("blk", "lbin"), maxBucket, "editDistancePairs/b")
+        col("nrm").as("nrm_b"), col("len").as("len_b"))
     a.join(b, Seq("blk", "lbin"))
       .filter(col("id_a") < col("id_b") &&
         // implied by dist <= maxDist; an int compare that spares the

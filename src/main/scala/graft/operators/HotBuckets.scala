@@ -58,6 +58,83 @@ object HotBuckets {
       .drop("__bsz")
   }
 
+  /** Drop-guard variant for ASYMMETRIC (cross) bucket joins: buckets
+    * ≤ `cap` pass through untouched; oversized buckets are reduced to
+    * their bucket-min representative row instead of dropped wholesale.
+    * The other join side then still verifies against ONE member of a
+    * mega-cluster — an incremental-batch doc duplicating an oversized
+    * corpus cluster is still caught — while the bucket's contribution
+    * to the cross product stays O(1). Same miss class as
+    * [[starSelfJoinCandidates]]: matches within the cluster but
+    * outside the representative's radius. */
+  def guardRep(df: DataFrame, keys: Seq[String], idCol: String,
+      cap: Int, what: String): DataFrame = {
+    require(cap > 0, s"hot-bucket cap must be positive, got $cap")
+    ensureListener(df.sparkSession)
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
+      .observe(s"graft_hot_buckets_rep/$what/${seq.incrementAndGet()}",
+        sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("__bsz")).as("max_bucket"))
+      .filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
+      .drop("__bsz", "__bmin")
+  }
+
+  /** Bucket SELF-JOIN candidate pairs with a STAR fallback instead of
+    * a drop: buckets ≤ `cap` self-join exactly as a guarded join would
+    * (≤ cap² candidates per bucket); buckets ABOVE the cap degrade to
+    * candidates (bucket-min row, member) — O(B) rows, not B² — that
+    * still flow through the caller's verify stage.
+    *
+    * Why not just drop: a mega-cluster of GENUINE near-duplicates
+    * (20k templated pages differing by one word) oversizes every
+    * bucket it occupies; a drop-guard then emits zero pairs and a
+    * downstream dedup silently keeps all 20k copies — the exact corpus
+    * the dedup family exists for. Under the star fallback every member
+    * still links to the bucket-min representative, the verify confirms
+    * the genuine ones, and connected components collapse the cluster;
+    * a degenerate-feature collision bucket (empty shingle set, zero
+    * vector) costs O(B) verifies that then simply fail. Recall caveat
+    * vs full enumeration: members within the radius of EACH OTHER but
+    * not of the representative are missed — the standard star/canopy
+    * tradeoff, logged so it is never silent.
+    *
+    * Output columns: `keys ++ (id_a, payload_a…, id_b, payload_b…)`
+    * with `id_a < id_b` guaranteed; the caller de-duplicates pairs and
+    * verifies. Both the size count and the representative are windows
+    * over the join's own shuffle key — no extra shuffle. */
+  def starSelfJoinCandidates(df: DataFrame, keys: Seq[String],
+      idCol: String, payload: Seq[String], cap: Int,
+      what: String): DataFrame = {
+    require(cap > 0, s"hot-bucket cap must be positive, got $cap")
+    ensureListener(df.sparkSession)
+    val w = Window.partitionBy(keys.map(col): _*)
+    // struct min orders by id first (ids are unique), so __rep is the
+    // whole bucket-min ROW — its payload rides along for the verify
+    val sized = df
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct((idCol +: payload).map(col): _*)).over(w))
+      .observe(s"graft_hot_buckets_star/$what/${seq.incrementAndGet()}",
+        sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("__bsz")).as("max_bucket"))
+    def side(s: String) = col(idCol).as("id_" + s) +:
+      payload.map(c => col(c).as(c + "_" + s))
+    val small = sized.filter(col("__bsz") <= cap)
+    val smallPairs = small.select(keys.map(col) ++ side("a"): _*)
+      .join(small.select(keys.map(col) ++ side("b"): _*), keys)
+      .filter(col("id_a") < col("id_b"))
+    val starPairs = sized.filter(col("__bsz") > cap)
+      .filter(col(idCol) =!= col("__rep")(idCol))
+      .select(keys.map(col) ++
+        (col("__rep")(idCol).as("id_a") +:
+          payload.map(c => col("__rep")(c).as(c + "_a"))) ++
+        side("b"): _*)
+    smallPairs.unionByName(starPairs)
+  }
+
   private def ensureListener(spark: SparkSession): Unit =
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
@@ -65,11 +142,24 @@ object HotBuckets {
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith("graft_hot_buckets")) {
-              val dropped = row.getAs[Long]("dropped_rows")
-              if (dropped > 0) log.warn(
-                s"$name: dropped $dropped rows in oversized buckets " +
-                  s"(largest bucket: ${row.getAs[Long]("max_bucket")} rows); " +
-                  "raise maxBucket or inspect the corpus for degenerate keys")
+              val hit = row.getAs[Long]("dropped_rows")
+              val top = row.getAs[Long]("max_bucket")
+              if (hit > 0) log.warn(
+                if (name.startsWith("graft_hot_buckets_star"))
+                  s"$name: $hit rows in oversized buckets degraded to " +
+                    s"star candidates vs the bucket-min (largest bucket: " +
+                    s"$top rows); within-cluster pairs beyond the " +
+                    "representative's radius are missed — raise maxBucket " +
+                    "for full enumeration"
+                else if (name.startsWith("graft_hot_buckets_rep"))
+                  s"$name: $hit rows in oversized buckets reduced to the " +
+                    s"bucket-min representative (largest bucket: $top " +
+                    "rows); cross-matches beyond the representative's " +
+                    "radius are missed — raise maxBucket for full fan-out"
+                else
+                  s"$name: dropped $hit rows in oversized buckets " +
+                    s"(largest bucket: $top rows); " +
+                    "raise maxBucket or inspect the corpus for degenerate keys")
             }
           }
         override def onFailure(funcName: String, qe: QueryExecution,

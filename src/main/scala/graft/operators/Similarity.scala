@@ -108,10 +108,13 @@ object Similarity {
 
   /** LSH-bucketed near-duplicate pairs: same-bucket equi-join, cosine
     * verify ≥ threshold. Bucket width (bits) is the recall/cost dial;
-    * the bucket join is hot-bucket guarded
-    * ([[graft.operators.HotBuckets.guard]] — a degenerate bucket, e.g.
-    * a mass of near-zero vectors all landing on one sign pattern,
-    * otherwise feeds B² pairs into one task). */
+    * the bucket join is hot-bucket bounded with a star fallback
+    * ([[graft.operators.HotBuckets.starSelfJoinCandidates]] — a
+    * degenerate bucket, e.g. a mass of near-zero vectors all landing
+    * on one sign pattern, otherwise feeds B² pairs into one task;
+    * above the cap each member is checked against the bucket-min
+    * representative only, so a mega-cluster of genuinely identical
+    * embeddings still collapses under [[semanticCollapse]]). */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -124,12 +127,8 @@ object Similarity {
       .select(col("id"),
         transform(col("raw"), x => x / col("nrm")).as("vec"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, bits))
-    val guarded = HotBuckets.guard(v, Seq("bucket"), maxBucket,
-      "hyperplane_lsh")
-    val a = guarded.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = guarded.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    HotBuckets.starSelfJoinCandidates(v, Seq("bucket"), "id", Seq("vec"),
+      maxBucket, "hyperplane_lsh")
       .withColumn("score", round(dot(col("vec_a"), col("vec_b")), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))

@@ -63,10 +63,9 @@ object NearDup {
       .select(col(idCol).as("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"),
-        graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 0)
-          .as("sig0"),
-        graft.functions.SignatureExpressions.simHash48Portable(col("sh"), 1)
-          .as("sig1"))
+        graft.functions.SignatureExpressions.simHash96Portable(col("sh"))
+          .as("s"))
+      .select(col("id"), col("s")(0).as("sig0"), col("s")(1).as("sig1"))
     val chunkExprs = graft.operators.Dedup.sigChunkExprs(
       Seq(col("sig0"), col("sig1")), 48, 96, maxHamming)
     val banded = sig.select(col("id"), col("sig0"), col("sig1"),

@@ -166,8 +166,12 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
+    // TTL wide enough that the doc2→doc3 pairing below survives a
+    // loaded-machine scheduler stall; the eviction wait POLLS state
+    // metrics rather than sleeping a fixed horizon, so the wide TTL
+    // costs only its own duration, deterministically
     val out = graft.streaming.NearDup.pairs(docs, maxHamming = 12,
-      stateTtl = Some(java.time.Duration.ofSeconds(2)))
+      stateTtl = Some(java.time.Duration.ofSeconds(8)))
     // An armed processing-time timeout makes the engine run a batch
     // every trigger forever (timeouts can fire at any time), so
     // processAllAvailable would never return — the real trigger
@@ -191,9 +195,18 @@ class StreamingSpec extends SparkSpec {
       val base = "the quick brown fox jumps over the lazy dog and then " +
         "runs far away into the deep dark forest tonight without looking back"
       addAndAwait((1L, base))
-      // let the 2 s TTL horizon pass: the spinning no-data batches see
-      // doc 1's buckets with no arrivals past their deadline and evict
-      Thread.sleep(3000)
+      // wait for the TTL horizon BY OBSERVATION, not wall-clock faith:
+      // the spinning no-data batches see doc 1's buckets with no
+      // arrivals past their deadline, evict, and report zero state
+      // rows in the progress metrics — a fixed sleep flakes whenever a
+      // loaded machine delays the eviction batch past it
+      val evictDeadline = System.currentTimeMillis + 120000
+      def stateEmpty = Option(q.lastProgress).exists(p =>
+        p.stateOperators.nonEmpty &&
+          p.stateOperators.map(_.numRowsTotal).sum == 0L)
+      while (!stateEmpty && System.currentTimeMillis < evictDeadline)
+        Thread.sleep(100)
+      assert(stateEmpty, "bucket state never evicted after the TTL")
       // a late exact duplicate of doc 1 lands in doc 1's (now empty)
       // buckets: NO pair — the dedup horizon is the TTL, exactly like
       // watermark-bounded exact dedup

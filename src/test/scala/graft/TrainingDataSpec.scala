@@ -117,6 +117,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(api.getSeq[Long](4).head === api.getLong(1))
   }
 
+  test("fused simhash96 words are bit-identical to the per-part kernels") {
+    graft.functions.SignatureExpressions.register(spark)
+    val df = Seq("the quick brown fox jumps over the lazy dog", "")
+      .toDF("a")
+    val rows = df.select(
+      graft.functions.SignatureExpressions.simHash96Portable(
+        TextFunctions.shingles($"a", 2)).as("fused"),
+      graft.functions.SignatureExpressions.simHash48Portable(
+        TextFunctions.shingles($"a", 2), 0).as("w0"),
+      graft.functions.SignatureExpressions.simHash48Portable(
+        TextFunctions.shingles($"a", 2), 1).as("w1")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === Seq(r.getLong(1), r.getLong(2)))
+    }
+    // SQL registration round-trips the fused kernel too
+    df.createOrReplaceTempView("fused_texts")
+    val viaSql = spark.sql(
+      "SELECT simhash96_portable(word_shingles(a, 2)) FROM fused_texts")
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq === rows.map(_.getSeq[Long](0)).toSeq)
+    // out-of-range part fails at expression build, not per-row at exec
+    intercept[IllegalArgumentException] {
+      graft.functions.SignatureExpressions.simHash48Portable(
+        TextFunctions.shingles($"a", 2), 2)
+    }
+  }
+
   test("rollingHash is order-sensitive and deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
     val h = df.select(TextFunctions.rollingHash($"text")).as[Long].collect()
@@ -280,22 +307,28 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("kernel budget"))
   }
 
-  test("hot-bucket guard: degenerate buckets drop at the cap; default cap leaves results unchanged") {
+  test("hot-bucket star fallback: oversized buckets collapse to the representative, not to nothing") {
     // 40 identical docs: every (band, chunk) bucket holds all 40 — a
-    // planted degenerate bucket. With cap 10 the guard drops them all
-    // (candidate volume bounded); with the default cap the full 40·39/2
-    // pair set survives untouched.
+    // planted oversized bucket. Above the cap the candidate volume is
+    // bounded at O(B) star pairs vs the bucket-min (NOT dropped: a
+    // drop would silently keep all 40 copies through a dedup); with
+    // the default cap the full 40·39/2 pair set survives untouched.
     val degen = (0L until 40L).map(i => (i, base)).toDF("doc_id", "text")
     val capped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6,
-      maxBucket = 10)
-    assert(capped.isEmpty)
+      maxBucket = 10).as[(Long, Long, Long)].collect()
+    assert(capped.length === 39 && capped.forall(_._1 === 0L))
     val uncapped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6)
     assert(uncapped.count() === 40L * 39 / 2)
-    // the minhash path: same planted fixture through lshCandidates
+    // the minhash path: same planted fixture through lshCandidates —
+    // and the star pairs must keep dedupCorpus collapsing the cluster
     val cappedMh = Dedup.minHashDupPairs(degen, 0.5, maxBucket = 10)
-    assert(cappedMh.isEmpty)
+      .as[(Long, Long, Double)].collect()
+    assert(cappedMh.length === 39 && cappedMh.forall(_._1 === 0L))
     val uncappedMh = Dedup.minHashDupPairs(degen, 0.5)
     assert(uncappedMh.count() === 40L * 39 / 2)
+    val survivors = Dedup.dedupCorpus(degen, 0.5, maxBucket = 10)
+    assert(survivors.count() === 1L,
+      "a mega-cluster above the bucket cap must still dedup to one survivor")
   }
 
   test("editDistancePairs: planted typos found, unrelated and far texts skipped") {
