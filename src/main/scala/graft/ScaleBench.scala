@@ -179,12 +179,14 @@ object ScaleBench {
       println(f"""{"pipeline":"$name","x1_sec":$t1%.2f,"xN_sec":$tN%.2f,"factor":$factor,"ratio":${tN / t1}%.2f}""")
     }
 
-    // ---- hot-bucket guard under a PLANTED degenerate bucket: 10k
+    // ---- hot-bucket bound under a PLANTED degenerate bucket: 10k
     // byte-identical docs share every LSH band bucket, so unguarded
     // candidate generation is 10k²/2 pairs in ONE task (the straggler
-    // that kills a 100 TB run). With the cap the pipeline must finish
-    // in normal time and warn-log the dropped mass (watch the
-    // graft_hot_buckets warning above this line). ----
+    // that kills a 100 TB run). Above the cap the self-join degrades
+    // to star candidates vs the bucket-min — the pipeline must finish
+    // in normal time, emit the cluster's 9 999 verified star pairs
+    // (NOT zero: a drop would let the whole cluster through a dedup),
+    // and warn-log the mass (graft_hot_buckets_star above). ----
     val degen = spark.range(10000)
       .select($"id".as("doc_id"),
         lit("the same degenerate boilerplate text repeated across " +
