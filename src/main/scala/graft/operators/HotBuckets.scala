@@ -72,8 +72,11 @@ object HotBuckets {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__bmin", min(col(idCol)).over(w))
+    // one projection → ONE Window operator for both aggregates (two
+    // withColumns leave two stacked Window nodes, a second pass over
+    // every sorted partition)
+    df.select(col("*"), count(lit(1)).over(w).as("__bsz"),
+        min(col(idCol)).over(w).as("__bmin"))
       .observe(s"graft_hot_buckets_rep/$what/${seq.incrementAndGet()}",
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
           .as("dropped_rows"),
@@ -112,10 +115,11 @@ object HotBuckets {
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
     // struct min orders by id first (ids are unique), so __rep is the
-    // whole bucket-min ROW — its payload rides along for the verify
+    // whole bucket-min ROW — its payload rides along for the verify.
+    // Both aggregates in one projection → ONE Window operator.
     val sized = df
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__rep", min(struct((idCol +: payload).map(col): _*)).over(w))
+      .select(col("*"), count(lit(1)).over(w).as("__bsz"),
+        min(struct((idCol +: payload).map(col): _*)).over(w).as("__rep"))
       .observe(s"graft_hot_buckets_star/$what/${seq.incrementAndGet()}",
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
           .as("dropped_rows"),
