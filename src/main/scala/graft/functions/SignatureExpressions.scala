@@ -84,18 +84,27 @@ object SignatureKernels {
     * ≥ 12 bits wide up to maxHamming 7 — a single 48-bit word at
     * maxHamming 6 left only 6-7-bit chunks (64-128 buckets per band),
     * a quadratic candidate blowup at scale. */
+  /** The SHARED md5→48-bit-word layout (little-endian uint64 of digest
+    * bytes [part·8, part·8+8) masked to 48 bits — DuckDB's
+    * `md5_number_upper/lower & (2^48-1)`). Both [[simHash48]] and the
+    * fused [[simHash96]] read words through here, so a layout change
+    * (byte order, mask) can never make them diverge — the q28 oracle
+    * depends on their bit-identity. */
+  private def md5Word48(d: Array[Byte], part: Int): Long = {
+    val off = part * 8
+    var h = 0L
+    var j = off + 7
+    while (j >= off) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
+    h & 0xFFFFFFFFFFFFL
+  }
+
   def simHash48(arr: ArrayData, part: Int): Long = {
     val votes = new Array[Int](48)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val off = part * 8
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      var h = 0L
-      var j = off + 7
-      while (j >= off) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
-      h &= 0xFFFFFFFFFFFFL
+      val h = md5Word48(md.digest(arr.getUTF8String(i).getBytes), part)
       var b = 0
       while (b < 48) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -128,11 +137,7 @@ object SignatureKernels {
       val d = md.digest(arr.getUTF8String(i).getBytes)
       var w = 0
       while (w < 2) {
-        val off = w * 8
-        var h = 0L
-        var j = off + 7
-        while (j >= off) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
-        h &= 0xFFFFFFFFFFFFL
+        val h = md5Word48(d, w)
         var b = 0
         while (b < 48) {
           if (((h >>> b) & 1L) == 1L) votes(w * 48 + b) += 1

@@ -655,8 +655,11 @@ object Dedup {
     * join's own shuffle key, so it costs no extra shuffle): a
     * degenerate block — e.g. ten thousand docs opening with the same
     * twelve characters and near-equal length — is dropped and
-    * warn-logged instead of paying cap² × O(maxLen²) levenshtein
-    * calls in one task. */
+    * warn-logged instead of paying an unbounded B² of O(maxLen²)
+    * levenshtein calls in one task. Per-task bound here is 2·cap²
+    * (not cap²): an a-side join bucket unions TWO guarded adjacent
+    * bins, each ≤ cap — size `maxBucket` to half the per-task pair
+    * budget for this operator. */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text",
       prefixLen: Int = 12, maxLen: Int = 80,

@@ -74,12 +74,13 @@ object HotBuckets {
     val w = Window.partitionBy(keys.map(col): _*)
     // one projection → ONE Window operator for both aggregates (two
     // withColumns leave two stacked Window nodes, a second pass over
-    // every sorted partition)
+    // every sorted partition). The metric counts OVERSIZED rows, the
+    // kept representative included — rows degraded, not lost.
     df.select(col("*"), count(lit(1)).over(w).as("__bsz"),
         min(col(idCol)).over(w).as("__bmin"))
       .observe(s"graft_hot_buckets_rep/$what/${seq.incrementAndGet()}",
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
-          .as("dropped_rows"),
+          .as("oversized_rows"),
         max(col("__bsz")).as("max_bucket"))
       .filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
       .drop("__bsz", "__bmin")
@@ -106,37 +107,42 @@ object HotBuckets {
     *
     * Output columns: `keys ++ (id_a, payload_a…, id_b, payload_b…)`
     * with `id_a < id_b` guaranteed; the caller de-duplicates pairs and
-    * verifies. Both the size count and the representative are windows
-    * over the join's own shuffle key — no extra shuffle. */
+    * verifies.
+    *
+    * Plan shape — no union, and the (possibly expensive) child plan
+    * is computed ONCE: both join sides read the SAME windowed frame,
+    * so they share one exchange (AQE reuses the materialized stage —
+    * the signature kernel below it runs once; the q28 plan gate
+    * asserts this). The LEFT side filters oversized buckets down to
+    * their bucket-min row ([[guardRep]] semantics); the RIGHT side is
+    * unfiltered. A small bucket then self-joins fully (`id_a < id_b`
+    * halves it as usual); an oversized bucket's only left row is the
+    * min id, so the join emits exactly its B−1 star pairs — same
+    * output as an explicit small⋃star union at two window passes
+    * instead of three. The window rides the join's own shuffle key —
+    * no extra shuffle. */
   def starSelfJoinCandidates(df: DataFrame, keys: Seq[String],
       idCol: String, payload: Seq[String], cap: Int,
       what: String): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
-    // struct min orders by id first (ids are unique), so __rep is the
-    // whole bucket-min ROW — its payload rides along for the verify.
-    // Both aggregates in one projection → ONE Window operator.
+    // metric counts OVERSIZED rows (degraded to star candidates, the
+    // representative included) — rows bounded, not lost
     val sized = df
       .select(col("*"), count(lit(1)).over(w).as("__bsz"),
-        min(struct((idCol +: payload).map(col): _*)).over(w).as("__rep"))
+        min(col(idCol)).over(w).as("__bmin"))
       .observe(s"graft_hot_buckets_star/$what/${seq.incrementAndGet()}",
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
-          .as("dropped_rows"),
+          .as("oversized_rows"),
         max(col("__bsz")).as("max_bucket"))
+    val left = sized
+      .filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
     def side(s: String) = col(idCol).as("id_" + s) +:
       payload.map(c => col(c).as(c + "_" + s))
-    val small = sized.filter(col("__bsz") <= cap)
-    val smallPairs = small.select(keys.map(col) ++ side("a"): _*)
-      .join(small.select(keys.map(col) ++ side("b"): _*), keys)
+    left.select(keys.map(col) ++ side("a"): _*)
+      .join(sized.select(keys.map(col) ++ side("b"): _*), keys)
       .filter(col("id_a") < col("id_b"))
-    val starPairs = sized.filter(col("__bsz") > cap)
-      .filter(col(idCol) =!= col("__rep")(idCol))
-      .select(keys.map(col) ++
-        (col("__rep")(idCol).as("id_a") +:
-          payload.map(c => col("__rep")(c).as(c + "_a"))) ++
-        side("b"): _*)
-    smallPairs.unionByName(starPairs)
   }
 
   private def ensureListener(spark: SparkSession): Unit =
@@ -146,7 +152,10 @@ object HotBuckets {
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith("graft_hot_buckets")) {
-              val hit = row.getAs[Long]("dropped_rows")
+              val degraded = name.startsWith("graft_hot_buckets_star") ||
+                name.startsWith("graft_hot_buckets_rep")
+              val hit = row.getAs[Long](
+                if (degraded) "oversized_rows" else "dropped_rows")
               val top = row.getAs[Long]("max_bucket")
               if (hit > 0) log.warn(
                 if (name.startsWith("graft_hot_buckets_star"))

@@ -212,7 +212,11 @@ class StreamingSpec extends SparkSpec {
       // watermark-bounded exact dedup
       addAndAwait((2L, base))
       assert(spark.table("neardup_ttl_out").isEmpty)
-      // state is alive again for doc 2: a prompt duplicate pairs
+      // state is alive again for doc 2: a prompt duplicate pairs.
+      // Residual wall-clock assumption, deliberate and bounded: doc 3's
+      // batch must commit within the 8 s TTL of doc 2's state write —
+      // two adjacent 250 ms-trigger batches with 8 s of slack, vs the
+      // old fixed-sleep race the polled eviction wait above removed.
       addAndAwait((3L, base))
       val pairs = spark.table("neardup_ttl_out")
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, HotBuckets, Similarity}
 import graft.sources.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -308,27 +308,45 @@ class DedupSpec extends SparkSpec {
   }
 
   test("hot-bucket star fallback: oversized buckets collapse to the representative, not to nothing") {
-    // 40 identical docs: every (band, chunk) bucket holds all 40 — a
-    // planted oversized bucket. Above the cap the candidate volume is
-    // bounded at O(B) star pairs vs the bucket-min (NOT dropped: a
-    // drop would silently keep all 40 copies through a dedup); with
-    // the default cap the full 40·39/2 pair set survives untouched.
-    val degen = (0L until 40L).map(i => (i, base)).toDF("doc_id", "text")
+    // 40 NEAR-identical docs (byte-identical ones would collapse in the
+    // exact fingerprint stage and never reach the LSH path, making the
+    // dedupCorpus assertion below vacuous): every shared (band, chunk)
+    // bucket holds far more than the cap of 10. Above the cap the
+    // candidate volume is bounded at O(B) star pairs vs the bucket-min
+    // (NOT dropped: a drop would silently keep all 40 copies through a
+    // dedup — the exact regression this gate exists to catch).
+    // the deterministic unit contract first: one oversized bucket (40
+    // rows under one key, cap 10) and one small bucket (5 rows) fed
+    // straight into the candidate generator — the oversized bucket
+    // must emit EXACTLY its 39 (min, member) star pairs, the small one
+    // its full 10
+    val synth = ((0L until 40L).map(i => ("hot", i)) ++
+      (100L until 105L).map(i => ("cold", i))).toDF("bucket", "id")
+    val cand = HotBuckets.starSelfJoinCandidates(synth, Seq("bucket"),
+      "id", Nil, 10, "spec").as[(String, Long, Long)].collect()
+    val hot = cand.filter(_._1 == "hot").map(c => (c._2, c._3)).toSet
+    val cold = cand.filter(_._1 == "cold").map(c => (c._2, c._3)).toSet
+    assert(hot === (1L until 40L).map(i => (0L, i)).toSet,
+      "oversized bucket must degrade to exactly its B-1 star pairs")
+    assert(cold.size === 10 && cold.forall(p => p._1 < p._2),
+      "small buckets must still enumerate fully")
+    // end-to-end: NEAR-identical docs (distinct tails keep distinct
+    // fingerprints, so the exact stage cannot collapse them) flow
+    // through star candidates + jaccard verify + components to ONE
+    // survivor; pairwise jaccard stays well above the 0.5 threshold
+    val degen = (0L until 40L).map(i => (i, base + s" tail$i"))
+      .toDF("doc_id", "text")
     val capped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6,
-      maxBucket = 10).as[(Long, Long, Long)].collect()
-    assert(capped.length === 39 && capped.forall(_._1 === 0L))
-    val uncapped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6)
-    assert(uncapped.count() === 40L * 39 / 2)
-    // the minhash path: same planted fixture through lshCandidates —
-    // and the star pairs must keep dedupCorpus collapsing the cluster
+      maxBucket = 10)
+    assert(!capped.isEmpty)
     val cappedMh = Dedup.minHashDupPairs(degen, 0.5, maxBucket = 10)
-      .as[(Long, Long, Double)].collect()
-    assert(cappedMh.length === 39 && cappedMh.forall(_._1 === 0L))
+    assert(!cappedMh.isEmpty)
     val uncappedMh = Dedup.minHashDupPairs(degen, 0.5)
     assert(uncappedMh.count() === 40L * 39 / 2)
     val survivors = Dedup.dedupCorpus(degen, 0.5, maxBucket = 10)
     assert(survivors.count() === 1L,
-      "a mega-cluster above the bucket cap must still dedup to one survivor")
+      "a NEAR-dup mega-cluster above the bucket cap must still dedup " +
+        "to one survivor (exact collapse cannot help — the docs differ)")
   }
 
   test("editDistancePairs: planted typos found, unrelated and far texts skipped") {
