@@ -71,19 +71,6 @@ object SignatureKernels {
     sig
   }
 
-  /** Portable SimHash-48 over HALF the md5 digest: per-feature hash =
-    * little-endian uint64 of digest bytes [part·8, part·8+8) masked to
-    * 48 bits — part 0 is exactly DuckDB's `md5_number_upper(s) &
-    * (2^48-1)` (same construction as `Sampling.portableHash48`), part
-    * 1 is `md5_number_lower(s) & (2^48-1)` (byte-order identities
-    * verified against DuckDB) — then ±1 bit votes over the 48 bits.
-    * Same structure as [[simHash]], but replayable in any engine with
-    * md5 + bit ops, so the driver query using it is oracle-gated
-    * instead of rows-only. The two parts concatenate into a 96-bit
-    * portable signature whose `maxHamming + 1` pigeonhole chunks stay
-    * ≥ 12 bits wide up to maxHamming 7 — a single 48-bit word at
-    * maxHamming 6 left only 6-7-bit chunks (64-128 buckets per band),
-    * a quadratic candidate blowup at scale. */
   /** The SHARED md5→48-bit-word layout (little-endian uint64 of digest
     * bytes [part·8, part·8+8) masked to 48 bits — DuckDB's
     * `md5_number_upper/lower & (2^48-1)`). Both [[simHash48]] and the
@@ -98,6 +85,19 @@ object SignatureKernels {
     h & 0xFFFFFFFFFFFFL
   }
 
+  /** Portable SimHash-48 over HALF the md5 digest: per-feature hash =
+    * [[md5Word48]] of the digest — part 0 is exactly DuckDB's
+    * `md5_number_upper(s) & (2^48-1)` (same construction as
+    * `Sampling.portableHash48`), part 1 is `md5_number_lower(s) &
+    * (2^48-1)` (byte-order identities verified against DuckDB) — then
+    * ±1 bit votes over the 48 bits. Same structure as [[simHash]],
+    * but replayable in any engine with md5 + bit ops, so the driver
+    * query using it is oracle-gated instead of rows-only. The two
+    * parts concatenate into a 96-bit portable signature whose
+    * `maxHamming + 1` pigeonhole chunks stay ≥ 12 bits wide up to
+    * maxHamming 7 — a single 48-bit word at maxHamming 6 left only
+    * 6-7-bit chunks (64-128 buckets per band), a quadratic candidate
+    * blowup at scale. */
   def simHash48(arr: ArrayData, part: Int): Long = {
     val votes = new Array[Int](48)
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -336,13 +336,19 @@ class DedupSpec extends SparkSpec {
     // survivor; pairwise jaccard stays well above the 0.5 threshold
     val degen = (0L until 40L).map(i => (i, base + s" tail$i"))
       .toDF("doc_id", "text")
+    // capped < uncapped proves the cap PLUMBS THROUGH the public entry
+    // points and engaged (pairs co-occurring only in oversized buckets
+    // are traded for the star set) — a refactor that stops forwarding
+    // maxBucket would make the two counts equal
     val capped = Dedup.simHashDupPairsPortable(degen, maxHamming = 6,
-      maxBucket = 10)
-    assert(!capped.isEmpty)
-    val cappedMh = Dedup.minHashDupPairs(degen, 0.5, maxBucket = 10)
-    assert(!cappedMh.isEmpty)
-    val uncappedMh = Dedup.minHashDupPairs(degen, 0.5)
-    assert(uncappedMh.count() === 40L * 39 / 2)
+      maxBucket = 10).count()
+    val uncappedSh = Dedup.simHashDupPairsPortable(degen, maxHamming = 6)
+      .count()
+    assert(capped > 0 && capped < uncappedSh)
+    val cappedMh = Dedup.minHashDupPairs(degen, 0.5, maxBucket = 10).count()
+    val uncappedMh = Dedup.minHashDupPairs(degen, 0.5).count()
+    assert(uncappedMh === 40L * 39 / 2)
+    assert(cappedMh > 0 && cappedMh < uncappedMh)
     val survivors = Dedup.dedupCorpus(degen, 0.5, maxBucket = 10)
     assert(survivors.count() === 1L,
       "a NEAR-dup mega-cluster above the bucket cap must still dedup " +
