@@ -195,6 +195,29 @@ object ScaleBench {
     val tGuard = time(graft.operators.Dedup
       .minHashDupPairs(degen, 0.5, maxBucket = 1000).count())
     println(f"""{"pipeline":"hot_bucket_guard_degenerate","sec":$tGuard%.2f,"planted":10000,"cap":1000}""")
+
+    // ---- span dedup under a PLANTED corpus-wide mega-span: 1M docs
+    // all opening with the SAME 10-token boilerplate chunk (plus a
+    // unique tail chunk each). The first-occurrence decision sees one
+    // span key with 1M occurrences — under the pre-round-8 row_number
+    // window that is a single-task sort of 1M rows (the skewed-key
+    // straggler VERDICT r7 flagged); under the min(struct) aggregate
+    // the hot key combines map-side and no task ever co-locates it.
+    // Plant sized so the straggler would dominate: pass = finishing in
+    // aggregate-shaped time, and doc 0 alone keeping the boilerplate. ----
+    val boiler = "all rights reserved copyright notice template " +
+      "header boilerplate words"
+    val megaSpan = spark.range(1000000L).select($"id".as("doc_id"),
+      concat(lit(boiler + " "),
+        concat_ws(" ", (0 until 10).map(i => concat(lit(s"u${i}_"), $"id")): _*))
+        .as("text"))
+    val tSpan = time {
+      val out = graft.operators.Dedup.dedupSpans(megaSpan, spanWords = 10)
+      // survivors of the boilerplate span: exactly doc 0
+      val keepers = out.filter($"text".startsWith(boiler)).count()
+      require(keepers == 1L, s"mega-span must keep exactly 1 owner, got $keepers")
+    }
+    println(f"""{"pipeline":"span_dedup_mega_span","sec":$tSpan%.2f,"planted":1000000,"span_copies":1000000}""")
     spark.stop()
   }
 }

@@ -65,13 +65,17 @@ object TrainingPipeline {
     //    changes fingerprints and shingle signatures — running it
     //    after would dedup against stale features (the same ordering
     //    argument as mask-before-dedup above). Token counts are
-    //    recomputed after the cut; docs emptied of every span drop.
+    //    recomputed after the cut, and the stage-1 token floor
+    //    RE-APPLIES: a doc cut down to 1-4 residual tokens is the same
+    //    degenerate input the quality gate already rejects — without
+    //    the re-check it would slip into packing just because its
+    //    boilerplate was removed after the gate instead of before.
     val spanned =
       if (spanWords <= 0) masked
       else Dedup.dedupSpans(masked, spanWords)
     val counted = spanned
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-      .filter(col("n_tokens") >= 1)
+      .filter(col("n_tokens") >= 5)
     // 4. language ID (pure projection, on the final text)
     val langed = counted.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))

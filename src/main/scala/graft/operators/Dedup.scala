@@ -734,24 +734,41 @@ object Dedup {
     * every chunk was seen elsewhere become empty strings, not dropped
     * rows — the caller decides the policy).
     *
-    * Scale shape: one projection to (id, idx, chunk), one
-    * chunk-partitioned window (the dedup decision), one groupBy to
-    * reassemble — all hash-partitioned by chunk/id, nothing global. */
+    * Scale shape: one projection to (id, idx, chunk), one hash
+    * AGGREGATE for the dedup decision, one groupBy to reassemble —
+    * all hash-partitioned by chunk/id, nothing global. The decision
+    * "first (id, idx) per chunk" is `min(struct(id, idx))` — NOT a
+    * `row_number` window partitioned by chunk: the min is
+    * partial-aggregatable (map-side combine collapses a hot span's
+    * occurrences before the shuffle), where the window must SORT every
+    * occurrence of a span in one partition — a corpus-boilerplate span
+    * repeated across millions of docs ("all rights reserved…") made
+    * that a single-task straggler, the exact skew class
+    * [[HotBuckets]] guards everywhere else. No hot-key guard is
+    * needed here at all: the aggregate never co-locates a key's rows.
+    * The winner row needs no join-back either — chunk is the group
+    * key and (id, idx) fall out of the min struct. */
   def dedupSpans(docs: DataFrame, spanWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val nChunks = ceil(size(toks).cast("double") / spanWords).cast("int")
-    val chunkList = transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
+    // nChunks = 0 (empty/whitespace text) must yield NO chunks:
+    // sequence(0, -1) steps DOWNWARD to [0, -1] — two phantom ""
+    // chunks per empty doc that all collide in one span group
+    val chunkList = when(nChunks > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
     val exploded = docs
       .select(col(idCol).as("__id"), posexplode(chunkList))
       .withColumnRenamed("pos", "idx")
       .withColumnRenamed("col", "chunk")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk")).orderBy(col("__id"), col("idx"))
     val kept = exploded
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("__id"), col("idx"))).as("__first"))
+      .select(col("__first.__id").as("__id"), col("__first.idx").as("idx"),
+        col("chunk"))
     val rec = kept.groupBy(col("__id")).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),

@@ -38,6 +38,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(reused >= 1, s"no reused stage in final q28 plan:\n$plan")
   }
 
+  test("q70 span dedup decides first-occurrence with a hash aggregate, not a window sort") {
+    // the "first (id, idx) per chunk" decision must be min(struct(..))
+    // — partial-aggregatable, so a corpus-boilerplate span repeated
+    // across millions of docs combines map-side. A row_number window
+    // partitioned by raw span text (the pre-round-8 shape) sorts every
+    // occurrence of the hottest span in ONE task — the skewed-key
+    // straggler class HotBuckets guards everywhere else.
+    val plan = SparkEntry.queries("q70_span_dedup")(spark, sf)
+      .queryExecution.sparkPlan
+    val windows = plan.collectWithSubqueries { case w: WindowExec => w.nodeName }
+    assert(windows.isEmpty,
+      s"q70 must not contain any WindowExec (hot-span skew): $windows")
+    val partialFirst = plan.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.exists(e =>
+          e.aggregateFunction.toString.contains("min") &&
+            e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
+        a.nodeName
+    }
+    assert(partialFirst.nonEmpty,
+      "expected a partial (map-side combinable) min aggregate for the " +
+        s"first-occurrence decision:\n$plan")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no global window, no cartesian, no accidental nested loop") {
       val plan = fn(spark, sf).queryExecution.sparkPlan

@@ -422,6 +422,20 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ws("c", 7))                 // short doc untouched
   }
 
+  test("dedupSpans: empty/whitespace docs emit zero chunks, not phantom spans") {
+    // nChunks = 0 used to hit sequence(0, -1) — a DESCENDING [0, -1]
+    // sequence yielding two "" chunks per empty doc, all colliding in
+    // one span group (and stealing "" from any real doc that trims to
+    // empty later in id order)
+    val fixture = Seq(
+      (0L, ""), (1L, "   "), (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(fixture, spanWords = 10)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out(0L) === "" && out(1L) === "")
+    assert(out(2L) === "alpha beta gamma")
+  }
+
   test("decontaminate: docs sharing an n-gram with the benchmark drop; " +
       "clean docs survive") {
     val bench = Seq(
