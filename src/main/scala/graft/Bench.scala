@@ -75,8 +75,16 @@ object Bench {
     val raw = names.map { case (name, _) =>
       "\"" + name + "\":" + samples(name).reverse.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query MIN as a first-class scalar: on a shared box the min
+    // pass is the steady-state number (load only ever ADDS time), so
+    // round-over-round comparisons should read mins — medians answer
+    // "what did this run cost", mins answer "did the plan regress"
+    val mins = names.map { case (name, _) =>
+      "\"" + name + "\":" + samples(name).min
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
+    val totalMin = names.map { case (name, _) => samples(name).min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"mins":$mins,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

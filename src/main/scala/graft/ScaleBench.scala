@@ -133,6 +133,15 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Dedup
           .editDistancePairs(d, maxDist = 5).count(),
         docs1, docsN),
+      // gram-collision gate: the corpus side explodes to 8-grams but
+      // only 8-byte xxhash64 keys cross the join boundary — linear
+      // ratio here means the projection (not the 13× gram-string
+      // blowup) is what scales
+      ("decontaminate",
+        (d: DataFrame) => graft.operators.Dedup.decontaminate(
+          d.filter($"doc_id" % 20 =!= 0),
+          d.filter($"doc_id" % 20 === 0), n = 8).count(),
+        docs1, docsN),
       // the keyless (sensor-less) as-of merge: auto-sharded into
       // time-contiguous bins — without the auto-shard this whole merge
       // is ONE task at any scale, the classic hidden serialization

@@ -783,21 +783,35 @@ object Dedup {
     * GPT-3 used 13-gram collision; pick `n` per document length).
     * Returns the corpus rows that survive.
     *
-    * Shape at 100 TB: both sides project to DISTINCT n-grams (the
-    * corpus side is a pure generator projection — no shuffle until the
-    * join); the collision test is an equi-join on the n-gram string —
-    * never doc × doc — and the benchmark side is tiny (an eval suite),
-    * so Catalyst broadcasts it and the corpus never shuffles at all;
-    * contaminated ids collapse via distinct + anti-join. */
+    * Shape at 100 TB: both sides project their n-grams down to an
+    * 8-byte `xxhash64` BEFORE any join boundary — never doc × doc, and
+    * never the gram STRING: a 13-gram is ~100 raw text bytes, so
+    * joining on the string ships ~13× the corpus's text volume into
+    * the join (and holds it in the broadcast hashmap); the hash carries
+    * 16 bytes per exploded gram instead. The benchmark side is tiny
+    * (an eval suite), so Catalyst broadcasts its distinct hash set and
+    * the corpus never shuffles at all; contaminated ids collapse via
+    * distinct + anti-join.
+    *
+    * Collision contract: a 64-bit hash equality stands in for gram
+    * equality, so a corpus gram colliding with a DIFFERENT benchmark
+    * gram falsely drops one doc. P(any false drop) ≈ |corpus grams| ×
+    * |bench grams| / 2^64 — at 10^12 corpus grams × 10^6 bench grams
+    * that is ~5×10^-5 expected docs; acceptable for a DROP-side gate
+    * (it can only over-clean, never leak contamination through). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // hash INSIDE the array, before the generator: the gram strings
+    // never outlive the transform (a generator cannot nest under an
+    // expression anyway)
+    def gramHashes = explode(
+      transform(shingles(col(textCol), n), g => xxhash64(g)))
     val benchGrams = benchmark
-      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .select(gramHashes.as("gram_h"))
       .distinct()
     val contaminated = corpus
-      .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("gram"))
-      .join(benchGrams, Seq("gram"))
+      .select(col(idCol).as("id"), gramHashes.as("gram_h"))
+      .join(benchGrams, Seq("gram_h"))
       .select(col("id").as(idCol))
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -790,3 +790,4 @@ class MultimodalSpec extends SparkSpec {
     assert(vec.toSeq === expect)
   }
 }
+
