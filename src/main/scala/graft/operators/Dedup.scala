@@ -31,7 +31,13 @@ import org.apache.spark.sql.types._
   * batch projection, `sparseCosineTopK`'s vector aggregate). Such
   * caches stay registered until the session's LRU evicts them or the
   * caller/harness runs `spark.catalog.clearCache()` — Bench and
-  * Verify do so after every query. Self-joins on the SAME projection
+  * Verify do so after every query. Their storage LEVEL is the
+  * session-wide [[Hydration.StorageLevelConf]] dial (MEMORY_AND_DISK
+  * default; NONE = recompute per reference — at 100 TB a shingle
+  * projection is petabyte-class and LRU thrash beats recompute; see
+  * [[Hydration]] for the policy discussion and
+  * [[buildCorpusIndex]]/[[dedupIncrementalIndexed]] for persisting
+  * the corpus index as a real table). Self-joins on the SAME projection
   * (the SimHash band joins) must NOT cache: both sides shuffle one
   * canonical child, so AQE's exchange reuse computes it once and the
   * call pins nothing (gated by the repeated-calls DedupSpec case —
@@ -141,14 +147,13 @@ object Dedup {
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // cache: the shingle projection feeds the signature pass AND both
-    // candidate-hydration joins — 3 recomputes without it (LRU evicts
-    // it after the query; at cluster scale this is a few GB per
-    // million docs, well within executor storage)
-    val shingled = docs
+    // hydration persist: the shingle projection feeds the signature
+    // pass AND both candidate-hydration joins — 3 recomputes at level
+    // NONE (LRU evicts it after the query; a few GB per million docs
+    // at the default level — size or disable via [[Hydration]])
+    val shingled = Hydration.persist(docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
+      .filter(size(col("sh")) > 0))
     val sig = minHashSignatures(shingled, k)
     // bucket self-join on the slim (id, band, bucket) set => pair ids;
     // oversized buckets degrade to star candidates vs the bucket-min
@@ -548,16 +553,46 @@ object Dedup {
       jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame =
+    // 0. the corpus index: one scan, hydration-persisted, reused three
+    //    times within this call. For REPEATED batch ingestion, build
+    //    it once with [[buildCorpusIndex]], write it as a parquet
+    //    table, and feed every batch through
+    //    [[dedupIncrementalIndexed]] — it IS the index.
+    dedupIncrementalIndexed(newDocs,
+      Hydration.persist(buildCorpusIndex(corpus, shingleSize, idCol, textCol)),
+      jaccardThreshold, idCol, textCol, shingleSize, k, bands, maxBucket)
+
+  /** The (id, __fp, sh) corpus-index projection [[dedupIncremental]]
+    * hydrates from, exposed so repeated ingestion can persist it as a
+    * REAL table: write the returned frame once (parquet/Delta), read
+    * it back for every subsequent batch via
+    * [[dedupIncrementalIndexed]] — the 100 TB corpus is then scanned
+    * and shingled ONCE across all ingestions instead of once per
+    * batch, and no executor-storage cache needs to survive between
+    * jobs. Raw shingles (not signatures) are stored so any later
+    * threshold/banding choice replays from the same index. */
+  def buildCorpusIndex(corpus: DataFrame, shingleSize: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("__fp"),
+      shingles(col(textCol), shingleSize).as("sh"))
+
+  /** [[dedupIncremental]] against a PREBUILT corpus index
+    * ([[buildCorpusIndex]] output — freshly built, or read back from a
+    * persisted index table). `shingleSize` must match the index's
+    * build parameter: the batch side is shingled here and verified
+    * against the index's stored shingles. The index frame's
+    * persistence is the CALLER's policy (a parquet-backed index needs
+    * none); this method never caches it. */
+  def dedupIncrementalIndexed(newDocs: DataFrame, corpusIndex: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     val (kk, bb) = resolveLsh(jaccardThreshold, k, bands)
     val r = kk / bb
-    // 0. the corpus index: one scan, cached, reused three times (for
-    //    repeated batch ingestion, persist this projection as a real
-    //    index table — it IS the index)
-    val corpusPrep = corpus.select(col(idCol).as("id"),
-        fingerprint(col(textCol)).as("__fp"),
-        shingles(col(textCol), shingleSize).as("sh"))
-      .cache()
+    val corpusPrep = corpusIndex
     // 1. exact within-batch collapse (min-id survivor)
     val keepExact = newDocs.withColumn("__fp", fingerprint(col(textCol)))
       .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
@@ -568,12 +603,11 @@ object Dedup {
     //    joins, AND the cross pass — the round-3 review flagged the
     //    previous shape for shingling + signing the batch twice
     //    (once inside dedupCorpus, again for the cross join)
-    val proj = exactKept
+    val proj = Hydration.persist(exactKept
       .select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), kk))
-      .cache()
+      .withColumn("sig", minHashSignature(col("sh"), kk)))
     val banded = bandedOf(proj.select(col("id"), col("sig")), bb, r)
     // 3. within-batch near-dup: banded self-join (star fallback for
     //    oversized buckets — a batch full of one templated page must

@@ -114,7 +114,16 @@ object Similarity {
     * on one sign pattern, otherwise feeds B² pairs into one task;
     * above the cap each member is checked against the bucket-min
     * representative only, so a mega-cluster of genuinely identical
-    * embeddings still collapses under [[semanticCollapse]]). */
+    * embeddings still collapses under [[semanticCollapse]]).
+    *
+    * The embedding payload rides the guard's window + join rather than
+    * hydrating back per candidate: measured head-to-head (64-dim, 1×
+    * and 8× the sf0.1 corpus, 3 passes), ids-only-then-two-hydration-
+    * joins is within run-to-run noise of payload-through (±10%), and
+    * the hydrate shape needs a cache pin plus two extra joins. The
+    * guard's one extra window pass over the bucket key is the real
+    * cost (~2× on sub-second corpora) — that is the floor price of
+    * skew safety, not a payload-width effect. */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -295,13 +304,13 @@ object Similarity {
   def sparseCosineTopK(vectors: DataFrame, queryIds: Column, k: Int,
       broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
     // the sparse-vector aggregate feeds four plan references (two norm
-    // joins, the query side, the neighbor side) — cache it so the
-    // upstream tokenize+count runs once (the lshCandidates discipline;
-    // LRU evicts after the query)
-    val cached = vectors.cache()
-    val norms = cached.groupBy(col("id"))
-      .agg(sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)).as("nrm"))
-      .cache()
+    // joins, the query side, the neighbor side) — hydration-persist it
+    // so the upstream tokenize+count runs once (the lshCandidates
+    // discipline; LRU evicts after the query, level/recompute via
+    // [[Hydration.StorageLevelConf]])
+    val cached = Hydration.persist(vectors)
+    val norms = Hydration.persist(cached.groupBy(col("id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)).as("nrm")))
     val q = cached.filter(queryIds)
       .select(col("id").as("q_id"), col("idx"), col("cnt").as("q_cnt"))
     // the bucket-index equi-join works shuffled too — oversized query

@@ -219,6 +219,59 @@ class DedupSpec extends SparkSpec {
     assert(again.isEmpty)
   }
 
+  test("hydration level NONE (recompute) is bit-identical to the default cache") {
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst optimizer plans and shuffles everywhere")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base + " extra"),
+      (11L, "a genuinely new document with its own entirely distinct vocabulary and content here today")
+    ).toDF("doc_id", "text")
+    def runAll() = (
+      Dedup.minHashDupPairs(docs, 0.5).collect().map(_.toString).sorted.toSeq,
+      Dedup.dedupIncremental(fresh, corpus, jaccardThreshold = 0.5)
+        .collect().map(_.toString).sorted.toSeq,
+      Similarity.sparseCosineTopK(
+        Similarity.sparseTfVectors(docs, dim = 32), col("id") < 2, k = 3)
+        .collect().map(_.toString).sorted.toSeq)
+    val withCache = runAll()
+    spark.conf.set(graft.operators.Hydration.StorageLevelConf, "NONE")
+    try {
+      val recomputed = runAll()
+      assert(recomputed === withCache,
+        "hydration level must only move cost, never results")
+    } finally spark.conf.unset(graft.operators.Hydration.StorageLevelConf)
+  }
+
+  test("a parquet-persisted corpus index replays dedupIncremental exactly") {
+    // the 100 TB ingestion shape: build the (id, fp, shingles) index
+    // ONCE, write it as a real table, feed every later batch from the
+    // table — no executor-storage cache has to survive between jobs
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst optimizer plans and shuffles everywhere")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base),                // exact dup of corpus 0
+      (11L, base + " extra"),     // near-dup of corpus 0
+      (12L, "a genuinely new document with its own entirely distinct vocabulary and content here today")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-index")
+      .toString
+    try {
+      Dedup.buildCorpusIndex(corpus).write.mode("overwrite").parquet(dir)
+      val fromTable = Dedup.dedupIncrementalIndexed(fresh,
+          spark.read.parquet(dir), jaccardThreshold = 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      val direct = Dedup.dedupIncremental(fresh, corpus, jaccardThreshold = 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fromTable === direct)
+      assert(fromTable.size === 1 && fromTable.head.contains("12"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("simhash portable (md5/48-bit): same planted-fixture behavior as the fast path") {
     val pairs = Dedup.simHashDupPairsPortable(docs, maxHamming = 10)
       .as[(Long, Long, Long)].collect()
