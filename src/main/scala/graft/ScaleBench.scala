@@ -40,6 +40,11 @@ object ScaleBench {
     import spark.implicits._
 
     val factor = args.headOption.map(_.toInt).getOrElse(4)
+    // optional section filter: "pipelines" (1× vs N× ratios) and/or
+    // "guards" (planted degenerate-input bound checks) — iterate on one
+    // without paying the other (the CC pipeline alone is ~2 min)
+    val sections = args.lift(1).map(_.split(',').toSet)
+      .getOrElse(Set("pipelines", "guards"))
 
     // ---- amplified tables (materialized to parquet so both runs read
     // from disk with the same access path) ----
@@ -179,7 +184,7 @@ object ScaleBench {
     docs1.count(); docsN.count(); events1.count(); eventsN.count()
     li1.count(); liN.count(); edges1.count(); edgesN.count()
 
-    pipelines.foreach { case (name, run, base, amplified) =>
+    if (sections("pipelines")) pipelines.foreach { case (name, run, base, amplified) =>
       // two interleaved runs each, min taken: the first pass absorbs
       // codegen/JIT for this plan shape, which otherwise dwarfs the 1×
       // runtime and makes the ratio meaningless
@@ -187,6 +192,8 @@ object ScaleBench {
       val tN = Seq(time(run(amplified)), time(run(amplified))).min
       println(f"""{"pipeline":"$name","x1_sec":$t1%.2f,"xN_sec":$tN%.2f,"factor":$factor,"ratio":${tN / t1}%.2f}""")
     }
+
+    if (sections("guards")) {
 
     // ---- hot-bucket bound under a PLANTED degenerate bucket: 10k
     // byte-identical docs share every LSH band bucket, so unguarded
@@ -214,7 +221,9 @@ object ScaleBench {
     // the hot key combines map-side and no task ever co-locates it.
     // Plant sized so the straggler would dominate: pass = finishing in
     // aggregate-shaped time, and doc 0 alone keeping the boilerplate. ----
-    val boiler = "all rights reserved copyright notice template " +
+    // EXACTLY spanWords (10) tokens, so every doc's chunk 0 is this
+    // span verbatim and chunk 1 is its unique tail
+    val boiler = "all rights reserved legal copyright notice template " +
       "header boilerplate words"
     val megaSpan = spark.range(1000000L).select($"id".as("doc_id"),
       concat(lit(boiler + " "),
@@ -227,6 +236,39 @@ object ScaleBench {
       require(keepers == 1L, s"mega-span must keep exactly 1 owner, got $keepers")
     }
     println(f"""{"pipeline":"span_dedup_mega_span","sec":$tSpan%.2f,"planted":1000000,"span_copies":1000000}""")
+
+    // ---- streaming near-dup under a PLANTED over-cap bucket: 20k
+    // byte-identical docs stream into the SAME 7 band buckets. Unbound,
+    // per-bucket state grows to 20k and the drain pays the 20k-clique —
+    // 7 × 2×10⁸ signature compares in single-bucket tasks. With
+    // maxBucket=20 each bucket retains 20 docs, every later arrival
+    // compares against exactly 20 — per-arrival work is O(cap), the
+    // drain is linear in the stream. Pass = bounded pair count
+    // (20·19/2 + 19 980·20 per band, deduped across bands) and
+    // completing in stream-floor time. ----
+    {
+      implicit val sqlCtx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val pairs = graft.streaming.NearDup.pairs(
+        in.toDF().toDF("doc_id", "text"), maxHamming = 6, maxBucket = 20)
+      @volatile var sunk = 0L
+      val q = pairs.writeStream
+        .foreachBatch((df: DataFrame, _: Long) => { sunk += df.count(); () })
+        .outputMode("append").start()
+      val degenText = "identical streaming boilerplate document body " +
+        "repeated across every copy in the planted hot bucket"
+      val tStream = time {
+        (0 until 20).foreach { b =>
+          in.addData((0 until 1000).map(i => ((b * 1000 + i).toLong, degenText)))
+        }
+        q.processAllAvailable()
+      }
+      q.stop()
+      val expected = 20L * 19 / 2 + (20000L - 20) * 20
+      println(f"""{"pipeline":"stream_neardup_capped_hot_bucket","sec":$tStream%.2f,"planted":20000,"cap":20,"pairs_per_band_expected":$expected,"sunk_rows":$sunk}""")
+    }
+    }
     spark.stop()
   }
 }

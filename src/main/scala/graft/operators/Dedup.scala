@@ -319,14 +319,17 @@ object Dedup {
     * a candidate blowup at corpus scale.
     *
     * '''Dial semantics''': `maxHamming` is an ABSOLUTE radius over the
-    * signature width, so the round-7 widening at a fixed dial TIGHTENS
+    * signature width, so a wider signature at a fixed dial TIGHTENS
     * the normalized similarity threshold — 6 of 128 bits ≈ 3 of 64.
-    * To keep a pre-widening normalized threshold, scale the dial with
-    * the width (6/64 → 12/128); the price is `maxHamming + 1` bands of
-    * half the chunk width ([[simHashBandSpec]] trades bucket
-    * cardinality for radius — below ~12-bit chunks the bucket join
-    * re-enters the candidate-blowup regime the widening fixed). */
-  def simHashDupPairs(docs: DataFrame, maxHamming: Int = 3,
+    * The DEFAULT therefore scales with the width: 6/128 here preserves
+    * the pre-widening 3/64 normalized radius (7 bands, still ≥ 2^18
+    * buckets each), so callers on defaults kept their recall across
+    * the widening. Callers tuning their own dial scale it the same way
+    * (6/64 → 12/128); the price is `maxHamming + 1` bands of half the
+    * chunk width ([[simHashBandSpec]] trades bucket cardinality for
+    * radius — below ~12-bit chunks the bucket join re-enters the
+    * candidate-blowup regime the widening fixed). */
+  def simHashDupPairs(docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
@@ -349,8 +352,10 @@ object Dedup {
     * band), a ~56× candidate blowup vs the legacy 12-bit layout and
     * quadratic at 100× scale. Dial semantics as in
     * [[simHashDupPairs]]: `maxHamming` is absolute over the 96 bits,
-    * so 6/96 ≈ the old 3/48 normalized threshold. */
-  def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+    * and the default scales with the width — 6/96 ≈ the pre-widening
+    * 3/48 normalized threshold, so defaulted callers kept their
+    * radius (7 bands of 13-14 bits, ≥ 8k buckets each). */
+  def simHashDupPairsPortable(docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
@@ -489,11 +494,17 @@ object Dedup {
       sumCur = sumNext
       i += 1
     }
-    if (!converged) ccLog.warn(
-      s"largeSmallStar: no fixpoint after $maxIter rounds — labels may " +
+    // fail FAST, like lshParams: returning possibly under-merged labels
+    // would let dedupCorpus/semanticCollapse silently keep extra
+    // "survivors" from one incompletely-collapsed component — a
+    // correctness hole no log line excuses. O(log n) convergence means
+    // the default 25 rounds covers ~2^25-node components; not
+    // converging indicates a pathological graph the caller must see.
+    if (!converged) throw new IllegalStateException(
+      s"largeSmallStar: no fixpoint after $maxIter rounds — labels would " +
         "merge incompletely; raise maxIter (components deeper than " +
         "O(log n) rounds indicate a pathological graph)")
-    else ccLog.info(s"largeSmallStar: converged in $i rounds")
+    ccLog.info(s"largeSmallStar: converged in $i rounds")
     // isolated self-pairs (id_a == id_b with no other edge) still need
     // a label: union the input's node set back in as singletons
     val nodes = p.select(col("id_a").as("id"))
@@ -693,11 +704,16 @@ object Dedup {
     * levenshtein calls in one task. Per-task bound here is 2·cap²
     * (not cap²): an a-side join bucket unions TWO guarded adjacent
     * bins, each ≤ cap — size `maxBucket` to half the per-task pair
-    * budget for this operator. */
+    * budget for this operator. Report-only callers who cannot accept
+    * a silent drop set `strictBuckets = true` (query fails on the
+    * first oversized block) or poll
+    * [[HotBuckets.lastObservation]]`("editDistancePairs")` after the
+    * action. */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
       idCol: String = "doc_id", textCol: String = "text",
       prefixLen: Int = 12, maxLen: Int = 80,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strictBuckets: Boolean = false): DataFrame = {
     // candidate lengths span [len-maxDist, len+maxDist] — width
     // 2·maxDist+1 — so bins of exactly that width cover it with two
     // consecutive keys (the ≤-2-bins lemma needs bin width ≥ range width)
@@ -717,7 +733,7 @@ object Dedup {
     // exchange (side b joins on the same key the window partitioned).
     val guarded = HotBuckets.guard(keyed
       .withColumn("lbin", floor(col("len").cast("double") / w).cast("long")),
-      Seq("blk", "lbin"), maxBucket, "editDistancePairs")
+      Seq("blk", "lbin"), maxBucket, "editDistancePairs", strictBuckets)
     val aBase = floor((col("len") - maxDist).cast("double") / w).cast("long")
     val a = guarded.drop("lbin")
       .withColumn("lbin", explode(array(aBase, aBase + 1)))
@@ -743,11 +759,12 @@ object Dedup {
       blockKey: Column => Column,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strictBuckets: Boolean = false): DataFrame = {
     val keyed = HotBuckets.guard(
       docs.select(col(idCol).as("id"), blockKey(col(textCol)).as("blk"),
         shingles(col(textCol), shingleSize).as("sh")),
-      Seq("blk"), maxBucket, "ngram_block")
+      Seq("blk"), maxBucket, "ngram_block", strictBuckets)
     val a = keyed.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

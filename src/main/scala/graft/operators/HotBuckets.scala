@@ -41,21 +41,60 @@ object HotBuckets {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  // bounded ring of completed-query observations, keyed by the full
+  // observation name (call-site tag + seq) — the PROGRAMMATIC channel
+  // for the dropped/degraded mass: a warn-log is easy to miss in a
+  // library context, and a report-only caller has no other way to
+  // learn its recall silently narrowed
+  private val MaxObservations = 512
+  private val observations =
+    new java.util.LinkedHashMap[String, (Long, Long)](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+        size() > MaxObservations
+    }
+
+  /** Most recent completed observation for a call-site tag (the
+    * `what` passed to [[guard]]/[[guardRep]]/[[starSelfJoinCandidates]]):
+    * `(affectedRows, maxBucketSize)` — affected = dropped for the
+    * drop-guard, degraded-to-representative for the other two; 0 means
+    * the guard ran clean, `None` means no query with that tag has
+    * COMPLETED yet (observe fires on query completion, so check after
+    * the action, not after building the plan). */
+  def lastObservation(what: String): Option[(Long, Long)] =
+    observations.synchronized {
+      import scala.jdk.CollectionConverters._
+      observations.asScala.foldLeft(Option.empty[(Long, Long)]) {
+        case (acc, (name, v)) =>
+          if (name.split('/').lift(1).contains(what)) Some(v) else acc
+      }
+    }
+
   /** Filter `df` down to rows whose (`keys`) bucket has ≤ `cap`
-    * members; oversized-bucket mass is observed and logged on query
-    * completion. `what` names the call site in the log line. */
+    * members; oversized-bucket mass is observed, logged on query
+    * completion, and queryable via [[lastObservation]]. `what` names
+    * the call site. `strict = true` turns the silent drop into a
+    * query-time failure: the first oversized-bucket row raises instead
+    * of filtering, for callers who would rather die than lose recall
+    * (the assert rides the filter condition, so column pruning cannot
+    * eliminate it). */
   def guard(df: DataFrame, keys: Seq[String], cap: Int,
-      what: String): DataFrame = {
+      what: String, strict: Boolean = false): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bsz", count(lit(1)).over(w))
+    val sized = df.withColumn("__bsz", count(lit(1)).over(w))
       .observe(s"graft_hot_buckets/$what/${seq.incrementAndGet()}",
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
           .as("dropped_rows"),
         max(col("__bsz")).as("max_bucket"))
-      .filter(col("__bsz") <= cap)
-      .drop("__bsz")
+    val kept =
+      if (strict) sized.filter(assert_true(col("__bsz") <= cap,
+        concat(lit(s"hot-bucket guard '$what' (strict): bucket of "),
+          col("__bsz"), lit(s" rows exceeds cap $cap on keys "),
+          lit(keys.mkString("(", ", ", ")")))).isNull)
+      else sized.filter(col("__bsz") <= cap)
+    kept.drop("__bsz")
   }
 
   /** Drop-guard variant for ASYMMETRIC (cross) bucket joins: buckets
@@ -157,6 +196,9 @@ object HotBuckets {
               val hit = row.getAs[Long](
                 if (degraded) "oversized_rows" else "dropped_rows")
               val top = row.getAs[Long]("max_bucket")
+              observations.synchronized {
+                observations.put(name, (hit, top)); ()
+              }
               if (hit > 0) log.warn(
                 if (name.startsWith("graft_hot_buckets_star"))
                   s"$name: $hit rows in oversized buckets degraded to " +

@@ -145,7 +145,17 @@ object StreamingQueries {
     * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is always true
     * — so the drain would never return); production long-running
     * streams arm the TTL + a trigger interval, covered by the
-    * StreamingSpec TTL-eviction case. */
+    * StreamingSpec TTL-eviction case.
+    *
+    * Production dials (both defaulted OFF/loose here so the drained
+    * run stays batch-equivalent): `stateTtl` — the dedup horizon;
+    * state untouched that long evicts, a later dup is a documented
+    * miss (set it to the ingestion re-poll window, e.g. 7 days);
+    * `maxBucket` (default [[graft.operators.HotBuckets.DefaultCap]],
+    * 10k) — per-bucket state bound; past it arrivals still COMPARE but
+    * stop being RETAINED, so the drained set narrows to a subset of
+    * the batch candidates (post-cap × post-cap pairs are the miss —
+    * the planted over-cap StreamingSpec case pins the exact class). */
   def q72StreamNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/documents.parquet").schema

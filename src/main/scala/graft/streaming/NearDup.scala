@@ -19,9 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bucket via `flatMapGroupsWithState`; Hamming ≤ `maxHamming` emits
   * a pair.
   * Pairs are normalized to (min id, max id), so ARRIVAL ORDER never
-  * changes the emitted SET — a fully drained run produces exactly the
-  * batch [[graft.operators.Dedup.simHashDupPairsPortable]] candidate
-  * pairs, which is what q72's oracle (q28's DuckDB replay) gates.
+  * changes the emitted SET — while every bucket stays under
+  * `maxBucket`, a fully drained run produces exactly the batch
+  * [[graft.operators.Dedup.simHashDupPairsPortable]] candidate pairs,
+  * which is what q72's oracle (q28's DuckDB replay) gates. Once the
+  * cap fires the drained set narrows to a SUBSET of the batch set —
+  * see the cap contract below.
   *
   * A pair sharing several chunks is emitted once per matching band
   * (different state buckets cannot see each other); consumers collapse
@@ -41,17 +44,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    a short TTL with a real `Trigger.ProcessingTime` interval: under
   *    the default continuous trigger, due timeouts make the engine
   *    spin no-data micro-batches back to back.
-  *  - `maxBucket` caps the per-bucket list: a degenerate bucket stops
-  *    ACCUMULATING past the cap (arrivals still compare against the
-  *    capped state, so no task ever scans an unbounded list — the
-  *    streaming twin of [[graft.operators.HotBuckets.guard]]).
+  *  - `maxBucket` caps the per-bucket list: a full bucket stops
+  *    RETAINING, never stops COMPARING — arrivals past the cap still
+  *    pair against the retained state (so a true-dup cluster still
+  *    collapses downstream: every post-cap member links into it), but
+  *    are not added, so no task ever scans an unbounded list. The
+  *    miss class this buys bounded state with is post-cap × post-cap:
+  *    two docs both arriving after the cap pair with retained members
+  *    but not with each other — the streaming twin of
+  *    [[graft.operators.HotBuckets.starSelfJoinCandidates]]' beyond-
+  *    the-representative miss, spec-gated by the planted over-cap
+  *    bucket StreamingSpec case.
   */
 object NearDup {
 
   case class DocSig(id: Long, sig0: Long, sig1: Long)
 
   /** (doc stream with `idCol`, `textCol`) → streaming pair frame
-    * (id_a, id_b, hamming); one row per matching band. */
+    * (id_a, id_b, hamming); one row per matching band.
+    *
+    * '''Default-dial caveat''' (deliberate divergence from the batch
+    * operators, whose defaults scaled with the round-7 widening):
+    * 6/96 is HALF the pre-widening 6/48 normalized radius. Preserving
+    * that radius would need 12/96 — 13 bands of 7-8-bit chunks, i.e.
+    * 128-256 buckets per band: every real-corpus doc lands in a hot
+    * bucket and per-arrival state compares blow up, the exact regime
+    * the widening removed. Callers who need the old radius on a
+    * LOW-CARDINALITY stream can pass maxHamming=12 explicitly; at
+    * corpus scale, tighten the radius or pre-filter instead. */
   def pairs(docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text",
       stateTtl: Option[java.time.Duration] = None,

@@ -224,6 +224,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup cap: post-cap arrivals still pair against retained " +
+      "state; only post-cap x post-cap pairs are the documented miss") {
+    // the maxBucket contract (the streaming twin of the batch star
+    // guard): a bucket at its cap stops RETAINING, never stops
+    // COMPARING. With 4 identical docs and cap 2, docs 3/4 each pair
+    // against retained 1/2 (so a dedup component still collapses —
+    // every post-cap member links into the cluster), and the one
+    // candidate the cap costs is (3,4): both past the cap, compared
+    // only against state that excludes them — the same
+    // within-cluster-beyond-the-representative miss class
+    // HotBuckets.starSelfJoinCandidates logs in batch. A drained run
+    // is therefore a SUBSET of the batch candidate set once the cap
+    // fires (equality holds only below it — the q72 contract).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight without looking back"
+    val out = graft.streaming.NearDup.pairs(docs, maxHamming = 12,
+      maxBucket = 2)
+    val q = out.writeStream.format("memory").queryName("neardup_cap_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 fills every bucket to the cap (identical docs share
+      // all maxHamming+1 band buckets); batches 2/3 arrive past it
+      input.addData((1L, base), (2L, base))
+      q.processAllAvailable()
+      input.addData((3L, base))
+      q.processAllAvailable()
+      input.addData((4L, base))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_cap_out")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+        "post-cap arrivals must pair against the retained state and " +
+          "(3,4) must be the only missing pair")
+      // the miss is exactly batch-minus-drained: the batch twin finds
+      // all 6 pairs of the 4-clique
+      val batch = graft.operators.Dedup.simHashDupPairsPortable(
+        (1L to 4L).map((_, base)).toDF("doc_id", "text"), maxHamming = 12)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(batch -- pairs === Set((3L, 4L)))
+    } finally q.stop()
+  }
+
   test("built-in session_window aggregation on the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]

@@ -360,6 +360,44 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("kernel budget"))
   }
 
+  test("strict guard fails on the first oversized bucket; observations are queryable") {
+    val synth = ((0L until 40L).map(i => ("hot", i)) ++
+      (100L until 105L).map(i => ("cold", i))).toDF("bucket", "id")
+    // strict: the query DIES instead of silently dropping the block
+    val e = intercept[Exception] {
+      HotBuckets.guard(synth, Seq("bucket"), cap = 10, "strictSpec",
+        strict = true).count()
+    }
+    assert(e.getMessage.contains("strictSpec") ||
+      Option(e.getCause).exists(_.getMessage.contains("strictSpec")))
+    // non-strict: dropped mass is reported PROGRAMMATICALLY after the
+    // action completes — the library-context channel the warn-log
+    // cannot provide
+    val kept = HotBuckets.guard(synth, Seq("bucket"), cap = 10,
+      "observeSpec").count()
+    assert(kept === 5L)
+    // observe fires on query COMPLETION via a listener thread; poll
+    // briefly rather than racing it
+    val deadline = System.currentTimeMillis + 10000
+    def obs = HotBuckets.lastObservation("observeSpec")
+    while (obs.isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(obs === Some((40L, 40L)),
+      "dropped rows and max bucket size must be queryable by call-site tag")
+  }
+
+  test("largeSmallStar refuses to return under-merged labels on non-convergence") {
+    // a 64-node chain needs ~log rounds; maxIter = 1 cannot converge —
+    // the operator must throw (the fail-fast stance lshParams takes),
+    // never hand dedupCorpus labels that silently keep extra survivors
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, driverThreshold = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("hot-bucket star fallback: oversized buckets collapse to the representative, not to nothing") {
     // 40 NEAR-identical docs (byte-identical ones would collapse in the
     // exact fingerprint stage and never reach the LSH path, making the
