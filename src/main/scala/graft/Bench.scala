@@ -52,18 +52,33 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (_ <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // untimed: drop caches a query built (e.g. the shingle projection)
       // so accumulated storage pressure can't skew later measurements
       spark.catalog.clearCache()
-      samples(name) = elapsed :: samples(name)
+      // a failed pass must NOT enter the timing samples: a query that
+      // dies in 0.05 s would otherwise report a tiny min and read as a
+      // 50× improvement — the exact misread the min metric exists to
+      // prevent. Failures are counted and reported separately; a query
+      // with zero successful passes reports -1 (unmissable).
+      if (ok) samples(name) = elapsed :: samples(name)
+      else failures(name) += 1
     }
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    def median(xs: List[Double]): Double = xs match {
+      case Nil => -1.0
+      case _ =>
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -79,12 +94,15 @@ object Bench {
     // pass is the steady-state number (load only ever ADDS time), so
     // round-over-round comparisons should read mins — medians answer
     // "what did this run cost", mins answer "did the plan regress"
+    def minOr(xs: List[Double]): Double = if (xs.isEmpty) -1.0 else xs.min
     val mins = names.map { case (name, _) =>
-      "\"" + name + "\":" + samples(name).min
+      "\"" + name + "\":" + minOr(samples(name))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val totalMin = names.map { case (name, _) => samples(name).min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"mins":$mins,"samples":$raw,"sf":"$sfDir"}""")
+    val totalMin = names.map { case (name, _) => minOr(samples(name)) }.sum
+    val failed = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -582,18 +582,29 @@ object Dedup {
     * and shingled ONCE across all ingestions instead of once per
     * batch, and no executor-storage cache needs to survive between
     * jobs. Raw shingles (not signatures) are stored so any later
-    * threshold/banding choice replays from the same index. */
+    * threshold/banding choice replays from the same index; the
+    * `shingleSize` that built them is stamped into the `sh` column's
+    * METADATA (schema metadata round-trips through parquet), so a
+    * batch ingested months later with a different dial fails fast
+    * instead of silently comparing 3-grams to 5-grams (jaccard ≈ 0 —
+    * every cross duplicate would leak through with no error). */
   def buildCorpusIndex(corpus: DataFrame, shingleSize: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     corpus.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("__fp"),
-      shingles(col(textCol), shingleSize).as("sh"))
+      shingles(col(textCol), shingleSize).as("sh",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ShingleSizeMetaKey, shingleSize.toLong).build()))
+
+  private[graft] val ShingleSizeMetaKey = "graft.shingleSize"
 
   /** [[dedupIncremental]] against a PREBUILT corpus index
     * ([[buildCorpusIndex]] output — freshly built, or read back from a
     * persisted index table). `shingleSize` must match the index's
     * build parameter: the batch side is shingled here and verified
-    * against the index's stored shingles. The index frame's
+    * against the index's stored shingles — enforced against the
+    * [[ShingleSizeMetaKey]] stamp in the `sh` column metadata (a pure
+    * schema check, no job). The index frame's
     * persistence is the CALLER's policy (a parquet-backed index needs
     * none); this method never caches it. */
   def dedupIncrementalIndexed(newDocs: DataFrame, corpusIndex: DataFrame,
@@ -601,6 +612,19 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    // fail fast on a dial mismatch with the index's build: comparing
+    // 3-gram batch shingles to a 5-gram index gives jaccard ~ 0 and
+    // silently lets every cross duplicate through (pure schema check —
+    // the stamp survives the parquet round-trip; indexes built before
+    // the stamp existed skip the check)
+    corpusIndex.schema.find(_.name == "sh").map(_.metadata)
+      .filter(_.contains(ShingleSizeMetaKey)).foreach { m =>
+        val built = m.getLong(ShingleSizeMetaKey)
+        require(built == shingleSize.toLong,
+          s"corpus index was built with shingleSize=$built but this batch " +
+            s"uses shingleSize=$shingleSize — rebuild the index or pass " +
+            "the matching shingleSize")
+      }
     val (kk, bb) = resolveLsh(jaccardThreshold, k, bands)
     val r = kk / bb
     val corpusPrep = corpusIndex

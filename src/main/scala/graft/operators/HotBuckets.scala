@@ -41,32 +41,52 @@ object HotBuckets {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  // bounded ring of completed-query observations, keyed by the full
-  // observation name (call-site tag + seq) — the PROGRAMMATIC channel
-  // for the dropped/degraded mass: a warn-log is easy to miss in a
-  // library context, and a report-only caller has no other way to
-  // learn its recall silently narrowed
+  // bounded ring of completed-query observations PER SESSION, keyed by
+  // the full observation name (call-site tag + seq) — the PROGRAMMATIC
+  // channel for the dropped/degraded mass: a warn-log is easy to miss
+  // in a library context, and a report-only caller has no other way to
+  // learn its recall silently narrowed. Session-scoped (weak keys,
+  // like the listener registry): a JVM hosting several sessions must
+  // not let one session's clean run mask another's dropped mass.
   private val MaxObservations = 512
+  private type ObsMap = java.util.LinkedHashMap[String, (Long, Long)]
   private val observations =
-    new java.util.LinkedHashMap[String, (Long, Long)](64, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
-        size() > MaxObservations
-    }
+    new java.util.WeakHashMap[SparkSession, ObsMap]()
 
-  /** Most recent completed observation for a call-site tag (the
-    * `what` passed to [[guard]]/[[guardRep]]/[[starSelfJoinCandidates]]):
+  private def record(spark: SparkSession, name: String,
+      v: (Long, Long)): Unit = observations.synchronized {
+    val m = observations.computeIfAbsent(spark, _ =>
+      new ObsMap(64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+          size() > MaxObservations
+      })
+    // remove-then-put: a RE-EXECUTED guarded frame re-reports under its
+    // original name, and LinkedHashMap(accessOrder = false) keeps a
+    // re-put key in its old slot — without the remove, "most recent"
+    // would keep returning an observation that completed earlier
+    m.remove(name)
+    m.put(name, v)
+    ()
+  }
+
+  /** Most recent completed observation in `spark` for a call-site tag
+    * (the `what` passed to
+    * [[guard]]/[[guardRep]]/[[starSelfJoinCandidates]]):
     * `(affectedRows, maxBucketSize)` — affected = dropped for the
     * drop-guard, degraded-to-representative for the other two; 0 means
     * the guard ran clean, `None` means no query with that tag has
-    * COMPLETED yet (observe fires on query completion, so check after
-    * the action, not after building the plan). */
-  def lastObservation(what: String): Option[(Long, Long)] =
+    * COMPLETED in that session yet (observe fires on query completion,
+    * so check after the action, not after building the plan). */
+  def lastObservation(what: String,
+      spark: SparkSession = SparkSession.active): Option[(Long, Long)] =
     observations.synchronized {
       import scala.jdk.CollectionConverters._
-      observations.asScala.foldLeft(Option.empty[(Long, Long)]) {
-        case (acc, (name, v)) =>
-          if (name.split('/').lift(1).contains(what)) Some(v) else acc
+      Option(observations.get(spark)).flatMap {
+        _.asScala.foldLeft(Option.empty[(Long, Long)]) {
+          case (acc, (name, v)) =>
+            if (name.split('/').lift(1).contains(what)) Some(v) else acc
+        }
       }
     }
 
@@ -196,9 +216,7 @@ object HotBuckets {
               val hit = row.getAs[Long](
                 if (degraded) "oversized_rows" else "dropped_rows")
               val top = row.getAs[Long]("max_bucket")
-              observations.synchronized {
-                observations.put(name, (hit, top)); ()
-              }
+              record(qe.sparkSession, name, (hit, top))
               if (hit > 0) log.warn(
                 if (name.startsWith("graft_hot_buckets_star"))
                   s"$name: $hit rows in oversized buckets degraded to " +

@@ -40,6 +40,9 @@ object Hydration {
   def persist(df: DataFrame): DataFrame = {
     val name = df.sparkSession.conf.get(StorageLevelConf, Default)
     if (name.equalsIgnoreCase("NONE")) df
-    else df.persist(StorageLevel.fromString(name.toUpperCase))
+    // Locale.ROOT: default-locale uppercasing turns "disk" into "DİSK"
+    // under tr-TR and fromString then rejects a perfectly good setting
+    else df.persist(StorageLevel.fromString(
+      name.toUpperCase(java.util.Locale.ROOT)))
   }
 }

@@ -23,8 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `maxBucket`, a fully drained run produces exactly the batch
   * [[graft.operators.Dedup.simHashDupPairsPortable]] candidate pairs,
   * which is what q72's oracle (q28's DuckDB replay) gates. Once the
-  * cap fires the drained set narrows to a SUBSET of the batch set —
-  * see the cap contract below.
+  * cap fires the drained set narrows to a SUBSET of the UNCAPPED
+  * batch enumeration (the set the oracle replays) — note the
+  * comparison baseline: against a batch twin run at the SAME
+  * `maxBucket`, whose star fallback emits only O(B) bucket-min pairs
+  * for an oversized bucket, neither side contains the other (the
+  * stream retains a cap-sized clique and emits its full pairs; the
+  * batch star emits representative links only). See the cap contract
+  * below.
   *
   * A pair sharing several chunks is emitted once per matching band
   * (different state buckets cannot see each other); consumers collapse

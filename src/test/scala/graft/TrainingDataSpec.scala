@@ -268,6 +268,16 @@ class DedupSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
       assert(fromTable === direct)
       assert(fromTable.size === 1 && fromTable.head.contains("12"))
+      // dial mismatch fails FAST: a 5-gram index fed a 3-gram batch
+      // would verify jaccard ~ 0 on every cross candidate and silently
+      // let every duplicate through — the shingleSize stamp in the sh
+      // column metadata (which survives the parquet round-trip) must
+      // reject it at build time
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dedupIncrementalIndexed(fresh, spark.read.parquet(dir),
+          jaccardThreshold = 0.5, shingleSize = 5)
+      }
+      assert(e.getMessage.contains("shingleSize"))
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
