@@ -809,20 +809,25 @@ object Dedup {
     * every chunk was seen elsewhere become empty strings, not dropped
     * rows — the caller decides the policy).
     *
-    * Scale shape: one projection to (id, idx, chunk), one hash
-    * AGGREGATE for the dedup decision, one groupBy to reassemble —
-    * all hash-partitioned by chunk/id, nothing global. The decision
+    * Scale shape: one projection to (id, idx, chunk), one AGGREGATE
+    * for the dedup decision, one groupBy to reassemble — all
+    * hash-partitioned by chunk/id, nothing global. The decision
     * "first (id, idx) per chunk" is `min(struct(id, idx))` — NOT a
     * `row_number` window partitioned by chunk: the min is
     * partial-aggregatable (map-side combine collapses a hot span's
-    * occurrences before the shuffle), where the window must SORT every
-    * occurrence of a span in one partition — a corpus-boilerplate span
-    * repeated across millions of docs ("all rights reserved…") made
-    * that a single-task straggler, the exact skew class
-    * [[HotBuckets]] guards everywhere else. No hot-key guard is
-    * needed here at all: the aggregate never co-locates a key's rows.
-    * The winner row needs no join-back either — chunk is the group
-    * key and (id, idx) fall out of the min struct. */
+    * occurrences BEFORE the shuffle), where the window must sort every
+    * occurrence of a span in one reducer partition — a
+    * corpus-boilerplate span repeated across millions of docs ("all
+    * rights reserved…") made that a single-task straggler, the exact
+    * skew class [[HotBuckets]] guards everywhere else. No hot-key
+    * guard is needed here at all: by the time a span key crosses the
+    * wire it is one row per map partition. (Spark plans a struct min
+    * as SortAggregate — the buffer is not UnsafeRow-mutable — but
+    * that sort is per-partition and PRE-combine: bounded by partition
+    * size, never by key frequency; the PlanQualitySpec gate pins the
+    * Partial-mode aggregate and the absence of any Window.) The
+    * winner row needs no join-back either — chunk is the group key
+    * and (id, idx) fall out of the min struct. */
   def dedupSpans(docs: DataFrame, spanWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")

@@ -38,13 +38,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(reused >= 1, s"no reused stage in final q28 plan:\n$plan")
   }
 
-  test("q70 span dedup decides first-occurrence with a hash aggregate, not a window sort") {
+  test("q70 span dedup decides first-occurrence with a partial aggregate, not a window sort") {
     // the "first (id, idx) per chunk" decision must be min(struct(..))
     // — partial-aggregatable, so a corpus-boilerplate span repeated
-    // across millions of docs combines map-side. A row_number window
-    // partitioned by raw span text (the pre-round-8 shape) sorts every
-    // occurrence of the hottest span in ONE task — the skewed-key
-    // straggler class HotBuckets guards everywhere else.
+    // across millions of docs combines map-side (Spark plans the
+    // struct min as SortAggregate — fine: that sort is per-partition
+    // and pre-combine, bounded by partition size, never by key
+    // frequency). A row_number window partitioned by raw span text
+    // (the pre-round-8 shape) instead sorts every occurrence of the
+    // hottest span in ONE reducer task — the skewed-key straggler
+    // class HotBuckets guards everywhere else.
     val plan = SparkEntry.queries("q70_span_dedup")(spark, sf)
       .queryExecution.sparkPlan
     val windows = plan.collectWithSubqueries { case w: WindowExec => w.nodeName }
