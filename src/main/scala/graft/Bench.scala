@@ -65,18 +65,24 @@ object Bench {
       // untimed: drop caches a query built (e.g. the shingle projection)
       // so accumulated storage pressure can't skew later measurements
       spark.catalog.clearCache()
-      // a failed pass must NOT enter the timing samples: a query that
+      // a failed pass must NOT enter the timing stats: a query that
       // dies in 0.05 s would otherwise report a tiny min and read as a
       // 50× improvement — the exact misread the min metric exists to
-      // prevent. Failures are counted and reported separately; a query
-      // with zero successful passes reports -1 (unmissable).
-      if (ok) samples(name) = elapsed :: samples(name)
-      else failures(name) += 1
+      // prevent. The samples array keeps a -1 PLACEHOLDER in the
+      // failed slot (so sample N still aligns with pass N across
+      // queries — the field's documented use), failures are counted
+      // per query, and a query with zero successful passes reports -1
+      // in queries/mins (unmissable) while contributing NOTHING to the
+      // totals (summing the sentinel would make a fully-broken query
+      // read as a 6 s total improvement).
+      samples(name) = (if (ok) elapsed else -1.0) :: samples(name)
+      if (!ok) failures(name) += 1
     }
-    def median(xs: List[Double]): Double = xs match {
+    def good(xs: List[Double]): List[Double] = xs.filter(_ >= 0)
+    def median(xs: List[Double]): Double = good(xs) match {
       case Nil => -1.0
-      case _ =>
-        val s = xs.sorted
+      case g =>
+        val s = g.sorted
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
@@ -86,7 +92,8 @@ object Bench {
     // per-pass samples alongside the medians: medians absorb transient
     // machine load, but a real regression and a noisy pass are
     // indistinguishable from a single number — the raw passes let a
-    // reader adjudicate (samples are in pass order, pass 1 first)
+    // reader adjudicate (samples are in pass order, pass 1 first;
+    // -1 marks a failed pass, holding its slot so alignment survives)
     val raw = names.map { case (name, _) =>
       "\"" + name + "\":" + samples(name).reverse.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -94,12 +101,16 @@ object Bench {
     // pass is the steady-state number (load only ever ADDS time), so
     // round-over-round comparisons should read mins — medians answer
     // "what did this run cost", mins answer "did the plan regress"
-    def minOr(xs: List[Double]): Double = if (xs.isEmpty) -1.0 else xs.min
+    def minOr(xs: List[Double]): Double = good(xs) match {
+      case Nil => -1.0
+      case g => g.min
+    }
     val mins = names.map { case (name, _) =>
       "\"" + name + "\":" + minOr(samples(name))
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMin = names.map { case (name, _) => minOr(samples(name)) }.sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalMin = names
+      .map { case (name, _) => minOr(samples(name)) }.filter(_ >= 0).sum
     val failed = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}""")

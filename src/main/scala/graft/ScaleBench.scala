@@ -277,7 +277,14 @@ object ScaleBench {
         q.processAllAvailable()
       }
       q.stop()
+      // enforce the pass criterion, like the mega-span's require: a
+      // cap regression (stops comparing instead of stops retaining, or
+      // stops capping at all) changes this count — it must not survive
+      // as just a different number inside a printed line. 7 bands at
+      // maxHamming 6; identical docs collide in every band.
       val expected = 20L * 19 / 2 + (20000L - 20) * 20
+      require(sunk == 7L * expected,
+        s"capped stream must sink exactly 7 x $expected pairs, got $sunk")
       println(f"""{"pipeline":"stream_neardup_capped_hot_bucket","sec":$tStream%.2f,"planted":20000,"cap":20,"pairs_per_band_expected":$expected,"sunk_rows":$sunk}""")
     }
     }

@@ -47,13 +47,17 @@ object TrainingPipeline {
     //    that mostly repeat themselves are near-dup fodder AND bad
     //    training signal — cut them before the dedup stage pays for
     //    their signatures.
+    // ONE floor, applied twice (at intake, and re-applied after the
+    // span cut below) — a single constant so the two gates cannot
+    // silently diverge under later tuning
+    val MinTokens = 5
     val quality = TextFunctions.qualityMetrics(col("text")).toMap
     val nTok = TextFunctions.tokenCount(col("text"))
     val rep3 = lit(1.0) -
       size(TextFunctions.shingles(col("text"), 3)).cast("double") /
         (nTok - lit(2)).cast("double")
     val filtered = docs
-      .filter(nTok >= 5 &&
+      .filter(nTok >= MinTokens &&
         quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5 &&
         rep3 <= 0.6)
     // 2. PII masking BEFORE anything derives features from the text:
@@ -75,7 +79,7 @@ object TrainingPipeline {
       else Dedup.dedupSpans(masked, spanWords)
     val counted = spanned
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-      .filter(col("n_tokens") >= 5)
+      .filter(col("n_tokens") >= MinTokens)
     // 4. language ID (pure projection, on the final text)
     val langed = counted.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))

@@ -70,6 +70,15 @@ object HotBuckets {
     ()
   }
 
+  // the observation name is "<family>/<what>/<seq>" and lastObservation
+  // parses the tag back out by position — a '/' inside the tag would
+  // make it silently unqueryable (lift(1) returns its first segment
+  // only and every lookup misses), so reject it where the tag enters
+  private def requireTag(what: String): Unit =
+    require(!what.contains('/'),
+      s"hot-bucket tag '$what' must not contain '/' — the observation " +
+        "name is '/'-delimited and lastObservation would never match it")
+
   /** Most recent completed observation in `spark` for a call-site tag
     * (the `what` passed to
     * [[guard]]/[[guardRep]]/[[starSelfJoinCandidates]]):
@@ -101,6 +110,7 @@ object HotBuckets {
   def guard(df: DataFrame, keys: Seq[String], cap: Int,
       what: String, strict: Boolean = false): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
+    requireTag(what)
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
     val sized = df.withColumn("__bsz", count(lit(1)).over(w))
@@ -129,6 +139,7 @@ object HotBuckets {
   def guardRep(df: DataFrame, keys: Seq[String], idCol: String,
       cap: Int, what: String): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
+    requireTag(what)
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
     // one projection → ONE Window operator for both aggregates (two
@@ -184,6 +195,7 @@ object HotBuckets {
       idCol: String, payload: Seq[String], cap: Int,
       what: String): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
+    requireTag(what)
     ensureListener(df.sparkSession)
     val w = Window.partitionBy(keys.map(col): _*)
     // metric counts OVERSIZED rows (degraded to star candidates, the
