@@ -146,6 +146,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans identity: a corpus with globally unique spans passes through untouched") {
+    // the round-8 min(struct) rewrite must be a NO-OP when nothing
+    // repeats: every doc's text survives byte-identical (the rebuild
+    // path — chunk → reassemble — must not reorder, drop, or re-space
+    // anything), and empty docs stay empty. Token streams are made
+    // globally unique by embedding the doc id in every token.
+    val gen = Gen.listOfN(6, Gen.choose(0, 35))
+    forAll(gen, 6) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(t => s"d${i}w$t").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.dedupSpans(docs, spanWords = 10)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val expected = (0 until n).map(t => s"d${i}w$t").mkString(" ")
+        assert(out(i.toLong) === expected, s"doc $i (len $n) must be untouched")
+      }
+    }
+  }
+
+  test("decontaminate identity: a corpus sharing no n-gram with the benchmark survives whole") {
+    // the hashed-gram join must never false-positive at test scale:
+    // disjoint vocabularies → zero drops, any n
+    val gen = Gen.choose(2, 6)
+    forAll(gen, 4) { n =>
+      val corpus = (0 until 8).map(i =>
+        (i.toLong, (0 until 10).map(t => s"c${i}t$t").mkString(" ")))
+        .toDF("doc_id", "text")
+      val bench = Seq((100L, (0 until 10).map(t => s"b$t").mkString(" ")))
+        .toDF("doc_id", "text")
+      assert(graft.operators.Dedup.decontaminate(corpus, bench, n).count() === 8L)
+    }
+  }
+
   test("rollingHash: permutation-sensitive, concat-extension changes hash") {
     val gen = Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(5)))
     forAll(gen, 8) { words =>
