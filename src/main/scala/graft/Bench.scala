@@ -113,7 +113,24 @@ object Bench {
       .map { case (name, _) => minOr(samples(name)) }.filter(_ >= 0).sum
     val failed = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}""")
+    // self-invalidating totals: the headline total EXCLUDES queries
+    // whose passes all failed, so a round where a query newly breaks
+    // would otherwise report a SMALLER total that reads as an
+    // improvement to anyone diffing `value` alone. When any query has
+    // zero successful passes the totals go null — a diff consumer
+    // breaks loudly instead of celebrating a regression — and the
+    // top-level counts make partial failures visible without opening
+    // the failures map.
+    val broken = names.count { case (name, _) => good(samples(name)).isEmpty }
+    val failedPasses = failures.values.sum
+    val totalJson = if (broken > 0) "null" else total.toString
+    val totalMinJson = if (broken > 0) "null" else totalMin.toString
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"queries_failed":$broken,"failed_passes":$failedPasses,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}""")
+    // compact (<200 byte) summary line AFTER the full line: the
+    // driver's tail capture truncates the full line mid-array (every
+    // BENCH_r*.json so far has parsed:null), so the structured totals
+    // must also ride a line truncation can never eat — last and short
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"queries_run":${names.size},"queries_failed":$broken,"failed_passes":$failedPasses,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, HotBuckets, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,17 @@ object TrainingPipeline {
     * `spanWords > 0` enables corpus-global span dedup; `embeddings`
     * (doc_id, embedding Array[Float] of `embeddingDim`) enables
     * semantic collapse — docs without an embedding row always
-    * survive that stage. */
+    * survive that stage.
+    *
+    * Guard dials (the composed form of the per-operator ones, so a
+    * 100 TB caller controls recall loss without unrolling the
+    * pipeline): `maxBucket` is the hot-bucket cap for BOTH candidate
+    * joins (lexical MinHash-LSH and semantic hyperplane-LSH);
+    * `strictBuckets = true` makes an oversized bucket FAIL the job
+    * instead of degrading to star candidates — fail-fast for callers
+    * who would rather re-dial than silently narrow recall. After the
+    * output is materialized, [[guardReport]] returns what each
+    * guarded stage actually dropped/degraded. */
   def prepare(docs: DataFrame, budget: Long = 2048L,
       jaccardThreshold: Double = 0.8, trainPct: Int = 95,
       benchmark: Option[DataFrame] = None,
@@ -40,7 +50,9 @@ object TrainingPipeline {
       spanWords: Int = 10,
       embeddings: Option[DataFrame] = None,
       semanticThreshold: Double = 0.97,
-      embeddingDim: Int = 64): DataFrame = {
+      embeddingDim: Int = 64,
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strictBuckets: Boolean = false): DataFrame = {
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs
@@ -85,7 +97,8 @@ object TrainingPipeline {
       TextFunctions.langIdHeuristic(col("text")))
     // 5. corpus-level dedup: exact collapse + near-dup clusters, keep
     //    the canonical (min-id) survivor per cluster
-    val deduped = Dedup.dedupCorpus(langed, jaccardThreshold)
+    val deduped = Dedup.dedupCorpus(langed, jaccardThreshold,
+      maxBucket = maxBucket, strict = strictBuckets)
     // 6. semantic collapse (when embeddings are supplied): AFTER the
     //    text-level dedup — lexical clusters are already gone cheaply,
     //    the embedding pass only pays for the paraphrase-level
@@ -94,7 +107,8 @@ object TrainingPipeline {
       val sub = emb.join(deduped.select(col("doc_id")), Seq("doc_id"),
         "left_semi")
       val kept = graft.operators.Similarity.semanticCollapse(
-        sub, semanticThreshold, embeddingDim, idCol = "doc_id")
+        sub, semanticThreshold, embeddingDim, idCol = "doc_id",
+        maxBucket = maxBucket, strict = strictBuckets)
       val drop = sub.select(col("doc_id"))
         .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
       deduped.join(drop, Seq("doc_id"), "left_anti")
@@ -112,6 +126,27 @@ object TrainingPipeline {
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,
         lit("train")).otherwise(lit("test")))
   }
+
+  /** Call-site tags of [[prepare]]'s hot-bucket-guarded stages — the
+    * public names a caller passes to
+    * [[graft.operators.HotBuckets.lastObservation]] (previously
+    * internal knowledge). */
+  val GuardTags: Map[String, String] = Map(
+    "corpus_dedup" -> "minhash_lsh",
+    "semantic_collapse" -> "hyperplane_lsh")
+
+  /** Per-stage guard observations for the LAST completed [[prepare]]
+    * output in `spark`: stage → `Some((affectedRows, maxBucketSize))`
+    * once a query containing that stage has completed (0 affected =
+    * ran clean), `None` while it hasn't — observe fires on query
+    * completion, so call this AFTER the action that materializes the
+    * pipeline, not after building the plan. Stages a run disables
+    * (e.g. no `embeddings` → no semantic collapse) stay `None`. */
+  def guardReport(spark: SparkSession = SparkSession.active)
+      : Map[String, Option[(Long, Long)]] =
+    GuardTags.map { case (stage, tag) =>
+      stage -> HotBuckets.lastObservation(tag, spark)
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -135,6 +170,13 @@ object TrainingPipeline {
     stats.foreach(r => println(
       s"""{"split":"${r.getString(0)}","docs":${r.getLong(1)},""" +
         s""""packs":${r.getLong(2)},"tokens":${r.getLong(3)}}"""))
+    // recall accounting: what each guarded stage dropped/degraded in
+    // the run above — 0 affected = clean; absent = stage not run
+    guardReport(spark).foreach {
+      case (stage, Some((affected, top))) => println(
+        s"""{"guard":"$stage","affected_rows":$affected,"max_bucket":$top}""")
+      case (stage, None) => println(s"""{"guard":"$stage","ran":false}""")
+    }
     spark.stop()
   }
 }

@@ -144,7 +144,8 @@ object Dedup {
     * collapses downstream. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strict: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // hydration persist: the shingle projection feeds the signature
@@ -160,7 +161,7 @@ object Dedup {
     // (a genuine mega-cluster still collapses downstream — a plain
     // drop-guard would silently keep every copy of it)
     val pairs = HotBuckets.starSelfJoinCandidates(bandedOf(sig, bands, r),
-      Seq("band", "bucket"), "id", Nil, maxBucket, "minhash_lsh")
+      Seq("band", "bucket"), "id", Nil, maxBucket, "minhash_lsh", strict)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // hydrate shingles only for surviving candidates
@@ -177,9 +178,10 @@ object Dedup {
   def minHashDupPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strict: Boolean = false): DataFrame = {
     val (kk, bb) = resolveLsh(threshold, k, bands)
-    lshCandidates(docs, idCol, textCol, shingleSize, kk, bb, maxBucket)
+    lshCandidates(docs, idCol, textCol, shingleSize, kk, bb, maxBucket, strict)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -533,13 +535,14 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strict: Boolean = false): DataFrame = {
     val fp = docs.withColumn("__fp", fingerprint(col(textCol)))
     val keepExact = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val exactKept = docs.join(keepExact, Seq(idCol), "left_semi")
     val pairs = minHashDupPairs(exactKept, jaccardThreshold, idCol, textCol,
-      shingleSize, k, bands, maxBucket)
+      shingleSize, k, bands, maxBucket, strict)
     val comps = connectedComponents(pairs)
     val drop = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))

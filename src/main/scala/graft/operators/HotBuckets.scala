@@ -41,32 +41,39 @@ object HotBuckets {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  // bounded ring of completed-query observations PER SESSION, keyed by
-  // the full observation name (call-site tag + seq) — the PROGRAMMATIC
-  // channel for the dropped/degraded mass: a warn-log is easy to miss
-  // in a library context, and a report-only caller has no other way to
-  // learn its recall silently narrowed. Session-scoped (weak keys,
-  // like the listener registry): a JVM hosting several sessions must
-  // not let one session's clean run mask another's dropped mass.
-  private val MaxObservations = 512
+  // latest completed-query observation PER SESSION PER TAG — the
+  // PROGRAMMATIC channel for the dropped/degraded mass: a warn-log is
+  // easy to miss in a library context, and a report-only caller has no
+  // other way to learn its recall silently narrowed. Keyed by the
+  // call-site TAG, not the full observation name: an earlier ring of
+  // 512 names let 512 later guarded queries with OTHER tags evict a
+  // tag's last observation, making None after a completed action
+  // indistinguishable from "never ran". Tags are call-site string
+  // literals, so the per-tag map is bounded by the number of distinct
+  // guard call sites; the 512 cap is a safety net against a caller
+  // generating tags dynamically, not a limit any static codebase
+  // reaches. Session-scoped (weak keys, like the listener registry): a
+  // JVM hosting several sessions must not let one session's clean run
+  // mask another's dropped mass.
+  private val MaxTags = 512
   private type ObsMap = java.util.LinkedHashMap[String, (Long, Long)]
   private val observations =
     new java.util.WeakHashMap[SparkSession, ObsMap]()
 
-  private def record(spark: SparkSession, name: String,
+  private def record(spark: SparkSession, tag: String,
       v: (Long, Long)): Unit = observations.synchronized {
     val m = observations.computeIfAbsent(spark, _ =>
       new ObsMap(64, 0.75f, false) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
-          size() > MaxObservations
+          size() > MaxTags
       })
-    // remove-then-put: a RE-EXECUTED guarded frame re-reports under its
-    // original name, and LinkedHashMap(accessOrder = false) keeps a
-    // re-put key in its old slot — without the remove, "most recent"
-    // would keep returning an observation that completed earlier
-    m.remove(name)
-    m.put(name, v)
+    // remove-then-put: a tag re-reports on every completed query, and
+    // LinkedHashMap(accessOrder = false) keeps a re-put key in its old
+    // slot — the remove keeps recently-active tags freshest under the
+    // (dynamic-tag-only) eviction cap
+    m.remove(tag)
+    m.put(tag, v)
     ()
   }
 
@@ -86,17 +93,13 @@ object HotBuckets {
     * drop-guard, degraded-to-representative for the other two; 0 means
     * the guard ran clean, `None` means no query with that tag has
     * COMPLETED in that session yet (observe fires on query completion,
-    * so check after the action, not after building the plan). */
+    * so check after the action, not after building the plan).
+    * Retention is per tag — other tags' traffic never evicts this
+    * tag's latest observation. */
   def lastObservation(what: String,
       spark: SparkSession = SparkSession.active): Option[(Long, Long)] =
     observations.synchronized {
-      import scala.jdk.CollectionConverters._
-      Option(observations.get(spark)).flatMap {
-        _.asScala.foldLeft(Option.empty[(Long, Long)]) {
-          case (acc, (name, v)) =>
-            if (name.split('/').lift(1).contains(what)) Some(v) else acc
-        }
-      }
+      Option(observations.get(spark)).flatMap(m => Option(m.get(what)))
     }
 
   /** Filter `df` down to rows whose (`keys`) bucket has ≤ `cap`
@@ -135,9 +138,11 @@ object HotBuckets {
     * corpus cluster is still caught — while the bucket's contribution
     * to the cross product stays O(1). Same miss class as
     * [[starSelfJoinCandidates]]: matches within the cluster but
-    * outside the representative's radius. */
+    * outside the representative's radius. `strict = true` raises on
+    * the first oversized bucket instead of degrading (same contract
+    * as [[guard]]'s strict mode). */
   def guardRep(df: DataFrame, keys: Seq[String], idCol: String,
-      cap: Int, what: String): DataFrame = {
+      cap: Int, what: String, strict: Boolean = false): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
     requireTag(what)
     ensureListener(df.sparkSession)
@@ -146,14 +151,20 @@ object HotBuckets {
     // withColumns leave two stacked Window nodes, a second pass over
     // every sorted partition). The metric counts OVERSIZED rows, the
     // kept representative included — rows degraded, not lost.
-    df.select(col("*"), count(lit(1)).over(w).as("__bsz"),
+    val sized = df
+      .select(col("*"), count(lit(1)).over(w).as("__bsz"),
         min(col(idCol)).over(w).as("__bmin"))
       .observe(s"graft_hot_buckets_rep/$what/${seq.incrementAndGet()}",
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
           .as("oversized_rows"),
         max(col("__bsz")).as("max_bucket"))
-      .filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
-      .drop("__bsz", "__bmin")
+    val kept =
+      if (strict) sized.filter(assert_true(col("__bsz") <= cap,
+        concat(lit(s"hot-bucket rep guard '$what' (strict): bucket of "),
+          col("__bsz"), lit(s" rows exceeds cap $cap on keys "),
+          lit(keys.mkString("(", ", ", ")")))).isNull)
+      else sized.filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
+    kept.drop("__bsz", "__bmin")
   }
 
   /** Bucket SELF-JOIN candidate pairs with a STAR fallback instead of
@@ -173,7 +184,10 @@ object HotBuckets {
     * vector) costs O(B) verifies that then simply fail. Recall caveat
     * vs full enumeration: members within the radius of EACH OTHER but
     * not of the representative are missed — the standard star/canopy
-    * tradeoff, logged so it is never silent.
+    * tradeoff, logged so it is never silent. `strict = true` turns the
+    * degradation into a query-time failure (same contract as
+    * [[guard]]'s strict mode): callers who would rather die than lose
+    * within-cluster recall get full enumeration or an error.
     *
     * Output columns: `keys ++ (id_a, payload_a…, id_b, payload_b…)`
     * with `id_a < id_b` guaranteed; the caller de-duplicates pairs and
@@ -193,7 +207,7 @@ object HotBuckets {
     * no extra shuffle. */
   def starSelfJoinCandidates(df: DataFrame, keys: Seq[String],
       idCol: String, payload: Seq[String], cap: Int,
-      what: String): DataFrame = {
+      what: String, strict: Boolean = false): DataFrame = {
     require(cap > 0, s"hot-bucket cap must be positive, got $cap")
     requireTag(what)
     ensureListener(df.sparkSession)
@@ -207,8 +221,17 @@ object HotBuckets {
         sum(when(col("__bsz") > cap, lit(1L)).otherwise(lit(0L)))
           .as("oversized_rows"),
         max(col("__bsz")).as("max_bucket"))
-    val left = sized
-      .filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
+    // strict: no bucket may exceed the cap, so the left side keeps
+    // EVERY row (full enumeration) with the assert riding the filter
+    // condition — the first oversized-bucket row raises instead of
+    // degrading to the star
+    val left =
+      if (strict) sized.filter(assert_true(col("__bsz") <= cap,
+        concat(lit(s"hot-bucket star guard '$what' (strict): bucket of "),
+          col("__bsz"), lit(s" rows exceeds cap $cap on keys "),
+          lit(keys.mkString("(", ", ", ")")))).isNull)
+      else sized
+        .filter(col("__bsz") <= cap || col(idCol) === col("__bmin"))
     def side(s: String) = col(idCol).as("id_" + s) +:
       payload.map(c => col(c).as(c + "_" + s))
     left.select(keys.map(col) ++ side("a"): _*)
@@ -228,7 +251,10 @@ object HotBuckets {
               val hit = row.getAs[Long](
                 if (degraded) "oversized_rows" else "dropped_rows")
               val top = row.getAs[Long]("max_bucket")
-              record(qe.sparkSession, name, (hit, top))
+              // name is "<family>/<tag>/<seq>" — retention keys on the
+              // tag so only a SAME-tag completion can supersede it
+              record(qe.sparkSession,
+                name.split('/').lift(1).getOrElse(name), (hit, top))
               if (hit > 0) log.warn(
                 if (name.startsWith("graft_hot_buckets_star"))
                   s"$name: $hit rows in oversized buckets degraded to " +

@@ -127,7 +127,8 @@ object Similarity {
   def lshNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strict: Boolean = false): DataFrame = {
     // normalize ONCE per vector (projection), so the per-pair work
     // after the bucket join is a single dot product
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
@@ -137,7 +138,7 @@ object Similarity {
         transform(col("raw"), x => x / col("nrm")).as("vec"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, bits))
     HotBuckets.starSelfJoinCandidates(v, Seq("bucket"), "id", Seq("vec"),
-      maxBucket, "hyperplane_lsh")
+      maxBucket, "hyperplane_lsh", strict)
       .withColumn("score", round(dot(col("vec_a"), col("vec_b")), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
@@ -347,9 +348,10 @@ object Similarity {
   def semanticCollapse(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strict: Boolean = false): DataFrame = {
     val pairs = lshNearDupPairs(vectors, threshold, dim, bits, idCol, vecCol,
-      maxBucket)
+      maxBucket, strict)
     val comps = graft.operators.Dedup.connectedComponents(
       pairs.select(col("id_a"), col("id_b")))
     val drop = comps.filter(col("id") =!= col("comp"))

@@ -168,7 +168,7 @@ object StreamingQueries {
     try q.processAllAvailable() finally q.stop()
     val prev = lastSink72.getAndSet(name)
     if (prev != null) s.catalog.dropTempView(prev)
-    s.table(name).dropDuplicates("id_a", "id_b")
+    graft.streaming.NearDup.distinctPairs(s.table(name))
       .orderBy($"id_a", $"id_b")
   }
 

@@ -34,10 +34,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * A pair sharing several chunks is emitted once per matching band
   * (different state buckets cannot see each other); consumers collapse
-  * with a batch `dropDuplicates` on the sink — chaining another
-  * stateful dedup after flatMapGroupsWithState inside the stream is
-  * unsupported, and per-band emission is also the honest streaming
-  * contract.
+  * with [[distinctPairs]] on the sink side (a batch `dropDuplicates`
+  * epilogue) — chaining another stateful dedup after
+  * flatMapGroupsWithState inside the stream is unsupported, and
+  * per-band emission is also the honest streaming contract.
   *
   * State per bucket is the (id, sig0, sig1) list seen so far: 24 bytes
   * per doc per band. TWO bounds keep it 100-TB-safe:
@@ -138,4 +138,14 @@ object NearDup {
     }
     out.toDF("id_a", "id_b", "hamming")
   }
+
+  /** Collapse [[pairs]]' per-band emissions to ONE row per (id_a,
+    * id_b) — the epilogue every consumer was re-writing by hand. Run
+    * it on the SINK side (inside `foreachBatch`, or on the drained
+    * result frame): a stateful distinct cannot chain after
+    * flatMapGroupsWithState inside the stream. `hamming` is identical
+    * across a pair's bands (same signatures), so keeping an arbitrary
+    * band's row loses nothing. */
+  def distinctPairs(pairs: DataFrame): DataFrame =
+    pairs.dropDuplicates("id_a", "id_b")
 }

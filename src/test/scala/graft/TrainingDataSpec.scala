@@ -396,6 +396,47 @@ class DedupSpec extends SparkSpec {
       "dropped rows and max bucket size must be queryable by call-site tag")
   }
 
+  test("strict star/rep guards fail on oversized buckets; observation retention is per tag") {
+    val synth = ((0L until 40L).map(i => ("hot", i)) ++
+      (100L until 105L).map(i => ("cold", i))).toDF("bucket", "id")
+    val e = intercept[Exception] {
+      HotBuckets.starSelfJoinCandidates(synth, Seq("bucket"), "id", Nil,
+        10, "strictStarSpec", strict = true).count()
+    }
+    assert(e.getMessage.contains("strictStarSpec") ||
+      Option(e.getCause).exists(_.getMessage.contains("strictStarSpec")))
+    val e2 = intercept[Exception] {
+      HotBuckets.guardRep(synth, Seq("bucket"), "id", 10, "strictRepSpec",
+        strict = true).count()
+    }
+    assert(e2.getMessage.contains("strictRepSpec") ||
+      Option(e2.getCause).exists(_.getMessage.contains("strictRepSpec")))
+    // strict over an all-small frame = full enumeration, no failure
+    val small = (100L until 105L).map(i => ("cold", i)).toDF("bucket", "id")
+    assert(HotBuckets.starSelfJoinCandidates(small, Seq("bucket"), "id",
+      Nil, 10, "strictStarSpec", strict = true).count() === 10L)
+    // per-tag retention: a later completion under ANOTHER tag must not
+    // displace this tag's observation (the old 512-name ring could),
+    // and each tag reads back its own numbers
+    HotBuckets.guard(synth, Seq("bucket"), cap = 10, "tagA").count()
+    HotBuckets.guard(synth, Seq("bucket"), cap = 50, "tagB").count()
+    val deadline = System.currentTimeMillis + 10000
+    def a = HotBuckets.lastObservation("tagA")
+    def b = HotBuckets.lastObservation("tagB")
+    while ((a.isEmpty || b.isEmpty) && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(a === Some((40L, 40L)), "tagA dropped the 40-row bucket")
+    assert(b === Some((0L, 40L)), "tagB ran clean at cap 50 — 0 dropped")
+  }
+
+  test("NearDup.distinctPairs collapses per-band emissions to one row per pair") {
+    val perBand = Seq((1L, 2L, 0L), (1L, 2L, 0L), (1L, 2L, 0L), (1L, 3L, 4L))
+      .toDF("id_a", "id_b", "hamming")
+    val d = graft.streaming.NearDup.distinctPairs(perBand)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d === Set((1L, 2L, 0L), (1L, 3L, 4L)))
+  }
+
   test("largeSmallStar refuses to return under-merged labels on non-convergence") {
     // a 64-node chain needs ~log rounds; maxIter = 1 cannot converge —
     // the operator must throw (the fail-fast stance lshParams takes),

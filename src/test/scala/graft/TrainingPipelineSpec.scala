@@ -60,6 +60,37 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(cleaned.count() > 0)
   }
 
+  test("guard dials surface on the composed pipeline: strictBuckets " +
+      "fails fast, guardReport accounts the degradation") {
+    // 40 near-identical docs: every (band, bucket) the cluster lands
+    // in blows far past a cap of 5
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val degen = (0L until 40L).map(i => (i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TrainingPipeline.prepare(degen, jaccardThreshold = 0.5,
+        spanWords = 0, maxBucket = 5, strictBuckets = true).count()
+    }
+    assert(e.getMessage.contains("strict") ||
+      Option(e.getCause).exists(_.getMessage.contains("strict")))
+    // default (non-strict): the same corpus degrades to star
+    // candidates, still collapses to one survivor, and the report
+    // accounts the degradation without internal-tag knowledge
+    val outDeg = TrainingPipeline.prepare(degen, jaccardThreshold = 0.5,
+      spanWords = 0, maxBucket = 5)
+    assert(outDeg.count() === 1L)
+    val deadline = System.currentTimeMillis + 10000
+    def rep = TrainingPipeline.guardReport(spark)("corpus_dedup")
+    while (rep.isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    val (affected, top) = rep.getOrElse(fail("corpus_dedup never reported"))
+    assert(affected > 0L, "oversized mass must be accounted")
+    assert(top > 5L, "max bucket must exceed the cap")
+    // (no assertion on the semantic_collapse slot: the suite-shared
+    // session may already carry a hyperplane_lsh observation from
+    // SimilaritySpec — per-tag retention is session-lifetime)
+  }
+
   test("span dedup and semantic collapse stages fire inside the composed pipeline") {
     def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
     val boiler = ws("b", 10) // one aligned 10-token chunk
