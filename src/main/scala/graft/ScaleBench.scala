@@ -137,6 +137,15 @@ object ScaleBench {
       ("corpus_dedup",
         (d: DataFrame) => graft.operators.Dedup.dedupCorpus(d, 0.5).count(),
         docs1, docsN),
+      // the COMPOSED training-prep job (quality → PII → span dedup →
+      // langID → corpus dedup → pack → split): the end-to-end artifact
+      // a 100 TB user actually runs — a near-linear ratio here means
+      // the stages COMPOSE without a cross-stage blowup (each stage is
+      // also measured alone; this row is the integration bound)
+      ("training_pipeline_composed",
+        (d: DataFrame) => TrainingPipeline
+          .prepare(d, jaccardThreshold = 0.5).count(),
+        docs1, docsN),
       // NOTE: amplified copies are IDENTICAL inside the 80-char verify
       // window, so the TRUE answer grows quadratically with the factor
       // (every copy-pair is a real duplicate: ~45 pairs per 10-cluster,

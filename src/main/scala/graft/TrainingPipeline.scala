@@ -42,7 +42,15 @@ object TrainingPipeline {
     * instead of degrading to star candidates — fail-fast for callers
     * who would rather re-dial than silently narrow recall. After the
     * output is materialized, [[guardReport]] returns what each
-    * guarded stage actually dropped/degraded. */
+    * guarded stage actually dropped/degraded.
+    *
+    * `instrument = true` adds a row-count observation at every stage
+    * boundary ([[stageCounts]] reads them back after an action) — the
+    * per-stage data-loss accounting a 100 TB run audits ("quality cut
+    * 3%, dedup cut 38%, decontamination cut 0.1%"). Observations ride
+    * `Dataset.observe` (accumulator-backed, zero extra jobs and no
+    * extra shuffle); default off so the uninstrumented plan is
+    * byte-identical to previous rounds. */
   def prepare(docs: DataFrame, budget: Long = 2048L,
       jaccardThreshold: Double = 0.8, trainPct: Int = 95,
       benchmark: Option[DataFrame] = None,
@@ -52,7 +60,10 @@ object TrainingPipeline {
       semanticThreshold: Double = 0.97,
       embeddingDim: Int = 64,
       maxBucket: Int = HotBuckets.DefaultCap,
-      strictBuckets: Boolean = false): DataFrame = {
+      strictBuckets: Boolean = false,
+      instrument: Boolean = false): DataFrame = {
+    def marked(df: DataFrame, stage: String): DataFrame =
+      if (instrument) mark(df, stage) else df
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs
@@ -68,10 +79,10 @@ object TrainingPipeline {
     val rep3 = lit(1.0) -
       size(TextFunctions.shingles(col("text"), 3)).cast("double") /
         (nTok - lit(2)).cast("double")
-    val filtered = docs
+    val filtered = marked(marked(docs, "intake")
       .filter(nTok >= MinTokens &&
         quality("uniq_ratio") > 0.2 && quality("punct_ratio") < 0.5 &&
-        rep3 <= 0.6)
+        rep3 <= 0.6), "quality")
     // 2. PII masking BEFORE anything derives features from the text:
     //    masked text is what dedup/packing must see, or two docs
     //    differing only in PII dedupe inconsistently (pure projection)
@@ -89,21 +100,21 @@ object TrainingPipeline {
     val spanned =
       if (spanWords <= 0) masked
       else Dedup.dedupSpans(masked, spanWords)
-    val counted = spanned
+    val counted = marked(spanned
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-      .filter(col("n_tokens") >= MinTokens)
+      .filter(col("n_tokens") >= MinTokens), "span_floor")
     // 4. language ID (pure projection, on the final text)
     val langed = counted.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))
     // 5. corpus-level dedup: exact collapse + near-dup clusters, keep
     //    the canonical (min-id) survivor per cluster
-    val deduped = Dedup.dedupCorpus(langed, jaccardThreshold,
-      maxBucket = maxBucket, strict = strictBuckets)
+    val deduped = marked(Dedup.dedupCorpus(langed, jaccardThreshold,
+      maxBucket = maxBucket, strict = strictBuckets), "corpus_dedup")
     // 6. semantic collapse (when embeddings are supplied): AFTER the
     //    text-level dedup — lexical clusters are already gone cheaply,
     //    the embedding pass only pays for the paraphrase-level
     //    remainder. Docs without an embedding row survive.
-    val collapsed = embeddings.fold(deduped) { emb =>
+    val collapsed = marked(embeddings.fold(deduped) { emb =>
       val sub = emb.join(deduped.select(col("doc_id")), Seq("doc_id"),
         "left_semi")
       val kept = graft.operators.Similarity.semanticCollapse(
@@ -112,20 +123,92 @@ object TrainingPipeline {
       val drop = sub.select(col("doc_id"))
         .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
       deduped.join(drop, Seq("doc_id"), "left_anti")
-    }
+    }, "semantic_collapse")
     // 7. benchmark decontamination (when an eval set is supplied):
     //    AFTER every dedup stage — the corpus is smallest here, and a
     //    contaminated cluster survivor must drop even if its
     //    duplicates already did
-    val cleaned = benchmark.fold(collapsed)(b =>
-      Dedup.decontaminate(collapsed, b, decontaminateNgram))
+    val cleaned = marked(benchmark.fold(collapsed)(b =>
+      Dedup.decontaminate(collapsed, b, decontaminateNgram)),
+      "decontaminate")
     // 8. sequence packing into context windows (two-level prefix sum)
     val packed = Sampling.packSequences(cleaned, "n_tokens", "doc_id", budget)
     // 9. deterministic split — stable under repartitioning and retries
-    packed.withColumn("split",
+    marked(packed.withColumn("split",
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,
-        lit("train")).otherwise(lit("test")))
+        lit("train")).otherwise(lit("test"))), "output")
   }
+
+  /** Stage labels [[prepare]] observes when `instrument = true`, in
+    * pipeline order (PURE projections — PII masking, language ID —
+    * never change row counts, so they carry no label of their own:
+    * `quality` counts what survived the intake gates, `span_floor`
+    * what survived the post-span-cut token re-floor, and each dedup
+    * stage what it kept). */
+  val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
+    "corpus_dedup", "semantic_collapse", "decontaminate", "output")
+
+  // ---- per-stage row accounting (instrument = true) ----------------
+  // Same pattern as HotBuckets' observation channel: Dataset.observe
+  // metrics harvested by a QueryExecutionListener into a session-
+  // scoped (weak-keyed) latest-per-stage map. Deliberately NOT shared
+  // with HotBuckets: that registry carries guard semantics (dropped /
+  // degraded mass + warn logs); this one is plain row counts.
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val stageListeners = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private val stageCountsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[String, Long]]()
+
+  private def mark(df: DataFrame, stage: String): DataFrame = {
+    ensureStageListener(df.sparkSession)
+    df.observe(s"graft_pipeline/$stage/${stageSeq.incrementAndGet()}",
+      count(lit(1)).as("rows"))
+  }
+
+  private def ensureStageListener(spark: SparkSession): Unit =
+    if (stageListeners.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_pipeline/"))
+                name.split('/').lift(1).foreach { stage =>
+                  stageCountsBySession.synchronized {
+                    val m = stageCountsBySession.computeIfAbsent(
+                      qe.sparkSession,
+                      _ => new java.util.LinkedHashMap[String, Long]())
+                    m.remove(stage)
+                    m.put(stage, row.getAs[Long]("rows"))
+                    ()
+                  }
+                }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+
+  /** Latest per-stage row counts for the last materialized
+    * instrumented [[prepare]] in `spark`, in [[Stages]] order; stages
+    * with no completed observation (run not instrumented, stage
+    * disabled, or nothing materialized yet) are absent. Like
+    * [[guardReport]], observations fire on query COMPLETION — call
+    * after the action, not after building the plan. */
+  def stageCounts(spark: SparkSession = SparkSession.active)
+      : Seq[(String, Long)] =
+    stageCountsBySession.synchronized {
+      Option(stageCountsBySession.get(spark)).toSeq.flatMap { m =>
+        // containsKey, not get-and-null-check: a boxed-null unboxes to
+        // 0L silently, which would report an absent stage as empty
+        Stages.collect { case s if m.containsKey(s) => s -> m.get(s) }
+      }
+    }
 
   /** Call-site tags of [[prepare]]'s hot-bucket-guarded stages — the
     * public names a caller passes to
@@ -157,7 +240,7 @@ object TrainingPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = prepare(Tables.documents(spark, sfDir))
+    val out = prepare(Tables.documents(spark, sfDir), instrument = true)
     out.write.mode("overwrite")
       .partitionBy("split")
       .parquet(outDir)
@@ -170,6 +253,11 @@ object TrainingPipeline {
     stats.foreach(r => println(
       s"""{"split":"${r.getString(0)}","docs":${r.getLong(1)},""" +
         s""""packs":${r.getLong(2)},"tokens":${r.getLong(3)}}"""))
+    // stage accounting: rows surviving each boundary of the write
+    // above (intake → … → output), the per-stage data-loss audit
+    stageCounts(spark).foreach { case (stage, rows) =>
+      println(s"""{"stage":"$stage","rows":$rows}""")
+    }
     // recall accounting: what each guarded stage dropped/degraded in
     // the run above — 0 affected = clean; absent = stage not run
     guardReport(spark).foreach {

@@ -91,6 +91,40 @@ class TrainingPipelineSpec extends SparkSpec {
     // SimilaritySpec — per-tag retention is session-lifetime)
   }
 
+  test("instrumented prepare accounts rows at every stage boundary") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val outI = TrainingPipeline.prepare(docs, benchmark = Some(bench),
+      decontaminateNgram = 8, instrument = true)
+    val finalCount = outI.count()
+    val deadline = System.currentTimeMillis + 10000
+    def counts = TrainingPipeline.stageCounts(spark).toMap
+    while (counts.size < 7 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    val c = TrainingPipeline.stageCounts(spark)
+    assert(c.map(_._1) === TrainingPipeline.Stages,
+      "every stage must report, in pipeline order")
+    // every stage only ever drops rows, and the endpoints tie out to
+    // ground truth
+    assert(c.head._2 === docs.count(), "intake counts the raw corpus")
+    assert(c.last._2 === finalCount, "output counts the final frame")
+    c.sliding(2).foreach { case Seq((s1, n1), (s2, n2)) =>
+      assert(n2 <= n1, s"$s2 ($n2) must not exceed $s1 ($n1)")
+    }
+    // the dedup and decontamination stages genuinely fired on this
+    // corpus (sf0.001 documents contain planted dups; bench = 10% of
+    // docs guarantees decontamination hits)
+    val m = c.toMap
+    assert(m("corpus_dedup") < m("span_floor"))
+    assert(m("decontaminate") < m("semantic_collapse"))
+    // uninstrumented runs leave no trace: the plan is unchanged and
+    // the LAST instrumented counts stay readable
+    val plain = TrainingPipeline.prepare(docs).queryExecution
+      .optimizedPlan.toString
+    assert(!plain.contains("graft_pipeline"),
+      "instrument=false must not add CollectMetrics nodes")
+  }
+
   test("span dedup and semantic collapse stages fire inside the composed pipeline") {
     def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
     val boiler = ws("b", 10) // one aligned 10-token chunk
