@@ -114,7 +114,11 @@ object TrainingPipeline {
     //    text-level dedup — lexical clusters are already gone cheaply,
     //    the embedding pass only pays for the paraphrase-level
     //    remainder. Docs without an embedding row survive.
-    val collapsed = marked(embeddings.fold(deduped) { emb =>
+    // disabled stages are NOT marked: presence in stageCounts must
+    // mean "this stage ran" — marking the pass-through would make
+    // "ran and cut 0 rows" indistinguishable from "never ran", the
+    // same ambiguity the per-tag guard retention exists to avoid
+    val collapsed = embeddings.fold(deduped) { emb =>
       val sub = emb.join(deduped.select(col("doc_id")), Seq("doc_id"),
         "left_semi")
       val kept = graft.operators.Similarity.semanticCollapse(
@@ -122,15 +126,16 @@ object TrainingPipeline {
         maxBucket = maxBucket, strict = strictBuckets)
       val drop = sub.select(col("doc_id"))
         .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      deduped.join(drop, Seq("doc_id"), "left_anti")
-    }, "semantic_collapse")
+      marked(deduped.join(drop, Seq("doc_id"), "left_anti"),
+        "semantic_collapse")
+    }
     // 7. benchmark decontamination (when an eval set is supplied):
     //    AFTER every dedup stage — the corpus is smallest here, and a
     //    contaminated cluster survivor must drop even if its
     //    duplicates already did
-    val cleaned = marked(benchmark.fold(collapsed)(b =>
-      Dedup.decontaminate(collapsed, b, decontaminateNgram)),
-      "decontaminate")
+    val cleaned = benchmark.fold(collapsed)(b =>
+      marked(Dedup.decontaminate(collapsed, b, decontaminateNgram),
+        "decontaminate"))
     // 8. sequence packing into context windows (two-level prefix sum)
     val packed = Sampling.packSequences(cleaned, "n_tokens", "doc_id", budget)
     // 9. deterministic split — stable under repartitioning and retries
@@ -144,23 +149,19 @@ object TrainingPipeline {
     * never change row counts, so they carry no label of their own:
     * `quality` counts what survived the intake gates, `span_floor`
     * what survived the post-span-cut token re-floor, and each dedup
-    * stage what it kept). */
+    * stage what it kept). Stages a run disables are NOT observed —
+    * in [[stageCounts]], presence means the stage ran. */
   val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
     "corpus_dedup", "semantic_collapse", "decontaminate", "output")
 
   // ---- per-stage row accounting (instrument = true) ----------------
-  // Same pattern as HotBuckets' observation channel: Dataset.observe
-  // metrics harvested by a QueryExecutionListener into a session-
-  // scoped (weak-keyed) latest-per-stage map. Deliberately NOT shared
-  // with HotBuckets: that registry carries guard semantics (dropped /
-  // degraded mass + warn logs); this one is plain row counts.
+  // Dataset.observe metrics harvested by a QueryExecutionListener into
+  // the shared session-scoped latest-per-key store (the same
+  // [[graft.operators.ObservationStore]] retention HotBuckets uses —
+  // only a same-stage completion supersedes an entry).
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val stageListeners = java.util.Collections.synchronizedSet(
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
-  private val stageCountsBySession =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.LinkedHashMap[String, Long]]()
+  private val stageListeners = new graft.operators.ListenerOnce
+  private val stageStore = new graft.operators.ObservationStore[Long]()
 
   private def mark(df: DataFrame, stage: String): DataFrame = {
     ensureStageListener(df.sparkSession)
@@ -169,46 +170,37 @@ object TrainingPipeline {
   }
 
   private def ensureStageListener(spark: SparkSession): Unit =
-    if (stageListeners.add(spark)) {
-      spark.listenerManager.register(
-        new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              durationNs: Long): Unit =
-            qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft_pipeline/"))
-                name.split('/').lift(1).foreach { stage =>
-                  stageCountsBySession.synchronized {
-                    val m = stageCountsBySession.computeIfAbsent(
-                      qe.sparkSession,
-                      _ => new java.util.LinkedHashMap[String, Long]())
-                    m.remove(stage)
-                    m.put(stage, row.getAs[Long]("rows"))
-                    ()
-                  }
-                }
-            }
-          override def onFailure(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              exception: Exception): Unit = ()
-        })
-    }
+    stageListeners.ensure(spark)(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_pipeline/"))
+              name.split('/').lift(1).foreach(stage =>
+                stageStore.record(qe.sparkSession, stage,
+                  row.getAs[Long]("rows")))
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
 
-  /** Latest per-stage row counts for the last materialized
-    * instrumented [[prepare]] in `spark`, in [[Stages]] order; stages
-    * with no completed observation (run not instrumented, stage
-    * disabled, or nothing materialized yet) are absent. Like
-    * [[guardReport]], observations fire on query COMPLETION — call
-    * after the action, not after building the plan. */
+  /** Latest per-stage row counts in `spark`, in [[Stages]] order. A
+    * stage is PRESENT iff an instrumented query observing it has
+    * completed in this session: runs never instrumented, stages a run
+    * disables (no `benchmark` → no `decontaminate` observation, no
+    * `embeddings` → no `semantic_collapse`), and not-yet-materialized
+    * plans leave no entry. Retention is session-lifetime and
+    * latest-per-stage — after SEVERAL instrumented runs the map mixes
+    * each stage's most recent completion, so read it right after the
+    * action you mean to audit. Observations fire on query COMPLETION
+    * via an ASYNC listener bus: poll briefly (the in-repo specs and
+    * [[main]] do) rather than reading at the first instant an action
+    * returns. */
   def stageCounts(spark: SparkSession = SparkSession.active)
       : Seq[(String, Long)] =
-    stageCountsBySession.synchronized {
-      Option(stageCountsBySession.get(spark)).toSeq.flatMap { m =>
-        // containsKey, not get-and-null-check: a boxed-null unboxes to
-        // 0L silently, which would report an absent stage as empty
-        Stages.collect { case s if m.containsKey(s) => s -> m.get(s) }
-      }
-    }
+    Stages.flatMap(s => stageStore.latest(spark, s).map(s -> _))
 
   /** Call-site tags of [[prepare]]'s hot-bucket-guarded stages — the
     * public names a caller passes to
@@ -218,13 +210,18 @@ object TrainingPipeline {
     "corpus_dedup" -> "minhash_lsh",
     "semantic_collapse" -> "hyperplane_lsh")
 
-  /** Per-stage guard observations for the LAST completed [[prepare]]
-    * output in `spark`: stage → `Some((affectedRows, maxBucketSize))`
-    * once a query containing that stage has completed (0 affected =
-    * ran clean), `None` while it hasn't — observe fires on query
-    * completion, so call this AFTER the action that materializes the
-    * pipeline, not after building the plan. Stages a run disables
-    * (e.g. no `embeddings` → no semantic collapse) stay `None`. */
+  /** Per-stage hot-bucket guard observations: stage →
+    * `Some((affectedRows, maxBucketSize))` once a query exercising
+    * that stage's guard has completed in this SESSION (0 affected =
+    * ran clean), `None` if none ever has. Attribution caveats a
+    * caller must know: the underlying tags are the OPERATORS'
+    * call-site tags, so a direct `dedupCorpus`/`lshNearDupPairs` call
+    * in the same session reports under the same stage name, and after
+    * several runs each slot holds its most recent completion — this
+    * is session-lifetime accounting, not per-`prepare` bookkeeping.
+    * Read it right after the action you mean to audit (observations
+    * fire on query COMPLETION via an async listener bus — poll
+    * briefly, as [[main]] and the specs do). */
   def guardReport(spark: SparkSession = SparkSession.active)
       : Map[String, Option[(Long, Long)]] =
     GuardTags.map { case (stage, tag) =>
@@ -254,7 +251,18 @@ object TrainingPipeline {
       s"""{"split":"${r.getString(0)}","docs":${r.getLong(1)},""" +
         s""""packs":${r.getLong(2)},"tokens":${r.getLong(3)}}"""))
     // stage accounting: rows surviving each boundary of the write
-    // above (intake → … → output), the per-stage data-loss audit
+    // above (intake → … → output), the per-stage data-loss audit.
+    // Observations arrive on the ASYNC listener bus after the action
+    // returns — poll for the stages this run enabled (no benchmark /
+    // embeddings → no decontaminate / semantic_collapse) instead of
+    // racing the bus and printing a partial or empty audit.
+    val expectedStages =
+      Set("intake", "quality", "span_floor", "corpus_dedup", "output")
+    val deadline = System.currentTimeMillis + 10000
+    while ((stageCounts(spark).map(_._1).toSet != expectedStages ||
+          guardReport(spark)("corpus_dedup").isEmpty) &&
+        System.currentTimeMillis < deadline)
+      Thread.sleep(50)
     stageCounts(spark).foreach { case (stage, rows) =>
       println(s"""{"stage":"$stage","rows":$rows}""")
     }

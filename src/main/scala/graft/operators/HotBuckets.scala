@@ -34,11 +34,7 @@ object HotBuckets {
   val DefaultCap = 10000
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
-  // weak keys: the registry must not pin a stopped session (a strong
-  // static set would leak every session a long-lived JVM ever opened)
-  private val registered = java.util.Collections.synchronizedSet(
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private val registered = new ListenerOnce
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // latest completed-query observation PER SESSION PER TAG — the
@@ -48,34 +44,11 @@ object HotBuckets {
   // call-site TAG, not the full observation name: an earlier ring of
   // 512 names let 512 later guarded queries with OTHER tags evict a
   // tag's last observation, making None after a completed action
-  // indistinguishable from "never ran". Tags are call-site string
-  // literals, so the per-tag map is bounded by the number of distinct
-  // guard call sites; the 512 cap is a safety net against a caller
-  // generating tags dynamically, not a limit any static codebase
-  // reaches. Session-scoped (weak keys, like the listener registry): a
-  // JVM hosting several sessions must not let one session's clean run
-  // mask another's dropped mass.
-  private val MaxTags = 512
-  private type ObsMap = java.util.LinkedHashMap[String, (Long, Long)]
-  private val observations =
-    new java.util.WeakHashMap[SparkSession, ObsMap]()
-
-  private def record(spark: SparkSession, tag: String,
-      v: (Long, Long)): Unit = observations.synchronized {
-    val m = observations.computeIfAbsent(spark, _ =>
-      new ObsMap(64, 0.75f, false) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
-          size() > MaxTags
-      })
-    // remove-then-put: a tag re-reports on every completed query, and
-    // LinkedHashMap(accessOrder = false) keeps a re-put key in its old
-    // slot — the remove keeps recently-active tags freshest under the
-    // (dynamic-tag-only) eviction cap
-    m.remove(tag)
-    m.put(tag, v)
-    ()
-  }
+  // indistinguishable from "never ran". [[ObservationStore]] carries
+  // the retention semantics: weak session keys, latest-per-tag, and
+  // eviction only past 512 DISTINCT tags (a dynamic-tag safety net —
+  // call-site string literals never reach it).
+  private val observations = new ObservationStore[(Long, Long)]()
 
   // the observation name is "<family>/<what>/<seq>" and lastObservation
   // parses the tag back out by position — a '/' inside the tag would
@@ -98,9 +71,7 @@ object HotBuckets {
     * tag's latest observation. */
   def lastObservation(what: String,
       spark: SparkSession = SparkSession.active): Option[(Long, Long)] =
-    observations.synchronized {
-      Option(observations.get(spark)).flatMap(m => Option(m.get(what)))
-    }
+    observations.latest(spark, what)
 
   /** Filter `df` down to rows whose (`keys`) bucket has ≤ `cap`
     * members; oversized-bucket mass is observed, logged on query
@@ -240,8 +211,7 @@ object HotBuckets {
   }
 
   private def ensureListener(spark: SparkSession): Unit =
-    if (registered.add(spark)) {
-      spark.listenerManager.register(new QueryExecutionListener {
+    registered.ensure(spark)(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
@@ -253,7 +223,7 @@ object HotBuckets {
               val top = row.getAs[Long]("max_bucket")
               // name is "<family>/<tag>/<seq>" — retention keys on the
               // tag so only a SAME-tag completion can supersede it
-              record(qe.sparkSession,
+              observations.record(qe.sparkSession,
                 name.split('/').lift(1).getOrElse(name), (hit, top))
               if (hit > 0) log.warn(
                 if (name.startsWith("graft_hot_buckets_star"))
@@ -276,5 +246,4 @@ object HotBuckets {
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
-    }
 }
