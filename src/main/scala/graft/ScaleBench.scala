@@ -296,6 +296,68 @@ object ScaleBench {
         s"capped stream must sink exactly 7 x $expected pairs, got $sunk")
       println(f"""{"pipeline":"stream_neardup_capped_hot_bucket","sec":$tStream%.2f,"planted":20000,"cap":20,"pairs_per_band_expected":$expected,"sunk_rows":$sunk}""")
     }
+
+    // ---- multi-batch on-disk index lifecycle: ONE persisted corpus
+    // index ingests 4 successive batches (each half replays the
+    // previous generation's survivors, half is new). The 100 TB
+    // contract under test: the corpus is shingled exactly once — at
+    // its own ingestion — and every append writes ONLY the batch
+    // survivors' rows, so the index's existing parquet files are
+    // immutable across the whole lifecycle. Pass = exact accepted
+    // count per batch (replayed half dropped, new half kept), index
+    // growth exactly Σ accepted, and the pre-lifecycle file listing
+    // (name → (bytes, mtime)) unchanged after all four ingestions. ----
+    {
+      val idxDir = s"$scratch/corpus_index_lifecycle"
+      val idxPath = new org.apache.hadoop.fs.Path(idxDir)
+      val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(idxPath, true)
+      // 7 id-salted tokens per doc: shingle sets are disjoint across
+      // ids, so true jaccard between distinct docs is 0 and the exact
+      // verify makes accepted counts deterministic
+      def synth(from: Long, n: Long) = spark.range(from, from + n)
+        .select($"id".as("doc_id"), concat_ws(" ",
+          concat(lit("alpha"), $"id"), concat(lit("beta"), $"id" * 7),
+          concat(lit("gamma"), $"id" * 13), concat(lit("delta"), $"id" * 3),
+          concat(lit("eps"), $"id" * 11), concat(lit("zeta"), $"id" * 5),
+          concat(lit("eta"), $"id" * 17)).as("text"))
+      val corpusN = 100000L
+      val half = 5000L
+      graft.operators.Dedup.buildCorpusIndex(synth(0L, corpusN))
+        .write.mode("overwrite").parquet(idxDir)
+      def listing() = fs.listStatus(idxPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime))
+        .toMap
+      val before = listing()
+      var acceptedTotal = 0L
+      val tLife = time {
+        (0 until 4).foreach { b =>
+          // replayed half: batch 0 re-sends corpus docs; later batches
+          // re-send the PREVIOUS batch's accepted half — proving
+          // survivors really entered the index, not just the seed
+          val dupFrom = if (b == 0) 0L else corpusN + (b - 1) * half
+          val batch = synth(dupFrom, half)
+            .unionByName(synth(corpusN + b * half, half))
+          val n = graft.operators.Dedup
+            .ingestBatch(spark, idxDir, batch).count()
+          require(n == half,
+            s"batch $b must accept exactly its new half ($half), got $n")
+          acceptedTotal += n
+        }
+      }
+      val after = listing()
+      require(before.forall { case (f, v) => after.get(f).contains(v) },
+        "corpus index files must be byte-stable across ingestion — an " +
+          "append that rewrites them is O(corpus) per batch, not O(batch)")
+      require(after.size > before.size,
+        "each append must land as new files")
+      val rows = spark.read.parquet(idxDir).count()
+      require(rows == corpusN + acceptedTotal,
+        s"index must grow by exactly the accepted rows: " +
+          s"expected ${corpusN + acceptedTotal}, got $rows")
+      println(f"""{"pipeline":"index_lifecycle_4_batches","sec":$tLife%.2f,"corpus":$corpusN,"batches":4,"accepted":$acceptedTotal}""")
+    }
     }
     spark.stop()
   }

@@ -620,14 +620,7 @@ object Dedup {
     // silently lets every cross duplicate through (pure schema check —
     // the stamp survives the parquet round-trip; indexes built before
     // the stamp existed skip the check)
-    corpusIndex.schema.find(_.name == "sh").map(_.metadata)
-      .filter(_.contains(ShingleSizeMetaKey)).foreach { m =>
-        val built = m.getLong(ShingleSizeMetaKey)
-        require(built == shingleSize.toLong,
-          s"corpus index was built with shingleSize=$built but this batch " +
-            s"uses shingleSize=$shingleSize — rebuild the index or pass " +
-            "the matching shingleSize")
-      }
+    requireShingleStamp(corpusIndex, shingleSize, "ingest against")
     val (kk, bb) = resolveLsh(jaccardThreshold, k, bands)
     val r = kk / bb
     val corpusPrep = corpusIndex
@@ -703,6 +696,82 @@ object Dedup {
       .select(col("new_id").as(idCol)).distinct()
     afterExact.join(dupNewIds, Seq(idCol), "left_anti")
   }
+
+  /** Append a batch's ACCEPTED survivors to an existing corpus index —
+    * the growth step of the multi-batch ingestion lifecycle
+    * ([[buildCorpusIndex]] once → per batch: [[dedupIncrementalIndexed]]
+    * then this). Only the `accepted` docs are shingled (O(batch));
+    * the index side passes through untouched, so across N ingestions
+    * the corpus is shingled exactly once — at its own ingestion.
+    *
+    * `shingleSize` must match the index's [[ShingleSizeMetaKey]] stamp
+    * (same fail-fast contract as [[dedupIncrementalIndexed]]: a
+    * mismatched append would poison the index with grams no future
+    * batch can match). The returned frame carries the stamp, so a
+    * union-then-rewrite lifecycle keeps the check alive; for an
+    * ON-DISK index prefer [[ingestBatch]], which appends only the new
+    * rows and never rewrites the corpus's files. */
+  def appendCorpusIndex(corpusIndex: DataFrame, accepted: DataFrame,
+      shingleSize: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    requireShingleStamp(corpusIndex, shingleSize, "append to")
+    corpusIndex.unionByName(
+      buildCorpusIndex(accepted, shingleSize, idCol, textCol))
+  }
+
+  /** One complete ingestion step against a PERSISTED parquet corpus
+    * index — the repeated-batch form of [[dedupIncremental]] for a
+    * corpus that outlives any one Spark job: read the index table,
+    * dedup `batch` against it ([[dedupIncrementalIndexed]]), append
+    * the accepted survivors' index rows, return the accepted docs.
+    *
+    * 100 TB contract: per batch, the corpus index is SCANNED (joins
+    * against its fingerprints/shingles) but never re-shingled and
+    * never rewritten — the append writes only the batch survivors'
+    * rows (O(batch) new data per ingestion), so the index's existing
+    * parquet files are immutable across the lifecycle and the raw
+    * corpus text is never touched again after its own ingestion.
+    * ScaleBench's `index_lifecycle` row pins both properties.
+    *
+    * The accepted frame is EAGERLY local-checkpointed before the
+    * index append — load-bearing, not an optimization: a lazily
+    * cached plan re-executed after the append re-lists the index
+    * path, sees the batch's own just-appended rows, and dedups every
+    * survivor against itself (returning an empty frame). The
+    * checkpoint pins the result computed against the PRE-append index
+    * and the append re-shingles only the O(batch) survivors from
+    * those blocks. (localCheckpoint blocks do not survive executor
+    * loss; a caller needing a fault-tolerant handle writes the
+    * returned frame to the lake and reads it back.) Crash contract:
+    * the index append and the caller's own write of the accepted docs
+    * are not atomic — if the process dies between them, re-ingesting
+    * the same batch is SAFE (every accepted doc is now in the index,
+    * so the replay accepts nothing new). */
+  def ingestBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val accepted = dedupIncrementalIndexed(batch, index,
+      jaccardThreshold, idCol, textCol, shingleSize, k, bands, maxBucket)
+      .localCheckpoint()
+    buildCorpusIndex(accepted, shingleSize, idCol, textCol)
+      .write.mode("append").parquet(indexPath)
+    accepted
+  }
+
+  private def requireShingleStamp(corpusIndex: DataFrame,
+      shingleSize: Int, action: String): Unit =
+    corpusIndex.schema.find(_.name == "sh").map(_.metadata)
+      .filter(_.contains(ShingleSizeMetaKey)).foreach { m =>
+        val built = m.getLong(ShingleSizeMetaKey)
+        require(built == shingleSize.toLong,
+          s"corpus index was built with shingleSize=$built but this " +
+            s"batch uses shingleSize=$shingleSize — rebuild the index " +
+            s"or pass the matching shingleSize to $action it")
+      }
 
   /** Typo-level near-dup pairs via blocked edit distance: normalize,
     * block on (normalized prefix, length bin), verify with

@@ -80,7 +80,19 @@ object Lake {
     * that must be robust to cross-date corrections take the global
     * latest per key at read time, or run [[dropSupersededVersions]]
     * as a maintenance pass. This behavior is pinned by
-    * LakeUpsertSpec's re-dating case. */
+    * LakeUpsertSpec's re-dating case.
+    *
+    * DRIVER BOUND — the affected-dates collect: the update batch's
+    * DISTINCT event dates are collected to the driver to scope the
+    * read filter and the dynamic overwrite. The bound is O(distinct
+    * days in the batch), not O(batch) or O(lake) — a century of daily
+    * partitions is ~36k date values (a few hundred KB), fine at any
+    * corpus scale. The failure mode past it is a batch whose `tsCol`
+    * is corrupt (e.g. millions of distinct microsecond-precision
+    * "dates" from a mis-cast column): the collect balloons and the
+    * `isin` predicate grows past plan-size limits. Callers ingesting
+    * untrusted timestamps should validate/clamp `tsCol` to a sane date
+    * range first — this method intentionally does not guess a cutoff. */
   def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, versionCol: String, tsCol: String): Unit = {
     require(updates.filter(col(tsCol).isNull).isEmpty,

@@ -282,6 +282,60 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("multi-batch lifecycle: ingestBatch accumulates survivors; the stamp survives appends") {
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark catalyst optimizer plans and shuffles everywhere")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-index-life")
+      .toString
+    try {
+      Dedup.buildCorpusIndex(corpus).write.mode("overwrite").parquet(dir)
+      // batch 1: a corpus dup, a near-dup, and one genuinely new doc
+      val b1 = Seq(
+        (10L, base),
+        (11L, base + " extra"),
+        (12L, "a genuinely new document with its own entirely distinct vocabulary and content here today")
+      ).toDF("doc_id", "text")
+      val acc1 = Dedup.ingestBatch(spark, dir, b1, jaccardThreshold = 0.5)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(acc1 === Seq(12L))
+      // batch 2 replays batch 1's SURVIVOR (exact + near) — it must be
+      // dropped against the appended index, proving survivors entered
+      // the on-disk index, not just the seed corpus
+      val b2 = Seq(
+        (20L, "a genuinely new document with its own entirely distinct vocabulary and content here today"),
+        (21L, "a genuinely new document with its own entirely distinct vocabulary and content here today altered"),
+        (22L, "another brand new subject matter entirely unrelated to anything else in either corpus half")
+      ).toDF("doc_id", "text")
+      val acc2 = Dedup.ingestBatch(spark, dir, b2, jaccardThreshold = 0.5)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(acc2 === Seq(22L))
+      // the index grew by exactly the accepted rows, and the
+      // shingle-size stamp survived the appends (read-back schema) —
+      // so a later mismatched batch still fails fast
+      val idx = spark.read.parquet(dir)
+      assert(idx.count() === corpus.count() + 2)
+      val meta = idx.schema.find(_.name == "sh").get.metadata
+      assert(meta.contains(Dedup.ShingleSizeMetaKey))
+      assert(meta.getLong(Dedup.ShingleSizeMetaKey) === 3L)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ingestBatch(spark, dir, b2, shingleSize = 5)
+      }
+      assert(e.getMessage.contains("shingleSize"))
+      // the DataFrame-level append helper carries the same contract:
+      // stamp preserved through the union, mismatched dial rejected
+      val appended = Dedup.appendCorpusIndex(idx, b2)
+      assert(appended.schema.find(_.name == "sh").get.metadata
+        .getLong(Dedup.ShingleSizeMetaKey) === 3L)
+      assert(appended.count() === idx.count() + b2.count())
+      intercept[IllegalArgumentException] {
+        Dedup.appendCorpusIndex(idx, b2, shingleSize = 5)
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("simhash portable (md5/48-bit): same planted-fixture behavior as the fast path") {
     val pairs = Dedup.simHashDupPairsPortable(docs, maxHamming = 10)
       .as[(Long, Long, Long)].collect()
@@ -362,7 +416,10 @@ class DedupSpec extends SparkSpec {
       .toDF("id", "sig")
     val before = spark.sparkContext.getPersistentRDDs.size
     for (_ <- 1 to 30) Dedup.simHashPairsFromSigs(sigs, 48, 2).count()
-    assert(spark.sparkContext.getPersistentRDDs.size === before)
+    // <=, not ==: the ContextCleaner may concurrently release OTHER
+    // tests' unreferenced localCheckpoint blocks mid-loop (shrinking
+    // the registry); the regression under test is GROWTH
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 
   test("lshParams: a threshold below the kernel budget fails fast, not silently") {

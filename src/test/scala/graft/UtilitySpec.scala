@@ -111,4 +111,37 @@ class UtilitySpec extends SparkSpec {
     assert(after.inputFiles.length < beforeFiles)
     assert(after.columns.contains("event_date"))
   }
+
+  test("EsSink.write emits golden bulk bytes: action lines, auto-ids, chunk boundary") {
+    // the collecting-transport specs prove routing and retry; this one
+    // pins the WIRE BYTES so a format regression (action-line shape,
+    // an accidental _id, a moved chunk boundary) cannot hide behind
+    // the transport stub. One partition + in-order rows = the payload
+    // byte stream is fully deterministic.
+    UtilitySpec.esPayloads.clear()
+    val df = Seq((1L, "kandilli", 4.5), (2L, "afad", 3.25),
+      (3L, "usgs", 5.0)).toDF("id", "source", "mag").coalesce(1)
+    EsSink.write(df, "quakes",
+      transport = (url, p) => { UtilitySpec.esPayloads.add((url, p)); () },
+      maxBytes = 100)
+    val sent = UtilitySpec.esPayloads.toArray
+      .map(_.asInstanceOf[(String, String)]).toSeq
+    val golden = {
+      val in = getClass.getResourceAsStream("/es_bulk_golden.ndjson")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(sent.map(_._2).mkString === golden,
+      s"bulk bytes drifted from golden; actual:\n${sent.map(_._2).mkString}")
+    // the ~100-byte cap splits after the entry that crosses it: the
+    // first chunk carries docs 1+2 (135 B — one-entry overshoot is the
+    // documented cap semantics), the second doc 3 alone
+    assert(sent.map(_._2.length) === Seq(135, 65))
+    assert(sent.forall(_._1 === "http://localhost:9200/_bulk"))
+    // ES assigns ids (reference semantics) — no _id may ever appear
+    assert(!golden.contains("_id") && sent.forall(!_._2.contains("_id")))
+  }
+}
+
+object UtilitySpec {
+  val esPayloads = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 }
