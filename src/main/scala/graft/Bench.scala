@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line for the driver
-  * (BENCH_r{N}.json). A warm-up pass (table counts + one tiny query)
+  * SPARK_GRAFT_SF_DIR and prints TWO `"metric":"total"` JSON lines
+  * for the driver (BENCH_r{N}.json): first the full line (queries /
+  * mins / samples / failures), then a ≤200-byte compact summary that
+  * a tail-truncated capture can still parse whole. A jsonl consumer
+  * must key on the LAST total line (or the presence of `queries`),
+  * not sum over all of them. A warm-up pass (table counts + one tiny query)
   * runs first so per-query numbers measure steady-state execution,
   * not JVM/codegen/file-index warm-up — whichever query ran first was
   * otherwise charged ~4 s of session startup. Each query is then timed

@@ -150,7 +150,11 @@ object TrainingPipeline {
     * `quality` counts what survived the intake gates, `span_floor`
     * what survived the post-span-cut token re-floor, and each dedup
     * stage what it kept). Stages a run disables are NOT observed —
-    * in [[stageCounts]], presence means the stage ran. */
+    * in [[stageCounts]], presence means the stage ran. One nuance:
+    * `span_floor` is the token RE-FLOOR, which runs in every
+    * configuration (PII masking alone can change token counts) — its
+    * presence does NOT imply the span CUT ran; `spanWords <= 0`
+    * disables only the cut, never the floor. */
   val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
     "corpus_dedup", "semantic_collapse", "decontaminate", "output")
 
@@ -221,7 +225,12 @@ object TrainingPipeline {
     * is session-lifetime accounting, not per-`prepare` bookkeeping.
     * Read it right after the action you mean to audit (observations
     * fire on query COMPLETION via an async listener bus — poll
-    * briefly, as [[main]] and the specs do). */
+    * briefly, as [[main]] and the specs do). A `strictBuckets = true`
+    * run that FAILS leaves no observation at all (metrics fire only
+    * on success), so after a caught strict failure this report shows
+    * the last SUCCESSFUL same-stage run — diagnose the strict failure
+    * from the exception message, which names the oversized bucket's
+    * size, cap, and keys. */
   def guardReport(spark: SparkSession = SparkSession.active)
       : Map[String, Option[(Long, Long)]] =
     GuardTags.map { case (stage, tag) =>

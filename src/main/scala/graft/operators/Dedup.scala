@@ -614,7 +614,18 @@ object Dedup {
       jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap): DataFrame =
+    dedupIncrementalIndexedWithProj(newDocs, corpusIndex, jaccardThreshold,
+      idCol, textCol, shingleSize, k, bands, maxBucket)._1
+
+  /** [[dedupIncrementalIndexed]] plus the internal hydrated batch
+    * projection, so an EAGER caller ([[ingestBatch]]) can unpersist it
+    * once the result is materialized — the lazy public form must leave
+    * the cache alive for the frame it returns. */
+  private def dedupIncrementalIndexedWithProj(newDocs: DataFrame,
+      corpusIndex: DataFrame, jaccardThreshold: Double,
+      idCol: String, textCol: String, shingleSize: Int, k: Int,
+      bands: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     // fail fast on a dial mismatch with the index's build: comparing
     // 3-gram batch shingles to a 5-gram index gives jaccard ~ 0 and
     // silently lets every cross duplicate through (pure schema check —
@@ -694,7 +705,7 @@ object Dedup {
       .join(corpusShingled.select(col("id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
       .filter(jaccard(col("sh_n"), col("sh_o")) >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()
-    afterExact.join(dupNewIds, Seq(idCol), "left_anti")
+    (afterExact.join(dupNewIds, Seq(idCol), "left_anti"), proj)
   }
 
   /** Append a batch's ACCEPTED survivors to an existing corpus index —
@@ -740,13 +751,25 @@ object Dedup {
     * survivor against itself (returning an empty frame). The
     * checkpoint pins the result computed against the PRE-append index
     * and the append re-shingles only the O(batch) survivors from
-    * those blocks. (localCheckpoint blocks do not survive executor
-    * loss; a caller needing a fault-tolerant handle writes the
-    * returned frame to the lake and reads it back.) Crash contract:
-    * the index append and the caller's own write of the accepted docs
-    * are not atomic — if the process dies between them, re-ingesting
-    * the same batch is SAFE (every accepted doc is now in the index,
-    * so the replay accepts nothing new). */
+    * those blocks; the internal batch projection cache is unpersisted
+    * before returning (the repeated-batch API must not accumulate one
+    * pinned frame per ingestion across a long-lived job).
+    * (localCheckpoint blocks do not survive executor loss; a caller
+    * needing a fault-tolerant handle writes the returned frame to the
+    * lake and reads it back.)
+    *
+    * CRASH CONTRACT — the index append and the caller's own write of
+    * the accepted docs are not atomic. If the process dies between
+    * them, the INDEX is consistent (no duplicates can ever enter),
+    * but a naive replay of the same batch returns an EMPTY frame:
+    * every accepted doc is already in the index, and its text was
+    * never delivered to the caller's output. Recover the crashed
+    * batch's accepted docs by id instead of replaying —
+    * `batch.join(spark.read.parquet(indexPath)
+    * .select(col("id").as(idCol)).distinct(), Seq(idCol),
+    * "left_semi")` (minus anything already delivered) — then write
+    * THAT to the output. Requires globally unique doc ids, which the
+    * index keys on anyway. */
   def ingestBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame,
       jaccardThreshold: Double = 0.8,
@@ -754,9 +777,13 @@ object Dedup {
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     val index = spark.read.parquet(indexPath)
-    val accepted = dedupIncrementalIndexed(batch, index,
+    val (result, proj) = dedupIncrementalIndexedWithProj(batch, index,
       jaccardThreshold, idCol, textCol, shingleSize, k, bands, maxBucket)
-      .localCheckpoint()
+    val accepted = result.localCheckpoint()
+    // the checkpoint materialized everything the projection cache
+    // feeds; holding it past this call would leak one pinned frame
+    // per ingestion
+    proj.unpersist()
     buildCorpusIndex(accepted, shingleSize, idCol, textCol)
       .write.mode("append").parquet(indexPath)
     accepted

@@ -291,6 +291,7 @@ class DedupSpec extends SparkSpec {
       .toString
     try {
       Dedup.buildCorpusIndex(corpus).write.mode("overwrite").parquet(dir)
+      val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
       // batch 1: a corpus dup, a near-dup, and one genuinely new doc
       val b1 = Seq(
         (10L, base),
@@ -311,6 +312,14 @@ class DedupSpec extends SparkSpec {
       val acc2 = Dedup.ingestBatch(spark, dir, b2, jaccardThreshold = 0.5)
         .select($"doc_id").as[Long].collect().sorted.toSeq
       assert(acc2 === Seq(22L))
+      // repeated ingestion must not accumulate pinned storage: the
+      // only persistent artifacts the two calls may leave are their
+      // own localCheckpoint blocks (≤ 1 each, collectable once
+      // unreferenced) — a leaked per-call projection cache would pin
+      // one MORE entry per batch forever (CacheManager entries are
+      // never auto-collected)
+      val newIds = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
+      assert(newIds.size <= 2, s"ingestBatch pinned storage: $newIds")
       // the index grew by exactly the accepted rows, and the
       // shingle-size stamp survived the appends (read-back schema) —
       // so a later mismatched batch still fails fast
@@ -414,12 +423,15 @@ class DedupSpec extends SparkSpec {
     // exactly where it was.
     val sigs = Seq((1L, 5L), (2L, 7L), (3L, 5L), (4L, 1024L))
       .toDF("id", "sig")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare ID SETS, not sizes: the ContextCleaner may concurrently
+    // release OTHER tests' unreferenced localCheckpoint blocks
+    // mid-loop (shrinking the registry), which under a size compare
+    // could mask a real leak of the same magnitude — the regression
+    // under test is NEW ids still registered at the end
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     for (_ <- 1 to 30) Dedup.simHashPairsFromSigs(sigs, 48, 2).count()
-    // <=, not ==: the ContextCleaner may concurrently release OTHER
-    // tests' unreferenced localCheckpoint blocks mid-loop (shrinking
-    // the registry); the regression under test is GROWTH
-    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDD ids: $leaked")
   }
 
   test("lshParams: a threshold below the kernel budget fails fast, not silently") {
