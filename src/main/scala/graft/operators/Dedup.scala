@@ -789,6 +789,45 @@ object Dedup {
     accepted
   }
 
+  /** Maintenance compaction for a long-lived on-disk corpus index:
+    * every [[ingestBatch]] append lands one small file set, so after
+    * thousands of ingestions the directory degrades listing and scan
+    * (the classic small-files problem — at one append per hour for a
+    * year, ~9k file groups for what is logically one table). Rewrites
+    * the index to `targetFiles` parquet files (default: sized from
+    * the directory's current bytes at ~128 MB per file) via the same
+    * scratch-then-overwrite discipline as the lake MERGE; the
+    * shingle-size stamp rides the schema through the rewrite, so the
+    * fail-fast dial check survives compaction.
+    *
+    * Single-writer contract (same as parquet append itself): run
+    * compaction only when no concurrent [[ingestBatch]] is mid-flight
+    * — an append landing between the scratch write and the overwrite
+    * would be lost. The overwrite window is not atomic on a plain
+    * filesystem; a crash inside it leaves the scratch directory as
+    * the recovery copy. */
+  def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetFiles: Int = 0): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n =
+      if (targetFiles > 0) targetFiles
+      else {
+        val bytes = fs.getContentSummary(p).getLength
+        math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      }
+    val scratch = indexPath.stripSuffix("/") + "__compact_stage"
+    // coalesce, not repartition: no shuffle — each output file unions
+    // whole input splits, which is all compaction needs
+    spark.read.parquet(indexPath).coalesce(n)
+      .write.mode("overwrite").parquet(scratch)
+    spark.read.parquet(scratch)
+      .write.mode("overwrite").parquet(indexPath)
+    val sp = new org.apache.hadoop.fs.Path(scratch)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+  }
+
   private def requireShingleStamp(corpusIndex: DataFrame,
       shingleSize: Int, action: String): Unit =
     corpusIndex.schema.find(_.name == "sh").map(_.metadata)

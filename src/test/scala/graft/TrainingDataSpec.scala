@@ -341,6 +341,27 @@ class DedupSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.appendCorpusIndex(idx, b2, shingleSize = 5)
       }
+      // compaction: same rows in fewer files, stamp intact, and the
+      // lifecycle keeps working against the rewritten index
+      val rowsBefore = spark.read.parquet(dir)
+        .select($"id", $"__fp").collect().map(_.toString).sorted.toSeq
+      Dedup.compactCorpusIndex(spark, dir, targetFiles = 1)
+      val compacted = spark.read.parquet(dir)
+      assert(compacted.inputFiles.length === 1)
+      assert(compacted.select($"id", $"__fp").collect()
+        .map(_.toString).sorted.toSeq === rowsBefore)
+      assert(compacted.schema.find(_.name == "sh").get.metadata
+        .getLong(Dedup.ShingleSizeMetaKey) === 3L)
+      val b3 = Seq(
+        (30L, "another brand new subject matter entirely unrelated to anything else in either corpus half"),
+        (31L, "fresh post-compaction content with vocabulary seen nowhere previously in this growing corpus")
+      ).toDF("doc_id", "text")
+      val acc3 = Dedup.ingestBatch(spark, dir, b3, jaccardThreshold = 0.5)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(acc3 === Seq(31L)) // 30 dups batch-2's survivor 22
+      intercept[IllegalArgumentException] {
+        Dedup.ingestBatch(spark, dir, b3, shingleSize = 5)
+      }
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
