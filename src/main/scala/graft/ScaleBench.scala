@@ -258,6 +258,27 @@ object ScaleBench {
     }
     println(f"""{"pipeline":"span_dedup_mega_span","sec":$tSpan%.2f,"planted":1000000,"span_copies":1000000}""")
 
+    // ---- quota sampling under a PLANTED mega-domain: 1M rows all in
+    // ONE source key (the web-crawl shape: a single dominant domain).
+    // A row_number window would sort the entire key in one reducer
+    // task; the BoundedMinIds aggregate carries 100 pairs of state per
+    // partition and combines map-side, so the hot key crosses the wire
+    // as O(partitions × n) rows. Pass = aggregate-shaped time and
+    // EXACTLY n survivors for the hot key. ----
+    val megaDomain = spark.range(1000000L)
+      .select($"id".as("doc_id"), lit("megadomain.example").as("source"))
+      .union(spark.range(1000L).select($"id" + 2000000L, lit("tail.example")))
+    val tQuota = time {
+      val kept = graft.operators.Sampling
+        .quotaPerKey(megaDomain, "source", "doc_id", 100)
+        .groupBy($"source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(kept("megadomain.example") == 100L,
+        s"mega-domain must keep exactly the quota, got $kept")
+      require(kept("tail.example") == 100L, s"tail domain off-quota: $kept")
+    }
+    println(f"""{"pipeline":"quota_hot_domain","sec":$tQuota%.2f,"planted":1000000,"quota":100}""")
+
     // ---- streaming near-dup under a PLANTED over-cap bucket: 20k
     // byte-identical docs stream into the SAME 7 band buckets. Unbound,
     // per-bucket state grows to 20k and the drain pays the 20k-clique —

@@ -92,6 +92,8 @@ object SparkEntry {
     "q72_stream_neardup"  -> (StreamingQueries.q72StreamNearDup _),
     "q73_skew_salted"     -> (Completeness.q73SkewSalted _),
     "q74_lake_upsert"     -> (Completeness.q74LakeUpsert _),
+    "q75_domain_quota"    -> (TrainingData.q75DomainQuota _),
+    "q76_containment"     -> (TrainingData.q76Containment _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,5 +201,7 @@ object SparkEntry {
     // q74: a REAL double-upsert into a temp partitioned lake; the
     // oracle replays latest-wins over the same batches.
     "q74_lake_upsert"     -> Completeness.q74Sql,
+    "q75_domain_quota"    -> TrainingData.q75Sql,
+    "q76_containment"     -> TrainingData.q76Sql,
   )
 }

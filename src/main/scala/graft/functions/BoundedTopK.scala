@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bounded "n smallest (sortKey, id) pairs" aggregate — the
+  * partial-aggregatable kernel behind
+  * [[graft.operators.Sampling.quotaPerKey]].
+  *
+  * Why an aggregate and not `row_number`: per-key top-n via a
+  * `row_number` window partitioned by the key sorts EVERY row of the
+  * hottest key in one reducer task — a web-scale corpus with one
+  * dominant domain (billions of rows under a single key) turns that
+  * into the same single-task straggler class the q70 span-dedup fix
+  * removed. This aggregate instead carries at most `n` (sortKey, id)
+  * pairs of state: each map partition combines its rows down to ≤ n
+  * per key BEFORE the shuffle, so the bytes crossing the wire for a
+  * key are O(n · partitions touching it), never O(rows of the key),
+  * and no task ever sorts more than its own partition.
+  *
+  * Order is lexicographic ascending on (sortKey, id) — the id
+  * tiebreak makes the result deterministic under any partitioning
+  * even when sort keys collide. Null sortKey/id inputs contribute
+  * nothing (the SUM-ignores-NULL convention). Emits the kept ids in
+  * (sortKey, id) order as `Array[Long]`.
+  */
+case class BoundedMinIds(
+    sortKey: Expression, id: Expression, n: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BoundedMinIds.Buffer] {
+
+  require(n > 0, s"bounded_min_ids needs a positive bound, got $n")
+
+  override def children: Seq[Expression] = Seq(sortKey, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bounded_min_ids"
+
+  override def createAggregationBuffer(): BoundedMinIds.Buffer =
+    new BoundedMinIds.Buffer(n)
+
+  override def update(buf: BoundedMinIds.Buffer,
+      input: InternalRow): BoundedMinIds.Buffer = {
+    val k = sortKey.eval(input)
+    val i = id.eval(input)
+    if (k != null && i != null) {
+      buf.offer(k.asInstanceOf[Long], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: BoundedMinIds.Buffer,
+      b2: BoundedMinIds.Buffer): BoundedMinIds.Buffer = {
+    b2.foreach((k, i) => b1.offer(k, i))
+    b1
+  }
+
+  override def eval(buf: BoundedMinIds.Buffer): Any =
+    new GenericArrayData(buf.sortedIds)
+
+  override def serialize(buf: BoundedMinIds.Buffer): Array[Byte] = {
+    val pairs = buf.sortedPairs
+    val bb = ByteBuffer.allocate(pairs.length * 16)
+    pairs.foreach { case (k, i) => bb.putLong(k); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedMinIds.Buffer = {
+    val buf = new BoundedMinIds.Buffer(n)
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.offer(bb.getLong(), bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedMinIds =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedMinIds =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BoundedMinIds =
+    copy(sortKey = c(0), id = c(1))
+}
+
+object BoundedMinIds {
+  /** Bounded max-heap over (sortKey, id): holds the n LEXICOGRAPHICALLY
+    * SMALLEST pairs seen, by evicting the current maximum whenever a
+    * smaller pair arrives at capacity — O(log n) per offer, O(n) state
+    * regardless of input size. */
+  final class Buffer(n: Int) {
+    // max-heap: the root is the WORST (largest) kept pair
+    private val heap = new java.util.PriorityQueue[Array[Long]](
+      math.min(n, 1024),
+      (a: Array[Long], b: Array[Long]) => {
+        val c = java.lang.Long.compare(b(0), a(0))
+        if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+      })
+
+    def offer(k: Long, i: Long): Unit = {
+      if (heap.size < n) { heap.offer(Array(k, i)); () }
+      else {
+        val worst = heap.peek()
+        if (k < worst(0) || (k == worst(0) && i < worst(1))) {
+          heap.poll(); heap.offer(Array(k, i)); ()
+        }
+      }
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      val it = heap.iterator()
+      while (it.hasNext) { val p = it.next(); f(p(0), p(1)) }
+    }
+
+    def sortedPairs: Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](heap.size)
+      var j = 0
+      val it = heap.iterator()
+      while (it.hasNext) { val p = it.next(); out(j) = (p(0), p(1)); j += 1 }
+      java.util.Arrays.sort(out, (a: (Long, Long), b: (Long, Long)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      })
+      out
+    }
+
+    def sortedIds: Array[Long] = sortedPairs.map(_._2)
+  }
+
+  import org.apache.spark.sql.GraftShims
+
+  /** Column API: the ids of the n smallest (sortKey, id) pairs. */
+  def boundedMinIds(sortKey: Column, id: Column, n: Int): Column =
+    GraftShims.column(BoundedMinIds(GraftShims.expression(sortKey),
+      GraftShims.expression(id), n).toAggregateExpression())
+}

@@ -936,6 +936,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `threshold`
+    * over distinct word shingles — the asymmetric-duplicate detector
+    * symmetric Jaccard cannot be tuned into. A short document embedded
+    * verbatim inside a much longer one (a paragraph wrapped in
+    * boilerplate, an article quoted inside an aggregator page) has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| → 0 as the wrapper grows,
+    * so it passes every Jaccard threshold that still rejects genuine
+    * non-duplicates (the DedupSpec planted case pins exactly this
+    * divergence).
+    *
+    * Candidate generation is an INVERTED-INDEX self-join: explode each
+    * doc's distinct shingles, join on the shingle, count matches per
+    * pair — shingles are distinct per doc ([[shingles]] contract), so
+    * each common shingle contributes exactly one joined row and the
+    * per-pair count IS |A∩B|. Shingles cross the join as 8-byte
+    * xxhash64 keys, not raw strings (the q68 lesson; same collision
+    * contract — a collision can only nudge one pair's count by one).
+    *
+    * Scale shape: the join key is the shingle, so ubiquitous
+    * boilerplate shingles ("all rights reserved") are the hot buckets
+    * — df(g) docs sharing gram g contribute df(g)² candidate rows.
+    * [[HotBuckets.guard]] drops grams above `maxBucket` document
+    * frequency BEFORE the join (strict mode raises instead), and the
+    * per-doc sizes |A| are counted AFTER the guard, so the score stays
+    * internally consistent: it is exact containment over the df ≤ cap
+    * vocabulary — the same "ignore non-discriminative stopword grams"
+    * semantics df-pruned similarity joins use deliberately. The guard
+    * window and the self-join share the shingle-hash shuffle; pair
+    * counting is a partial-aggregatable count. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3,
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strictBuckets: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val exploded = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val guarded = HotBuckets.guard(exploded, Seq("gh"), maxBucket,
+      "containment_grams", strictBuckets)
+    // |A| over the SURVIVING vocabulary — one row per doc, joined back
+    // onto the (small) verified pair set at the end
+    val sizes = guarded.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = guarded.select(col("gh"), col("id").as("id_a"))
+    val b = guarded.select(col("gh"), col("id").as("id_b"))
+    a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** C4-style SPAN-level dedup: the corpus-global "remove repeated
     * spans, keep the first occurrence" pass (C4 deduplicates
     * three-sentence spans; this is the flat-text variant on aligned

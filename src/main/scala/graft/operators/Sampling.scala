@@ -84,6 +84,42 @@ object Sampling {
     df.filter(gate < (fraction * 10000).toInt)
   }
 
+  /** Deterministic per-key QUOTA cap — the domain-balancing primitive:
+    * keep at most `n` rows of each `keyCol` group (cap an
+    * over-represented web domain / source at `n` documents), chosen as
+    * a uniform hash-ordered sample rather than "whatever arrived
+    * first". Selection = the `n` smallest `(portableHash48(id), id)`
+    * pairs per key: stable under partition layout, retries, and
+    * engines (DuckDB replays the md5-derived order — the q75 oracle),
+    * and id-tiebroken so hash collisions cannot make it ambiguous.
+    *
+    * Scale shape: per-key top-n via a `row_number` window sorts EVERY
+    * row of the hottest key in one reducer task — a corpus with one
+    * dominant domain (billions of rows under a single key) is exactly
+    * the skewed-key straggler [[graft.operators.HotBuckets]] guards
+    * against elsewhere. The selection here is
+    * [[graft.functions.BoundedMinIds]], a bounded aggregate carrying
+    * ≤ `n` pairs of state with map-side partial combine: the hot
+    * domain collapses to `n` candidates per map partition BEFORE the
+    * shuffle, and no task ever sorts more than its own partition. The
+    * final semi-join brings back the full rows (kept side is `n` ×
+    * #keys rows — broadcastable for realistic quotas, AQE decides).
+    *
+    * `idCol` must be long-castable and unique within its key (ids are
+    * globally unique in every table here); null key rows form their
+    * own quota group, null ids are never selected. */
+  def quotaPerKey(df: DataFrame, keyCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"quotaPerKey needs a positive quota, got $n")
+    val kept = df.groupBy(col(keyCol))
+      .agg(graft.functions.BoundedMinIds.boundedMinIds(
+        portableHash48(col(idCol).cast("string")),
+        col(idCol).cast("long"), n).as("__ids"))
+      .select(col(keyCol), explode(col("__ids")).as("__qid"))
+      .select(col(keyCol), col("__qid").cast(df.schema(idCol).dataType).as(idCol))
+    df.join(kept, Seq(keyCol, idCol), "left_semi")
+  }
+
   /** Sequence packing for context-window training: documents (in
     * deterministic `orderCol` order) are packed greedily into bins of
     * `budget` tokens — pack_id = floor(running-total-before / budget).

@@ -787,4 +787,56 @@ object TrainingData {
       |  FROM t WHERE len(toks) >= 3)
       |SELECT doc_id, n_tokens, rep2, rep3, rep3 > 0.2 AS repetitive
       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Per-source quota sampling (domain balancing): cap every source at
+    * 10 documents, selected by portable-hash order so the "sample" is
+    * uniform, layout-independent, and DuckDB-replayable. The selection
+    * runs through the bounded [[graft.functions.BoundedMinIds]]
+    * aggregate (O(n) state, map-side combine), NOT a row_number window
+    * — the oracle's window form is the semantics, not the plan. */
+  def q75DomainQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Sampling.quotaPerKey(
+        Tables.documents(s, dir), "source", "doc_id", 10)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val q75Sql: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source ORDER BY $h, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Containment near-dup pairs (|A∩B| / min set size — catches a doc
+    * embedded in a longer one, which symmetric Jaccard dilutes toward
+    * 0). Inverted-index self-join on hashed shingles; the oracle is
+    * the all-pairs exact containment (fine at correctness SF — the
+    * Spark side is the one that scales). */
+  def q76Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(Tables.documents(s, dir), 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q76Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |  least(len(a.shingles), len(b.shingles)) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      least(len(a.shingles), len(b.shingles)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 }

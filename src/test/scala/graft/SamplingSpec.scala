@@ -30,6 +30,34 @@ class SamplingSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.3 && r < 0.7), ratios.mkString(","))
   }
 
+  test("quotaPerKey: caps every key at n, matches the row_number reference, " +
+      "stable under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val q = Sampling.quotaPerKey(docs, "source", "doc_id", 5)
+    val perKey = q.groupBy($"source").count().select($"count").as[Long].collect()
+    assert(perKey.nonEmpty && perKey.forall(_ <= 5))
+    // the bounded aggregate must select EXACTLY the rows the window
+    // form defines (the semantics; the aggregate is the scale plan)
+    val ref = docs
+      .withColumn("__h", Sampling.portableHash48($"doc_id".cast("string")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"__h", $"doc_id")))
+      .filter($"__rn" <= 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val got = q.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got === ref)
+    // partition-layout independence (also exercises the aggregate's
+    // serialize/merge path across shuffled partials)
+    val got2 = Sampling.quotaPerKey(docs.repartition(13), "source", "doc_id", 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got2 === got)
+  }
+
+  test("quotaPerKey: a quota at or above the group size keeps the whole group") {
+    assert(Sampling.quotaPerKey(docs, "source", "doc_id", 1000000).count()
+      === docs.count())
+  }
+
   test("packSequences: packs respect order; every pack except maybe the last is full-ish") {
     val withTokens = docs
       .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount($"text"))

@@ -179,6 +179,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
+  test("containmentPairs: an embedded doc is caught at containment ≈ 1 " +
+      "where symmetric jaccard dilutes below threshold") {
+    val short = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val wrapper = short + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val embedded = Seq(
+      (0L, short),                              // the original paragraph
+      (1L, wrapper),                            // boilerplate-wrapped superset
+      (2L, "completely unrelated words about spark catalyst optimizer plans")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(embedded, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // every shingle of the short doc appears verbatim in the wrapper
+    assert(cont((0L, 1L)) === 1.0)
+    assert(!cont.keys.exists(p => p._1 == 2L || p._2 == 2L))
+    // the SAME pair at the SAME threshold is invisible to symmetric
+    // jaccard: |A∩B| / |A∪B| ≈ 8/68 — the wrapper dilutes it
+    val jac = Dedup.ngramJaccardPairs(embedded, 0.5, t => substring(t, 1, 20))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((0L, 1L)))
+  }
+
+  test("containmentPairs: exact dup scores 1.0; disjoint docs emit nothing") {
+    val cont = Dedup.containmentPairs(docs, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(cont((0L, 4L)) === 1.0) // identical text
+    assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("minhash signature: identical text → identical signature") {
     val sig = docs.filter($"doc_id".isin(0L, 4L))
       .select(Dedup.minHashSignature(TextFunctions.shingles($"text", 3), 32))
