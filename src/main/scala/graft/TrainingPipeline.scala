@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *   quality filter → PII masking → span-level dedup (C4 repeated-span
   *   cut) → language ID → corpus dedup (exact + MinHash-LSH near-dup,
   *   canonical survivor) → semantic collapse (embedding near-dup, when
-  *   embeddings are supplied) → benchmark decontamination → token
-  *   counting → greedy sequence packing → deterministic train/test
-  *   split → partitioned parquet.
+  *   embeddings are supplied) → benchmark decontamination → per-domain
+  *   quota balancing (when a quota is supplied) → token counting →
+  *   greedy sequence packing → deterministic train/test split →
+  *   partitioned parquet.
   *
   * Every stage is a DataFrame transform from the operator library; the
   * whole job is one Catalyst plan per output (no driver-side row
@@ -32,7 +33,9 @@ object TrainingPipeline {
     * `spanWords > 0` enables corpus-global span dedup; `embeddings`
     * (doc_id, embedding Array[Float] of `embeddingDim`) enables
     * semantic collapse — docs without an embedding row always
-    * survive that stage.
+    * survive that stage. `domainQuota = Some((keyCol, n))` caps every
+    * `keyCol` group of the CLEAN corpus at `n` hash-selected docs
+    * ([[Sampling.quotaPerKey]] — domain balancing).
     *
     * Guard dials (the composed form of the per-operator ones, so a
     * 100 TB caller controls recall loss without unrolling the
@@ -59,6 +62,7 @@ object TrainingPipeline {
       embeddings: Option[DataFrame] = None,
       semanticThreshold: Double = 0.97,
       embeddingDim: Int = 64,
+      domainQuota: Option[(String, Int)] = None,
       maxBucket: Int = HotBuckets.DefaultCap,
       strictBuckets: Boolean = false,
       instrument: Boolean = false): DataFrame = {
@@ -136,9 +140,21 @@ object TrainingPipeline {
     val cleaned = benchmark.fold(collapsed)(b =>
       marked(Dedup.decontaminate(collapsed, b, decontaminateNgram),
         "decontaminate"))
-    // 8. sequence packing into context windows (two-level prefix sum)
-    val packed = Sampling.packSequences(cleaned, "n_tokens", "doc_id", budget)
-    // 9. deterministic split — stable under repartitioning and retries
+    // 8. per-domain quota (when `domainQuota = Some(keyCol, n)`):
+    //    balance the CLEAN corpus — after every dedup/decontamination
+    //    stage so the quota counts surviving documents (capping before
+    //    dedup would under-fill domains whose sample then deduped
+    //    away), before packing so packs are built from the balanced
+    //    set. Hash-ordered uniform selection via the bounded
+    //    [[Sampling.quotaPerKey]] aggregate — a dominant domain never
+    //    serializes into one task.
+    val balanced = domainQuota.fold(cleaned) { case (key, n) =>
+      marked(Sampling.quotaPerKey(cleaned, key, "doc_id", n),
+        "domain_quota")
+    }
+    // 9. sequence packing into context windows (two-level prefix sum)
+    val packed = Sampling.packSequences(balanced, "n_tokens", "doc_id", budget)
+    // 10. deterministic split — stable under repartitioning and retries
     marked(packed.withColumn("split",
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,
         lit("train")).otherwise(lit("test"))), "output")
@@ -156,7 +172,8 @@ object TrainingPipeline {
     * presence does NOT imply the span CUT ran; `spanWords <= 0`
     * disables only the cut, never the floor. */
   val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
-    "corpus_dedup", "semantic_collapse", "decontaminate", "output")
+    "corpus_dedup", "semantic_collapse", "decontaminate", "domain_quota",
+    "output")
 
   // ---- per-stage row accounting (instrument = true) ----------------
   // Dataset.observe metrics harvested by a QueryExecutionListener into

@@ -111,6 +111,13 @@ object Sampling {
   def quotaPerKey(df: DataFrame, keyCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"quotaPerKey needs a positive quota, got $n")
+    // fail FAST on a non-numeric id: casting e.g. a string id to long
+    // yields null for every row, which the aggregate then silently
+    // never selects — an empty "sample" with no error
+    require(df.schema(idCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"quotaPerKey needs a numeric (long-castable) id column; " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val kept = df.groupBy(col(keyCol))
       .agg(graft.functions.BoundedMinIds.boundedMinIds(
         portableHash48(col(idCol).cast("string")),

@@ -58,6 +58,13 @@ class SamplingSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("quotaPerKey: a non-numeric id fails fast instead of returning an empty sample") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.quotaPerKey(docs, "source", "text", 5)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("packSequences: packs respect order; every pack except maybe the last is full-ish") {
     val withTokens = docs
       .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount($"text"))

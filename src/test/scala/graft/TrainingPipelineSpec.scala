@@ -101,9 +101,11 @@ class TrainingPipelineSpec extends SparkSpec {
     val outI = TrainingPipeline.prepare(docs, benchmark = Some(bench),
       decontaminateNgram = 8, instrument = true)
     val finalCount = outI.count()
-    // no embeddings → the semantic_collapse stage is disabled and must
-    // stay ABSENT (presence means "ran"); everything else reports
-    val expected = TrainingPipeline.Stages.filterNot(_ == "semantic_collapse")
+    // no embeddings / no quota → the semantic_collapse and
+    // domain_quota stages are disabled and must stay ABSENT (presence
+    // means "ran"); everything else reports
+    val expected = TrainingPipeline.Stages
+      .filterNot(Set("semantic_collapse", "domain_quota"))
     val deadline = System.currentTimeMillis + 10000
     def counts = TrainingPipeline.stageCounts(spark).toMap
     while (counts.size < expected.size &&
@@ -132,6 +134,23 @@ class TrainingPipelineSpec extends SparkSpec {
       .optimizedPlan.toString
     assert(!plain.contains("graft_pipeline"),
       "instrument=false must not add CollectMetrics nodes")
+  }
+
+  test("domain quota stage balances the clean corpus and reports its count") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TrainingPipeline.prepare(docs,
+      domainQuota = Some(("source", 3)), instrument = true)
+    val perSource = out.groupBy($"source").count()
+      .select($"count").as[Long].collect()
+    assert(perSource.nonEmpty && perSource.forall(_ <= 3))
+    // the stage observed its kept count (poll the async listener bus)
+    val deadline = System.currentTimeMillis + 10000
+    def quota = TrainingPipeline.stageCounts(spark).toMap.get("domain_quota")
+    while (quota.isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(quota.contains(out.count()),
+      "domain_quota must report the balanced row count (packing/split " +
+        "below it never drop rows)")
   }
 
   test("span dedup and semantic collapse stages fire inside the composed pipeline") {
