@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -33,11 +33,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class BoundedMinIds(
     sortKey: Expression, id: Expression, n: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BoundedMinIds.Buffer] {
+    extends TypedImperativeAggregate[BoundedMinIds.Buffer]
+    with ImplicitCastInputTypes {
 
   require(n > 0, s"bounded_min_ids needs a positive bound, got $n")
 
   override def children: Seq[Expression] = Seq(sortKey, id)
+  // analysis-time contract: both children are longs (narrower integers
+  // implicitly widen) — without this, a caller handing the public
+  // Column API an int/double column would pass analysis and then die
+  // executor-side in update()'s asInstanceOf with an opaque CCE
+  override def inputTypes: Seq[org.apache.spark.sql.GraftShims.AbstractType] =
+    Seq(LongType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bounded_min_ids"

@@ -105,26 +105,41 @@ object Sampling {
     * final semi-join brings back the full rows (kept side is `n` ×
     * #keys rows — broadcastable for realistic quotas, AQE decides).
     *
-    * `idCol` must be long-castable and unique within its key (ids are
-    * globally unique in every table here); null key rows form their
-    * own quota group, null ids are never selected. */
+    * `idCol` must be an exact integer type (byte/short/int/long —
+    * enforced) and unique within its key (ids are globally unique in
+    * every table here); null key rows form their own quota group
+    * (null-safe key join), null ids are never selected. */
   def quotaPerKey(df: DataFrame, keyCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"quotaPerKey needs a positive quota, got $n")
-    // fail FAST on a non-numeric id: casting e.g. a string id to long
-    // yields null for every row, which the aggregate then silently
-    // never selects — an empty "sample" with no error
-    require(df.schema(idCol).dataType.isInstanceOf[
-        org.apache.spark.sql.types.NumericType],
-      s"quotaPerKey needs a numeric (long-castable) id column; " +
+    // fail FAST on a non-integral id: a string id cast to long is null
+    // for every row (nothing ever selected — an empty "sample" with no
+    // error), and a fractional id loses its fraction through the
+    // long round-trip (2.5 → 2 → 2.0 misses the semi-join, and 2.3 /
+    // 2.7 collide), so only exact integer types are sound
+    require(df.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      },
+      s"quotaPerKey needs an integral id column; " +
         s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val kept = df.groupBy(col(keyCol))
       .agg(graft.functions.BoundedMinIds.boundedMinIds(
         portableHash48(col(idCol).cast("string")),
         col(idCol).cast("long"), n).as("__ids"))
-      .select(col(keyCol), explode(col("__ids")).as("__qid"))
-      .select(col(keyCol), col("__qid").cast(df.schema(idCol).dataType).as(idCol))
-    df.join(kept, Seq(keyCol, idCol), "left_semi")
+      .select(col(keyCol).as("__qkey"), explode(col("__ids")).as("__qid"))
+      .select(col("__qkey"),
+        col("__qid").cast(df.schema(idCol).dataType).as("__qid"))
+    // null-SAFE key equality: a null key forms its own quota group in
+    // the aggregate above, and must match back here — plain `===`
+    // would silently drop every null-key row instead of capping them
+    // (<=> is still an equi-join key, the join stays a hash join)
+    df.join(kept,
+      col(keyCol) <=> col("__qkey") && col(idCol) === col("__qid"),
+      "left_semi")
   }
 
   /** Sequence packing for context-window training: documents (in

@@ -22,4 +22,9 @@ object GraftShims {
   /** The analyzed logical plan of a DataFrame. */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** `types.AbstractDataType` is `private[sql]` in Spark 4; expression
+    * classes outside the package need the alias to override
+    * `ExpectsInputTypes.inputTypes`. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

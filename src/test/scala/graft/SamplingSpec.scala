@@ -58,11 +58,30 @@ class SamplingSpec extends SparkSpec {
       === docs.count())
   }
 
-  test("quotaPerKey: a non-numeric id fails fast instead of returning an empty sample") {
+  test("quotaPerKey: non-integral ids fail fast instead of returning an empty or lossy sample") {
+    // string id: every cast-to-long is null → nothing ever selected
     val e = intercept[IllegalArgumentException] {
       Sampling.quotaPerKey(docs, "source", "text", 5)
     }
-    assert(e.getMessage.contains("numeric"))
+    assert(e.getMessage.contains("integral"))
+    // fractional id: 2.5 → 2L → 2.0 misses the join-back (and 2.3/2.7
+    // collide) — must be rejected, not silently dropped
+    val frac = docs.withColumn("fid", $"doc_id" + lit(0.5))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.quotaPerKey(frac, "source", "fid", 5)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("quotaPerKey: null keys form their own capped group, not a silent drop") {
+    val mixed = docs.withColumn("nsource",
+      when($"doc_id" % 3 === 0, $"source")) // 2/3 of rows: null key
+    val q = Sampling.quotaPerKey(mixed, "nsource", "doc_id", 5)
+    val nullKept = q.filter($"nsource".isNull).count()
+    assert(nullKept === 5L,
+      s"the null-key group must cap at the quota, got $nullKept")
+    assert(q.filter($"nsource".isNotNull).groupBy($"nsource").count()
+      .select($"count").as[Long].collect().forall(_ <= 5))
   }
 
   test("packSequences: packs respect order; every pack except maybe the last is full-ish") {
