@@ -796,16 +796,19 @@ object Dedup {
     * year, ~9k file groups for what is logically one table). Rewrites
     * the index to `targetFiles` parquet files (default: sized from
     * the directory's current bytes at ~128 MB per file) via the same
-    * scratch-then-overwrite discipline as the lake MERGE; the
-    * shingle-size stamp rides the schema through the rewrite, so the
-    * fail-fast dial check survives compaction.
+    * scratch-then-rename-swap discipline as the lake maintenance jobs
+    * ([[graft.sources.Lake.compact]] shares the swap): ONE data write
+    * to the scratch dir, then two metadata renames (live→trash,
+    * scratch→live). The shingle-size stamp rides the schema through
+    * the rewrite, so the fail-fast dial check survives compaction.
     *
     * Single-writer contract (same as parquet append itself): run
     * compaction only when no concurrent [[ingestBatch]] is mid-flight
-    * — an append landing between the scratch write and the overwrite
-    * would be lost. The overwrite window is not atomic on a plain
-    * filesystem; a crash inside it leaves the scratch directory as
-    * the recovery copy. */
+    * — an append landing between the scratch write and the swap would
+    * be lost. Crash safety: a crash before the first rename leaves the
+    * live index untouched; between the renames, BOTH copies survive on
+    * disk (recover by renaming either back) — at no point is the only
+    * copy the scratch dir. */
   def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetFiles: Int = 0): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
@@ -821,11 +824,7 @@ object Dedup {
     // whole input splits, which is all compaction needs
     spark.read.parquet(indexPath).coalesce(n)
       .write.mode("overwrite").parquet(scratch)
-    spark.read.parquet(scratch)
-      .write.mode("overwrite").parquet(indexPath)
-    val sp = new org.apache.hadoop.fs.Path(scratch)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
+    graft.sources.Lake.swapInto(spark, indexPath, scratch)
   }
 
   private def requireShingleStamp(corpusIndex: DataFrame,

@@ -160,7 +160,7 @@ object TrainingData {
       |  SELECT doc_id, substr(text, 1, 40) AS blk,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
       |        FROM documents)
       |  WHERE len(toks) >= 1)
@@ -215,7 +215,7 @@ object TrainingData {
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM documents)
       |  WHERE len(toks) >= 1)
@@ -272,7 +272,7 @@ object TrainingData {
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      generate_series(1, greatest(len(toks) - 2, 1)),
-       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |        FROM documents)
        |  WHERE len(toks) >= 1),
@@ -376,7 +376,7 @@ object TrainingData {
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM kept)
       |  WHERE len(toks) >= 1),
@@ -495,7 +495,7 @@ object TrainingData {
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM kept)
       |  WHERE len(toks) >= 1),
@@ -520,7 +520,7 @@ object TrainingData {
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM corpus)
       |  WHERE len(toks) >= 1),
@@ -828,10 +828,9 @@ object TrainingData {
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      |        FROM documents)
-      |  WHERE len(toks) >= 1)
+      |        FROM documents))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |  least(len(a.shingles), len(b.shingles)) AS containment

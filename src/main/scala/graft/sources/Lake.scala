@@ -154,8 +154,11 @@ object Lake {
     * renaming either back), whereas delete-first left a window with
     * the only surviving copy in the stage dir. Renames are metadata
     * ops on HDFS/local; on object stores prefer partition-scoped
-    * rewrites ([[upsertLatest]]) over whole-lake swaps. */
-  private def swapInto(spark: SparkSession, dst: String, tmp: String): Unit = {
+    * rewrites ([[upsertLatest]]) over whole-lake swaps. Shared with
+    * every maintenance compaction in the library (the corpus index's
+    * [[graft.operators.Dedup.compactCorpusIndex]] included) so there
+    * is exactly ONE swap discipline to audit. */
+  private[graft] def swapInto(spark: SparkSession, dst: String, tmp: String): Unit = {
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     val fs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trash = new org.apache.hadoop.fs.Path(dst.stripSuffix("/") + "__old")

@@ -207,6 +207,21 @@ class DedupSpec extends SparkSpec {
     assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs: sub-shingle-size docs pair via the whole-doc " +
+      "fallback shingle (the WordShingles <n contract, mirrored in q76Sql)") {
+    val short = Seq(
+      (0L, "hello world"), (1L, "hello world"), // 2 tokens — below n=3
+      (2L, "solo"),                             // 1 token, no duplicate
+      (3L, "hello there")                       // shares a token, not the doc
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(short, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // each short doc's shingle set is ["<all tokens>"]; identical short
+    // docs must still dedup — an oracle form that NULLs the ragged
+    // n-gram window would silently claim they never pair
+    assert(cont === Map((0L, 1L) -> 1.0))
+  }
+
   test("minhash signature: identical text → identical signature") {
     val sig = docs.filter($"doc_id".isin(0L, 4L))
       .select(Dedup.minHashSignature(TextFunctions.shingles($"text", 3), 32))
@@ -380,6 +395,11 @@ class DedupSpec extends SparkSpec {
         .map(_.toString).sorted.toSeq === rowsBefore)
       assert(compacted.schema.find(_.name == "sh").get.metadata
         .getLong(Dedup.ShingleSizeMetaKey) === 3L)
+      // the rename-swap install must leave no working dirs behind: the
+      // scratch dir was renamed INTO place (not copied) and the trash
+      // copy of the pre-compaction index was dropped after the swap
+      assert(!new java.io.File(dir.stripSuffix("/") + "__compact_stage").exists())
+      assert(!new java.io.File(dir.stripSuffix("/") + "__old").exists())
       val b3 = Seq(
         (30L, "another brand new subject matter entirely unrelated to anything else in either corpus half"),
         (31L, "fresh post-compaction content with vocabulary seen nowhere previously in this growing corpus")
