@@ -279,6 +279,27 @@ object ScaleBench {
     }
     println(f"""{"pipeline":"quota_hot_domain","sec":$tQuota%.2f,"planted":1000000,"quota":100}""")
 
+    // ---- top-k-by-score under the SAME planted mega-domain: the
+    // score-ordered twin must show the same aggregate shape (a
+    // row_number window would sort the 1M-row key in one task). Scores
+    // are id-derived mod 97, so ~10309 rows tie on each of the top
+    // scores and the ascending-id tiebreak is load-bearing: pass =
+    // exactly k survivors AND exactly the k smallest ids of the top
+    // score band (score 96 → ids ≡ 96 mod 97, ascending). ----
+    val tTopK = time {
+      val kept = graft.operators.Sampling
+        .topKPerKey(megaDomain
+            .withColumn("score", ($"doc_id" % 97).cast("double")),
+          "source", "doc_id", "score", 100)
+        .filter($"source" === "megadomain.example")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val expect = (0 until 100).map(i => 96L + 97L * i)
+      require(kept == expect,
+        s"top-k must keep the 100 smallest ids of the top score band; " +
+          s"got ${kept.take(5)}... (${kept.size} rows)")
+    }
+    println(f"""{"pipeline":"topk_hot_domain","sec":$tTopK%.2f,"planted":1000000,"k":100}""")
+
     // ---- streaming near-dup under a PLANTED over-cap bucket: 20k
     // byte-identical docs stream into the SAME 7 band buckets. Unbound,
     // per-bucket state grows to 20k and the drain pays the 20k-clique —

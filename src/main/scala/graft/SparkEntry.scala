@@ -94,6 +94,7 @@ object SparkEntry {
     "q74_lake_upsert"     -> (Completeness.q74LakeUpsert _),
     "q75_domain_quota"    -> (TrainingData.q75DomainQuota _),
     "q76_containment"     -> (TrainingData.q76Containment _),
+    "q77_quality_topk"    -> (TrainingData.q77QualityTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +204,6 @@ object SparkEntry {
     "q74_lake_upsert"     -> Completeness.q74Sql,
     "q75_domain_quota"    -> TrainingData.q75Sql,
     "q76_containment"     -> TrainingData.q76Sql,
+    "q77_quality_topk"    -> TrainingData.q77Sql,
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Bounded "n smallest (sortKey, id) pairs" aggregate — the
   * partial-aggregatable kernel behind
@@ -143,5 +143,144 @@ object BoundedMinIds {
   /** Column API: the ids of the n smallest (sortKey, id) pairs. */
   def boundedMinIds(sortKey: Column, id: Column, n: Int): Column =
     GraftShims.column(BoundedMinIds(GraftShims.expression(sortKey),
+      GraftShims.expression(id), n).toAggregateExpression())
+}
+
+/** Bounded "n BEST (score, id) pairs" aggregate — the
+  * partial-aggregatable kernel behind
+  * [[graft.operators.Sampling.topKPerKey]]: selection order is
+  * `(score DESC, id ASC)`, i.e. exactly the rows
+  * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id)`
+  * ranks ≤ n — without the window's sort-every-row-of-the-hottest-key
+  * single-task straggler (see [[BoundedMinIds]]'s scale rationale;
+  * this is the same plan with a double sort key and reversed order).
+  *
+  * Ordering contract (must match both engines' ORDER BY): doubles
+  * compare via `java.lang.Double.compare` with `-0.0` normalized to
+  * `0.0` on entry (SQL says `-0.0 = 0.0`; the raw IEEE compare does
+  * not), so NaN ranks ABOVE +Infinity — the same "NaN is largest"
+  * order Spark and DuckDB sort by. Null score or id inputs contribute
+  * nothing (the SUM-ignores-NULL convention): a null score cannot be
+  * ranked, so such rows are never selected. Emits the kept ids in
+  * (score DESC, id ASC) order as `Array[Long]`. */
+case class BoundedMaxByScore(
+    score: Expression, id: Expression, n: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BoundedMaxByScore.Buffer]
+    with ImplicitCastInputTypes {
+
+  require(n > 0, s"bounded_max_by_score needs a positive bound, got $n")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  // analysis-time contract (the BoundedMinIds lesson): pin the child
+  // types so a mistyped caller fails analysis, not executor-side in an
+  // opaque update() ClassCastException. Numeric scores widen to double
+  // implicitly; the id must reach here as a long.
+  override def inputTypes: Seq[org.apache.spark.sql.GraftShims.AbstractType] =
+    Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bounded_max_by_score"
+
+  override def createAggregationBuffer(): BoundedMaxByScore.Buffer =
+    new BoundedMaxByScore.Buffer(n)
+
+  override def update(buf: BoundedMaxByScore.Buffer,
+      input: InternalRow): BoundedMaxByScore.Buffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: BoundedMaxByScore.Buffer,
+      b2: BoundedMaxByScore.Buffer): BoundedMaxByScore.Buffer = {
+    b2.foreach((s, i) => b1.offer(s, i))
+    b1
+  }
+
+  override def eval(buf: BoundedMaxByScore.Buffer): Any =
+    new GenericArrayData(buf.sortedIds)
+
+  override def serialize(buf: BoundedMaxByScore.Buffer): Array[Byte] = {
+    val pairs = buf.sortedPairs
+    val bb = ByteBuffer.allocate(pairs.length * 16)
+    pairs.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedMaxByScore.Buffer = {
+    val buf = new BoundedMaxByScore.Buffer(n)
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.offer(bb.getDouble(), bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedMaxByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedMaxByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BoundedMaxByScore =
+    copy(score = c(0), id = c(1))
+}
+
+object BoundedMaxByScore {
+  /** Bounded min-heap over (score, id) keeping the n BEST pairs
+    * (score DESC, id ASC): the root is the WORST kept pair — lowest
+    * score, then highest id — evicted whenever a better pair arrives
+    * at capacity. O(log n) per offer, O(n) state regardless of input
+    * size. */
+  final class Buffer(n: Int) {
+    // min-heap on goodness: root = worst kept = (lowest score, then
+    // HIGHEST id — on a score tie the larger id is the one to evict)
+    private val heap = new java.util.PriorityQueue[(Double, Long)](
+      math.min(n, 1024),
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      })
+
+    def offer(s: Double, i: Long): Unit = {
+      // SQL order treats -0.0 = 0.0 (tie broken by id); the raw IEEE
+      // compare orders -0.0 < 0.0 — normalize on entry
+      val k = if (s == 0.0d) 0.0d else s
+      if (heap.size < n) { heap.offer((k, i)); () }
+      else {
+        val worst = heap.peek()
+        val c = java.lang.Double.compare(k, worst._1)
+        if (c > 0 || (c == 0 && i < worst._2)) {
+          heap.poll(); heap.offer((k, i)); ()
+        }
+      }
+    }
+
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      val it = heap.iterator()
+      while (it.hasNext) { val p = it.next(); f(p._1, p._2) }
+    }
+
+    def sortedPairs: Array[(Double, Long)] = {
+      val out = new Array[(Double, Long)](heap.size)
+      var j = 0
+      val it = heap.iterator()
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      java.util.Arrays.sort(out, (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      })
+      out
+    }
+
+    def sortedIds: Array[Long] = sortedPairs.map(_._2)
+  }
+
+  import org.apache.spark.sql.GraftShims
+
+  /** Column API: the ids of the n best (score DESC, id ASC) pairs. */
+  def boundedMaxByScore(score: Column, id: Column, n: Int): Column =
+    GraftShims.column(BoundedMaxByScore(GraftShims.expression(score),
       GraftShims.expression(id), n).toAggregateExpression())
 }

@@ -112,11 +112,60 @@ object Sampling {
   def quotaPerKey(df: DataFrame, keyCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"quotaPerKey needs a positive quota, got $n")
-    // fail FAST on a non-integral id: a string id cast to long is null
-    // for every row (nothing ever selected — an empty "sample" with no
-    // error), and a fractional id loses its fraction through the
-    // long round-trip (2.5 → 2 → 2.0 misses the semi-join, and 2.3 /
-    // 2.7 collide), so only exact integer types are sound
+    requireIntegralId(df, idCol, "quotaPerKey")
+    semiJoinSelected(df, keyCol, idCol,
+      df.groupBy(col(keyCol))
+        .agg(graft.functions.BoundedMinIds.boundedMinIds(
+          portableHash48(col(idCol).cast("string")),
+          col(idCol).cast("long"), n).as("__ids")))
+  }
+
+  /** Deterministic per-key TOP-K by score — the quality-curation twin
+    * of [[quotaPerKey]]: keep the `n` BEST rows of each `keyCol` group
+    * ranked by `scoreCol` descending (ties broken by ascending id), in
+    * place of the quota's uniform hash order. "Keep the n
+    * highest-quality documents per domain" is the standard
+    * quality-weighted domain balancing step a training pipeline runs
+    * where the quota's unbiased sample would discard good documents as
+    * readily as bad ones.
+    *
+    * Selection = exactly the rows `row_number() OVER (PARTITION BY key
+    * ORDER BY score DESC, id)` ranks ≤ n, but computed by
+    * [[graft.functions.BoundedMaxByScore]] — the same bounded
+    * map-side-combining aggregate plan as the quota (≤ n pairs of
+    * state; a billion-row dominant domain never sorts in one reducer
+    * task; see [[quotaPerKey]]'s scale shape, identical here).
+    *
+    * Contract: `idCol` integral and unique within its key (enforced,
+    * same rationale as the quota); `scoreCol` must be a NUMERIC column
+    * (enforced — a string score would implicit-cast with silent nulls
+    * and select nothing); rows with a NULL score are never selected
+    * (they cannot be ranked — mirror them out of the oracle window
+    * with `WHERE score IS NOT NULL`); null keys form their own group.
+    * NaN scores rank ABOVE +Infinity, matching Spark's and DuckDB's
+    * ORDER BY. */
+  def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, n: Int): DataFrame = {
+    require(n > 0, s"topKPerKey needs a positive k, got $n")
+    requireIntegralId(df, idCol, "topKPerKey")
+    require(df.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topKPerKey needs a numeric score column; " +
+        s"'$scoreCol' is ${df.schema(scoreCol).dataType.simpleString}")
+    semiJoinSelected(df, keyCol, idCol,
+      df.groupBy(col(keyCol))
+        .agg(graft.functions.BoundedMaxByScore.boundedMaxByScore(
+          col(scoreCol).cast("double"),
+          col(idCol).cast("long"), n).as("__ids")))
+  }
+
+  // fail FAST on a non-integral id: a string id cast to long is null
+  // for every row (nothing ever selected — an empty "sample" with no
+  // error), and a fractional id loses its fraction through the
+  // long round-trip (2.5 → 2 → 2.0 misses the semi-join, and 2.3 /
+  // 2.7 collide), so only exact integer types are sound
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit =
     require(df.schema(idCol).dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
@@ -124,19 +173,21 @@ object Sampling {
              org.apache.spark.sql.types.LongType => true
         case _ => false
       },
-      s"quotaPerKey needs an integral id column; " +
+      s"$op needs an integral id column; " +
         s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
-    val kept = df.groupBy(col(keyCol))
-      .agg(graft.functions.BoundedMinIds.boundedMinIds(
-        portableHash48(col(idCol).cast("string")),
-        col(idCol).cast("long"), n).as("__ids"))
+
+  // join the selected (key, Array[id]) frame back to the full rows.
+  // null-SAFE key equality: a null key forms its own group in the
+  // aggregate, and must match back here — plain `===` would silently
+  // drop every null-key row instead of capping them (<=> is still an
+  // equi-join key, the join stays a hash join). Kept side is n × #keys
+  // rows — broadcastable for realistic n, AQE decides.
+  private def semiJoinSelected(df: DataFrame, keyCol: String,
+      idCol: String, selected: DataFrame): DataFrame = {
+    val kept = selected
       .select(col(keyCol).as("__qkey"), explode(col("__ids")).as("__qid"))
       .select(col("__qkey"),
         col("__qid").cast(df.schema(idCol).dataType).as("__qid"))
-    // null-SAFE key equality: a null key forms its own quota group in
-    // the aggregate above, and must match back here — plain `===`
-    // would silently drop every null-key row instead of capping them
-    // (<=> is still an equi-join key, the join stays a hash join)
     df.join(kept,
       col(keyCol) <=> col("__qkey") && col(idCol) === col("__qid"),
       "left_semi")

@@ -838,4 +838,36 @@ object TrainingData {
       |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |      least(len(a.shingles), len(b.shingles)) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Quality-weighted domain balancing: keep the 5 HIGHEST-quality
+    * documents of every source, quality = distinct-token ratio (the
+    * q20 uniqueness metric — an int/int division, bit-identical across
+    * engines, so the DESC order and its id tiebreak replay exactly).
+    * Selection runs through the bounded
+    * [[graft.functions.BoundedMaxByScore]] aggregate (O(k) state,
+    * map-side combine), NOT a row_number window — the oracle's window
+    * form is the semantics, not the plan (same contract as q75). */
+  def q77QualityTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFunctions.tokens($"text")
+    val scored = Tables.documents(s, dir).withColumn("uniq_ratio",
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+    graft.operators.Sampling.topKPerKey(
+        scored, "source", "doc_id", "uniq_ratio", 5)
+      .select($"doc_id", $"source", $"uniq_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val q77Sql: String =
+    """SELECT doc_id, source, uniq_ratio FROM (
+      |  SELECT doc_id, source, uniq_ratio, row_number() OVER (
+      |    PARTITION BY source ORDER BY uniq_ratio DESC, doc_id) AS rn
+      |  FROM (SELECT doc_id, source,
+      |          CAST(len(list_distinct(toks)) AS DOUBLE) /
+      |          CAST(len(toks) AS DOUBLE) AS uniq_ratio
+      |        FROM (SELECT doc_id, source,
+      |                string_split_regex(trim(text), '\s+') AS toks
+      |              FROM documents))
+      |  WHERE uniq_ratio IS NOT NULL)
+      |WHERE rn <= 5 ORDER BY doc_id""".stripMargin
 }

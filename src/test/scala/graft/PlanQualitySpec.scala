@@ -65,6 +65,33 @@ class PlanQualitySpec extends SparkSpec {
         s"first-occurrence decision:\n$plan")
   }
 
+  for (name <- Seq("q75_domain_quota", "q77_quality_topk")) {
+    test(s"$name selects per-key rows with a partial bounded aggregate, " +
+        "not a window sort") {
+      // the quota/top-k family's whole point is replacing the
+      // row_number window (sorts EVERY row of the hottest domain in
+      // one reducer task) with a bounded aggregate that combines
+      // map-side — so these plans must contain NO WindowExec at all
+      // (the generic gate below only rejects GLOBAL windows) and the
+      // bounded aggregate must appear in Partial mode
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+      val windows = plan.collectWithSubqueries { case w: WindowExec => w.nodeName }
+      assert(windows.isEmpty,
+        s"$name must not contain any WindowExec (hot-domain skew): $windows")
+      val partialBounded = plan.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(e =>
+            e.aggregateFunction.prettyName.startsWith("bounded_") &&
+              e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
+          a.nodeName
+      }
+      assert(partialBounded.nonEmpty,
+        "expected the bounded selection aggregate in Partial (map-side " +
+          s"combinable) mode:\n$plan")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no global window, no cartesian, no accidental nested loop") {
       val plan = fn(spark, sf).queryExecution.sparkPlan

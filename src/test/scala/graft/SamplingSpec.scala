@@ -84,6 +84,79 @@ class SamplingSpec extends SparkSpec {
       .select($"count").as[Long].collect().forall(_ <= 5))
   }
 
+  test("topKPerKey: selects exactly the window-form rows (score DESC, " +
+      "id tiebreak), stable under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.withColumn("score", ($"doc_id" % 7).cast("double"))
+    val q = Sampling.topKPerKey(scored, "source", "doc_id", "score", 5)
+    assert(q.groupBy($"source").count()
+      .select($"count").as[Long].collect().forall(_ <= 5))
+    // the bounded aggregate must select EXACTLY the rows the window
+    // form defines — score DESC, ascending-id tiebreak (the mod-7
+    // score guarantees heavy ties, so the tiebreak is actually load-
+    // bearing here)
+    val ref = scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")))
+      .filter($"__rn" <= 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val got = q.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got === ref)
+    // partition-layout independence (exercises serialize/merge across
+    // shuffled partials)
+    val got2 = Sampling
+      .topKPerKey(scored.repartition(13), "source", "doc_id", "score", 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got2 === got)
+  }
+
+  test("topKPerKey: null scores are never selected; null keys form " +
+      "their own ranked group") {
+    // null score on the WOULD-BE best rows: they must lose their slot
+    // to ranked rows, not win it or poison the group
+    val scored = docs.withColumn("score",
+      when($"doc_id" % 3 === 0, ($"doc_id" % 100).cast("double")))
+    val q = Sampling.topKPerKey(scored, "source", "doc_id", "score", 5)
+    assert(q.filter($"score".isNull).count() === 0L,
+      "a null score cannot be ranked and must never be selected")
+    assert(q.groupBy($"source").count()
+      .select($"count").as[Long].collect().forall(_ <= 5))
+    // null-key group on a DIFFERENT stripe than the null scores, so
+    // the null-key group still contains rankable rows (ids ≡ 3 mod 6)
+    val nullKey = scored.withColumn("nsource",
+      when($"doc_id" % 2 === 0, $"source"))
+    val nk = Sampling.topKPerKey(nullKey, "nsource", "doc_id", "score", 5)
+    assert(nk.filter($"nsource".isNull).count() === 5L,
+      "the null-key group must rank and cap like any other")
+  }
+
+  test("BoundedMaxByScore buffer: -0.0 ties 0.0 with id tiebreak; " +
+      "NaN ranks above +Infinity (both engines' ORDER BY)") {
+    val b = new graft.functions.BoundedMaxByScore.Buffer(2)
+    b.offer(0.0, 10L); b.offer(-0.0, 5L); b.offer(-1.0, 1L)
+    // SQL says -0.0 = 0.0: the two zero scores tie and the SMALLER id
+    // wins the earlier rank — raw IEEE bit order would rank 10 first
+    assert(b.sortedIds.toSeq === Seq(5L, 10L))
+    val c = new graft.functions.BoundedMaxByScore.Buffer(2)
+    c.offer(Double.PositiveInfinity, 1L)
+    c.offer(Double.NaN, 2L)
+    c.offer(1.0, 3L)
+    assert(c.sortedIds.toSeq === Seq(2L, 1L))
+  }
+
+  test("topKPerKey: non-integral ids and non-numeric scores fail fast") {
+    intercept[IllegalArgumentException] {
+      Sampling.topKPerKey(docs.withColumn("s", lit(1.0)),
+        "source", "text", "s", 5)
+    }
+    // a string score would implicit-cast with silent nulls — nothing
+    // ever selected, an "empty best sample" with no error
+    val e = intercept[IllegalArgumentException] {
+      Sampling.topKPerKey(docs, "source", "doc_id", "text", 5)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("packSequences: packs respect order; every pack except maybe the last is full-ish") {
     val withTokens = docs
       .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount($"text"))
