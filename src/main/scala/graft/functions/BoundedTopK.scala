@@ -94,49 +94,47 @@ case class BoundedMinIds(
     copy(sortKey = c(0), id = c(1))
 }
 
-object BoundedMinIds {
-  /** Bounded max-heap over (sortKey, id): holds the n LEXICOGRAPHICALLY
-    * SMALLEST pairs seen, by evicting the current maximum whenever a
-    * smaller pair arrives at capacity — O(log n) per offer, O(n) state
-    * regardless of input size. */
-  final class Buffer(n: Int) {
-    // max-heap: the root is the WORST (largest) kept pair
-    private val heap = new java.util.PriorityQueue[Array[Long]](
-      math.min(n, 1024),
-      (a: Array[Long], b: Array[Long]) => {
-        val c = java.lang.Long.compare(b(0), a(0))
-        if (c != 0) c else java.lang.Long.compare(b(1), a(1))
-      })
+/** The ONE bounded best-n-pairs heap both aggregates retain state in:
+  * `worstFirst` orders the WORST pair first (the heap root — the
+  * eviction candidate), so "keep the n best" is the same three-line
+  * offer for any ordering; the kept pairs emit BEST-first (the
+  * reverse of `worstFirst`). O(log n) per offer, O(n) state
+  * regardless of input size. */
+class BoundedPairBuffer[K](n: Int,
+    worstFirst: java.util.Comparator[(K, Long)]) {
+  private val heap = new java.util.PriorityQueue[(K, Long)](
+    math.min(n, 1024), worstFirst)
 
-    def offer(k: Long, i: Long): Unit = {
-      if (heap.size < n) { heap.offer(Array(k, i)); () }
-      else {
-        val worst = heap.peek()
-        if (k < worst(0) || (k == worst(0) && i < worst(1))) {
-          heap.poll(); heap.offer(Array(k, i)); ()
-        }
-      }
+  def offer(k: K, i: Long): Unit = {
+    if (heap.size < n) { heap.offer((k, i)); () }
+    else if (worstFirst.compare((k, i), heap.peek()) > 0) {
+      heap.poll(); heap.offer((k, i)); ()
     }
-
-    def foreach(f: (Long, Long) => Unit): Unit = {
-      val it = heap.iterator()
-      while (it.hasNext) { val p = it.next(); f(p(0), p(1)) }
-    }
-
-    def sortedPairs: Array[(Long, Long)] = {
-      val out = new Array[(Long, Long)](heap.size)
-      var j = 0
-      val it = heap.iterator()
-      while (it.hasNext) { val p = it.next(); out(j) = (p(0), p(1)); j += 1 }
-      java.util.Arrays.sort(out, (a: (Long, Long), b: (Long, Long)) => {
-        val c = java.lang.Long.compare(a._1, b._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      })
-      out
-    }
-
-    def sortedIds: Array[Long] = sortedPairs.map(_._2)
   }
+
+  def foreach(f: (K, Long) => Unit): Unit = {
+    val it = heap.iterator()
+    while (it.hasNext) { val p = it.next(); f(p._1, p._2) }
+  }
+
+  def sortedPairs: Array[(K, Long)] = {
+    val out = heap.toArray
+    java.util.Arrays.sort(out,
+      worstFirst.reversed().asInstanceOf[java.util.Comparator[AnyRef]])
+    out.map(_.asInstanceOf[(K, Long)])
+  }
+
+  def sortedIds: Array[Long] = sortedPairs.map(_._2)
+}
+
+object BoundedMinIds {
+  /** Holds the n LEXICOGRAPHICALLY SMALLEST (sortKey, id) pairs seen:
+    * worst = largest pair; best-first output = ascending (sortKey, id). */
+  final class Buffer(n: Int) extends BoundedPairBuffer[Long](n,
+    (a: (Long, Long), b: (Long, Long)) => {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    })
 
   import org.apache.spark.sql.GraftShims
 
@@ -228,53 +226,18 @@ case class BoundedMaxByScore(
 }
 
 object BoundedMaxByScore {
-  /** Bounded min-heap over (score, id) keeping the n BEST pairs
-    * (score DESC, id ASC): the root is the WORST kept pair — lowest
-    * score, then highest id — evicted whenever a better pair arrives
-    * at capacity. O(log n) per offer, O(n) state regardless of input
-    * size. */
-  final class Buffer(n: Int) {
-    // min-heap on goodness: root = worst kept = (lowest score, then
-    // HIGHEST id — on a score tie the larger id is the one to evict)
-    private val heap = new java.util.PriorityQueue[(Double, Long)](
-      math.min(n, 1024),
-      (a: (Double, Long), b: (Double, Long)) => {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-      })
-
-    def offer(s: Double, i: Long): Unit = {
-      // SQL order treats -0.0 = 0.0 (tie broken by id); the raw IEEE
-      // compare orders -0.0 < 0.0 — normalize on entry
-      val k = if (s == 0.0d) 0.0d else s
-      if (heap.size < n) { heap.offer((k, i)); () }
-      else {
-        val worst = heap.peek()
-        val c = java.lang.Double.compare(k, worst._1)
-        if (c > 0 || (c == 0 && i < worst._2)) {
-          heap.poll(); heap.offer((k, i)); ()
-        }
-      }
-    }
-
-    def foreach(f: (Double, Long) => Unit): Unit = {
-      val it = heap.iterator()
-      while (it.hasNext) { val p = it.next(); f(p._1, p._2) }
-    }
-
-    def sortedPairs: Array[(Double, Long)] = {
-      val out = new Array[(Double, Long)](heap.size)
-      var j = 0
-      val it = heap.iterator()
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      java.util.Arrays.sort(out, (a: (Double, Long), b: (Double, Long)) => {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      })
-      out
-    }
-
-    def sortedIds: Array[Long] = sortedPairs.map(_._2)
+  /** Holds the n BEST (score, id) pairs by (score DESC, id ASC):
+    * worst = lowest score then highest id; `-0.0` normalizes to `0.0`
+    * on every entry path (offer is the single entry — update, merge,
+    * and deserialize all funnel through it) so SQL's `-0.0 = 0.0` tie
+    * semantics hold where the raw IEEE compare would order them. */
+  final class Buffer(n: Int) extends BoundedPairBuffer[Double](n,
+    (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    }) {
+    override def offer(s: Double, i: Long): Unit =
+      super.offer(if (s == 0.0d) 0.0d else s, i)
   }
 
   import org.apache.spark.sql.GraftShims

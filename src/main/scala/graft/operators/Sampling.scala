@@ -136,22 +136,34 @@ object Sampling {
     * state; a billion-row dominant domain never sorts in one reducer
     * task; see [[quotaPerKey]]'s scale shape, identical here).
     *
-    * Contract: `idCol` integral and unique within its key (enforced,
-    * same rationale as the quota); `scoreCol` must be a NUMERIC column
-    * (enforced — a string score would implicit-cast with silent nulls
-    * and select nothing); rows with a NULL score are never selected
-    * (they cannot be ranked — mirror them out of the oracle window
-    * with `WHERE score IS NOT NULL`); null keys form their own group.
-    * NaN scores rank ABOVE +Infinity, matching Spark's and DuckDB's
-    * ORDER BY. */
+    * Contract: `idCol` must be an exact integer type (enforced, same
+    * rationale as the quota) and unique within its key — uniqueness is
+    * the CALLER's contract (ids are globally unique in every table
+    * here): a duplicated id that ranks top-n keeps every row bearing
+    * it. `scoreCol` must be a float or integer column (enforced):
+    * ranking runs in DOUBLE precision, so decimals are rejected rather
+    * than silently collapsed (`cast` to double explicitly to accept
+    * the loss), and integral scores beyond 2⁵³ rank at double
+    * resolution (still deterministic — the id tiebreak settles
+    * collapsed ties — but may diverge from an exact-bigint ORDER BY).
+    * Rows with a NULL score are never selected (they cannot be ranked
+    * — mirror them out of the oracle window with `WHERE score IS NOT
+    * NULL`); null keys form their own group. NaN scores rank ABOVE
+    * +Infinity, matching Spark's and DuckDB's ORDER BY. */
   def topKPerKey(df: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, n: Int): DataFrame = {
     require(n > 0, s"topKPerKey needs a positive k, got $n")
     requireIntegralId(df, idCol, "topKPerKey")
-    require(df.schema(scoreCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"topKPerKey needs a numeric score column; " +
-        s"'$scoreCol' is ${df.schema(scoreCol).dataType.simpleString}")
+    val scoreType = df.schema(scoreCol).dataType
+    require(scoreType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        && !scoreType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"topKPerKey needs a float/integer score column; '$scoreCol' is " +
+        s"${scoreType.simpleString}" +
+        (if (scoreType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          " — ranking runs in double precision, which would silently " +
+            "collapse high-precision decimals; cast to double explicitly " +
+            "to accept the precision loss"
+        else ""))
     semiJoinSelected(df, keyCol, idCol,
       df.groupBy(col(keyCol))
         .agg(graft.functions.BoundedMaxByScore.boundedMaxByScore(

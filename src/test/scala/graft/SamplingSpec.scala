@@ -154,7 +154,16 @@ class SamplingSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Sampling.topKPerKey(docs, "source", "doc_id", "text", 5)
     }
-    assert(e.getMessage.contains("numeric"))
+    assert(e.getMessage.contains("score"))
+    // a decimal score would silently collapse past double precision —
+    // two rows differing only in the 18th fractional digit tie on the
+    // WRONG rank; rejected with an explicit-cast escape hatch
+    val dec = docs.withColumn("dscore",
+      $"doc_id".cast("decimal(38,18)"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.topKPerKey(dec, "source", "doc_id", "dscore", 5)
+    }
+    assert(e2.getMessage.contains("double precision"))
   }
 
   test("packSequences: packs respect order; every pack except maybe the last is full-ish") {
