@@ -23,18 +23,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) which Spark 4 cannot
-    * read natively. Read it as a long (ns since epoch) and expose BOTH:
+  /** The events table's raw `ts` has shipped in two encodings across
+    * testdata generations: TIMESTAMP(NANOS) (int64 ns — Spark 4 reads
+    * it only via nanosAsLong) and a plain µs parquet timestamp (which
+    * Spark surfaces as TIMESTAMP_NTZ under default NTZ inference).
+    * Normalize EITHER to the same two columns every consumer uses:
     *  - `ts_ns`: exact int64 nanoseconds — use for ordering/arithmetic
-    *    (bit-exact vs DuckDB's TIMESTAMP_NS semantics);
-    *  - `ts`: µs-truncated TimestampType — use for date/window functions.
+    *    (bit-exact vs DuckDB's epoch_ns / epoch_us semantics);
+    *  - `ts`: µs TimestampType — use for date/window functions.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    normalizeEventTs(table(s, d, "events"))
   }
+
+  /** Schema-adaptive `ts` normalization, shared with the streaming
+    * events reader: a LongType `ts` is legacy exact nanoseconds; a
+    * (possibly NTZ) timestamp `ts` is µs since epoch with `ts_ns`
+    * derived ×1000 (exact — µs·1000 stays far inside int64). The
+    * NTZ→timestamp cast is instant-preserving under the UTC session
+    * timezone every entry point pins. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

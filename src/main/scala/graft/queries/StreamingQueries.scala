@@ -22,10 +22,12 @@ object StreamingQueries {
   private val lastSink = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSink67 = new java.util.concurrent.atomic.AtomicReference[String](null)
 
-  /** events.parquet carries TIMESTAMP(NANOS): same nanosAsLong +
-    * µs-derive dance as Tables.events, but through readStream, with
-    * the flag restored afterwards (session hygiene — a later query
-    * must see the conf it would have seen had this one never run). */
+  /** events.parquet has shipped `ts` both as TIMESTAMP(NANOS) and as
+    * a plain µs timestamp (TESTDATA generations differ): same
+    * nanosAsLong + schema-adaptive normalization as Tables.events,
+    * but through readStream, with the flag restored afterwards
+    * (session hygiene — a later query must see the conf it would
+    * have seen had this one never run). */
   private def withNanosFlag[T](s: SparkSession)(body: => T): T = {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val nanosPrev = s.conf.getOption(nanosKey)
@@ -36,13 +38,13 @@ object StreamingQueries {
     }
   }
 
-  /** File-stream over the events table (ns → µs timestamps). */
+  /** File-stream over the events table (either ts encoding → µs `ts`
+    * + exact-ns `ts_ns`, same contract as Tables.events). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** q62: streaming watermarked keyed dedup → tumbling 1-hour windowed
