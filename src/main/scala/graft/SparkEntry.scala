@@ -95,6 +95,9 @@ object SparkEntry {
     "q75_domain_quota"    -> (TrainingData.q75DomainQuota _),
     "q76_containment"     -> (TrainingData.q76Containment _),
     "q77_quality_topk"    -> (TrainingData.q77QualityTopK _),
+    "q78_weighted_sample" -> (TrainingData.q78WeightedSample _),
+    "q79_corpus_divergence" -> (TrainingData.q79CorpusDivergence _),
+    "q80_mixture_replicate" -> (TrainingData.q80MixtureReplicate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +208,14 @@ object SparkEntry {
     "q75_domain_quota"    -> TrainingData.q75Sql,
     "q76_containment"     -> TrainingData.q76Sql,
     "q77_quality_topk"    -> TrainingData.q77Sql,
+    // q78: exponential-race weighted sample — the oracle replays the
+    // hash/weight priority order in a window.
+    "q78_weighted_sample" -> TrainingData.q78Sql,
+    // q79: total-variation drift with an exact-integer numerator
+    // (HUGEINT in DuckDB, decimal(38,0) in Spark — both exact).
+    "q79_corpus_divergence" -> TrainingData.q79Sql,
+    // q80: weighted replication — the oracle replays floor(w) + the
+    // exact-quarter fractional promotion and unnests generate_series.
+    "q80_mixture_replicate" -> TrainingData.q80Sql,
   )
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-level distribution analytics for training-data QA.
+  *
+  * The headline operator is [[tokenDivergence]]: per-slice
+  * total-variation distance between a slice's token distribution and
+  * the whole corpus — the "did this source/batch drift from the mix"
+  * check a pipeline runs before committing an ingestion batch or
+  * re-weighting a source. TV is chosen over KL/JS deliberately:
+  * KL needs `ln`, which is not correctly-rounded and differs across
+  * libm implementations, while TV is one subtraction and one division
+  * — with the inner sum kept in EXACT integer (decimal) arithmetic the
+  * whole statistic replays bit-identically in any engine (the q79
+  * oracle). KL's ∞-on-disjoint-support pathology also disappears: TV
+  * is always in [0, 1].
+  */
+object CorpusStats {
+
+  private val D = DecimalType(38, 0)
+
+  /** Per-slice token-distribution drift vs the global corpus.
+    *
+    * For slice s with token counts c_s(t), slice total N_s, global
+    * counts c_g(t), and corpus total N:
+    *
+    *   TV(s) = ½ · Σ_t | c_s(t)/N_s − c_g(t)/N |
+    *         = ( Σ_{t ∈ s} | c_s(t)·N − c_g(t)·N_s |
+    *             + (N − Σ_{t ∈ s} c_g(t)) · N_s ) / (2·N·N_s)
+    *
+    * The second form is what runs: the numerator is computed entirely
+    * in decimal(38,0) — exact integer arithmetic, so the SUM is
+    * order-independent and engine-portable (a `sum(double)` here
+    * would hash-mismatch any oracle on partition-order alone). The
+    * one double division happens last. Exactness bound: products stay
+    * < 10³⁸, i.e. N·c_g < 10³⁸ — safe past 10¹⁸ tokens (a 100 TB
+    * corpus is ~10¹³).
+    *
+    * Scale shape: one shuffle to (slice, token) counts — REUSED by
+    * the global/total/grand re-aggregates via Spark's ReuseExchange
+    * (the corpus is scanned and shuffled ONCE, plan-gated) — then a
+    * shuffled equi-join on token (vocabulary-sized, NOT corpus-sized),
+    * a broadcast join of per-slice totals, and a final slice-sized
+    * aggregate. No window, no collect; the 1-row grand total rides a
+    * broadcast nested-loop cross join whose broadcast side is EXACTLY
+    * ONE ROW — the only NLJ shape that is linear rather than
+    * quadratic, allowlisted in the plan gates the way the
+    * bounded-query-set ANN joins are.
+    *
+    * Output: (slice, n_tokens, vocab, tv_dist) sorted by the caller.
+    * Contract: rows with a NULL slice are excluded (enforced by
+    * filter — a null slice is almost always an upstream bug; tag it
+    * explicitly to include it). Empty-string texts contribute their
+    * one empty token, matching the tokenizer's behavior everywhere
+    * else (q19/q20).
+    */
+  def tokenDivergence(docs: DataFrame, sliceCol: String,
+      textCol: String = "text"): DataFrame = {
+    val per = docs
+      .filter(col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("slice", "token")
+      .agg(count(lit(1)).as("c_s"))
+    val global = per.groupBy("token").agg(sum("c_s").as("c_g"))
+    val totals = per.groupBy("slice").agg(sum("c_s").as("n_s"))
+    val grand = per.agg(sum("c_s").cast(D).as("n_tot"))
+    val term = abs(col("c_s").cast(D) * col("n_tot") -
+      col("c_g").cast(D) * col("n_s").cast(D))
+    per.join(global, "token")
+      .join(broadcast(totals), "slice")
+      .crossJoin(broadcast(grand))
+      .groupBy("slice")
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(term).as("__present"),
+        sum(col("c_g").cast(D)).as("__cg_present"),
+        max(col("n_tot")).as("__n_tot"))
+      .select(col("slice"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("vocab"),
+        (col("__present") +
+          (col("__n_tot") - col("__cg_present")) * col("n_tokens").cast(D))
+          .cast("double")
+          ./(
+            (lit(2).cast(D) * col("__n_tot") * col("n_tokens").cast(D))
+              .cast("double"))
+          .as("tv_dist"))
+  }
+}

@@ -154,21 +154,127 @@ object Sampling {
       scoreCol: String, n: Int): DataFrame = {
     require(n > 0, s"topKPerKey needs a positive k, got $n")
     requireIntegralId(df, idCol, "topKPerKey")
-    val scoreType = df.schema(scoreCol).dataType
-    require(scoreType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-        && !scoreType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
-      s"topKPerKey needs a float/integer score column; '$scoreCol' is " +
-        s"${scoreType.simpleString}" +
-        (if (scoreType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
-          " — ranking runs in double precision, which would silently " +
-            "collapse high-precision decimals; cast to double explicitly " +
-            "to accept the precision loss"
-        else ""))
+    requireRankable(df, scoreCol, "topKPerKey", "score")
     semiJoinSelected(df, keyCol, idCol,
       df.groupBy(col(keyCol))
         .agg(graft.functions.BoundedMaxByScore.boundedMaxByScore(
           col(scoreCol).cast("double"),
           col(idCol).cast("long"), n).as("__ids")))
+  }
+
+  /** Deterministic WEIGHTED sample per key — keep `n` rows of each
+    * `keyCol` group with inclusion bias proportional to `weightCol`,
+    * the data-mixing primitive between [[quotaPerKey]] (uniform) and
+    * [[topKPerKey]] (strict best-k): a doc twice as heavy is roughly
+    * twice as likely to survive, but low-weight docs still can — the
+    * shape a training mix wants when weight encodes soft preference
+    * (doc length, source trust) rather than hard quality rank.
+    *
+    * Selection = the `n` smallest `(portableHash48(id) / w, id)` pairs
+    * per key — a deterministic exponential-race priority: for u
+    * uniform on the 48-bit hash domain, `u / w` is (to first order)
+    * an Exp(w) arrival time, and the smallest arrival wins with
+    * probability ≈ w / Σw. The textbook A-ES key `u^(1/w)` is NOT
+    * used deliberately: `pow`/`ln` are not correctly-rounded and
+    * differ across libm implementations, while hash-to-double and one
+    * IEEE division are bit-identical on every engine — the priority
+    * (and so the sample) replays exactly in DuckDB (the q78 oracle).
+    *
+    * Same bounded-aggregate plan as [[topKPerKey]] (≤ n pairs of
+    * state, map-side partial combine, no `row_number` window — a
+    * billion-row dominant key never sorts in one reducer task).
+    * Contract: `idCol` exact-integral and unique per key (caller's
+    * contract, as in [[topKPerKey]]); `weightCol` float/integer
+    * (enforced); rows with NULL or non-positive weight are never
+    * selected — mirror them out of an oracle window with
+    * `WHERE w > 0`. Null keys form their own group. */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n > 0, s"weightedSamplePerKey needs a positive n, got $n")
+    requireIntegralId(df, idCol, "weightedSamplePerKey")
+    requireRankable(df, weightCol, "weightedSamplePerKey", "weight")
+    val w = col(weightCol).cast("double")
+    // smallest priority == largest -priority; BoundedMaxByScore keeps
+    // max-by-(score DESC, id ASC), so negate. -0.0 (hash = 0) is
+    // normalized inside the aggregate. NULL score (null or ≤0 weight)
+    // contributes nothing — the SUM-ignores-NULL convention.
+    val priority = portableHash48(col(idCol).cast("string")).cast("double") / w
+    semiJoinSelected(df, keyCol, idCol,
+      df.groupBy(col(keyCol))
+        .agg(graft.functions.BoundedMaxByScore.boundedMaxByScore(
+          when(w > 0, -priority),
+          col(idCol).cast("long"), n).as("__ids")))
+  }
+
+  /** Deterministic weighted REPLICATION — the epoch-mixing step that
+    * materializes per-row sampling weights into integer copy counts:
+    * a row with weight 2.25 appears 2 times always and 3 times for
+    * the deterministic 25% of ids whose hash falls under the
+    * fractional part; weight 0.25 keeps 25% of rows at one copy
+    * (so one operator covers both up- and down-sampling). Output =
+    * input rows with `n_copies` (the materialized count) and
+    * `copy_idx` (1..n_copies) — downstream shuffles (pack, split)
+    * spread the copies; the op itself is a pure narrow
+    * projection+explode, NO shuffle (plan-gated in PlanQualitySpec).
+    *
+    * copies = floor(w) + [portableHash48(id) < frac(w)·2⁴⁸]. The
+    * hash is an exactly-representable double < 2⁴⁸ and the threshold
+    * is one IEEE multiply, so the promotion replays bit-identically
+    * in DuckDB (the q80 oracle). E[copies] = w exactly under a
+    * uniform hash; the estimator is unbiased per-id and deterministic
+    * across layouts/retries/engines.
+    *
+    * Contract: `idCol` exact-integral (enforced); `weightCol`
+    * float/integer (enforced); NULL or negative weight → 0 copies
+    * (row dropped — filter first to fail instead). `maxFactor` fails
+    * the job row-side if any weight would replicate a row more than
+    * that many times (a typo'd 1e9 weight would otherwise explode a
+    * 100 TB corpus into an EB write — fail fast, distributed, no
+    * extra pass). */
+  def replicateByWeight(df: DataFrame, idCol: String, weightCol: String,
+      maxFactor: Int = 1000): DataFrame = {
+    require(maxFactor > 0,
+      s"replicateByWeight needs a positive maxFactor, got $maxFactor")
+    requireIntegralId(df, idCol, "replicateByWeight")
+    requireRankable(df, weightCol, "replicateByWeight", "weight")
+    val w = col(weightCol).cast("double")
+    val promote = portableHash48(col(idCol).cast("string")).cast("double") <
+      (w - floor(w)) * lit(281474976710656.0) // 2^48
+    val copies = when(w.isNull || w < 0, 0L)
+      .otherwise(floor(w).cast("long") + when(promote, 1L).otherwise(0L))
+    // guard on the WEIGHT, not the copy count: copies ≤ floor(w)+1, so
+    // w < maxFactor bounds copies ≤ maxFactor — and the cheap-attribute
+    // condition keeps the (md5-heavy) copies expression out of the
+    // guard branches, which Catalyst's projection collapse would
+    // otherwise inline three more times
+    val guarded = when(w.isNull || w < maxFactor, copies).otherwise(
+      raise_error(concat(
+        lit("replicateByWeight: weight "), w.cast("string"),
+        lit(s" would replicate a row ≥ maxFactor ($maxFactor) times — " +
+          "raise maxFactor explicitly if the blow-up is intended"))))
+    df.withColumn("n_copies", guarded)
+      .filter(col("n_copies") > 0)
+      // filter BEFORE explode: Spark's sequence(1, 0) would generate
+      // the DESCENDING [1, 0], not an empty array
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
+  // fail FAST on a non-double-rankable weight/score: ranking and the
+  // promotion threshold run in DOUBLE precision, so decimals are
+  // rejected rather than silently collapsed (cast to double explicitly
+  // to accept the loss), and a string column would implicit-cast with
+  // silent nulls and select nothing
+  private def requireRankable(df: DataFrame, c: String, op: String,
+      role: String): Unit = {
+    val t = df.schema(c).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        && !t.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"$op needs a float/integer $role column; '$c' is ${t.simpleString}" +
+        (if (t.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          s" — $role handling runs in double precision, which would " +
+            "silently collapse high-precision decimals; cast to double " +
+            "explicitly to accept the precision loss"
+        else ""))
   }
 
   // fail FAST on a non-integral id: a string id cast to long is null

@@ -870,4 +870,109 @@ object TrainingData {
       |              FROM documents))
       |  WHERE uniq_ratio IS NOT NULL)
       |WHERE rn <= 5 ORDER BY doc_id""".stripMargin
+
+  /** Length-WEIGHTED sample per source: keep 8 docs per source with
+    * inclusion bias ∝ n_chars — the soft-preference middle ground
+    * between q75's uniform quota and q77's strict best-k. Selection
+    * is the deterministic exponential-race priority
+    * `portableHash48(id) / weight` (one IEEE division — portable,
+    * unlike `pow`-based A-ES keys), through the same bounded
+    * no-window aggregate plan as q75/q77. */
+  def q78WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Sampling.weightedSamplePerKey(
+        Tables.documents(s, dir), "source", "doc_id", "n_chars", 8)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val q78Sql: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY CAST($h AS DOUBLE) / n_chars, doc_id) AS rn
+       |  FROM documents WHERE n_chars > 0)
+       |WHERE rn <= 8 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-source token-distribution drift vs the whole corpus
+    * (total-variation distance, exact-integer inner sum — see
+    * [[graft.operators.CorpusStats.tokenDivergence]]): the
+    * "did this source drift from the mix" QA gate an ingestion
+    * pipeline runs before re-weighting. */
+  def q79CorpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CorpusStats.tokenDivergence(
+        Tables.documents(s, dir), "source")
+      .orderBy($"slice")
+  }
+
+  val q79Sql: String =
+    """WITH toks AS (
+      |  SELECT source AS slice,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE source IS NOT NULL),
+      |per AS (SELECT slice, token, CAST(count(*) AS HUGEINT) AS c_s
+      |        FROM toks GROUP BY 1, 2),
+      |gtok AS (SELECT token, sum(c_s) AS c_g FROM per GROUP BY 1),
+      |tot AS (SELECT slice, sum(c_s) AS n_s FROM per GROUP BY 1),
+      |grand AS (SELECT sum(c_s) AS n_tot FROM per)
+      |SELECT slice, CAST(n_s AS BIGINT) AS n_tokens,
+      |  CAST(vocab AS BIGINT) AS vocab,
+      |  CAST(present + (n_tot - cg_present) * n_s AS DOUBLE) /
+      |  CAST(2 * n_tot * n_s AS DOUBLE) AS tv_dist
+      |FROM (
+      |  SELECT p.slice, max(t.n_s) AS n_s, count(*) AS vocab,
+      |    max(g2.n_tot) AS n_tot,
+      |    sum(abs(p.c_s * g2.n_tot - g.c_g * t.n_s)) AS present,
+      |    sum(g.c_g) AS cg_present
+      |  FROM per p
+      |  JOIN gtok g USING (token)
+      |  JOIN tot t ON p.slice = t.slice
+      |  CROSS JOIN grand g2
+      |  GROUP BY p.slice)
+      |ORDER BY slice""".stripMargin
+
+  /** Deterministic weighted REPLICATION (epoch mixing): per-source
+    * weights in {0.25, 0.75, …, 3.75} (exact quarters — the
+    * fractional-part promotion threshold is exact in binary, so the
+    * hash comparison replays bit-identically), materialized into
+    * copy counts by [[graft.operators.Sampling.replicateByWeight]].
+    * Covers down-sampling (w<1 drops rows) and up-sampling in one
+    * narrow no-shuffle op. */
+  def q80MixtureReplicate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).withColumn("wt",
+      lit(0.25) +
+        graft.operators.Sampling.portableBucket($"source", 8).cast("double") *
+        lit(0.5))
+    graft.operators.Sampling.replicateByWeight(docs, "doc_id", "wt")
+      .select($"doc_id", $"source", $"n_copies", $"copy_idx")
+      .orderBy($"doc_id", $"copy_idx")
+  }
+
+  val q80Sql: String = {
+    val hs = graft.operators.Sampling.portableHash48Sql(
+      "CAST(source AS VARCHAR)")
+    val hd = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CAST(0.25 AS DOUBLE) + ($hs % 8) * CAST(0.5 AS DOUBLE) AS wt,
+       |    CAST($hd AS DOUBLE) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(wt) AS BIGINT) +
+       |      (CASE WHEN h < (wt - floor(wt)) * 281474976710656.0
+       |            THEN 1 ELSE 0 END) AS n_copies
+       |  FROM w)
+       |SELECT doc_id, source, n_copies, CAST(copy_idx AS BIGINT) AS copy_idx
+       |FROM (SELECT doc_id, source, n_copies,
+       |        unnest(generate_series(1, n_copies)) AS copy_idx
+       |      FROM c WHERE n_copies > 0)
+       |ORDER BY doc_id, copy_idx""".stripMargin
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.CorpusStats
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenDivergence: hand-computed TV on a two-slice corpus") {
+    // slice a: tokens {x x y}  →  P_a = {x: 2/3, y: 1/3}
+    // slice b: tokens {x z}    →  P_b = {x: 1/2, z: 1/2}
+    // global:  {x: 3/5, y: 1/5, z: 1/5}
+    // TV(a) = ½(|2/3−3/5| + |1/3−1/5| + |0−1/5|) = ½(1/15+2/15+3/15) = 1/5
+    // TV(b) = ½(|1/2−3/5| + |0−1/5| + |1/2−1/5|) = ½(.1+.2+.3) = 3/10
+    val docs = Seq(("a", "x x y"), ("b", "x z")).toDF("slice", "text")
+    val got = CorpusStats.tokenDivergence(docs, "slice")
+      .orderBy($"slice")
+      .select($"slice", $"n_tokens", $"vocab", $"tv_dist")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 3L, 2L, 0.2), ("b", 2L, 2L, 0.3)))
+  }
+
+  test("tokenDivergence: a single-slice corpus has zero drift; TV stays in [0, 1]") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = CorpusStats.tokenDivergence(
+      docs.withColumn("all", lit("corpus")), "all")
+    val tv = one.select($"tv_dist").as[Double].head()
+    assert(tv === 0.0, s"single slice IS the global distribution, got $tv")
+    val per = CorpusStats.tokenDivergence(docs, "source")
+      .select($"tv_dist").as[Double].collect()
+    assert(per.length === 20)
+    assert(per.forall(d => d >= 0.0 && d <= 1.0), per.mkString(","))
+  }
+
+  test("tokenDivergence: disjoint-vocabulary slices approach the TV upper bound") {
+    // two slices with NO shared tokens: TV(s) = 1 − N_s/N (each slice
+    // sees all of the OTHER slice's mass as missing). For a 50/50
+    // split that is 0.5 exactly — the statistic must land on it.
+    val docs = Seq(("a", "x y"), ("b", "u v")).toDF("slice", "text")
+    val got = CorpusStats.tokenDivergence(docs, "slice")
+      .select($"slice", $"tv_dist").as[(String, Double)]
+      .collect().toMap
+    assert(got("a") === 0.5 && got("b") === 0.5, got.toString)
+  }
+
+  test("tokenDivergence: null slices are excluded, not grouped or crashed") {
+    val docs = Seq(("a", "x y"), (null, "u v"), ("a", "x"))
+      .toDF("slice", "text")
+    val got = CorpusStats.tokenDivergence(docs, "slice")
+    assert(got.count() === 1L)
+    // the null slice's tokens must not leak into the global total:
+    // with only slice a present, a IS the corpus → zero drift
+    assert(got.select($"tv_dist").as[Double].head() === 0.0)
+  }
+}

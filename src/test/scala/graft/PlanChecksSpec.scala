@@ -120,7 +120,9 @@ class PlanChecksSpec extends SparkSpec {
     // broadcast side is the bounded query set, so the plan is linear
     // in the corpus — the legitimate NLJs here (same allowlist as
     // PlanQualitySpec).
-    val intendedNlj = Set("q24_ann_topk", "q60_multimodal_ann")
+    // q79's NLJ broadcasts a ONE-row grand total — linear, intended
+    val intendedNlj =
+      Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence")
     for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
       val p = fn(spark, sf).queryExecution.optimizedPlan.toString
       assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")

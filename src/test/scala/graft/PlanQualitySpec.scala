@@ -22,7 +22,11 @@ class PlanQualitySpec extends SparkSpec {
 
   // exact brute-force ANN is BY DESIGN a broadcast nested loop over the
   // tiny query set (q24 on raw embeddings, q60 on stub-featurized media)
-  private val nestedLoopAllowed = Set("q24_ann_topk", "q60_multimodal_ann")
+  // q24/q60: bounded query set broadcast against the corpus;
+  // q79: a ONE-row grand-total frame broadcast against vocab-sized
+  // counts — both NLJ shapes are linear in the big side, not quadratic
+  private val nestedLoopAllowed =
+    Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence")
 
   test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
     // the SimHash pair join deliberately does NOT cache its signature
@@ -36,6 +40,38 @@ class PlanQualitySpec extends SparkSpec {
     val reused = plan.linesIterator.count(l =>
       l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))
     assert(reused >= 1, s"no reused stage in final q28 plan:\n$plan")
+  }
+
+  test("q79 divergence computes its four aggregates over ONE corpus shuffle (exchange reuse)") {
+    // tokenDivergence re-aggregates the (slice, token) counts three
+    // more times (global / per-slice totals / grand total); all four
+    // hang off the SAME canonical shuffle, so AQE must reuse the
+    // exchange — otherwise the 100 TB corpus is scanned and shuffled
+    // four times instead of once
+    val df = SparkEntry.queries("q79_corpus_divergence")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))
+    assert(reused >= 3, s"expected ≥3 reused corpus-count stages in " +
+      s"final q79 plan, found $reused:\n$plan")
+  }
+
+  test("q80 replication is a pure narrow op — zero exchanges before the presentation sort") {
+    // replicateByWeight is projection + filter + generate only; any
+    // Exchange in its plan would mean the copy fan-out shuffles the
+    // corpus. The query's trailing orderBy (presentation for the
+    // oracle) is the single allowed range exchange.
+    val plan = SparkEntry.queries("q80_mixture_replicate")(spark, sf)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.getClass.getSimpleName
+    }
+    assert(exchanges.forall(_.contains("RangePartitioning")),
+      s"replication itself must not shuffle (only the presentation " +
+        s"sort may): $exchanges")
+    assert(exchanges.size <= 1, s"expected ≤1 exchange: $exchanges")
   }
 
   test("q70 span dedup decides first-occurrence with a partial aggregate, not a window sort") {
@@ -65,7 +101,8 @@ class PlanQualitySpec extends SparkSpec {
         s"first-occurrence decision:\n$plan")
   }
 
-  for (name <- Seq("q75_domain_quota", "q77_quality_topk")) {
+  for (name <- Seq("q75_domain_quota", "q77_quality_topk",
+      "q78_weighted_sample")) {
     test(s"$name selects per-key rows with a partial bounded aggregate, " +
         "not a window sort") {
       // the quota/top-k family's whole point is replacing the

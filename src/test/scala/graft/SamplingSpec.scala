@@ -209,4 +209,93 @@ class SamplingSpec extends SparkSpec {
     val frac = train.count().toDouble / docs.count()
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
+
+  test("weightedSamplePerKey: selects exactly the hash/weight priority " +
+      "order, stable under repartitioning; weight bias is real") {
+    import org.apache.spark.sql.expressions.Window
+    val q = Sampling.weightedSamplePerKey(docs, "source", "doc_id",
+      "n_chars", 8)
+    assert(q.groupBy($"source").count()
+      .select($"count").as[Long].collect().forall(_ <= 8))
+    // the bounded aggregate must select EXACTLY the window-form rows:
+    // priority = portableHash48(id)/w ascending, id tiebreak
+    val prio = Sampling.portableHash48($"doc_id".cast("string"))
+      .cast("double") / $"n_chars".cast("double")
+    val ref = docs.filter($"n_chars" > 0)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"source").orderBy(prio, $"doc_id")))
+      .filter($"__rn" <= 8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val got = q.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got === ref)
+    val got2 = Sampling
+      .weightedSamplePerKey(docs.repartition(13), "source", "doc_id",
+        "n_chars", 8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got2 === got)
+    // weight bias: doubling one doc's weight can only improve (or
+    // keep) its rank — verified statistically: among docs selected
+    // under weight=n_chars but NOT under uniform weight, mean n_chars
+    // must exceed the corpus mean (long docs are favored)
+    val uni = Sampling.weightedSamplePerKey(
+        docs.withColumn("w1", lit(1.0)), "source", "doc_id", "w1", 8)
+      .select($"doc_id").as[Long].collect().toSet
+    val onlyWeighted = q.filter(!$"doc_id".isin(uni.toSeq: _*))
+    if (onlyWeighted.count() > 10) {
+      val meanSel = onlyWeighted.agg(avg($"n_chars")).as[Double].head()
+      val meanAll = docs.agg(avg($"n_chars")).as[Double].head()
+      assert(meanSel > meanAll,
+        s"weighted-only picks mean n_chars $meanSel ≤ corpus $meanAll")
+    }
+  }
+
+  test("weightedSamplePerKey: null and non-positive weights are never " +
+      "selected; zero-weight-only groups select nothing") {
+    val w = docs.withColumn("w",
+      when($"doc_id" % 3 === 0, ($"n_chars").cast("double"))
+        .when($"doc_id" % 3 === 1, lit(0.0)))
+    val q = Sampling.weightedSamplePerKey(w, "source", "doc_id", "w", 5)
+    assert(q.filter($"w".isNull || $"w" <= 0).count() === 0L)
+    val allZero = docs.withColumn("w", lit(0.0))
+    assert(Sampling.weightedSamplePerKey(allZero, "source", "doc_id",
+      "w", 5).count() === 0L)
+  }
+
+  test("replicateByWeight: exact copy counts, explode shape, and " +
+      "unbiased expectation") {
+    // hand-verifiable tiny frame: integer weights replicate exactly,
+    // fractional promotion follows the portable hash threshold
+    val tiny = Seq((1L, 2.0), (2L, 0.0), (3L, 3.0))
+      .toDF("id", "w")
+    val r = Sampling.replicateByWeight(tiny, "id", "w")
+      .select($"id", $"n_copies", $"copy_idx")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(r === Seq((1L, 2L, 1L), (1L, 2L, 2L),
+      (3L, 3L, 1L), (3L, 3L, 2L), (3L, 3L, 3L)))
+    // fractional part: E[copies] = w exactly under a uniform hash;
+    // over 500 docs at w = 1.5 the copy total concentrates near 750
+    val frac = docs.withColumn("w", lit(1.5))
+    val total = Sampling.replicateByWeight(frac, "doc_id", "w").count()
+    val n = docs.count()
+    assert(math.abs(total - 1.5 * n) < 0.1 * n,
+      s"copy total $total far from expectation ${1.5 * n}")
+    // null and negative weights drop the row (0 copies), never throw
+    val edge = Seq((1L, java.lang.Double.valueOf(-2.0)),
+      (2L, null.asInstanceOf[java.lang.Double])).toDF("id", "w")
+    assert(Sampling.replicateByWeight(edge, "id", "w").count() === 0L)
+  }
+
+  test("replicateByWeight: a runaway weight fails the job at maxFactor " +
+      "instead of exploding the corpus") {
+    val bomb = Seq((1L, 5000.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.replicateByWeight(bomb, "id", "w").count()
+    }
+    assert(e.getMessage.contains("maxFactor") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxFactor"),
+      s"unexpected error: ${e.getMessage}")
+    // explicit dial accepts the blow-up
+    assert(Sampling.replicateByWeight(bomb, "id", "w",
+      maxFactor = 5001).count() === 5000L)
+  }
 }
