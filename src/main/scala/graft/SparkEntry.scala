@@ -98,6 +98,7 @@ object SparkEntry {
     "q78_weighted_sample" -> (TrainingData.q78WeightedSample _),
     "q79_corpus_divergence" -> (TrainingData.q79CorpusDivergence _),
     "q80_mixture_replicate" -> (TrainingData.q80MixtureReplicate _),
+    "q81_dup_matrix"      -> (TrainingData.q81DupMatrix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,5 +218,8 @@ object SparkEntry {
     // q80: weighted replication — the oracle replays floor(w) + the
     // exact-quarter fractional promotion and unnests generate_series.
     "q80_mixture_replicate" -> TrainingData.q80Sql,
+    // q81: exact-fingerprint provenance matrix — the oracle replays
+    // the (fp, slice) aggregate self-join with an int/int fraction.
+    "q81_dup_matrix"      -> TrainingData.q81Sql,
   )
 }

@@ -92,4 +92,49 @@ object CorpusStats {
               .cast("double"))
           .as("tv_dist"))
   }
+
+  /** Cross-slice duplication matrix: for every ordered pair of slices
+    * (a, b), how many of a's documents also appear VERBATIM in b
+    * (exact fingerprint match), and what fraction of a that is — the
+    * "how much of source A is recycled in source B" provenance audit
+    * run before trusting per-source mixture weights (a source that is
+    * 80% mirror of another should not get independent weight).
+    *
+    * Scale shape: one corpus shuffle to (fingerprint, slice) counts;
+    * the pair join is a self-join of that AGGREGATED table (distinct
+    * fingerprints × the ≤ #slices sources holding each — never
+    * corpus-sized rows), sharing one exchange via AQE reuse; the
+    * blow-up per fingerprint is bounded by #slices², not by how many
+    * times the text is duplicated. Per-slice totals broadcast. A
+    * fingerprint duplicated a billion times inside ONE slice is one
+    * aggregated row here.
+    *
+    * Output: (slice_a, slice_b, n_dup_docs, dup_frac) for ordered
+    * pairs with ≥1 shared fingerprint; `dup_frac` = n_dup_docs /
+    * total docs of slice_a (one int/int double division — exact on
+    * any engine). Null slices are excluded as in [[tokenDivergence]].
+    */
+  def duplicationMatrix(docs: DataFrame, sliceCol: String,
+      textCol: String = "text"): DataFrame = {
+    val per = docs
+      .filter(col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp", "slice")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = per.groupBy("slice")
+      .agg(sum("n_docs").cast("long").as("n_total"))
+      .withColumnRenamed("slice", "slice_a")
+    val a = per.select(col("fp"), col("slice").as("slice_a"),
+      col("n_docs").as("n_a"))
+    val b = per.select(col("fp"), col("slice").as("slice_b"))
+    a.join(b, "fp")
+      .filter(col("slice_a") =!= col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(sum("n_a").cast("long").as("n_dup_docs"))
+      .join(broadcast(totals), "slice_a")
+      .select(col("slice_a"), col("slice_b"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_total").cast("double"))
+          .as("dup_frac"))
+  }
 }

@@ -975,4 +975,47 @@ object TrainingData {
        |      FROM c WHERE n_copies > 0)
        |ORDER BY doc_id, copy_idx""".stripMargin
   }
+
+  /** Cross-source duplication matrix (exact-fingerprint provenance
+    * audit): how many of source A's docs appear verbatim in source B,
+    * and what fraction of A that is — see
+    * [[graft.operators.CorpusStats.duplicationMatrix]]. The corpus is
+    * augmented with a deterministic `_mirror` slice (a ~2% portable
+    * hash sample re-tagged — hash, not modulo, because doc_id stripes
+    * correlate with source) so the matrix is non-degenerate at every
+    * SF — the synthetic corpus has no natural cross-source verbatim
+    * copies at small scale, and a 0-row gate would prove nothing. */
+  def q81DupMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val mirrored = docs.unionByName(
+      docs.filter(graft.operators.Sampling.portableBucket($"doc_id", 50) === 0)
+        .withColumn("source", lit("_mirror")))
+    graft.operators.CorpusStats.duplicationMatrix(mirrored, "source")
+      .orderBy($"slice_a", $"slice_b")
+  }
+
+  val q81Sql: String = {
+    val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
+    s"""WITH corpus AS (
+      |  SELECT source, text FROM documents WHERE source IS NOT NULL
+      |  UNION ALL
+      |  SELECT '_mirror' AS source, text FROM documents
+      |  WHERE $bucket = 0),
+      |per AS (
+      |  SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+      |    source AS slice, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM corpus GROUP BY 1, 2),
+      |tot AS (SELECT slice, CAST(sum(n_docs) AS BIGINT) AS n_total
+      |        FROM per GROUP BY 1)
+      |SELECT a.slice AS slice_a, b.slice AS slice_b,
+      |  CAST(sum(a.n_docs) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(a.n_docs) AS DOUBLE) / CAST(max(t.n_total) AS DOUBLE)
+      |    AS dup_frac
+      |FROM per a
+      |JOIN per b ON a.fp = b.fp AND a.slice <> b.slice
+      |JOIN tot t ON t.slice = a.slice
+      |GROUP BY 1, 2
+      |ORDER BY slice_a, slice_b""".stripMargin
+  }
 }

@@ -52,4 +52,31 @@ class CorpusStatsSpec extends SparkSpec {
     // with only slice a present, a IS the corpus → zero drift
     assert(got.select($"tv_dist").as[Double].head() === 0.0)
   }
+
+  test("duplicationMatrix: hand-computed ordered pairs; within-slice " +
+      "duplicates aggregate instead of inflating the join") {
+    // a: {T1, T2, T1(dup), "t1!" (≡ T1 after normalization)}  b: {T1, T3}  c: {T3}
+    val docs = Seq(
+      ("a", "alpha beta"), ("a", "gamma"), ("a", "alpha beta"),
+      ("a", "Alpha, BETA!"),
+      ("b", "alpha beta"), ("b", "delta"),
+      ("c", "delta")).toDF("slice", "text")
+    val got = CorpusStats.duplicationMatrix(docs, "slice")
+      .orderBy($"slice_a", $"slice_b")
+      .select($"slice_a", $"slice_b", $"n_dup_docs", $"dup_frac")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      // 3 of a's 4 docs normalize to "alphabeta", present in b
+      ("a", "b", 3L, 0.75),
+      ("b", "a", 1L, 0.5),
+      ("b", "c", 1L, 0.5),
+      ("c", "b", 1L, 1.0)))
+  }
+
+  test("duplicationMatrix: disjoint corpora produce an empty matrix; " +
+      "null slices are excluded") {
+    val disjoint = Seq(("a", "x"), ("b", "y"), (null, "x"))
+      .toDF("slice", "text")
+    assert(CorpusStats.duplicationMatrix(disjoint, "slice").count() === 0L)
+  }
 }
