@@ -167,6 +167,23 @@ object ScaleBench {
           d.filter($"doc_id" % 20 =!= 0),
           d.filter($"doc_id" % 20 === 0), n = 8).count(),
         docs1, docsN),
+      // corpus drift: four aggregates over ONE reused corpus shuffle
+      // plus a vocabulary-sized join — a linear ratio means the AQE
+      // exchange reuse holds under amplification (without it this is
+      // four corpus scans and the ratio drifts super-linear)
+      ("corpus_divergence",
+        (d: DataFrame) => graft.operators.CorpusStats
+          .tokenDivergence(d, "source").count(),
+        docs1, docsN),
+      // provenance matrix: the pair join rides the AGGREGATED
+      // (fingerprint, slice) table; amplified copies carry distinct
+      // fingerprints (unique suffixes), so the aggregate grows
+      // linearly and the matrix cost must track it — not duplication
+      // depth
+      ("dup_matrix",
+        (d: DataFrame) => graft.operators.CorpusStats
+          .duplicationMatrix(d, "source").count(),
+        docs1, docsN),
       // the keyless (sensor-less) as-of merge: auto-sharded into
       // time-contiguous bins — without the auto-shard this whole merge
       // is ONE task at any scale, the classic hidden serialization
