@@ -40,7 +40,12 @@ object Tables {
   /** Schema-adaptive `ts` normalization, shared with the streaming
     * events reader: a LongType `ts` is legacy exact nanoseconds; a
     * (possibly NTZ) timestamp `ts` is µs since epoch with `ts_ns`
-    * derived ×1000 (exact — µs·1000 stays far inside int64). The
+    * derived ×1000 — exact ONLY while |µs| ≤ Long.Max/1000 (year
+    * ~2262), a bound the legacy NANOS encoding enforced structurally
+    * but a µs timestamp can exceed (it represents out to year
+    * ~294247). Out-of-range rows FAIL the job rather than silently
+    * wrapping negative — a wrapped ts_ns would misorder every as-of
+    * join, sessionization, and watermark downstream. The
     * NTZ→timestamp cast is instant-preserving under the UTC session
     * timezone every entry point pins. */
   private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
@@ -50,7 +55,13 @@ object Tables {
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+          .withColumn("ts_ns", expr(
+            """CASE WHEN abs(unix_micros(ts)) <= 9223372036854775
+              |  THEN unix_micros(ts) * 1000
+              |  ELSE raise_error(concat('events.ts ', cast(ts as string),
+              |    ' overflows int64 nanoseconds (post-2262) — ts_ns cannot',
+              |    ' represent it; filter or re-encode the feed'))
+              |END""".stripMargin))
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

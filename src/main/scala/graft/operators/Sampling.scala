@@ -185,9 +185,13 @@ object Sampling {
     * billion-row dominant key never sorts in one reducer task).
     * Contract: `idCol` exact-integral and unique per key (caller's
     * contract, as in [[topKPerKey]]); `weightCol` float/integer
-    * (enforced); rows with NULL or non-positive weight are never
-    * selected — mirror them out of an oracle window with
-    * `WHERE w > 0`. Null keys form their own group. */
+    * (enforced); rows with NULL, NaN, or non-positive weight are
+    * never selected — mirror them out of an oracle window with
+    * `WHERE w > 0` (NaN must be gated here: Spark compares NaN
+    * largest, so an ungated NaN priority would rank FIRST on the
+    * Spark side and LAST in a DuckDB ASC replay — the one input that
+    * would break the portable-selection contract). Null keys form
+    * their own group. */
   def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
       weightCol: String, n: Int): DataFrame = {
     require(n > 0, s"weightedSamplePerKey needs a positive n, got $n")
@@ -196,13 +200,17 @@ object Sampling {
     val w = col(weightCol).cast("double")
     // smallest priority == largest -priority; BoundedMaxByScore keeps
     // max-by-(score DESC, id ASC), so negate. -0.0 (hash = 0) is
-    // normalized inside the aggregate. NULL score (null or ≤0 weight)
-    // contributes nothing — the SUM-ignores-NULL convention.
+    // normalized inside the aggregate. NULL score (null/NaN/≤0
+    // weight) contributes nothing — the SUM-ignores-NULL convention.
+    // The NaN gate is load-bearing: NaN > 0 is TRUE under Spark's
+    // NaN-largest comparison and -(hash/NaN) is still NaN, which
+    // would rank ABOVE every real priority here while a DuckDB ASC
+    // replay sorts it last.
     val priority = portableHash48(col(idCol).cast("string")).cast("double") / w
     semiJoinSelected(df, keyCol, idCol,
       df.groupBy(col(keyCol))
         .agg(graft.functions.BoundedMaxByScore.boundedMaxByScore(
-          when(w > 0, -priority),
+          when(w > 0 && !isnan(w), -priority),
           col(idCol).cast("long"), n).as("__ids")))
   }
 
@@ -225,12 +233,16 @@ object Sampling {
     * across layouts/retries/engines.
     *
     * Contract: `idCol` exact-integral (enforced); `weightCol`
-    * float/integer (enforced); NULL or negative weight → 0 copies
-    * (row dropped — filter first to fail instead). `maxFactor` fails
-    * the job row-side if any weight would replicate a row more than
-    * that many times (a typo'd 1e9 weight would otherwise explode a
-    * 100 TB corpus into an EB write — fail fast, distributed, no
-    * extra pass). */
+    * float/integer (enforced); NULL, NaN, or negative weight → 0
+    * copies (row dropped — filter first to fail instead).
+    * `maxFactor` is a CONSERVATIVE weight-level bound: the job fails
+    * row-side as soon as any weight reaches `maxFactor` (so emitted
+    * copies stay < maxFactor + promotion; the guard deliberately
+    * tests the weight, not the copy count, to keep the md5 promotion
+    * out of the guard branches — a caller whose true maximum
+    * blow-up IS maxFactor should pass `maxFactor + 1`). A typo'd 1e9
+    * weight would otherwise explode a 100 TB corpus into an EB write
+    * — fail fast, distributed, no extra pass. */
   def replicateByWeight(df: DataFrame, idCol: String, weightCol: String,
       maxFactor: Int = 1000): DataFrame = {
     require(maxFactor > 0,
@@ -240,18 +252,23 @@ object Sampling {
     val w = col(weightCol).cast("double")
     val promote = portableHash48(col(idCol).cast("string")).cast("double") <
       (w - floor(w)) * lit(281474976710656.0) // 2^48
-    val copies = when(w.isNull || w < 0, 0L)
+    val copies = when(w.isNull || isnan(w) || w < 0, 0L)
       .otherwise(floor(w).cast("long") + when(promote, 1L).otherwise(0L))
     // guard on the WEIGHT, not the copy count: copies ≤ floor(w)+1, so
     // w < maxFactor bounds copies ≤ maxFactor — and the cheap-attribute
     // condition keeps the (md5-heavy) copies expression out of the
     // guard branches, which Catalyst's projection collapse would
-    // otherwise inline three more times
-    val guarded = when(w.isNull || w < maxFactor, copies).otherwise(
-      raise_error(concat(
+    // otherwise inline three more times. NaN must route to the
+    // 0-copies drop, not the guard: NaN < maxFactor is FALSE under
+    // Spark's NaN-largest ordering, and a data-quality hole deserves
+    // the same drop convention as null/negative, not a misleading
+    // blow-up error.
+    val guarded = when(w.isNull || isnan(w) || w < maxFactor, copies)
+      .otherwise(raise_error(concat(
         lit("replicateByWeight: weight "), w.cast("string"),
-        lit(s" would replicate a row ≥ maxFactor ($maxFactor) times — " +
-          "raise maxFactor explicitly if the blow-up is intended"))))
+        lit(s" reaches maxFactor ($maxFactor) — the guard is a " +
+          "conservative weight-level bound; pass maxFactor + 1 if this " +
+          "blow-up is intended"))))
     df.withColumn("n_copies", guarded)
       .filter(col("n_copies") > 0)
       // filter BEFORE explode: Spark's sequence(1, 0) would generate

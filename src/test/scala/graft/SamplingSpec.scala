@@ -249,8 +249,8 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("weightedSamplePerKey: null and non-positive weights are never " +
-      "selected; zero-weight-only groups select nothing") {
+  test("weightedSamplePerKey: null, NaN, and non-positive weights are " +
+      "never selected; zero-weight-only groups select nothing") {
     val w = docs.withColumn("w",
       when($"doc_id" % 3 === 0, ($"n_chars").cast("double"))
         .when($"doc_id" % 3 === 1, lit(0.0)))
@@ -259,6 +259,18 @@ class SamplingSpec extends SparkSpec {
     val allZero = docs.withColumn("w", lit(0.0))
     assert(Sampling.weightedSamplePerKey(allZero, "source", "doc_id",
       "w", 5).count() === 0L)
+    // NaN weights: Spark compares NaN largest, so an ungated NaN
+    // priority would rank FIRST here and LAST in the DuckDB ASC
+    // replay — the gate must drop them like null/≤0 (regression:
+    // found by review)
+    val withNan = docs.withColumn("w",
+      when($"doc_id" % 5 === 0, lit(Double.NaN))
+        .otherwise($"n_chars".cast("double")))
+    val qn = Sampling.weightedSamplePerKey(withNan, "source", "doc_id",
+      "w", 5)
+    assert(qn.filter(isnan($"w")).count() === 0L,
+      "NaN-weight rows must never be selected")
+    assert(qn.count() > 0L)
   }
 
   test("replicateByWeight: exact copy counts, explode shape, and " +
@@ -279,9 +291,12 @@ class SamplingSpec extends SparkSpec {
     val n = docs.count()
     assert(math.abs(total - 1.5 * n) < 0.1 * n,
       s"copy total $total far from expectation ${1.5 * n}")
-    // null and negative weights drop the row (0 copies), never throw
+    // null, NaN, and negative weights drop the row (0 copies), never
+    // throw — NaN especially must NOT trip the maxFactor guard (it
+    // compares largest; regression: found by review)
     val edge = Seq((1L, java.lang.Double.valueOf(-2.0)),
-      (2L, null.asInstanceOf[java.lang.Double])).toDF("id", "w")
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(Double.NaN))).toDF("id", "w")
     assert(Sampling.replicateByWeight(edge, "id", "w").count() === 0L)
   }
 

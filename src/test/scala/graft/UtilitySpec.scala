@@ -140,6 +140,28 @@ class UtilitySpec extends SparkSpec {
     // ES assigns ids (reference semantics) — no _id may ever appear
     assert(!golden.contains("_id") && sent.forall(!_._2.contains("_id")))
   }
+
+  test("normalizeEventTs: µs timestamps normalize exactly; post-2262 " +
+      "values FAIL instead of wrapping ts_ns negative") {
+    import java.sql.Timestamp
+    val ok = Seq(Timestamp.valueOf("2026-01-02 03:04:05.123456"))
+      .toDF("ts")
+    val n = Tables.normalizeEventTs(ok)
+    val row = n.select($"ts_ns").as[Long].head()
+    assert(row === 1767323045123456000L,
+      s"ts_ns must be exact µs×1000, got $row")
+    // year 9999 is representable in µs but NOT in int64 ns — the
+    // derived column must fail loudly, not silently misorder every
+    // downstream as-of join (regression: found by review)
+    val far = Seq(Timestamp.valueOf("9999-12-31 00:00:00")).toDF("ts")
+    val e = intercept[Exception] {
+      Tables.normalizeEventTs(far).select($"ts_ns").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows int64 nanoseconds")),
+      s"unexpected error: ${msgs(e).mkString(" | ")}")
+  }
 }
 
 object UtilitySpec {
