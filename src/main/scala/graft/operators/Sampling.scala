@@ -242,7 +242,17 @@ object Sampling {
     * out of the guard branches — a caller whose true maximum
     * blow-up IS maxFactor should pass `maxFactor + 1`). A typo'd 1e9
     * weight would otherwise explode a 100 TB corpus into an EB write
-    * — fail fast, distributed, no extra pass. */
+    * — fail fast, distributed, no extra pass.
+    *
+    * Composition note: copies share the original id, so `idCol` is NO
+    * LONGER unique downstream — operators whose contract needs unique
+    * ids ([[packSequences]]' deterministic order key, [[topKPerKey]]/
+    * [[quotaPerKey]]'s id uniqueness) must be given a derived key,
+    * e.g. a post-replication `monotonically_increasing_id()` or an
+    * encoded `(id, copy_idx)`. This is also why replication is a
+    * standalone operator rather than a
+    * [[graft.TrainingPipeline.prepare]] stage: splicing it before
+    * packing would silently violate packing's unique-order contract. */
   def replicateByWeight(df: DataFrame, idCol: String, weightCol: String,
       maxFactor: Int = 1000): DataFrame = {
     require(maxFactor > 0,
