@@ -317,6 +317,33 @@ object ScaleBench {
     }
     println(f"""{"pipeline":"topk_hot_domain","sec":$tTopK%.2f,"planted":1000000,"k":100}""")
 
+    // ---- weighted sample under the SAME planted mega-domain: the
+    // soft-preference member of the family must show the same
+    // bounded-aggregate shape. Weights are id-derived (1..5), so the
+    // expected selection is NOT hash order alone — pass = exactly k
+    // survivors AND selection identical to the priority-order
+    // reference computed on the same frame (a one-off global
+    // sort+limit here in the harness; the OPERATOR is what must never
+    // sort the hot key in one task). ----
+    val tWeighted = time {
+      val weighted = megaDomain
+        .withColumn("w", ($"doc_id" % 5 + 1).cast("double"))
+      val kept = graft.operators.Sampling
+        .weightedSamplePerKey(weighted, "source", "doc_id", "w", 100)
+        .filter($"source" === "megadomain.example")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val prio = graft.operators.Sampling
+        .portableHash48($"doc_id".cast("string")).cast("double") / $"w"
+      val expect = weighted
+        .filter($"source" === "megadomain.example")
+        .orderBy(prio, $"doc_id").limit(100)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      require(kept == expect,
+        s"weighted sample must equal the priority-order reference; got " +
+          s"${kept.take(5)}... vs ${expect.take(5)}...")
+    }
+    println(f"""{"pipeline":"weighted_hot_domain","sec":$tWeighted%.2f,"planted":1000000,"k":100}""")
+
     // ---- streaming near-dup under a PLANTED over-cap bucket: 20k
     // byte-identical docs stream into the SAME 7 band buckets. Unbound,
     // per-bucket state grows to 20k and the drain pays the 20k-clique —
