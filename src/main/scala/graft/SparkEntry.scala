@@ -99,6 +99,7 @@ object SparkEntry {
     "q79_corpus_divergence" -> (TrainingData.q79CorpusDivergence _),
     "q80_mixture_replicate" -> (TrainingData.q80MixtureReplicate _),
     "q81_dup_matrix"      -> (TrainingData.q81DupMatrix _),
+    "q82_soft_dedup"      -> (TrainingData.q82SoftDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -221,5 +222,8 @@ object SparkEntry {
     // q81: exact-fingerprint provenance matrix — the oracle replays
     // the (fp, slice) aggregate self-join with an int/int fraction.
     "q81_dup_matrix"      -> TrainingData.q81Sql,
+    // q82: soft dedup — the oracle replays the 1/cluster-size weight
+    // and the exact-threshold hash draw row for row.
+    "q82_soft_dedup"      -> TrainingData.q82Sql,
   )
 }

@@ -1018,4 +1018,64 @@ object TrainingData {
       |GROUP BY 1, 2
       |ORDER BY slice_a, slice_b""".stripMargin
   }
+
+  /** SOFT dedup (stochastic exact-dedup): instead of dropping
+    * duplicates, weight every doc 1/cluster-size and materialize the
+    * weights with [[graft.operators.Sampling.replicateByWeight]] —
+    * each text's expected surviving frequency is EXACTLY 1
+    * (E = n_dup · 1/n_dup), so the corpus keeps its text distribution
+    * unbiased while shedding duplicate mass, and which copy survives
+    * is a deterministic per-id hash draw (layout/retry/engine-stable).
+    * The hard-dedup alternative (q23/q38) keeps the canonical min-id
+    * copy; the soft form is what a mixing pipeline uses when
+    * provenance diversity matters more than a canonical survivor.
+    * Corpus augmented with the q81 `_mirror` slice (offset ids, same
+    * texts → clusters of 2) — the synthetic corpus has no natural
+    * duplicates at the sf0.01 gate. */
+  def q82SoftDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.unionByName(
+      docs.filter(graft.operators.Sampling.portableBucket($"doc_id", 50) === 0)
+        .withColumn("doc_id", $"doc_id" + lit(10000000L))
+        .withColumn("source", lit("_mirror")))
+    val withFp = corpus.withColumn("fp", TextFunctions.fingerprint($"text"))
+    val counts = withFp.groupBy($"fp").agg(count(lit(1)).as("n_dup"))
+    val weighted = withFp.join(counts, "fp")
+      .withColumn("w", lit(1.0) / $"n_dup".cast("double"))
+    graft.operators.Sampling.replicateByWeight(weighted, "doc_id", "w")
+      .select($"doc_id", $"source", $"n_dup", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  val q82Sql: String = {
+    val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
+    val hd = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, '_mirror' AS source, text
+       |  FROM documents WHERE $bucket = 0),
+       |fps AS (
+       |  SELECT doc_id, source,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+       |  FROM corpus),
+       |cnt AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_dup
+       |        FROM fps GROUP BY 1),
+       |wtd AS (
+       |  SELECT f.doc_id, f.source, c.n_dup,
+       |    CAST(1.0 AS DOUBLE) / c.n_dup AS w,
+       |    CAST($hd AS DOUBLE) AS h
+       |  FROM fps f JOIN cnt c USING (fp))
+       |SELECT doc_id, source, n_dup,
+       |  CAST(floor(w) AS BIGINT) +
+       |    (CASE WHEN h < (w - floor(w)) * 281474976710656.0
+       |          THEN 1 ELSE 0 END) AS n_copies
+       |FROM wtd
+       |WHERE CAST(floor(w) AS BIGINT) +
+       |    (CASE WHEN h < (w - floor(w)) * 281474976710656.0
+       |          THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 }
