@@ -195,4 +195,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("weighted-sample degeneracy: constant weights reduce EXACTLY to " +
+      "the quota's hash-order selection; doubling every weight changes nothing") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // w ≡ c: priority = hash/c is a monotone rescale of hash, so the
+    // selection must be the quota's (same ids, any constant)
+    val quota = Sampling.quotaPerKey(docs, "source", "doc_id", 7)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    for (c <- Seq(1.0, 3.0, 0.25)) {
+      val w = Sampling.weightedSamplePerKey(
+          docs.withColumn("w", lit(c)), "source", "doc_id", "w", 7)
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      assert(w === quota, s"constant weight $c must equal quota order")
+    }
+    // scale invariance: priorities hash/w and hash/(2w) order
+    // identically, so the SELECTION is invariant under global
+    // rescaling (only relative weights matter — the property that
+    // makes mixture weights unit-free)
+    val base = Sampling.weightedSamplePerKey(
+        docs.withColumn("w", col("n_chars").cast("double")),
+        "source", "doc_id", "w", 7)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val doubled = Sampling.weightedSamplePerKey(
+        docs.withColumn("w", col("n_chars").cast("double") * 2),
+        "source", "doc_id", "w", 7)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(doubled === base, "global weight rescale must not change selection")
+  }
+
+  test("soft-dedup unbiasedness: replicate at w=1/n over planted n-way " +
+      "clusters keeps expected frequency 1 and never over-keeps a cluster") {
+    import graft.operators.Sampling
+    // 200 clusters × 4 copies, w = 1/4: per-cluster kept ∈ [0, 4];
+    // total kept concentrates near 200 (E = clusters · n · 1/n)
+    val rows = (0 until 800).map(i => (i.toLong, i / 4, 0.25))
+    val df = rows.toDF("id", "cluster", "w")
+    val kept = Sampling.replicateByWeight(df, "id", "w")
+    val total = kept.count()
+    assert(math.abs(total - 200L) < 60,
+      s"kept $total, expected ≈200 (unbiased 1/n draw)")
+    // every kept row is a single copy (w < 1 can never up-replicate)
+    assert(kept.filter(col("n_copies") =!= 1L).count() === 0L)
+  }
 }
