@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.TrainingPipeline <sfDir> <outDir>
   */
+/** Domain-balancing mode for [[TrainingPipeline.prepare]]'s balancing
+  * stage — the three members of the bounded-aggregate selection family
+  * (all the same no-window, map-side-combining plan; see
+  * [[graft.operators.Sampling]]): uniform cap, quality rank, or soft
+  * weighted preference. */
+sealed trait Balance
+object Balance {
+  /** Uniform hash-ordered cap: keep at most `n` docs per key
+    * ([[graft.operators.Sampling.quotaPerKey]]). */
+  final case class Quota(keyCol: String, n: Int) extends Balance
+  /** Keep the `n` BEST docs per key by `scoreCol` descending
+    * ([[graft.operators.Sampling.topKPerKey]]); the score column must
+    * already exist on the corpus entering the stage. */
+  final case class TopK(keyCol: String, scoreCol: String, n: Int)
+    extends Balance
+  /** Keep `n` docs per key with inclusion bias ∝ `weightCol`
+    * ([[graft.operators.Sampling.weightedSamplePerKey]]). */
+  final case class Weighted(keyCol: String, weightCol: String, n: Int)
+    extends Balance
+}
+
 object TrainingPipeline {
 
   /** The transform chain, exposed for tests (no I/O). Returns the
@@ -35,7 +56,11 @@ object TrainingPipeline {
     * semantic collapse — docs without an embedding row always
     * survive that stage. `domainQuota = Some((keyCol, n))` caps every
     * `keyCol` group of the CLEAN corpus at `n` hash-selected docs
-    * ([[Sampling.quotaPerKey]] — domain balancing).
+    * ([[Sampling.quotaPerKey]] — domain balancing); `balance` is the
+    * generalized form ([[Balance.Quota]] / [[Balance.TopK]] /
+    * [[Balance.Weighted]] — uniform, quality-ranked, or
+    * weight-biased selection, one mode at a time, all the same
+    * bounded no-window plan). Passing both is an error.
     *
     * Guard dials (the composed form of the per-operator ones, so a
     * 100 TB caller controls recall loss without unrolling the
@@ -63,6 +88,7 @@ object TrainingPipeline {
       semanticThreshold: Double = 0.97,
       embeddingDim: Int = 64,
       domainQuota: Option[(String, Int)] = None,
+      balance: Option[Balance] = None,
       maxBucket: Int = HotBuckets.DefaultCap,
       strictBuckets: Boolean = false,
       instrument: Boolean = false): DataFrame = {
@@ -140,17 +166,28 @@ object TrainingPipeline {
     val cleaned = benchmark.fold(collapsed)(b =>
       marked(Dedup.decontaminate(collapsed, b, decontaminateNgram),
         "decontaminate"))
-    // 8. per-domain quota (when `domainQuota = Some(keyCol, n)`):
-    //    balance the CLEAN corpus — after every dedup/decontamination
-    //    stage so the quota counts surviving documents (capping before
-    //    dedup would under-fill domains whose sample then deduped
-    //    away), before packing so packs are built from the balanced
-    //    set. Hash-ordered uniform selection via the bounded
-    //    [[Sampling.quotaPerKey]] aggregate — a dominant domain never
-    //    serializes into one task.
-    val balanced = domainQuota.fold(cleaned) { case (key, n) =>
-      marked(Sampling.quotaPerKey(cleaned, key, "doc_id", n),
-        "domain_quota")
+    // 8. per-domain balancing (when `domainQuota` or `balance` is
+    //    set): balance the CLEAN corpus — after every
+    //    dedup/decontamination stage so selection counts surviving
+    //    documents (capping before dedup would under-fill domains
+    //    whose sample then deduped away), before packing so packs are
+    //    built from the balanced set. All three selection modes ride
+    //    the same bounded-aggregate no-window plan — a dominant
+    //    domain never serializes into one task.
+    require(domainQuota.isEmpty || balance.isEmpty,
+      "pass either domainQuota (quota shorthand) or balance, not both")
+    val balanceMode = balance.orElse(
+      domainQuota.map { case (key, n) => Balance.Quota(key, n) })
+    val balanced = balanceMode.fold(cleaned) {
+      case Balance.Quota(key, n) =>
+        marked(Sampling.quotaPerKey(cleaned, key, "doc_id", n),
+          "domain_quota")
+      case Balance.TopK(key, scoreCol, n) =>
+        marked(Sampling.topKPerKey(cleaned, key, "doc_id", scoreCol, n),
+          "domain_topk")
+      case Balance.Weighted(key, weightCol, n) =>
+        marked(Sampling.weightedSamplePerKey(cleaned, key, "doc_id",
+          weightCol, n), "domain_weighted")
     }
     // 9. sequence packing into context windows (two-level prefix sum)
     val packed = Sampling.packSequences(balanced, "n_tokens", "doc_id", budget)
@@ -173,7 +210,7 @@ object TrainingPipeline {
     * disables only the cut, never the floor. */
   val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
     "corpus_dedup", "semantic_collapse", "decontaminate", "domain_quota",
-    "output")
+    "domain_topk", "domain_weighted", "output")
 
   // ---- per-stage row accounting (instrument = true) ----------------
   // Dataset.observe metrics harvested by a QueryExecutionListener into

@@ -101,11 +101,12 @@ class TrainingPipelineSpec extends SparkSpec {
     val outI = TrainingPipeline.prepare(docs, benchmark = Some(bench),
       decontaminateNgram = 8, instrument = true)
     val finalCount = outI.count()
-    // no embeddings / no quota → the semantic_collapse and
-    // domain_quota stages are disabled and must stay ABSENT (presence
-    // means "ran"); everything else reports
+    // no embeddings / no balancing → the semantic_collapse stage and
+    // every balance-mode stage are disabled and must stay ABSENT
+    // (presence means "ran"); everything else reports
     val expected = TrainingPipeline.Stages
-      .filterNot(Set("semantic_collapse", "domain_quota"))
+      .filterNot(Set("semantic_collapse", "domain_quota",
+        "domain_topk", "domain_weighted"))
     val deadline = System.currentTimeMillis + 10000
     def counts = TrainingPipeline.stageCounts(spark).toMap
     while (counts.size < expected.size &&
@@ -151,6 +152,38 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(quota.contains(out.count()),
       "domain_quota must report the balanced row count (packing/split " +
         "below it never drop rows)")
+  }
+
+  test("generalized balance stage: TopK and Weighted modes cap per key, " +
+      "report under their own tags, and reject double configuration") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("quality", $"n_chars".cast("double"))
+    def await(tag: String): Option[Long] = {
+      val deadline = System.currentTimeMillis + 10000
+      def v = TrainingPipeline.stageCounts(spark).toMap.get(tag)
+      while (v.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      v
+    }
+    val topk = TrainingPipeline.prepare(docs,
+      balance = Some(Balance.TopK("source", "quality", 3)),
+      instrument = true)
+    assert(topk.groupBy($"source").count()
+      .select($"count").as[Long].collect().forall(_ <= 3))
+    assert(await("domain_topk").contains(topk.count()))
+    val weighted = TrainingPipeline.prepare(docs,
+      balance = Some(Balance.Weighted("source", "n_chars", 3)),
+      instrument = true)
+    assert(weighted.groupBy($"source").count()
+      .select($"count").as[Long].collect().forall(_ <= 3))
+    assert(await("domain_weighted").contains(weighted.count()))
+    // the two spellings cannot be combined
+    val e = intercept[IllegalArgumentException] {
+      TrainingPipeline.prepare(docs,
+        domainQuota = Some(("source", 3)),
+        balance = Some(Balance.Quota("source", 3)))
+    }
+    assert(e.getMessage.contains("not both"))
   }
 
   test("span dedup and semantic collapse stages fire inside the composed pipeline") {
