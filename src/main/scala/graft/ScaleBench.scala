@@ -215,7 +215,54 @@ object ScaleBench {
           p.join(e, e("e_us") >= p("p_us") - lit(60000000L) &&
               e("e_us") <= p("p_us") + lit(60000000L)).count()
         },
-        events1, eventsN))
+        events1, eventsN),
+      // inverted-index containment: amplified copies share most of
+      // their shingles, so gram document-frequencies grow with the
+      // factor — a near-linear ratio means the hot-gram guard (not a
+      // df² candidate blowup) is what bounds the join
+      ("containment_pairs",
+        (d: DataFrame) => graft.operators.Dedup
+          .containmentPairs(d, 0.5).count(),
+        docs1, docsN),
+      // the bounded-aggregate selection family at data scale (the
+      // planted mega-key guards below pin the skew bound; these rows
+      // pin the plain volume ratio): map-side combine means the ratio
+      // tracks the scan, not the key cardinality
+      ("quota_per_key",
+        (d: DataFrame) => graft.operators.Sampling
+          .quotaPerKey(d, "source", "doc_id", 100).count(),
+        docs1, docsN),
+      ("topk_per_key",
+        (d: DataFrame) => graft.operators.Sampling
+          .topKPerKey(d.withColumn("score", ($"n_chars" % 97).cast("double")),
+            "source", "doc_id", "score", 100).count(),
+        docs1, docsN),
+      ("weighted_sample_per_key",
+        (d: DataFrame) => graft.operators.Sampling
+          .weightedSamplePerKey(d, "source", "doc_id", "n_chars", 100).count(),
+        docs1, docsN),
+      // zero-shuffle narrow replication (q80's dial): output rows grow
+      // ~2× the input under these weights; ratio must track the scan
+      ("replicate_by_weight",
+        (d: DataFrame) => graft.operators.Sampling.replicateByWeight(
+          d.withColumn("wt", lit(0.25) +
+            graft.operators.Sampling.portableBucket($"source", 8)
+              .cast("double") * lit(0.5)),
+          "doc_id", "wt").count(),
+        docs1, docsN),
+      // q82's composition: fingerprint-cluster weights → stochastic
+      // replication — one fingerprint shuffle + one narrow explode
+      ("soft_dedup",
+        (d: DataFrame) => {
+          val fp = d.withColumn("fp",
+            graft.functions.TextFunctions.fingerprint($"text"))
+          val counts = fp.groupBy($"fp").agg(count(lit(1)).as("n_dup"))
+          graft.operators.Sampling.replicateByWeight(
+            fp.join(counts, "fp")
+              .withColumn("w", lit(1.0) / $"n_dup".cast("double")),
+            "doc_id", "w").count()
+        },
+        docs1, docsN))
 
     // warm-up
     docsN.count(); events1.count(); eventsN.count()
@@ -381,6 +428,63 @@ object ScaleBench {
       require(sunk == 7L * expected,
         s"capped stream must sink exactly 7 x $expected pairs, got $sunk")
       println(f"""{"pipeline":"stream_neardup_capped_hot_bucket","sec":$tStream%.2f,"planted":20000,"cap":20,"pairs_per_band_expected":$expected,"sunk_rows":$sunk}""")
+    }
+
+    // ---- containment guard recall under a PLANTED boilerplate corpus:
+    // every doc opens with the same 32-token boilerplate (30 shingles,
+    // df = corpus size — exactly the grams the hot-gram cap drops);
+    // every even doc's unique content is VERBATIM-contained in its odd
+    // successor (true containment 1.0 through pair-private grams). The
+    // capped run must (a) recover 100% of the content-backed true
+    // pairs — their evidence grams are pair-private, far under any cap
+    // — and (b) drop the ONE planted boilerplate-only doc's pairs
+    // (its whole vocabulary is capped away): the documented
+    // conservative loss, now MEASURED instead of asserted. Overall
+    // recall = capped pairs / uncapped pairs quantifies how much of
+    // the uncapped answer was boilerplate-driven. ----
+    {
+      val nPairs = 1000
+      val boiler = (0 until 32).map(i => s"b$i").mkString(" ")
+      val content = spark.range(nPairs.toLong).select(
+        ($"id" * 2).as("doc_id"),
+        concat(lit(boiler + " "),
+          concat_ws(" ", (0 until 20).map(i => concat(lit(s"c${i}_"), $"id")): _*))
+          .as("text"))
+      val containing = spark.range(nPairs.toLong).select(
+        ($"id" * 2 + 1).as("doc_id"),
+        concat(lit(boiler + " "),
+          concat_ws(" ", (0 until 20).map(i => concat(lit(s"c${i}_"), $"id")): _*),
+          lit(" "),
+          concat_ws(" ", (0 until 10).map(i => concat(lit(s"d${i}_"), $"id")): _*))
+          .as("text"))
+      // one boilerplate-ONLY doc: its containment vs every doc is 1.0
+      // uncapped, and exactly the pair class the cap must sacrifice
+      val boilerOnly = Seq((2L * nPairs, boiler)).toDF("doc_id", "text")
+      val corpus = content.unionByName(containing).unionByName(boilerOnly)
+      corpus.write.mode("overwrite").parquet(s"$scratch/containment_plant")
+      val plant = spark.read.parquet(s"$scratch/containment_plant")
+      def pairSet(cap: Int): Set[(Long, Long)] = graft.operators.Dedup
+        .containmentPairs(plant, 0.8, maxBucket = cap)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val t0 = System.nanoTime()
+      val capped = pairSet(100)
+      val tCapped = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val uncapped = pairSet(Int.MaxValue)
+      val tUncapped = (System.nanoTime() - t1) / 1e9
+      val truePairs = (0 until nPairs)
+        .map(i => (2L * i, 2L * i + 1)).toSet
+      require(truePairs.subsetOf(uncapped),
+        "uncapped run must find every planted content pair")
+      require((capped & truePairs) == truePairs,
+        s"capped run lost content-backed true pairs: " +
+          s"${(truePairs -- capped).take(5)}")
+      require(!capped.exists(p => p._1 == 2L * nPairs || p._2 == 2L * nPairs),
+        "boilerplate-only doc must drop under the cap (its whole " +
+          "vocabulary is hot) — if it pairs, the guard stopped guarding")
+      val recallContent = (capped & truePairs).size.toDouble / truePairs.size
+      val recallOverall = (capped & uncapped).size.toDouble / uncapped.size
+      println(f"""{"pipeline":"containment_guard_recall","planted_pairs":$nPairs,"cap":100,"capped_sec":$tCapped%.2f,"uncapped_sec":$tUncapped%.2f,"content_pair_recall":$recallContent%.4f,"overall_pair_recall":$recallOverall%.4f,"capped_pairs":${capped.size},"uncapped_pairs":${uncapped.size}}""")
     }
 
     // ---- multi-batch on-disk index lifecycle: ONE persisted corpus

@@ -100,6 +100,8 @@ object SparkEntry {
     "q80_mixture_replicate" -> (TrainingData.q80MixtureReplicate _),
     "q81_dup_matrix"      -> (TrainingData.q81DupMatrix _),
     "q82_soft_dedup"      -> (TrainingData.q82SoftDedup _),
+    "q83_pipeline"        -> (TrainingData.q83Pipeline _),
+    "q84_image_neardup"   -> (TrainingData.q84ImageNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -225,5 +227,13 @@ object SparkEntry {
     // q82: soft dedup — the oracle replays the 1/cluster-size weight
     // and the exact-threshold hash draw row for row.
     "q82_soft_dedup"      -> TrainingData.q82Sql,
+    // q83: the COMPOSED training pipeline (quality → mask → span dedup
+    // → langID → corpus dedup → quota → pack → split) — the whole
+    // chain replayed in DuckDB from the per-stage oracle fragments.
+    "q83_pipeline"        -> TrainingData.q83Sql,
+    // q84: perceptual-hash image near-dup — the portable integer-domain
+    // aHash replays bit-identically (bands generated from the same
+    // simHashBandSpec as the Spark side).
+    "q84_image_neardup"   -> TrainingData.q84Sql,
   )
 }

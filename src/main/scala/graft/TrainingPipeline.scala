@@ -255,7 +255,16 @@ object TrainingPipeline {
     * action you mean to audit. Observations fire on query COMPLETION
     * via an ASYNC listener bus: poll briefly (the in-repo specs and
     * [[main]] do) rather than reading at the first instant an action
-    * returns. */
+    * returns.
+    *
+    * PRODUCTION NOTE: the bounded poll loop in [[main]] is demo-main
+    * ergonomics, not a pattern for services — a long-running service
+    * should register its OWN `QueryExecutionListener`
+    * (`spark.listenerManager.register`) and consume
+    * `qe.observedMetrics` in the `onSuccess` callback (metric names
+    * are `graft_pipeline/<stage>/<seq>`), getting push-driven
+    * completion instead of wall-clock polling; streaming jobs get the
+    * same via `StreamingQueryListener` progress events. */
   def stageCounts(spark: SparkSession = SparkSession.active)
       : Seq[(String, Long)] =
     Stages.flatMap(s => stageStore.latest(spark, s).map(s -> _))
@@ -284,7 +293,9 @@ object TrainingPipeline {
     * on success), so after a caught strict failure this report shows
     * the last SUCCESSFUL same-stage run — diagnose the strict failure
     * from the exception message, which names the oversized bucket's
-    * size, cap, and keys. */
+    * size, cap, and keys. Services: prefer a registered listener
+    * callback over polling this accessor (see the production note on
+    * [[stageCounts]]). */
   def guardReport(spark: SparkSession = SparkSession.active)
       : Map[String, Option[(Long, Long)]] =
     GuardTags.map { case (stage, tag) =>

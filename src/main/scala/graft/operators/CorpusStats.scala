@@ -38,7 +38,14 @@ object CorpusStats {
     * would hash-mismatch any oracle on partition-order alone). The
     * one double division happens last. Exactness bound: products stay
     * < 10³⁸, i.e. N·c_g < 10³⁸ — safe past 10¹⁸ tokens (a 100 TB
-    * corpus is ~10¹³).
+    * corpus is ~10¹³). The bound is ENFORCED, not just documented:
+    * N ≥ 10¹⁹ fails the query loudly. The guard matters most in
+    * non-ANSI sessions (`spark.sql.ansi.enabled=false`), where a
+    * decimal overflow would otherwise become NULL, SUM would silently
+    * drop the overflowed terms, and the statistic would come out
+    * plausible-looking but wrong with no signal; under ANSI the
+    * overflow itself errors and the guard just makes the failure mode
+    * uniform and self-describing.
     *
     * Scale shape: one shuffle to (slice, token) counts — REUSED by
     * the global/total/grand re-aggregates via Spark's ReuseExchange
@@ -84,12 +91,23 @@ object CorpusStats {
       .select(col("slice"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("vocab").cast("long").as("vocab"),
-        (col("__present") +
-          (col("__n_tot") - col("__cg_present")) * col("n_tokens").cast(D))
-          .cast("double")
-          ./(
-            (lit(2).cast(D) * col("__n_tot") * col("n_tokens").cast(D))
-              .cast("double"))
+        // exactness guard: every decimal(38,0) product above is bounded
+        // by n_tot², so n_tot < 10¹⁹ keeps all of them under 10³⁸. The
+        // check runs once per OUTPUT slice row (not per token) and
+        // turns the non-ANSI overflow→NULL→silently-dropped-terms
+        // failure into a loud error with the actual corpus size in it.
+        when(col("__n_tot") >= lit("10000000000000000000").cast(D),
+          raise_error(concat(
+            lit("tokenDivergence: corpus has "), col("__n_tot").cast("string"),
+            lit(" tokens — beyond the 10^19 exact-decimal bound; shard " +
+              "the corpus (per-slice calls compose) or widen the kernel"))))
+          .otherwise(
+            (col("__present") +
+              (col("__n_tot") - col("__cg_present")) * col("n_tokens").cast(D))
+              .cast("double")
+              ./(
+                (lit(2).cast(D) * col("__n_tot") * col("n_tokens").cast(D))
+                  .cast("double")))
           .as("tv_dist"))
   }
 

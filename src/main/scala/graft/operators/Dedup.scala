@@ -803,14 +803,35 @@ object Dedup {
     * the rewrite, so the fail-fast dial check survives compaction.
     *
     * Single-writer contract (same as parquet append itself): run
-    * compaction only when no concurrent [[ingestBatch]] is mid-flight
-    * — an append landing between the scratch write and the swap would
-    * be lost. Crash safety: a crash before the first rename leaves the
-    * live index untouched; between the renames, BOTH copies survive on
-    * disk (recover by renaming either back) — at no point is the only
-    * copy the scratch dir. */
+    * compaction only when no concurrent [[ingestBatch]] is mid-flight.
+    * The contract is ENFORCED by a listing-epoch check, not just
+    * documented: the live directory's file listing (name → (bytes,
+    * mtime)) is snapshotted before the scratch rewrite and re-compared
+    * immediately before the swap — an append that landed mid-compaction
+    * changes the listing, the compaction fails loudly
+    * (`ConcurrentModificationException` naming the new files), the
+    * scratch dir is cleaned up, and the live index — INCLUDING the
+    * concurrent append — is left untouched (retry the compaction once
+    * the writer quiesces; nothing is lost). The unguarded window
+    * shrinks from the whole O(index) rewrite to the listing→rename
+    * metadata gap; full mutual exclusion under genuinely concurrent
+    * writers needs an external lock or a table format with commit
+    * protocol (Delta/Iceberg), which plain-parquet appends themselves
+    * lack anyway. Crash safety: a crash before the first rename leaves
+    * the live index untouched; between the renames, BOTH copies
+    * survive on disk (recover by renaming either back) — at no point
+    * is the only copy the scratch dir. */
   def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, targetFiles: Int = 0): Unit = {
+      indexPath: String, targetFiles: Int = 0): Unit =
+    compactCorpusIndexStaged(spark, indexPath, targetFiles, () => ())
+
+  /** [[compactCorpusIndex]] with a test seam: `beforeSwap` runs after
+    * the scratch rewrite and before the epoch check — the spec injects
+    * a concurrent [[ingestBatch]] there and asserts the loud failure
+    * plus the append's survival. */
+  private[graft] def compactCorpusIndexStaged(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      targetFiles: Int, beforeSwap: () => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n =
@@ -819,11 +840,29 @@ object Dedup {
         val bytes = fs.getContentSummary(p).getLength
         math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
       }
+    def listingEpoch(): Map[String, (Long, Long)] =
+      fs.listStatus(p).map(s =>
+        s.getPath.getName -> (s.getLen, s.getModificationTime)).toMap
+    val epochBefore = listingEpoch()
     val scratch = indexPath.stripSuffix("/") + "__compact_stage"
     // coalesce, not repartition: no shuffle — each output file unions
     // whole input splits, which is all compaction needs
     spark.read.parquet(indexPath).coalesce(n)
       .write.mode("overwrite").parquet(scratch)
+    beforeSwap()
+    val epochAfter = listingEpoch()
+    if (epochAfter != epochBefore) {
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val changed = (epochAfter.keySet -- epochBefore.keySet) ++
+        (epochBefore.keySet -- epochAfter.keySet) ++
+        epochBefore.keySet.filter(k => epochAfter.get(k) != epochBefore.get(k))
+      throw new java.util.ConcurrentModificationException(
+        s"compactCorpusIndex: $indexPath changed during compaction " +
+          s"(${changed.take(5).mkString(", ")}${if (changed.size > 5) ", …" else ""}) " +
+          "— a concurrent append would have been lost by the swap; the live " +
+          "index (including that append) is untouched, the scratch copy was " +
+          "discarded — quiesce writers and retry")
+    }
     graft.sources.Lake.swapInto(spark, indexPath, scratch)
   }
 
@@ -963,7 +1002,25 @@ object Dedup {
     * vocabulary — the same "ignore non-discriminative stopword grams"
     * semantics df-pruned similarity joins use deliberately. The guard
     * window and the self-join share the shingle-hash shuffle; pair
-    * counting is a partial-aggregatable count. */
+    * counting is a partial-aggregatable count.
+    *
+    * ==Guard recall contract (measured, not assumed)==
+    * What the cap can and cannot cost, by pair class: a pair whose
+    * evidence includes ANY sub-cap (pair-discriminative) gram keeps
+    * both its candidate row and — because |A| shrinks alongside |A∩B|
+    * — a containment score computed over the same surviving
+    * vocabulary, so content-backed true pairs survive the cap
+    * (ScaleBench's `containment_guard_recall` plant: 1000 true
+    * contained pairs under corpus-wide boilerplate → content-pair
+    * recall 1.0 at cap 100). The loss is confined to pairs whose
+    * ENTIRE overlap is capped vocabulary — e.g. a document that IS
+    * pure boilerplate — which drop out completely (measured overall
+    * recall on that plant quantifies exactly this class; it is also
+    * the class df-pruned similarity deliberately treats as
+    * non-evidence). Callers for whom boilerplate-only duplication IS
+    * the signal should run [[exactByFingerprint]] first (byte-level
+    * boilerplate collapses exactly) or raise `maxBucket`/set
+    * `strictBuckets`. */
   def containmentPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3,

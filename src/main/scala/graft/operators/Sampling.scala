@@ -247,12 +247,16 @@ object Sampling {
     * Composition note: copies share the original id, so `idCol` is NO
     * LONGER unique downstream — operators whose contract needs unique
     * ids ([[packSequences]]' deterministic order key, [[topKPerKey]]/
-    * [[quotaPerKey]]'s id uniqueness) must be given a derived key,
-    * e.g. a post-replication `monotonically_increasing_id()` or an
-    * encoded `(id, copy_idx)`. This is also why replication is a
-    * standalone operator rather than a
-    * [[graft.TrainingPipeline.prepare]] stage: splicing it before
-    * packing would silently violate packing's unique-order contract. */
+    * [[quotaPerKey]]'s id uniqueness) must be given a derived key:
+    * use [[withReplicaKey]], the blessed `(id, copy_idx)` → unique-long
+    * encoding (order-compatible and decodable — hand-rolled
+    * alternatives tend to get overflow or copy-interleaving wrong; a
+    * `monotonically_increasing_id()` is unique but NOT
+    * layout-deterministic, which breaks the deterministic-pack
+    * contract). This is also why replication is a standalone operator
+    * rather than a [[graft.TrainingPipeline.prepare]] stage: splicing
+    * it before packing would silently violate packing's unique-order
+    * contract. */
   def replicateByWeight(df: DataFrame, idCol: String, weightCol: String,
       maxFactor: Int = 1000): DataFrame = {
     require(maxFactor > 0,
@@ -284,6 +288,56 @@ object Sampling {
       // filter BEFORE explode: Spark's sequence(1, 0) would generate
       // the DESCENDING [1, 0], not an empty array
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
+  /** The blessed replicate→pack bridge: encode each
+    * [[replicateByWeight]] copy's `(id, copy_idx)` into ONE new unique
+    * long — `replica_id = id · 2^bits + (copy_idx − 1)` with
+    * `bits = ⌈log₂ maxFactor⌉` — so operators whose contract requires
+    * unique ids ([[packSequences]]' deterministic order key, the
+    * bounded per-key selections) compose with replicated corpora
+    * without every caller hand-rolling the key (and getting the
+    * overflow/ordering edge cases wrong).
+    *
+    * Properties the encoding guarantees (spec-pinned):
+    *  - UNIQUE: distinct `(id, copy_idx)` → distinct `replica_id`
+    *    (copy_idx ≤ maxFactor < 2^bits is enforced row-side);
+    *  - ORDER-COMPATIBLE: sorting by `replica_id` sorts by
+    *    `(id, copy_idx)` — a doc's copies pack CONSECUTIVELY and docs
+    *    keep their id order, so [[packSequences]] over `replica_id`
+    *    behaves exactly like packing the unreplicated corpus with each
+    *    doc's token cost multiplied;
+    *  - DECODABLE: `id = replica_id >> bits`,
+    *    `copy_idx = (replica_id & (2^bits − 1)) + 1` — provenance
+    *    survives, no join needed.
+    *
+    * `maxFactor` must be the SAME dial the replication ran with (its
+    * default matches [[replicateByWeight]]'s): it sizes the bit field.
+    * Ids must be non-negative and < 2^(63−bits) — both enforced with a
+    * distributed raise_error, because a silent wrap would interleave
+    * two docs' copies and corrupt the pack order, the exact bug this
+    * helper exists to prevent. */
+  def withReplicaKey(df: DataFrame, idCol: String,
+      copyIdxCol: String = "copy_idx", outCol: String = "replica_id",
+      maxFactor: Int = 1000): DataFrame = {
+    require(maxFactor > 0,
+      s"withReplicaKey needs a positive maxFactor, got $maxFactor")
+    requireIntegralId(df, idCol, "withReplicaKey")
+    requireIntegralId(df, copyIdxCol, "withReplicaKey")
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(maxFactor.toLong)
+    val idMax = 1L << (63 - bits)
+    val id = col(idCol).cast("long")
+    val copy = col(copyIdxCol).cast("long")
+    val checked = when(
+      id >= 0 && id < idMax && copy >= 1 && copy <= maxFactor,
+      shiftleft(id, bits.toInt) + (copy - 1L))
+      .otherwise(raise_error(concat(
+        lit(s"withReplicaKey: (id, copy_idx) = ("), id.cast("string"),
+        lit(", "), copy.cast("string"),
+        lit(s") outside id ∈ [0, 2^${63 - bits}) × copy ∈ [1, $maxFactor] " +
+          "— the encoding would collide or overflow; raise maxFactor to " +
+          "match the replication dial or re-key by hash"))))
+    df.withColumn(outCol, checked)
   }
 
   // fail FAST on a non-double-rankable weight/score: ranking and the

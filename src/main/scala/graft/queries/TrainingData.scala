@@ -1031,13 +1031,26 @@ object TrainingData {
     * provenance diversity matters more than a canonical survivor.
     * Corpus augmented with the q81 `_mirror` slice (offset ids, same
     * texts → clusters of 2) — the synthetic corpus has no natural
-    * duplicates at the sf0.01 gate. */
+    * duplicates at the sf0.01 gate. Mirror ids live at
+    * `doc_id + 2⁴⁰` — a high-bit slice, not an additive constant near
+    * the data's range — and the query GUARDS that every real id is
+    * below 2⁴⁰ (raise_error, distributed, no extra pass): a future
+    * testdata generation with larger ids fails loudly instead of
+    * silently colliding mirror ids with real ones (which would break
+    * id uniqueness and make the doc_id-ordered oracle compare
+    * layout-dependent). */
   def q82SoftDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val MirrorOffset = 1099511627776L // 2^40
     val docs = Tables.documents(s, dir)
+      .withColumn("doc_id",
+        when($"doc_id" < MirrorOffset && $"doc_id" >= 0, $"doc_id")
+          .otherwise(raise_error(concat(lit("q82: doc_id "),
+            $"doc_id".cast("string"),
+            lit(" outside [0, 2^40) — the _mirror id offset would collide")))))
     val corpus = docs.unionByName(
       docs.filter(graft.operators.Sampling.portableBucket($"doc_id", 50) === 0)
-        .withColumn("doc_id", $"doc_id" + lit(10000000L))
+        .withColumn("doc_id", $"doc_id" + lit(MirrorOffset))
         .withColumn("source", lit("_mirror")))
     val withFp = corpus.withColumn("fp", TextFunctions.fingerprint($"text"))
     val counts = withFp.groupBy($"fp").agg(count(lit(1)).as("n_dup"))
@@ -1048,6 +1061,250 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** q83: the END-TO-END composed training pipeline as ONE oracle-gated
+    * query — [[graft.TrainingPipeline.prepare]] run on a deterministic
+    * configuration (quality gate → PII mask → span dedup → token
+    * re-floor → language ID → corpus dedup at J ≥ 0.5 → per-source
+    * quota 15 → 2048-token packing → 95/5 split), with the WHOLE chain
+    * replayed in DuckDB. Every stage is individually oracle-gated
+    * elsewhere (q20/q63 quality, q69 mask, q70 spans, q21 langID,
+    * q38/q39 dedup, q75 quota, q46 packing, q47 split); this query
+    * gates their COMPOSITION — stage ordering, mask-before-fingerprint,
+    * span-cut-before-shingling, quota-after-dedup, pack-after-quota —
+    * which row-accounting specs alone cannot hash-pin. The reference's
+    * own `sparktoELKstream.py:77-127` parse→clean→enrich→dedup→sink
+    * chain is the same shape; this is its LLM-scale analog.
+    *
+    * LSH recall note: the corpus-dedup stage runs banded MinHash-LSH
+    * while the oracle replays ALL-PAIRS exact Jaccard — the same
+    * adjudication as q39/q64 (threshold 0.5 → (90, 30) banding, recall
+    * ≥ 0.98 at the threshold and ≈ 1 for the J ≥ 0.8 pairs the planted
+    * clusters hold; pair sets verified identical at sf0.01 AND sf0.1). */
+  def q83Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.TrainingPipeline.prepare(
+        Tables.documents(s, dir),
+        budget = 2048L,
+        jaccardThreshold = 0.5,
+        trainPct = 95,
+        spanWords = 10,
+        domainQuota = Some(("source", 15)))
+      .select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens"),
+        $"lang_pred", $"pack_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay of the WHOLE [[q83Pipeline]] chain, assembled from
+    * the per-stage oracle fragments (q20/q63 quality SQL, q69 mask
+    * regexes via [[TextFunctions]] constants, q70 span CTEs, q21 langID
+    * CASE, q39 dedup recursion, q75 quota window, q46 packing cumsum,
+    * q47 split bucket). Guard-free denominators: `greatest(len-2, 1)`
+    * matches the Spark side exactly for every row the token floor
+    * admits (n ≥ 5 → len-2 ≥ 3) and keeps DuckDB from evaluating a
+    * 0-division on rows another conjunct already rejects. */
+  val q83Sql: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE
+       |toks0 AS (
+       |  SELECT doc_id, source, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, source, text FROM toks0
+       |  WHERE len(toks) >= 5
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |        greatest(CAST(len(toks) AS DOUBLE), 1.0) > 0.2
+       |    AND CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+       |        greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.5
+       |    AND 1.0 - CAST(len(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(toks) - 2, 1)),
+       |          i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) /
+       |        CAST(greatest(len(toks) - 2, 1) AS DOUBLE) <= 0.6),
+       |masked AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+       |      '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+       |      '${TextFunctions.LongDigitsRe}', '<NUM>', 'g') AS text
+       |  FROM quality),
+       |mtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM masked),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS idx,
+       |    unnest(list_transform(
+       |      generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1),
+       |      i -> array_to_string(w[(i*10+1):(i*10+10)], ' '))) AS chunk
+       |  FROM mtoks),
+       |ckept AS (
+       |  SELECT doc_id, idx, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |  FROM chunks),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text
+       |  FROM ckept WHERE rn = 1 GROUP BY doc_id),
+       |floored AS (
+       |  SELECT r.doc_id, m.source, r.text,
+       |    len(string_split_regex(trim(r.text), '\\s+')) AS n_tokens
+       |  FROM rebuilt r JOIN masked m USING (doc_id)
+       |  WHERE len(string_split_regex(trim(r.text), '\\s+')) >= 5),
+       |langed AS (
+       |  SELECT doc_id, source, text, n_tokens, CASE
+       |      WHEN s_en = m AND s_en > 0 THEN 'en'
+       |      WHEN s_de = m AND s_de > 0 THEN 'de'
+       |      WHEN s_fr = m AND s_fr > 0 THEN 'fr'
+       |      WHEN s_es = m AND s_es > 0 THEN 'es'
+       |      ELSE 'und' END AS lang_pred
+       |  FROM (
+       |    SELECT doc_id, source, text, n_tokens,
+       |      s_en, s_de, s_fr, s_es, greatest(s_en, s_de, s_fr, s_es) AS m
+       |    FROM (
+       |      SELECT doc_id, source, text, n_tokens,
+       |        len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) AS s_en,
+       |        len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+       |        len(list_filter(lt, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+       |        len(list_filter(lt, x -> x IN ('el','la','los','y','es'))) AS s_es
+       |      FROM (SELECT doc_id, source, text, n_tokens,
+       |              string_split_regex(trim(text), '\\s+') AS lt
+       |            FROM floored)))),
+       |exact_kept AS (
+       |  SELECT f.* FROM langed f
+       |  JOIN (SELECT min(doc_id) AS doc_id FROM langed
+       |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
+       |  USING (doc_id)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(len(toks) - 2, 1)),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM exact_kept)
+       |  WHERE len(toks) >= 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |r(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
+       |survivors AS (
+       |  SELECT * FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
+       |quota AS (
+       |  SELECT doc_id, source, n_tokens, lang_pred FROM (
+       |    SELECT doc_id, source, n_tokens, lang_pred, row_number() OVER (
+       |      PARTITION BY source ORDER BY $h, doc_id) AS rn
+       |    FROM survivors)
+       |  WHERE rn <= 15),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens, lang_pred,
+       |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+       |  FROM quota)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, lang_pred, pack_id,
+       |  CASE WHEN $h % 100 < 95 THEN 'train' ELSE 'test' END AS split
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q84: perceptual-hash IMAGE near-dup
+    * ([[graft.sources.Multimodal.imageNearDupPairs]]) — the multimodal
+    * twin of text SimHash, completing binary media as a DEDUP-CAPABLE
+    * column class (q26/q60 covered decode + ANN): 64-bit aHash over
+    * the codec's decoded pixel grid, pigeonhole banding (recall 1.0 at
+    * the radius by construction), hot-bucket-guarded bucket join,
+    * hamming ≤ 4 verify. The corpus is the documents table's media
+    * bytes augmented with the q81-style `_mirror` slice (a ~2%
+    * portable-hash sample re-planted under high-bit ids — byte-exact
+    * duplicate media at every SF, so the query proves real pair
+    * recovery, not a 0-row no-op). [[graft.sources.PortableCodec]]'s
+    * integer-domain hash override makes every bit replayable in DuckDB
+    * ([[q84Sql]]); real-pixel behavior (recompression/brightness
+    * robustness on actual PNGs via [[graft.sources.ImageIoCodec]]) is
+    * pinned in MultimodalSpec. */
+  def q84ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MirrorOffset = 1099511627776L // 2^40, same guarded slice as q82
+    val docs = Tables.documents(s, dir)
+      .withColumn("doc_id",
+        when($"doc_id" < MirrorOffset && $"doc_id" >= 0, $"doc_id")
+          .otherwise(raise_error(concat(lit("q84: doc_id "),
+            $"doc_id".cast("string"),
+            lit(" outside [0, 2^40) — the _mirror id offset would collide")))))
+    val corpus = docs.unionByName(
+      docs.filter(graft.operators.Sampling.portableBucket($"doc_id", 50) === 0)
+        .withColumn("doc_id", $"doc_id" + lit(MirrorOffset)))
+    Multimodal.imageNearDupPairs(
+        Multimodal.mediaFromText(corpus), maxHamming = 4,
+        codec = graft.sources.PortableCodec)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Independent DuckDB replay of the portable aHash-64 pipeline: the
+    * media bytes are the UTF-8 of `text` (q60's play), grid cell j =
+    * `(md5h48(bytes ++ "|j") % 1000)`, bit j = the INTEGER inequality
+    * `64·v_j > Σv` (no floats anywhere), words = bits [0,32) / [32,64)
+    * — then the same pigeonhole banding as the Spark side, GENERATED
+    * from [[Dedup.simHashBandSpec]] (the q28 discipline: one spec
+    * drives both engines, the oracle cannot drift), and the
+    * bit_count(xor) hamming verify. */
+  val q84Sql: String = {
+    val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
+    // the same word/straddle split as Dedup.sigChunkExpr, over the two
+    // 32-bit perceptual-hash words
+    def chunkSql(off: Int, w: Int): String = {
+      val mask = (1L << w) - 1
+      val i = off / 32
+      val r = off % 32
+      if (r + w <= 32) s"((sig$i >> $r) & $mask)"
+      else s"(((sig0 >> $r) | (sig1 << ${32 - r})) & $mask)"
+    }
+    val chunkCases = Dedup.simHashBandSpec(64, 4).zipWithIndex
+      .map { case ((off, w), b) => s"WHEN $b THEN ${chunkSql(off, w)}" }
+      .mkString("\n    ")
+    val bandRows = Dedup.simHashBandSpec(64, 4).indices
+      .map(b => s"($b)").mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1099511627776 AS doc_id, text
+       |  FROM documents WHERE $bucket = 0),
+       |feats AS (
+       |  SELECT doc_id, j,
+       |    CAST(md5_number_upper(text || '|' || CAST(j AS VARCHAR))
+       |         & 281474976710655 AS BIGINT) % 1000 AS v
+       |  FROM corpus CROSS JOIN range(0, 64) r(j)),
+       |tot AS (SELECT doc_id, SUM(v) AS s FROM feats GROUP BY doc_id),
+       |sig AS (
+       |  SELECT f.doc_id,
+       |    SUM(CASE WHEN 64 * f.v > t.s AND f.j < 32
+       |             THEN (CAST(1 AS BIGINT) << f.j) ELSE 0 END) AS sig0,
+       |    SUM(CASE WHEN 64 * f.v > t.s AND f.j >= 32
+       |             THEN (CAST(1 AS BIGINT) << (f.j - 32)) ELSE 0 END) AS sig1
+       |  FROM feats f JOIN tot t USING (doc_id) GROUP BY f.doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig0, sig1, b.band AS band, CASE b.band
+       |    $chunkCases
+       |    END AS chunk
+       |  FROM sig, (VALUES $bandRows) AS b(band))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig0, b.sig0)) +
+       |       bit_count(xor(a.sig1, b.sig1)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig0, b.sig0)) +
+       |      bit_count(xor(a.sig1, b.sig1)) <= 4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val q82Sql: String = {
     val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
     val hd = graft.operators.Sampling.portableHash48Sql(
@@ -1055,7 +1312,7 @@ object TrainingData {
     s"""WITH corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 10000000 AS doc_id, '_mirror' AS source, text
+       |  SELECT doc_id + 1099511627776 AS doc_id, '_mirror' AS source, text
        |  FROM documents WHERE $bucket = 0),
        |fps AS (
        |  SELECT doc_id, source,

@@ -25,6 +25,31 @@ trait MediaCodec extends Serializable {
   def decode(bytes: Array[Byte]): (Int, Int, Int, String)
   /** bytes → unit-norm feature embedding of length `dim`. */
   def featurize(bytes: Array[Byte], dim: Int): Array[Float]
+
+  /** 64-bit PERCEPTUAL fingerprint (average-hash) over the codec's
+    * decoded-pixel feature grid, as two 32-bit words
+    * `(bits 0..31, bits 32..63)` — both non-negative, so banding and
+    * hamming replay in engines whose bit ops are signed-64 only.
+    *
+    * Default derivation: bit j = `[64·g(j) > Σ g]` over the 64-cell
+    * [[featurize]] grid — for [[ImageIoCodec]] that grid is the
+    * average-pooled grayscale 8×8 thumbnail, making this the classic
+    * aHash: stable under recompression and mild brightness/crop noise,
+    * flipped in ~half its bits by a genuinely different image. The
+    * comparison is scale-invariant (unit-normalization multiplies both
+    * sides by the same positive factor), so any positively-scaled grid
+    * yields the same hash. */
+  def perceptualHash(bytes: Array[Byte]): (Long, Long) = {
+    val g = featurize(bytes, 64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    var w0 = 0L; var w1 = 0L
+    var j = 0
+    while (j < 32) { if (g(j) * 64.0 > sum) w0 |= (1L << j); j += 1 }
+    while (j < 64) { if (g(j) * 64.0 > sum) w1 |= (1L << (j - 32)); j += 1 }
+    (w0, w1)
+  }
 }
 
 /** ======== STUB ========
@@ -109,6 +134,34 @@ object PortableCodec extends MediaCodec {
       i += 1
     }
     out
+  }
+
+  /** Integer-exact override: the default [[MediaCodec.perceptualHash]]
+    * compares float32 grid cells against a double mean — identical
+    * decisions here (normalization cancels out of `64·v > Σv`), but a
+    * cell within float rounding of the mean could flip between
+    * engines. This override runs the comparison entirely on the RAW
+    * integer domain values `h48(bytes ++ "|j") % 1000` (`64·v_j > Σv`
+    * is an integer inequality), so the hash replays BIT-IDENTICALLY
+    * in DuckDB: `(md5_number_upper(text || '|' || j) & (2^48-1)) %
+    * 1000` summed per doc — the q84 oracle. */
+  override def perceptualHash(bytes: Array[Byte]): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Long](64)
+    var sum = 0L
+    var j = 0
+    while (j < 64) {
+      md.update(bytes)
+      md.update(("|" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      v(j) = le48(md.digest()) % 1000
+      sum += v(j)
+      j += 1
+    }
+    var w0 = 0L; var w1 = 0L
+    j = 0
+    while (j < 32) { if (v(j) * 64 > sum) w0 |= (1L << j); j += 1 }
+    while (j < 64) { if (v(j) * 64 > sum) w1 |= (1L << (j - 32)); j += 1 }
+    (w0, w1)
   }
 }
 
@@ -255,6 +308,60 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ vec)
       }
     }(enc)
+  }
+
+  /** Attach the 64-bit perceptual fingerprint
+    * ([[MediaCodec.perceptualHash]]) as two 32-bit word columns
+    * `phash0`/`phash1` — batched per partition like the other codec
+    * transforms; null media → null words. A pure projection: at scale
+    * the cost is the decode, and the hash adds 16 bytes per row where
+    * the embedding adds 256. */
+  def withPerceptualHash(df: DataFrame, binaryCol: String = "media",
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("phash0", LongType, nullable = true),
+      StructField("phash1", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(idx)) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val (w0, w1) = codec.perceptualHash(r.getAs[Array[Byte]](idx))
+          Row.fromSeq(r.toSeq ++ Seq(w0, w1))
+        }
+      }
+    }(enc)
+  }
+
+  /** IMAGE near-duplicate pairs — the multimodal twin of text SimHash
+    * ([[graft.operators.Dedup.simHashDupPairsPortable]]): perceptual
+    * hash per media row, pigeonhole banding into `maxHamming + 1`
+    * chunks ([[graft.operators.Dedup.simHashBandSpec]] over the two
+    * 32-bit words — recall 1.0 at the promised radius by
+    * construction), hot-bucket-guarded bucket join, hamming verify.
+    * Output `(id_a, id_b, hamming)` feeds the same connected-components
+    * / cluster-collapse machinery as every other near-dup family — a
+    * complete image-dedup path, not just ANN.
+    *
+    * Dial semantics: `maxHamming` is absolute over 64 bits. aHash-style
+    * fingerprints of genuinely related images (recompression, mild
+    * crops) differ in a few bits; unrelated images differ in ~32 — the
+    * default 4 keeps the 5 pigeonhole chunks 12-13 bits wide (≥ 4k
+    * buckets per band, the candidate-blowup floor the text SimHash
+    * documentation derives). Null-media rows carry no hash and join
+    * nothing. */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 4,
+      idCol: String = "doc_id", binaryCol: String = "media",
+      codec: MediaCodec = StubCodec,
+      maxBucket: Int = graft.operators.HotBuckets.DefaultCap): DataFrame = {
+    val sig = withPerceptualHash(
+        df.select(col(idCol).as("id"), col(binaryCol)), binaryCol, codec)
+      .filter(col("phash0").isNotNull)
+      .select(col("id"), col("phash0").as("sig0"), col("phash1").as("sig1"))
+    graft.operators.Dedup.simHashPairsFromSigWords(
+      sig, Seq("sig0", "sig1"), 32, 64, maxHamming, maxBucket)
   }
 
   /** "Resize": recompute metadata for a target box preserving aspect

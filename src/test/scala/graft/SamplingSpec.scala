@@ -313,4 +313,50 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.replicateByWeight(bomb, "id", "w",
       maxFactor = 5001).count() === 5000L)
   }
+
+  test("withReplicaKey: unique, order-compatible, decodable — and the " +
+      "replicate → re-key → pack composition accounts exactly") {
+    // deterministic integer weights; maxFactor 4 → 3-bit field
+    val corpus = Seq(
+      (10L, 3.0, 100L), (11L, 1.0, 50L), (12L, 2.0, 80L), (13L, 1.0, 70L)
+    ).toDF("doc_id", "w", "n_tokens")
+    val rep = Sampling.replicateByWeight(corpus, "doc_id", "w", maxFactor = 4)
+    val keyed = Sampling.withReplicaKey(rep, "doc_id", maxFactor = 4)
+    val rows = keyed.select($"doc_id", $"copy_idx", $"replica_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 3 + 1 + 2 + 1 = 7 copies, every replica_id unique
+    assert(rows.size === 7)
+    assert(rows.map(_._3).distinct.size === 7)
+    // decodable: id = rid >> 3, copy = (rid & 7) + 1
+    rows.foreach { case (id, copy, rid) =>
+      assert(rid >> 3 === id); assert((rid & 7L) + 1 === copy)
+    }
+    // order-compatible: replica_id order == (doc_id, copy_idx) order
+    assert(rows.sortBy(_._3).map(r => (r._1, r._2)) ===
+      rows.sortBy(r => (r._1, r._2)).map(r => (r._1, r._2)))
+    // pack over replica_id: copies pack consecutively and the pack
+    // accounting equals the by-hand greedy fill over (doc order,
+    // multiplied token cost): cum before each row / budget
+    val packed = Sampling.packSequences(keyed, "n_tokens", "replica_id", 200L)
+      .select($"replica_id", $"pack_id").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val tokensInOrder = rows.sortBy(_._3)
+      .map(r => Map(10L -> 100L, 11L -> 50L, 12L -> 80L, 13L -> 70L)(r._1))
+    val expectPacks = tokensInOrder.scanLeft(0L)(_ + _).init.map(_ / 200L)
+    assert(packed.map(_._2) === expectPacks)
+    // total mass conserved through the whole composition
+    assert(tokensInOrder.sum === 3 * 100L + 50L + 2 * 80L + 70L)
+    // guards: a copy_idx beyond the declared maxFactor field fails
+    // loudly (the encoding would collide), as does a negative id
+    val bad = Seq((1L, 9L)).toDF("doc_id", "copy_idx")
+    val e2 = intercept[Exception] {
+      Sampling.withReplicaKey(bad, "doc_id", maxFactor = 4).collect()
+    }
+    assert(e2.getMessage.contains("withReplicaKey") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("withReplicaKey"))
+    val neg = Seq((-1L, 1L)).toDF("doc_id", "copy_idx")
+    intercept[Exception] {
+      Sampling.withReplicaKey(neg, "doc_id", maxFactor = 4).collect()
+    }
+  }
 }

@@ -414,6 +414,42 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("compactCorpusIndex: an append landing mid-compaction fails the compaction loudly and survives") {
+    val corpus = Seq(
+      (0L, "a first document with its own distinct vocabulary spread over enough words to shingle"),
+      (1L, "a second unrelated document about catalyst plans shuffles and exchanges in spark")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-race")
+      .toString
+    try {
+      Dedup.buildCorpusIndex(corpus).write.mode("overwrite").parquet(dir)
+      val batch = Seq(
+        (10L, "a genuinely new third document whose vocabulary overlaps neither of the first two at all")
+      ).toDF("doc_id", "text")
+      // inject the concurrent ingestBatch between the scratch rewrite
+      // and the swap — exactly the window whose silent loss round 9
+      // documented; the epoch check must now fail fast instead
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Dedup.compactCorpusIndexStaged(spark, dir, 1,
+          () => { Dedup.ingestBatch(spark, dir, batch); () })
+      }
+      assert(e.getMessage.contains("changed during compaction"))
+      // the live index kept the concurrent append (nothing lost), and
+      // the aborted compaction cleaned its scratch dir
+      val ids = spark.read.parquet(dir).select($"id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids === Seq(0L, 1L, 10L))
+      assert(!new java.io.File(dir.stripSuffix("/") + "__compact_stage").exists())
+      // once the writer quiesces, the retry compacts cleanly
+      Dedup.compactCorpusIndex(spark, dir, targetFiles = 1)
+      val compacted = spark.read.parquet(dir)
+      assert(compacted.inputFiles.length === 1)
+      assert(compacted.select($"id").as[Long].collect().sorted.toSeq ===
+        Seq(0L, 1L, 10L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("simhash portable (md5/48-bit): same planted-fixture behavior as the fast path") {
     val pairs = Dedup.simHashDupPairsPortable(docs, maxHamming = 10)
       .as[(Long, Long, Long)].collect()
@@ -1068,6 +1104,73 @@ class MultimodalSpec extends SparkSpec {
     val n = math.sqrt(raw.map(v => v * v).sum)
     val expect = raw.map(v => (v / n).toFloat)
     assert(vec.toSeq === expect)
+  }
+
+  test("perceptualHash: integer-domain override equals the float default, words are 32-bit") {
+    // the normalization-cancellation argument (64·v > Σv is invariant
+    // under positive scaling) pinned: PortableCodec's integer override
+    // and the trait's float-grid default must agree bit for bit
+    object DefaultPath extends graft.sources.MediaCodec {
+      override def decode(b: Array[Byte]): (Int, Int, Int, String) =
+        graft.sources.PortableCodec.decode(b)
+      override def featurize(b: Array[Byte], dim: Int): Array[Float] =
+        graft.sources.PortableCodec.featurize(b, dim)
+      // no perceptualHash override → the trait default over featurize
+    }
+    for (t <- Seq("one payload", "another body of text", "x")) {
+      val b = t.getBytes("UTF-8")
+      val fast = graft.sources.PortableCodec.perceptualHash(b)
+      val slow = DefaultPath.perceptualHash(b)
+      assert(fast === slow, s"divergence on '$t'")
+      assert(fast._1 >= 0L && fast._1 < (1L << 32))
+      assert(fast._2 >= 0L && fast._2 < (1L << 32))
+    }
+  }
+
+  test("ImageIoCodec perceptualHash: real-pixel aHash is recompression-robust and discriminative") {
+    val a = pngBytes(40, 20)
+    val aResized = pngBytes(80, 40) // same image, different encode size
+    // inverted image: every cell flips across the mean → far hash
+    val img = new java.awt.image.BufferedImage(
+      40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val inverted = bos.toByteArray
+    def ham(p: (Long, Long), q: (Long, Long)): Int =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    val c = graft.sources.ImageIoCodec
+    assert(ham(c.perceptualHash(a), c.perceptualHash(aResized)) <= 4,
+      "re-encoded twin must stay within the near-dup radius")
+    assert(ham(c.perceptualHash(a), c.perceptualHash(inverted)) >= 32,
+      "mirror-inverted image must flip ~every grid bit")
+  }
+
+  test("imageNearDupPairs: planted byte-duplicate media recovered; straddling chunk layout holds") {
+    val base = Seq(
+      (1L, "a first media payload with plenty of words"),
+      (2L, "a completely different second payload"),
+      (3L, "yet another unrelated third body"),
+      (11L, "a first media payload with plenty of words") // byte-dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.mediaFromText(base), maxHamming = 4,
+        codec = graft.sources.PortableCodec)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // the byte-duplicate pair at hamming 0 MUST be found; unrelated
+    // docs have ~32-bit-distant hashes and must not pair at radius 4
+    assert(pairs.contains((1L, 11L, 0L)), s"missing planted pair: $pairs")
+    assert(pairs.forall { case (x, y, _) => (x, y) == ((1L, 11L)) },
+      s"unexpected pairs: $pairs")
+    // null media rows flow through without pairing or erroring
+    val withNull = Multimodal.mediaFromText(base)
+      .withColumn("media", when($"doc_id" === 2L, lit(null)
+        .cast("binary")).otherwise($"media"))
+    val p2 = Multimodal.imageNearDupPairs(withNull, maxHamming = 4,
+        codec = graft.sources.PortableCodec)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(p2 === Seq((1L, 11L, 0L)))
   }
 }
 
