@@ -102,6 +102,8 @@ object SparkEntry {
     "q82_soft_dedup"      -> (TrainingData.q82SoftDedup _),
     "q83_pipeline"        -> (TrainingData.q83Pipeline _),
     "q84_image_neardup"   -> (TrainingData.q84ImageNearDup _),
+    "q85_kmv_overlap"     -> (TrainingData.q85KmvOverlap _),
+    "q86_bloom_decontaminate" -> (TrainingData.q86BloomDecontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -235,5 +237,14 @@ object SparkEntry {
     // aHash replays bit-identically (bands generated from the same
     // simHashBandSpec as the Spark side).
     "q84_image_neardup"   -> TrainingData.q84Sql,
+    // q85: KMV sketched cross-slice overlap — the sketch is the k
+    // smallest distinct md5-48 gram hashes, so DuckDB rebuilds it
+    // bit-identically (sort + LIMIT k) and every estimate replays in
+    // integer floor division.
+    "q85_kmv_overlap"     -> TrainingData.q85Sql,
+    // q86: Bloom-pruned decontamination — the oracle is the EXACT
+    // collision gate; the Bloom prefilter must be invisible in the
+    // result (no false negatives, positives verified away).
+    "q86_bloom_decontaminate" -> TrainingData.q86Sql,
   )
 }

@@ -1150,4 +1150,43 @@ object Dedup {
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** [[decontaminate]] with a Bloom-compressed broadcast: EXACTLY the
+    * same survivors (the filter only PRUNES before the exact verify
+    * join — Bloom has no false negatives, and false positives die in
+    * the verify), but the benchmark set crosses the cluster as
+    * `numBits/8` bytes instead of a hash-set broadcast.
+    *
+    * When it matters: [[decontaminate]] broadcasts the benchmark's
+    * distinct gram hashes as a join hashmap — ~30-50 B/gram. Fine for
+    * one eval suite; at a consortium-scale blocklist (10⁸-10⁹ grams)
+    * that broadcast is GBs per executor. The Bloom words array is
+    * 10-13 bits/gram for ~1% false positives ([[Bloom]]), so the
+    * corpus-side scan filters against megabytes, and only the ~fp
+    * fraction of gram rows reaches the exact join — which then
+    * SHUFFLES (hash join) rather than broadcasting, since by
+    * assumption the benchmark no longer fits a broadcast.
+    *
+    * Cost to build: one extra pass over the benchmark side (the
+    * filter build is its own action, collecting ≤ numBits/64 longs to
+    * the driver — bounded by the FILTER size, never the gram count).
+    * The benchmark side is re-read by the verify join; at blocklist
+    * scale, pass a persisted/checkpointed benchmark DataFrame. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13, idCol: String = "doc_id", textCol: String = "text",
+      numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    def gramHashes = explode(
+      transform(shingles(col(textCol), n), g => xxhash64(g)))
+    val benchGrams = benchmark
+      .select(gramHashes.as("gram_h"))
+      .distinct()
+    val words = Bloom.buildWords(benchGrams, "gram_h", numBits, numHashes)
+    val contaminated = corpus
+      .select(col(idCol).as("id"), gramHashes.as("gram_h"))
+      .filter(Bloom.mightContain(col("gram_h"), words, numHashes))
+      .join(benchGrams, Seq("gram_h"))
+      .select(col("id").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

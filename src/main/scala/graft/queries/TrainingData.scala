@@ -1305,6 +1305,123 @@ object TrainingData {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q85: sketched cross-slice overlap matrix — the KMV estimation
+    * twin of q81's exact duplication matrix
+    * ([[graft.operators.Sketches.kmvOverlapMatrix]]): distinct 3-gram
+    * estimates per source slice, pairwise union estimates, and Jaccard
+    * overlap, all from one corpus scan that ships ≤ k = 256 hashes per
+    * slice. The portable md5-48 gram hash makes the sketch — and hence
+    * every estimate — bit-replayable in DuckDB (sort + LIMIT k), the
+    * exactness HLL register layouts can't give q34. At both SFs the
+    * per-slice 3-gram vocabulary (≈1.3k / ≈10k distinct) exceeds k, so
+    * the query exercises the genuine ESTIMATION regime, not the
+    * exhaustive-sketch fallback. */
+  def q85KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .filter($"source".isNotNull)
+      .select($"source", explode(TextFunctions.shingles($"text", 3)).as("gram"))
+    graft.operators.Sketches.kmvOverlapMatrix(
+        grams, "source",
+        graft.operators.Sampling.portableHash48($"gram"), k = 256)
+      .orderBy($"slice_a", $"slice_b")
+  }
+
+  /** DuckDB replay: same truncating-slice 3-grams as the native
+    * shingler, md5-48 hash, per-slice sort + LIMIT 256 = the sketch;
+    * union-k via row_number over the two sketches' merged distinct
+    * hashes; the (k−1)·2^48 // h₍ₖ₎ estimator in integer division. */
+  val q85Sql: String = {
+    val k = 256
+    val numer = (k - 1).toLong * (1L << 48)
+    s"""WITH g AS (
+       |  SELECT source AS slice, list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(toks[i:i+2], ' ')) AS grams
+       |  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents WHERE source IS NOT NULL)),
+       |h AS (SELECT DISTINCT slice,
+       |        CAST(md5_number_upper(gram) & 281474976710655 AS BIGINT) AS h
+       |      FROM (SELECT slice, unnest(grams) AS gram FROM g)),
+       |rk AS (SELECT slice, h,
+       |         row_number() OVER (PARTITION BY slice ORDER BY h) AS rn
+       |       FROM h),
+       |sk AS (SELECT slice, h FROM rk WHERE rn <= $k),
+       |per AS (SELECT slice, count(*) AS n, max(h) AS hk FROM sk GROUP BY 1),
+       |est AS (SELECT slice,
+       |          CAST(CASE WHEN n < $k THEN n ELSE $numer // hk END AS BIGINT)
+       |            AS est
+       |        FROM per),
+       |pairs AS (SELECT a.slice AS sa, b.slice AS sb
+       |          FROM per a, per b WHERE a.slice < b.slice),
+       |uni AS (
+       |  SELECT p.sa, p.sb, x.h,
+       |    bool_or(x.slice = p.sa) AS in_a, bool_or(x.slice = p.sb) AS in_b
+       |  FROM pairs p JOIN sk x ON x.slice IN (p.sa, p.sb)
+       |  GROUP BY 1, 2, 3),
+       |runi AS (SELECT *,
+       |           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+       |           count(*) OVER (PARTITION BY sa, sb) AS n_union
+       |         FROM uni),
+       |agg AS (
+       |  SELECT sa, sb,
+       |    CAST(count(*) AS BIGINT) AS k_eff,
+       |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared,
+       |    max(n_union) AS n_union, max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM runi WHERE rn <= $k GROUP BY 1, 2)
+       |SELECT a.sa AS slice_a, a.sb AS slice_b,
+       |  ea.est AS est_a, eb.est AS est_b,
+       |  CAST(CASE WHEN a.n_union < $k THEN a.n_union
+       |            ELSE $numer // a.hk END AS BIGINT) AS union_est,
+       |  a.n_shared, a.k_eff,
+       |  CAST(a.n_shared AS DOUBLE) / CAST(a.k_eff AS DOUBLE) AS jaccard_est
+       |FROM agg a
+       |JOIN est ea ON ea.slice = a.sa
+       |JOIN est eb ON eb.slice = a.sb
+       |ORDER BY slice_a, slice_b""".stripMargin
+  }
+
+  /** q86: Bloom-pruned decontamination
+    * ([[graft.operators.Dedup.decontaminateBloom]]) — bit-identical
+    * output to the exact gram-collision gate (the Bloom only PRUNES
+    * before the exact verify join; false positives die there, false
+    * negatives don't exist), so the ORACLE IS THE EXACT SQL: the
+    * approximation is invisible in the result, only in the bytes
+    * broadcast. Different split (mod 10) and gram width (6) than q68,
+    * so the two decontamination paths gate independently. */
+  def q86BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val survivors = graft.operators.Dedup.decontaminateBloom(
+      docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0),
+      n = 6, numBits = 1 << 17)
+    survivors.select($"doc_id", $"source").orderBy($"doc_id")
+  }
+
+  /** DuckDB replay: the EXACT decontamination semantics (q68's shape
+    * at mod-10 / 6-gram) — deliberately Bloom-free, proving the pruned
+    * plan changes nothing but the data volume. */
+  val q86Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 5, 1)),
+      |    i -> array_to_string(toks[i:i+5], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |          WHERE doc_id % 10 = 0),
+      |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+      |         WHERE doc_id % 10 <> 0),
+      |hit AS (SELECT DISTINCT c.doc_id FROM corp c
+      |        JOIN bench b ON c.gram = b.gram)
+      |SELECT d.doc_id, d.source
+      |FROM documents d
+      |WHERE d.doc_id % 10 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val q82Sql: String = {
     val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
     val hd = graft.operators.Sampling.portableHash48Sql(

@@ -26,7 +26,12 @@ class PlanQualitySpec extends SparkSpec {
   // q79: a ONE-row grand-total frame broadcast against vocab-sized
   // counts — both NLJ shapes are linear in the big side, not quadratic
   private val nestedLoopAllowed =
-    Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence")
+    // q85's non-equi pair join (slice_a < slice_b) runs on the
+    // POST-aggregate sketch table — one k-long array per slice, bounded
+    // by slice count, never corpus size — the same bounded-side class
+    // as q79's 1-row grand-total cross join
+    Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
+      "q85_kmv_overlap")
 
   test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
     // the SimHash pair join deliberately does NOT cache its signature

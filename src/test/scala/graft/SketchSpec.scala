@@ -46,4 +46,91 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(merged - global).toDouble / global < 0.005,
       s"merged=$merged global=$global")
   }
+
+  // ---- KMV (q85) ----
+
+  test("KMV buffer keeps exactly the k smallest DISTINCT hashes, any partitioning") {
+    import graft.functions.KmvMinHashes.kmvMinHashes
+    val k = 16
+    // duplicates + a value landing in every partition: the sketch must
+    // dedup and be invariant under repartitioning (merge path)
+    val vals = (0L until 500L).map(i => (i * 7919L) % 1000L) ++ Seq.fill(50)(3L)
+    val expected = vals.distinct.sorted.take(k)
+    for (parts <- Seq(1, 4)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(kmvMinHashes($"h", k).as("sk"))
+        .head().getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("KMV sketch below k is exhaustive and estimates exactly") {
+    val df = (0L until 40L).map(i => ("s", i * 1000L)).toDF("slice", "h")
+    val sk = operators.Sketches.kmvSketch(df, "slice", $"h", k = 256)
+    val est = sk.select(operators.Sketches.kmvEstimate("sketch", 256))
+      .head().getLong(0)
+    assert(est == 40L)
+  }
+
+  test("KMV estimator within 4σ on 50k distinct hashes; null hashes ignored") {
+    // uniform 48-bit domain via the portable hash of the id itself;
+    // k=256 → stderr ≈ 1/√254 ≈ 6.3%, 4σ ≈ 25%
+    val n = 50000L
+    val df = spark.range(n).toDF("id")
+      .select(lit("s").as("slice"),
+        when($"id" % 97 === 0, lit(null).cast("long"))
+          .otherwise(operators.Sampling.portableHash48($"id".cast("string")))
+          .as("h"))
+    val sk = operators.Sketches.kmvSketch(df, "slice", $"h", k = 256)
+    val est = sk.select(operators.Sketches.kmvEstimate("sketch", 256))
+      .head().getLong(0)
+    val exact = n - (n / 97 + 1) // ids ≡ 0 (mod 97) were nulled
+    assert(math.abs(est - exact).toDouble / exact < 0.25,
+      s"est=$est exact=$exact")
+  }
+
+  test("KMV overlap matrix: known-overlap slices estimate Jaccard within 4σ") {
+    // A = [0, 30k), B = [15k, 45k): |A∩B| = 15k, |A∪B| = 45k, J = 1/3.
+    // Jaccard stderr at k=256 ≈ √(J(1−J)/k) ≈ 0.029 → 4σ ≈ 0.12
+    val a = spark.range(0, 30000).select(lit("a").as("slice"), $"id")
+    val b = spark.range(15000, 45000).select(lit("b").as("slice"), $"id")
+    val df = a.unionByName(b)
+      .select($"slice",
+        operators.Sampling.portableHash48($"id".cast("string")).as("h"))
+    val row = operators.Sketches.kmvOverlapMatrix(df, "slice", $"h", k = 256)
+      .head()
+    assert(row.getAs[String]("slice_a") == "a")
+    val j = row.getAs[Double]("jaccard_est")
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard_est=$j")
+    val u = row.getAs[Long]("union_est")
+    assert(math.abs(u - 45000L).toDouble / 45000.0 < 0.25, s"union_est=$u")
+    // exhaustive regime: tiny slices → exact Jaccard, k_eff = |A∪B|
+    val small = spark.range(0, 30).select(lit("a").as("slice"), $"id")
+      .unionByName(spark.range(15, 45).select(lit("b").as("slice"), $"id"))
+      .select($"slice",
+        operators.Sampling.portableHash48($"id".cast("string")).as("h"))
+    val sm = operators.Sketches.kmvOverlapMatrix(small, "slice", $"h", k = 256)
+      .head()
+    assert(sm.getAs[Long]("k_eff") == 45L)
+    assert(sm.getAs[Long]("n_shared") == 15L)
+    assert(sm.getAs[Long]("union_est") == 45L)
+    assert(sm.getAs[Double]("jaccard_est") == 15.0 / 45.0)
+  }
+
+  test("q85 plans the KMV aggregate in Partial (map-side combinable) mode") {
+    // the sketch must collapse to ≤ k longs per map partition BEFORE
+    // the shuffle — a billion-gram slice ships k·partitions longs,
+    // never the gram count
+    val plan = SparkEntry.queries("q85_kmv_overlap")(
+      spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+    val partial = plan.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.exists(e =>
+          e.aggregateFunction.prettyName == "kmv_min_hashes" &&
+            e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
+        a.nodeName
+    }
+    assert(partial.nonEmpty,
+      s"expected kmv_min_hashes in Partial mode:\n$plan")
+  }
 }
