@@ -104,6 +104,8 @@ object SparkEntry {
     "q84_image_neardup"   -> (TrainingData.q84ImageNearDup _),
     "q85_kmv_overlap"     -> (TrainingData.q85KmvOverlap _),
     "q86_bloom_decontaminate" -> (TrainingData.q86BloomDecontaminate _),
+    "q87_chunking"        -> (TrainingData.q87Chunking _),
+    "q88_bm25_topk"       -> (TrainingData.q88Bm25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +248,12 @@ object SparkEntry {
     // collision gate; the Bloom prefilter must be invisible in the
     // result (no false negatives, positives verified away).
     "q86_bloom_decontaminate" -> TrainingData.q86Sql,
+    // q87: overlapping context-window chunking — exact string replay
+    // via DuckDB list slicing; the window count arithmetic is
+    // double-exact at token magnitudes.
+    "q87_chunking"        -> TrainingData.q87Sql,
+    // q88: quantized-BM25 retrieval — integer-exact scores (no ln, no
+    // float sums), so ranking replays hash-exact across engines.
+    "q88_bm25_topk"       -> TrainingData.q88Sql,
   )
 }

@@ -225,6 +225,101 @@ case class BoundedMaxByScore(
     copy(score = c(0), id = c(1))
 }
 
+/** Bounded "n best (score, id) pairs" for INTEGER scores, emitting the
+  * pairs themselves — the retrieval kernel behind
+  * [[graft.operators.Retrieval.bm25TopK]]: selection order
+  * `(score DESC, id ASC)` like [[BoundedMaxByScore]], but the score is
+  * a long (exact — quantized BM25 scores are integers by construction)
+  * and the output carries it, so ranked results need NO join-back to a
+  * score table (which would recompute or reshuffle the scoring
+  * subtree). Emits `Array[Struct[score: Long, id: Long]]` best-first;
+  * same partial-aggregatable no-window scale shape as the rest of the
+  * family. Null score or id inputs contribute nothing. */
+case class BoundedMaxLongPairs(
+    score: Expression, id: Expression, n: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BoundedMaxLongPairs.Buffer]
+    with ImplicitCastInputTypes {
+
+  require(n > 0, s"bounded_max_long_pairs needs a positive bound, got $n")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def inputTypes: Seq[org.apache.spark.sql.GraftShims.AbstractType] =
+    Seq(LongType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("id", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bounded_max_long_pairs"
+
+  override def createAggregationBuffer(): BoundedMaxLongPairs.Buffer =
+    new BoundedMaxLongPairs.Buffer(n)
+
+  override def update(buf: BoundedMaxLongPairs.Buffer,
+      input: InternalRow): BoundedMaxLongPairs.Buffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.offer(s.asInstanceOf[Long], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: BoundedMaxLongPairs.Buffer,
+      b2: BoundedMaxLongPairs.Buffer): BoundedMaxLongPairs.Buffer = {
+    b2.foreach((s, i) => b1.offer(s, i))
+    b1
+  }
+
+  override def eval(buf: BoundedMaxLongPairs.Buffer): Any =
+    new GenericArrayData(buf.sortedPairs.map { case (s, i) =>
+      org.apache.spark.sql.catalyst.InternalRow(s, i)
+    }.toArray[Any])
+
+  override def serialize(buf: BoundedMaxLongPairs.Buffer): Array[Byte] = {
+    val pairs = buf.sortedPairs
+    val bb = ByteBuffer.allocate(pairs.length * 16)
+    pairs.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedMaxLongPairs.Buffer = {
+    val buf = new BoundedMaxLongPairs.Buffer(n)
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.offer(bb.getLong(), bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedMaxLongPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedMaxLongPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BoundedMaxLongPairs =
+    copy(score = c(0), id = c(1))
+}
+
+object BoundedMaxLongPairs {
+  /** The n best (score, id) pairs by (score DESC, id ASC) — exact long
+    * compares, no float normalization needed. */
+  final class Buffer(n: Int) extends BoundedPairBuffer[Long](n,
+    (a: (Long, Long), b: (Long, Long)) => {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    })
+
+  import org.apache.spark.sql.GraftShims
+
+  /** Column API: the n best (score DESC, id ASC) pairs as structs. */
+  def boundedMaxLongPairs(score: Column, id: Column, n: Int): Column =
+    GraftShims.column(BoundedMaxLongPairs(GraftShims.expression(score),
+      GraftShims.expression(id), n).toAggregateExpression())
+}
+
 object BoundedMaxByScore {
   /** Holds the n BEST (score, id) pairs by (score DESC, id ASC):
     * worst = lowest score then highest id; `-0.0` normalizes to `0.0`

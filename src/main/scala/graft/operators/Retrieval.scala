@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedMaxLongPairs.boundedMaxLongPairs
+
+/** Lexical retrieval: inverted-index BM25 scoring with top-k per
+  * query — the exact-match twin of the ANN family (q24/q55/q66 search
+  * by embedding geometry; this searches by term statistics).
+  *
+  * QUANTIZED-BM25 contract: textbook BM25 needs `ln` — and `ln` is not
+  * IEEE-determined, so scores would drift between engines/libms and a
+  * hash-exact oracle is impossible. This operator quantizes both
+  * factors into EXACT integer arithmetic (every engine with 64-bit
+  * integers reproduces the score bit-for-bit):
+  *
+  *  - tf saturation (k₁ = 1.2, b = 0.75, ×1000): with `A = (100·Σdl)
+  *    div N` (the ×100 average doc length), `tfq = (22·tf·A·1000) div
+  *    (10·tf·A + 3·A + 9·dl·100)` — algebraically `1000·tf·(k₁+1) /
+  *    (tf + k₁·(1−b+b·dl/avgdl))` with every rational cleared.
+  *  - idf, log2-quantized: `idfq = length(bin(R))` with `R = ((2N −
+  *    2df + 1)·2²⁰) div (2df + 1)` — the integer bit-length IS
+  *    ⌊log₂R⌋+1, an exact, monotone, engine-portable stand-in for the
+  *    Robertson–Spärck-Jones idf (quantized to factor-of-2 bands; the
+  *    documented divergence from `ln`).
+  *
+  * Scale shape: the corpus tokenizes ONCE; term frequencies are
+  * computed only for the query vocabulary (broadcast semi-join BEFORE
+  * the tf aggregation — the corpus never aggregates its full
+  * vocabulary); document frequencies derive from that tf table
+  * (per-term row count), so they too are query-vocabulary-sized and
+  * broadcast back. The only corpus-sized shuffles are the tf groupBy
+  * and the per-(query, doc) score sum. Top-k selection is the bounded
+  * partial-aggregatable kernel ([[graft.functions.BoundedMaxLongPairs]])
+  * — a stopword query whose candidate set is the whole corpus still
+  * ships ≤ k pairs per map partition, no row_number window anywhere.
+  */
+object Retrieval {
+
+  /** BM25 top-k: `(query_id, rank, doc_id, score)` — rank 1..k per
+    * query by `(score DESC, doc_id ASC)`, score the exact integer
+    * quantized-BM25 sum over matched query terms. `queries` is one row
+    * per (query_id, term); duplicate terms in a query are deduped
+    * (documented divergence from qtf-weighted BM25). Blank docs are
+    * excluded from the corpus and from N/avgdl. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+    // one tiny action for the two corpus constants the integer formulas
+    // need (N, A) plus the max doc length the overflow guard needs —
+    // 1 row collected, one corpus pass (column-pruned to the token count)
+    val stats = base
+      .agg(count(lit(1)).as("n"), sum(size(col("__toks"))).as("sdl"),
+        max(size(col("__toks"))).as("mdl"))
+      .head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25TopK: empty corpus (all docs blank)")
+    val a = 100L * stats.getLong(1) / n
+    val maxDl = stats.getAs[Number](2).longValue()
+    // 22·tf·A·1000 must stay inside a long: tf ≤ maxDl, so gate the
+    // product loudly instead of dying in an opaque ANSI overflow
+    require(maxDl * a < (Long.MaxValue / 22000L),
+      s"bm25TopK: maxDl=$maxDl × A=$a would overflow the quantized tf " +
+        "numerator — corpus doc lengths exceed the integer-exact envelope")
+    require(n < (1L << 41),
+      s"bm25TopK: N=$n docs overflows the quantized idf numerator")
+
+    val qterms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(termCol).as("term"))
+      .distinct()
+    val qvocab = qterms.select(col("term")).distinct()
+    val toks = base.select(col("doc_id"), explode(col("__toks")).as("term"))
+    val dl = base.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"))
+    // tf restricted to the query vocabulary BEFORE aggregating: the
+    // corpus's full vocabulary never shuffles
+    val tf = toks.join(broadcast(qvocab), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // per-term doc frequency — one row per query-vocabulary term
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val cand = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("tfq", expr(
+        s"(22L * tf * ${a}L * 1000L) div " +
+          s"(10L * tf * ${a}L + 3L * ${a}L + 9L * dl * 100L)"))
+      .withColumn("idfq", expr(
+        s"length(bin(((2L * ${n}L - 2L * df + 1L) * 1048576L) div " +
+          "(2L * df + 1L)))").cast("long"))
+    val scores = cand
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tfq") * col("idfq")).as("score"))
+    scores
+      .groupBy(col("query_id"))
+      .agg(boundedMaxLongPairs(col("score"), col("doc_id"), k).as("__ps"))
+      .select(col("query_id"), posexplode(col("__ps")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+  }
+}

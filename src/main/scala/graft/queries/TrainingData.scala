@@ -1422,6 +1422,113 @@ object TrainingData {
       |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q87: context-window chunking
+    * ([[graft.operators.Chunking.chunkByTokens]]) — every doc becomes
+    * overlapping 40-token windows advancing by 30 (25% overlap), the
+    * standard context-prep step between cleaning and packing. A purely
+    * narrow plan: zero shuffles (plan-gated in ChunkingSpec), output
+    * strings replay exactly in DuckDB via list slicing. */
+  def q87Chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Chunking.chunkByTokens(
+        Tables.documents(s, dir), chunkTokens = 40, stride = 30)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** DuckDB replay: same window arithmetic (1 + ceil((n−40)/30)
+    * windows, exact under double at token magnitudes), 1-based
+    * inclusive list slicing. */
+  val q87Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN nt <= 40 THEN 1
+      |         ELSE 1 + CAST(ceil(CAST(nt - 40 AS DOUBLE) / 30) AS INT)
+      |    END AS n_chunks
+      |  FROM t WHERE nt > 0)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  array_to_string(toks[i*30+1 : i*30+40], ' ') AS chunk_text,
+      |  CAST(len(toks[i*30+1 : i*30+40]) AS BIGINT) AS n_tokens
+      |FROM (SELECT doc_id, toks,
+      |        unnest(generate_series(0, n_chunks - 1)) AS i
+      |      FROM c)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The q88 query workload: five multi-term lexical queries over the
+    * corpus vocabulary — one (query_id, term) row each, shared between
+    * the Spark side and the generated VALUES list in [[q88Sql]] so the
+    * two engines cannot drift. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "window", 1L -> "agg",
+    2L -> "customer", 2L -> "order", 2L -> "line",
+    3L -> "hash", 3L -> "join", 3L -> "table",
+    4L -> "slow", 4L -> "scan", 4L -> "filter",
+    5L -> "data", 5L -> "column", 5L -> "value")
+
+  /** q88: quantized-BM25 lexical retrieval
+    * ([[graft.operators.Retrieval.bm25TopK]]) — top-10 docs per query
+    * by integer-exact BM25 (tf saturation + length norm at k₁=1.2,
+    * b=0.75; log₂-quantized idf via integer bit-length), the lexical
+    * twin of the ANN searches. Every score is a 64-bit integer, so the
+    * DuckDB replay is hash-exact — no `ln`, no float sums. */
+  def q88Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries.toDF("query_id", "term")
+    graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, dir), queries, k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB replay: identical integer formulas (`//` = `div` on
+    * non-negative operands), row_number over (score DESC, doc_id) for
+    * the rank. */
+  val q88Sql: String = {
+    val values = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE trim(text) <> ''),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST((100 * sum(len(toks))) // count(*) AS BIGINT) AS a
+       |  FROM base),
+       |q(query_id, term) AS (VALUES $values),
+       |toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY 1),
+       |cand AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST((22 * tf.tf * s.a * 1000) //
+       |         (10 * tf.tf * s.a + 3 * s.a + 9 * dl.dl * 100) AS BIGINT)
+       |      AS tfq,
+       |    CAST(length(bin(((2 * s.n - 2 * d.df + 1) * 1048576) //
+       |                    (2 * d.df + 1))) AS BIGINT) AS idfq
+       |  FROM tf
+       |  JOIN dfreq d USING (term)
+       |  JOIN dl USING (doc_id)
+       |  JOIN q ON q.term = tf.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT query_id, doc_id,
+       |         CAST(sum(tfq * idfq) AS BIGINT) AS score
+       |       FROM cand GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |      FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(rnk AS BIGINT) AS rank, doc_id, score
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val q82Sql: String = {
     val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
     val hd = graft.operators.Sampling.portableHash48Sql(
