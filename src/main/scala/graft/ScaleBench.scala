@@ -262,6 +262,41 @@ object ScaleBench {
               .withColumn("w", lit(1.0) / $"n_dup".cast("double")),
             "doc_id", "w").count()
         },
+        docs1, docsN),
+      // q85's sketch: the corpus collapses to ≤ k hashes per slice per
+      // map partition — the ratio must track the gram scan, never the
+      // (growing) distinct-gram count, and the pairwise stage is
+      // slice-count²-bounded regardless of factor
+      ("kmv_overlap",
+        (d: DataFrame) => graft.operators.Sketches.kmvOverlapMatrix(
+          d.select($"source",
+            explode(graft.functions.TextFunctions.shingles($"text", 3))
+              .as("gram"))
+            .select($"source",
+              graft.operators.Sampling.portableHash48($"gram").as("h")),
+          "source", $"h", 256).count(),
+        docs1, docsN),
+      // q86's prune-then-verify: the benchmark side grows with the
+      // factor but crosses as a fixed 2^20-bit filter; ratio tracks
+      // the corpus gram scan
+      ("bloom_decontaminate",
+        (d: DataFrame) => graft.operators.Dedup.decontaminateBloom(
+          d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
+          n = 6, numBits = 1 << 20).count(),
+        docs1, docsN),
+      // q87: narrow zero-shuffle window explode — ratio must track the
+      // scan (output rows grow exactly with input tokens)
+      ("chunking",
+        (d: DataFrame) => graft.operators.Chunking
+          .chunkByTokens(d, 40, 30).count(),
+        docs1, docsN),
+      // q88: tf only for the broadcast query vocabulary; candidate and
+      // score shuffles grow with matching rows, the top-k stays a
+      // bounded aggregate — ratio tracks the token scan
+      ("bm25_topk",
+        (d: DataFrame) => graft.operators.Retrieval.bm25TopK(
+          d, graft.queries.TrainingData.Bm25Queries.toDF("query_id", "term"),
+          10).count(),
         docs1, docsN))
 
     // warm-up
@@ -390,6 +425,28 @@ object ScaleBench {
           s"${kept.take(5)}... vs ${expect.take(5)}...")
     }
     println(f"""{"pipeline":"weighted_hot_domain","sec":$tWeighted%.2f,"planted":1000000,"k":100}""")
+
+    // ---- BM25 under a PLANTED stopword query: a term present in
+    // EVERY one of 200k docs makes the candidate set the entire
+    // corpus — the worst case for per-query top-k. The bounded pair
+    // aggregate ships ≤ k pairs per map partition; a row_number window
+    // would sort all 200k candidate rows of the one query key in a
+    // single reducer task. Pass = aggregate-shaped time, exactly k
+    // results, and the deterministic winners: every doc matches ONLY
+    // the stopword with tf=1 and identical dl, so scores tie
+    // corpus-wide and the doc_id tiebreak must select ids 0..k−1. ----
+    val tBm25 = time {
+      val stopCorpus = spark.range(200000L)
+        .select($"id".as("doc_id"),
+          concat(lit("common filler"), $"id",
+            lit(" pad"), $"id", lit(" tail")).as("text"))
+      val got = graft.operators.Retrieval.bm25TopK(
+          stopCorpus, Seq((1L, "common")).toDF("query_id", "term"), k = 10)
+        .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
+      require(got == (0L until 10L),
+        s"stopword top-k must be ids 0..9 by the tiebreak, got $got")
+    }
+    println(f"""{"pipeline":"bm25_stopword_query","sec":$tBm25%.2f,"planted":200000,"k":10}""")
 
     // ---- streaming near-dup under a PLANTED over-cap bucket: 20k
     // byte-identical docs stream into the SAME 7 band buckets. Unbound,

@@ -18,11 +18,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * replaces (so results are bit-compatible with the DuckDB oracle).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
+  // analysis-time contract: the kernel reads doubles — without this, a
+  // float-array column (the raw embeddings encoding) passes analysis
+  // and dies in an opaque executor-side ClassCastException; with it,
+  // float arrays widen via an exact implicit cast
+  override def inputTypes: Seq[org.apache.spark.sql.GraftShims.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinRangeJoinRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL-name surface for the custom kernels (bounded aggregates, KMV
+    // sketch, shingles/signatures, vector dot) — pure-SQL consumers
+    // get the same scale-shaped plans as the Column API
+    graft.functions.SqlRegistry.descriptions.foreach(e.injectFunction)
   }
 }
 
