@@ -106,6 +106,7 @@ object SparkEntry {
     "q86_bloom_decontaminate" -> (TrainingData.q86BloomDecontaminate _),
     "q87_chunking"        -> (TrainingData.q87Chunking _),
     "q88_bm25_topk"       -> (TrainingData.q88Bm25 _),
+    "q89_stream_kmv"      -> (StreamingQueries.q89StreamKmv _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -255,5 +256,8 @@ object SparkEntry {
     // q88: quantized-BM25 retrieval — integer-exact scores (no ln, no
     // float sums), so ranking replays hash-exact across engines.
     "q88_bm25_topk"       -> TrainingData.q88Sql,
+    // q89: streaming KMV cardinality monitor — bounded sketch state in
+    // the stream; the oracle rebuilds the same sketch batch-side.
+    "q89_stream_kmv"      -> StreamingQueries.q89Sql,
   )
 }

@@ -179,4 +179,63 @@ object StreamingQueries {
   /** Batch oracle: the drained stream ≡ the batch portable-SimHash
     * pipeline (q28's replay). */
   val q72Sql: String = TrainingData.q28Sql
+
+  private val lastSink89 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q89: STREAMING CARDINALITY MONITOR — per-hour per-type distinct
+    * user estimates from a KMV sketch aggregated IN the stream
+    * ([[graft.functions.KmvMinHashes]] runs inside the streaming
+    * ObjectHashAggregate, its ≤ k-long buffer living in the state
+    * store): the live-dashboard twin of q85's batch sketch. The state
+    * per (window, type) group is BOUNDED at k hashes no matter how
+    * many events a window sees — the streaming analog of the sketch's
+    * batch scale contract — where a streaming COUNT(DISTINCT) would
+    * grow state with true cardinality. k = 16 keeps sf0.1 windows in
+    * the genuine estimation regime (12-51 distinct users/window);
+    * sf0.01 windows are exhaustive-exact. The oracle replays the
+    * sketch bit-identically batch-side in DuckDB. */
+  def q89StreamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(graft.functions.KmvMinHashes.kmvMinHashes(
+          graft.operators.Sampling.portableHash48($"user_id".cast("string")),
+          16).as("sketch"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          $"event_type",
+          graft.operators.Sketches.kmvEstimate("sketch", 16).as("est_users"))
+      val name = s"q89_stream_out_${runSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val prev = lastSink89.getAndSet(name)
+      if (prev != null) s.catalog.dropTempView(prev)
+      s.table(name).orderBy($"window_start", $"event_type")
+    }
+  }
+
+  /** Batch replay of the same sketch + estimator (q85's integer math
+    * at k = 16 over the portable user-id hash). */
+  val q89Sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |      AS window_start,
+      |    event_type,
+      |    CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+      |         & 281474976710655 AS BIGINT) AS h
+      |  FROM events),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY window_start, event_type ORDER BY h) AS rn
+      |       FROM h),
+      |per AS (SELECT window_start, event_type, count(*) AS n, max(h) AS hk
+      |        FROM rk WHERE rn <= 16 GROUP BY 1, 2)
+      |SELECT window_start, event_type,
+      |  CAST(CASE WHEN n < 16 THEN n
+      |            ELSE 4222124650659840 // hk END AS BIGINT) AS est_users
+      |FROM per ORDER BY window_start, event_type""".stripMargin
 }

@@ -117,6 +117,57 @@ class SketchSpec extends SparkSpec {
     assert(sm.getAs[Double]("jaccard_est") == 15.0 / 45.0)
   }
 
+  test("KMV mergeability: sketch of the union == re-aggregated shard sketches") {
+    // the 100 TB maintenance pattern: keep one sketch per day/shard,
+    // answer global distincts by RE-AGGREGATING STORED SKETCHES (explode
+    // + kmv again) — never rescanning the corpus. KMV makes the merge
+    // LOSSLESS below k and exact-k-minima above it, so the merged
+    // sketch is bit-identical to the single-pass sketch of the union
+    import graft.functions.KmvMinHashes.kmvMinHashes
+    val k = 64
+    val df = spark.range(20000)
+      .select(($"id" % 7).as("shard"),
+        operators.Sampling.portableHash48($"id".cast("string")).as("h"))
+    val direct = df.agg(kmvMinHashes($"h", k)).head().getSeq[Long](0)
+    val merged = df.groupBy($"shard")
+      .agg(kmvMinHashes($"h", k).as("sk"))
+      .select(explode($"sk").as("h"))
+      .agg(kmvMinHashes($"h", k)).head().getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("streaming KMV updates across micro-batches and matches the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.KmvMinHashes.kmvMinHashes
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val agg = input.toDF().toDF("id")
+      .select(lit("s").as("slice"),
+        operators.Sampling.portableHash48($"id".cast("string")).as("h"))
+      .groupBy($"slice")
+      .agg(kmvMinHashes($"h", 8).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(0L until 100L: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("kmv_stream_out").head().getSeq[Long](1)
+      // second batch brings new ids — the state-store buffer must merge,
+      // not restart
+      input.addData(100L until 300L: _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table("kmv_stream_out").head().getSeq[Long](1)
+      val batch = spark.range(300)
+        .select(operators.Sampling.portableHash48($"id".cast("string")).as("h"))
+        .agg(kmvMinHashes($"h", 8)).head().getSeq[Long](0)
+      assert(afterB2 == batch)
+      assert(afterB1 != afterB2, "batch 2 must have refined the sketch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("kmv_stream_out")
+    }
+  }
+
   test("q85 plans the KMV aggregate in Partial (map-side combinable) mode") {
     // the sketch must collapse to ≤ k longs per map partition BEFORE
     // the shuffle — a billion-gram slice ships k·partitions longs,
