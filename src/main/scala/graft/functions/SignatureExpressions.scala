@@ -310,38 +310,11 @@ object SignatureExpressions {
   def jaccardSim(a: Column, b: Column): Column =
     GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
 
-  /** SQL registration of the dedup kernels (the `dot_product` pattern):
-    * `minhash_sig(arr, k)`, `simhash64(arr)`, `jaccard_sim(a, b)`,
-    * `word_shingles(text, n)` — the full dedup surface is then
-    * reachable from `spark.sql` alone. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_sig", exprs =>
-      MinHashSig(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-          v.toString.toInt
-        case other => sys.error(s"minhash_sig k must be a literal, got $other")
-      }), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash128",
-      exprs => SimHash128(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash48_portable",
-      exprs => SimHash48Portable(exprs(0), exprs.drop(1) match {
-        case Seq(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
-          v.toString.toInt
-        case Seq() => 0
-        case other => sys.error(s"simhash48_portable part must be a literal, got $other")
-      }), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash96_portable",
-      exprs => SimHash96Portable(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("jaccard_sim",
-      exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-          v.toString.toInt
-        case other => sys.error(s"word_shingles n must be a literal, got $other")
-      }), "scala_udf")
-  }
+  /** SQL registration of the dedup kernels — DELEGATES to the single
+    * name→builder table in [[SqlRegistry]] (this method predates it;
+    * two hand-maintained tables drifted on literal coercion). Note the
+    * registry installs the WHOLE custom surface, which is a superset
+    * of what this method historically registered. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    SqlRegistry.install(spark)
 }

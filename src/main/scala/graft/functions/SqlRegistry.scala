@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL-name registration for the library's custom Catalyst functions —
   * the surface that makes every native kernel here reachable from pure
@@ -26,13 +26,18 @@ object SqlRegistry {
 
   private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)
+        if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be an INTEGER LITERAL (it sizes " +
         s"plan-time state), got $other")
   }
 
+  // 5-arg ExpressionInfo is (className, db, name, usage, arguments) —
+  // the 3-arg form is (className, db, NAME), which would garble
+  // DESCRIBE FUNCTION output (usage shown as the name)
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions", name, usage)
+    new ExpressionInfo("graft.functions", null, name, usage, "")
 
   /** (name, usage, builder) for every SQL-callable custom function. */
   val functions: Seq[(String, String, FunctionBuilder)] = Seq(
@@ -72,6 +77,20 @@ object SqlRegistry {
       "simhash64(shingles) - 64-bit SimHash of a shingle array " +
         "(xxhash64 domain)",
       (args: Seq[Expression]) => SimHash64(args(0))),
+    ("simhash128",
+      "simhash128(shingles) - 128-bit SimHash as two 64-bit words " +
+        "(the fast wide-banding signature)",
+      (args: Seq[Expression]) => SimHash128(args(0))),
+    ("simhash48_portable",
+      "simhash48_portable(shingles[, part]) - 48-bit md5-domain SimHash " +
+        "word (DuckDB-replayable); part selects the digest half",
+      (args: Seq[Expression]) => SimHash48Portable(args(0),
+        if (args.length > 1) intLit(args(1), "simhash48_portable", 1)
+        else 0)),
+    ("simhash96_portable",
+      "simhash96_portable(shingles) - fused 96-bit portable SimHash " +
+        "(both 48-bit words from ONE md5 digest per shingle)",
+      (args: Seq[Expression]) => SimHash96Portable(args(0))),
     ("jaccard_sim",
       "jaccard_sim(a, b) - exact Jaccard similarity of two arrays in " +
         "one fused hash-set pass",

@@ -73,8 +73,9 @@ object VectorExpressions {
     GraftShims.column(DotProduct(
       GraftShims.expression(a), GraftShims.expression(b)))
 
-  /** SQL registration: `SELECT dot_product(a, b)`. */
+  /** SQL registration: `SELECT dot_product(a, b)` — delegates to the
+    * single name→builder table in [[SqlRegistry]] (installs the whole
+    * custom surface; see SignatureExpressions.register). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    SqlRegistry.install(spark)
 }

@@ -31,6 +31,16 @@ object Bloom {
     * past that, prefer the exact-join path or shard the filter. */
   val MaxBits: Int = 1 << 28
 
+  /** A built filter: the bit words PLUS the probe count they were
+    * built with, bundled — a build/test `numHashes` mismatch would
+    * produce silent FALSE NEGATIVES (a never-set probe tests a present
+    * key negative), the one failure mode the prune-then-verify
+    * contract cannot tolerate, so the API makes it unrepresentable. */
+  final case class Filter(words: Array[Long], numHashes: Int) {
+    def numBits: Int = words.length * 64
+    def sizeBytes: Int = words.length * 8
+  }
+
   private def probes(h1: Column, numBits: Int, numHashes: Int): Seq[Column] = {
     // both hashes reduce mod numBits BEFORE combining: i·h2 on the raw
     // 64-bit values overflows a long (an ANSI-mode error); after
@@ -44,14 +54,15 @@ object Bloom {
     }
   }
 
-  /** Build the filter's word array from a DataFrame of key hashes
-    * (any 64-bit hash column). Distributed build: each probe becomes a
-    * `(word, mask)` row, `bit_or` combines map-side, and the driver
-    * collects AT MOST `numBits/64` rows (the filter size — NEVER the
-    * key count), then densifies. The returned array is the whole
-    * filter: `numBits/64` longs. */
+  /** Build a [[Filter]] from a DataFrame of key hashes (any 64-bit
+    * hash column; NULL hashes are dropped — the test side treats a
+    * null key as not-contained, so build and test stay symmetric).
+    * Distributed build: each probe becomes a `(word, mask)` row,
+    * `bit_or` combines map-side, and the driver collects AT MOST
+    * `numBits/64` rows (the filter size — NEVER the key count), then
+    * densifies. */
   def buildWords(hashes: DataFrame, hashCol: String, numBits: Int,
-      numHashes: Int = 3): Array[Long] = {
+      numHashes: Int = 3): Filter = {
     require(numBits >= 64 && numBits % 64 == 0,
       s"numBits must be a positive multiple of 64, got $numBits")
     require(numBits <= MaxBits,
@@ -65,24 +76,24 @@ object Bloom {
           pos.bitwiseAND(lit(63L)).cast("int")).as("mask"))
     }
     val rows = hashes
+      .where(col(hashCol).isNotNull)
       .select(explode(array(bits: _*)).as("b"))
       .groupBy(col("b.word"))
       .agg(expr("bit_or(b.mask)").as("bits"))
       .collect() // bounded by numBits/64 rows, documented above
     val words = new Array[Long](numBits / 64)
     rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
-    words
+    Filter(words, numHashes)
   }
 
   /** Membership test column over a key-hash column — pure builtins
-    * (element_at + shift + mask per probe), codegen'd, no UDF. `words`
-    * is embedded as an array literal in the plan: one copy per plan,
-    * shipped with the task closure like any literal. */
-  def mightContain(h1: Column, words: Array[Long],
-      numHashes: Int = 3): Column = {
-    val numBits = words.length * 64
-    val w = typedLit(words)
-    probes(h1, numBits, numHashes).map { pos =>
+    * (element_at + shift + mask per probe), codegen'd, no UDF. The
+    * filter's words are embedded as an array literal in the plan: one
+    * copy per plan, shipped with the task closure like any literal.
+    * A NULL key hash yields NULL (filters drop it = not contained). */
+  def mightContain(h1: Column, filter: Filter): Column = {
+    val w = typedLit(filter.words)
+    probes(h1, filter.numBits, filter.numHashes).map { pos =>
       call_function("shiftright",
         element_at(w, shiftright(pos, 6).cast("int") + lit(1)),
         pos.bitwiseAND(lit(63L)).cast("int"))

@@ -1180,10 +1180,10 @@ object Dedup {
     val benchGrams = benchmark
       .select(gramHashes.as("gram_h"))
       .distinct()
-    val words = Bloom.buildWords(benchGrams, "gram_h", numBits, numHashes)
+    val filter = Bloom.buildWords(benchGrams, "gram_h", numBits, numHashes)
     val contaminated = corpus
       .select(col(idCol).as("id"), gramHashes.as("gram_h"))
-      .filter(Bloom.mightContain(col("gram_h"), words, numHashes))
+      .filter(Bloom.mightContain(col("gram_h"), filter))
       .join(benchGrams, Seq("gram_h"))
       .select(col("id").as(idCol))
       .distinct()

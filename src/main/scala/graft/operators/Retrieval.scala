@@ -25,13 +25,16 @@ import graft.functions.BoundedMaxLongPairs.boundedMaxLongPairs
   *    Robertson–Spärck-Jones idf (quantized to factor-of-2 bands; the
   *    documented divergence from `ln`).
   *
-  * Scale shape: the corpus tokenizes ONCE; term frequencies are
-  * computed only for the query vocabulary (broadcast semi-join BEFORE
-  * the tf aggregation — the corpus never aggregates its full
-  * vocabulary); document frequencies derive from that tf table
-  * (per-term row count), so they too are query-vocabulary-sized and
-  * broadcast back. The only corpus-sized shuffles are the tf groupBy
-  * and the per-(query, doc) score sum. Top-k selection is the bounded
+  * Scale shape: two corpus passes — one tiny stats aggregate for the
+  * plan-time constants (N, avgdl, the overflow envelope), one scoring
+  * pass where doc length rides the exploded token rows (no separate
+  * dl branch, no corpus-sized dl join). Term frequencies are computed
+  * only for the query vocabulary (broadcast semi-join BEFORE the tf
+  * aggregation — the corpus never aggregates its full vocabulary);
+  * document frequencies derive from that tf table (per-term row
+  * count), so they too are query-vocabulary-sized and broadcast back.
+  * The only corpus-sized shuffles are the tf groupBy and the
+  * per-(query, doc) score sum. Top-k selection is the bounded
   * partial-aggregatable kernel ([[graft.functions.BoundedMaxLongPairs]])
   * — a stopword query whose candidate set is the whole corpus still
   * ships ≤ k pairs per map partition, no row_number window anywhere.
@@ -63,8 +66,12 @@ object Retrieval {
     val a = 100L * stats.getLong(1) / n
     val maxDl = stats.getAs[Number](2).longValue()
     // 22·tf·A·1000 must stay inside a long: tf ≤ maxDl, so gate the
-    // product loudly instead of dying in an opaque ANSI overflow
-    require(maxDl * a < (Long.MaxValue / 22000L),
+    // product loudly instead of dying in an opaque ANSI overflow. The
+    // comparison is in DIVISION form — the product form `maxDl * a`
+    // can itself wrap past 2^63 and sail under the bound in exactly
+    // the regime the guard exists to reject (a ≥ 100 always: every
+    // non-blank doc has ≥ 1 token)
+    require(maxDl <= Long.MaxValue / 22000L / a,
       s"bm25TopK: maxDl=$maxDl × A=$a would overflow the quantized tf " +
         "numerator — corpus doc lengths exceed the integer-exact envelope")
     require(n < (1L << 41),
@@ -75,19 +82,23 @@ object Retrieval {
         col(termCol).as("term"))
       .distinct()
     val qvocab = qterms.select(col("term")).distinct()
-    val toks = base.select(col("doc_id"), explode(col("__toks")).as("term"))
-    val dl = base.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"))
+    // ONE scoring-side tokenize: dl rides the exploded rows (constant
+    // per doc) and folds into the tf aggregate — carrying it as a
+    // separate `base` branch would re-tokenize the corpus AND shuffle
+    // a corpus-sized dl table into a join that tf (already
+    // query-vocabulary-restricted) doesn't need
+    val toks = base.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"),
+      explode(col("__toks")).as("term"))
     // tf restricted to the query vocabulary BEFORE aggregating: the
     // corpus's full vocabulary never shuffles
     val tf = toks.join(broadcast(qvocab), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     // per-term doc frequency — one row per query-vocabulary term
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val cand = tf
       .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .join(broadcast(qterms), Seq("term"))
       .withColumn("tfq", expr(
         s"(22L * tf * ${a}L * 1000L) div " +

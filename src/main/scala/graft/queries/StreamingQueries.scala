@@ -228,7 +228,8 @@ object StreamingQueries {
       |    event_type,
       |    CAST(md5_number_upper(CAST(user_id AS VARCHAR))
       |         & 281474976710655 AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events
+      |  WHERE user_id IS NOT NULL),
       |rk AS (SELECT *, row_number() OVER
       |         (PARTITION BY window_start, event_type ORDER BY h) AS rn
       |       FROM h),

@@ -59,6 +59,19 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("null hashes: dropped at build, not-contained at test (symmetric)") {
+    val keys = spark.range(1000)
+      .select(when($"id" % 10 === 0, lit(null).cast("long"))
+        .otherwise(xxhash64($"id")).as("h"))
+    val f = operators.Bloom.buildWords(keys, "h", 1 << 14)
+    // build didn't NPE and every NON-null key still passes
+    val pass = keys.filter(operators.Bloom.mightContain($"h", f)).count()
+    assert(pass == 900L)
+    // a null test-side hash is not-contained, mirroring the build drop
+    val nullRow = Seq[Option[Long]](None).toDF("h")
+    assert(nullRow.filter(operators.Bloom.mightContain($"h", f)).count() == 0L)
+  }
+
   test("membership is pure codegen'd builtins — no UDF in the plan") {
     val keys = spark.range(100).select(xxhash64($"id").as("h"))
     val words = operators.Bloom.buildWords(keys, "h", 1 << 10)
