@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Completeness, MoreRelational, Relational, StreamingQueries, TrainingData}
+import graft.queries.{Advanced, Analytics, Completeness, MoreRelational, Relational, StreamingQueries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -107,6 +107,10 @@ object SparkEntry {
     "q87_chunking"        -> (TrainingData.q87Chunking _),
     "q88_bm25_topk"       -> (TrainingData.q88Bm25 _),
     "q89_stream_kmv"      -> (StreamingQueries.q89StreamKmv _),
+    "q90_bucketed_join"   -> (Analytics.q90BucketedJoin _),
+    "q91_tfidf_terms"     -> (Analytics.q91TfidfTerms _),
+    "q92_pagerank"        -> (Analytics.q92PageRank _),
+    "q93_funnel"          -> (Analytics.q93Funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +263,18 @@ object SparkEntry {
     // q89: streaming KMV cardinality monitor — bounded sketch state in
     // the stream; the oracle rebuilds the same sketch batch-side.
     "q89_stream_kmv"      -> StreamingQueries.q89Sql,
+    // q90: a REAL bucketed-table round trip (both sides written as
+    // 8-bucket sorted external tables, joined exchange-free); the
+    // oracle is the plain join — bucketing must be result-invisible.
+    "q90_bucketed_join"   -> Analytics.q90Sql,
+    // q91: TF-IDF keyword extraction in the same quantized-integer
+    // idf domain as q88's BM25 — exact 64-bit scores replay directly.
+    "q91_tfidf_terms"     -> Analytics.q91Sql,
+    // q92: integer-exact PageRank — five floor-arithmetic iterations
+    // unrolled as chained CTEs, bit-identical in any engine.
+    "q92_pagerank"        -> Analytics.q92Sql,
+    // q93: ordered-step funnel — greedy earliest-first subsequence
+    // matching, replayed as chained min-after joins.
+    "q93_funnel"          -> Analytics.q93Sql,
   )
 }

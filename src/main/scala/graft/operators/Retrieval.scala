@@ -116,4 +116,62 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("score"))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` most characteristic terms
+    * per document — `(doc_id, rank, term, score)`, rank 1..k by
+    * `(score DESC, term-hash ASC)`.
+    *
+    * The corpus-wide inversion of [[bm25TopK]]: BM25 scores docs for a
+    * few queries (tf restricted to the query vocabulary before any
+    * shuffle); this tags EVERY doc with its top terms, so the full
+    * vocabulary aggregates — tf by (doc, term), df by term — and the
+    * idf reuses the same log2-quantized integer band
+    * (`length(bin(((2N−2df+1)·2²⁰) div (2df+1)))`, the
+    * Robertson–Spärck-Jones form) so the two operators score in ONE
+    * shared integer domain. `score = tf · idfq` — exact 64-bit
+    * arithmetic end to end, no `ln`, hash-replayable in any engine.
+    *
+    * Scale shape: tf and df are plain hash aggregates with map-side
+    * combine (vocabulary shuffles once, as counts — never as raw
+    * token rows twice); per-doc selection is the bounded
+    * partial-aggregatable top-k kernel, NOT a row_number window over
+    * (doc, term) — a boilerplate-heavy doc with 10⁶ distinct terms
+    * ships ≤ k pairs per map partition. Term identity crosses the
+    * bounded kernel as the portable 48-bit md5 hash
+    * ([[Sampling.portableHash48]]) and the string is joined back from
+    * the df table afterwards; a 48-bit collision between two terms of
+    * the SAME doc could tie their order (probability ~V²/2⁴⁹ per doc —
+    * negligible, documented).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+    val n = base.count() // 1-row driver action for the idf constant
+    require(n > 0, "tfIdfTopTerms: empty corpus (all docs blank)")
+    require(n < (1L << 41),
+      s"tfIdfTopTerms: N=$n docs overflows the quantized idf numerator")
+    val tf = base
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("term_id", Sampling.portableHash48(col("term")))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("idfq", expr(
+        s"length(bin(((2L * ${n}L - 2L * df + 1L) * 1048576L) div " +
+          "(2L * df + 1L)))").cast("long"))
+      .withColumn("score", col("tf") * col("idfq"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(boundedMaxLongPairs(col("score"), col("term_id"), k).as("__ps"))
+      .select(col("doc_id"), posexplode(col("__ps")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("term_id"), col("col.score").as("score"))
+      .join(dfreq.select(col("term_id"), col("term")), Seq("term_id"))
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
 }

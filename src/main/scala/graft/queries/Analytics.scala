@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.OracleMath.Dec
+import graft.operators.{Funnel, Graph, Retrieval, Sampling}
+import graft.sources.Lake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 analytics surface: bucketed co-located joins, TF-IDF
+  * keyword extraction, integer-exact PageRank, and ordered-step funnel
+  * analysis. Each query is oracle-backed (DuckDB replays the identical
+  * integer/timestamp arithmetic) and each underlying operator carries
+  * its own 100 TB scale contract in its scaladoc
+  * ([[graft.sources.Lake.writeBucketed]], [[Retrieval.tfIdfTopTerms]],
+  * [[graft.operators.Graph.pageRankInt]],
+  * [[graft.operators.Funnel.funnelTimes]]).
+  */
+object Analytics {
+
+  /** The bucketed orders ⋈ lineitem join (pre-aggregate), split out so
+    * the spec can plan-gate the exchange-free SortMergeJoin the
+    * bucketing buys. Writes both sides as bucketed external tables
+    * under `base` and joins them through the catalog. */
+  private[graft] def bucketedOrdersItems(s: SparkSession, dir: String,
+      tag: String, base: String): DataFrame = {
+    import s.implicits._
+    val to = s"g90_orders_$tag"
+    val tl = s"g90_items_$tag"
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+    val l = Tables.lineitem(s, dir).select(
+      $"l_orderkey".as("o_orderkey"), $"l_extendedprice", $"l_discount")
+    Lake.writeBucketed(o, to, "o_orderkey", 8, path = Some(s"$base/o"))
+    Lake.writeBucketed(l, tl, "o_orderkey", 8, path = Some(s"$base/l"))
+    // merge hint: the point is the bucketed sort-merge path (exchange-
+    // and sort-free join), not a broadcast that happens to fit at test SF
+    s.table(to).hint("merge").join(s.table(tl), "o_orderkey")
+  }
+
+  /** Bucketed co-located join (SURVEY §2.6 scale path): both join
+    * sides pre-hashed into the same 8 sorted buckets on the join key,
+    * so the join runs with NO exchange and NO sort — the layout
+    * investment that turns every recurring 100 TB fact-fact join into
+    * a local zip of sorted bucket files. Correctness gate: revenue per
+    * order priority must equal the plain (unbucketed) join's answer. */
+  def q90BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q90_bucketed").toString
+    try {
+      bucketedOrdersItems(s, dir, tag, base)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          floor(sum($"l_extendedprice".cast(Dec) *
+            (lit(1).cast(Dec) - $"l_discount".cast(Dec))) * 100)
+            .cast("long").as("revenue_cents"))
+        .orderBy($"o_orderpriority")
+        .localCheckpoint()
+    } finally {
+      for (t <- Seq(s"g90_orders_$tag", s"g90_items_$tag"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q90Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TF-IDF keyword extraction: top-3 characteristic terms per doc in
+    * the shared quantized-integer idf domain of q88's BM25. */
+  def q91TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.tfIdfTopTerms(Tables.documents(s, dir), k = 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val q91Sql: String = {
+    val hash = Sampling.portableHash48Sql("term")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE trim(text) <> ''),
+       |consts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+       |  GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    $hash AS term_id
+       |  FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, d.term_id,
+       |    tf.tf * CAST(length(bin(((2 * c.n - 2 * d.df + 1) * 1048576)
+       |      // (2 * d.df + 1))) AS BIGINT) AS score
+       |  FROM tf JOIN dfreq d USING (term) CROSS JOIN consts c),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY doc_id ORDER BY score DESC, term_id) AS rnk
+       |      FROM scored)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, score
+       |FROM r WHERE rnk <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Supplier-node offset separating the two halves of the bipartite
+    * customer↔supplier graph (custkeys stay far below it at any SF). */
+  private val SuppBase = 1000000000L
+
+  /** Integer-exact PageRank over the bipartite customer↔supplier
+    * trade graph (edges = distinct (customer, supplier) pairs through
+    * orders⋈lineitem, symmetrized): the top-25 supplier nodes by
+    * authority. Every iteration is 64-bit floor arithmetic, so five
+    * iterations replay bit-for-bit in DuckDB. */
+  def q92PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+    val edges = pairs
+      .select($"cust".as("src"), ($"supp" + lit(SuppBase)).as("dst"))
+      .union(pairs
+        .select(($"supp" + lit(SuppBase)).as("src"), $"cust".as("dst")))
+    // pairs is distinct and the two directions live in disjoint id
+    // ranges, so the edge list is already duplicate-free
+    Graph.pageRankInt(edges, iters = 5, dedupEdges = false)
+      .filter($"node" >= SuppBase)
+      .orderBy($"rank".desc, $"node")
+      .limit(25)
+  }
+
+  val q92Sql: String = {
+    def iter(k: Int): String =
+      s"""it$k AS (
+         |  SELECT n.node,
+         |    CAST(c.base + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n CROSS JOIN consts c
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS contrib
+         |    FROM e
+         |    JOIN deg d ON e.src = d.src
+         |    JOIN it${k - 1} r ON r.node = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT CAST(cust AS BIGINT) AS src,
+       |    CAST($SuppBase + supp AS BIGINT) AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT CAST($SuppBase + supp AS BIGINT) AS src,
+       |    CAST(cust AS BIGINT) AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+       |        FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |consts AS (
+       |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+       |    CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT)
+       |      AS base
+       |  FROM nodes),
+       |it0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN consts),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM it5 WHERE node >= $SuppBase
+       |ORDER BY rank DESC, node
+       |LIMIT 25""".stripMargin
+  }
+
+  /** The funnel's step sequence and observation window (the window
+    * keeps per-user event counts small enough that stall depths vary
+    * at test SF; both engines apply the identical bound). */
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+  private val FunnelEnd = "2024-01-05 00:00:00"
+
+  /** Ordered-step funnel: for each user entering at `signup`, the
+    * earliest strictly-increasing completion times through
+    * view → click → purchase, plus the reached depth. */
+  def q93Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"ts" < lit(FunnelEnd).cast("timestamp"))
+    // epoch-µs output: timestamps hash-compare across engines only up
+    // to their parquet physical unit; integers don't care
+    Funnel.funnelTimes(ev, "user_id", "ts", "event_type", FunnelSteps)
+      .select($"user_id" +: (1 to FunnelSteps.size)
+        .map(k => expr(s"unix_micros(t$k)").as(s"t${k}_us")) :+ $"depth": _*)
+      .orderBy($"user_id")
+  }
+
+  val q93Sql: String = {
+    val steps = FunnelSteps
+    val chain = (2 to steps.size).map { k =>
+      s"""s$k AS (
+         |  SELECT e.user_id, min(e.ts) AS t$k
+         |  FROM ev e JOIN s${k - 1} ON s${k - 1}.user_id = e.user_id
+         |  WHERE e.event_type = '${steps(k - 1)}'
+         |    AND e.ts > s${k - 1}.t${k - 1}
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_type FROM events
+       |  WHERE ts < TIMESTAMP '$FunnelEnd'),
+       |s1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM ev
+       |  WHERE event_type = '${steps.head}' GROUP BY 1),
+       |$chain
+       |SELECT s1.user_id,
+       |  epoch_us(s1.t1) AS t1_us, epoch_us(s2.t2) AS t2_us,
+       |  epoch_us(s3.t3) AS t3_us, epoch_us(s4.t4) AS t4_us,
+       |  CAST(CASE WHEN t4 IS NOT NULL THEN 4
+       |            WHEN t3 IS NOT NULL THEN 3
+       |            WHEN t2 IS NOT NULL THEN 2
+       |            ELSE 1 END AS BIGINT) AS depth
+       |FROM s1
+       |LEFT JOIN s2 USING (user_id)
+       |LEFT JOIN s3 USING (user_id)
+       |LEFT JOIN s4 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
+}

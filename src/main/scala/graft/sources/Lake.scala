@@ -35,19 +35,40 @@ object Lake {
   def readEvolving(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
-  /** Write as a BUCKETED table (hash-bucketed + sorted by `key` into
-    * `nBuckets` files per partition, registered in the session
-    * catalog). Two tables bucketed the same way join WITHOUT a
-    * shuffle — at 100 TB, pre-bucketing the fact tables on their join
-    * key turns every recurring join into a local zip of sorted
-    * buckets. */
+  /** Write as a BUCKETED table (hash-bucketed + sorted by `key`,
+    * registered in the session catalog). Two tables bucketed the same
+    * way join WITHOUT a shuffle — at 100 TB, pre-bucketing the fact
+    * tables on their join key removes the dominant cost of every
+    * recurring join (gated by AnalyticsSpec's q90 plan check: a
+    * SortMergeJoin with zero Exchange of any kind).
+    *
+    * SORT CONTRACT: the files are written key-sorted and single-file-
+    * per-bucket, but Spark ≥ 3.0 deliberately does not trust
+    * write-time order on read (a bucket that ever gains a second file
+    * would silently break the merge) — so the join still plans a LOCAL
+    * per-bucket sort: linear in-task work over already-sorted runs, no
+    * exchange. Sessions that guarantee single-file buckets can opt
+    * into sort-free scans with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`; the
+    * library does not set it for you, because under multi-file buckets
+    * that flag produces WRONG JOINS, not slow ones. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int, mode: String = "overwrite"): Unit =
-    df.write.mode(mode)
+      nBuckets: Int, mode: String = "overwrite",
+      path: Option[String] = None): Unit = {
+    // pre-shuffle into the bucket layout (same Murmur3 hash the bucket
+    // spec uses) so every bucket is written by exactly ONE task → ONE
+    // file: Spark's scan only trusts the per-bucket sort order when a
+    // bucket is a single file, so multi-file buckets would re-Sort on
+    // read and the sortBy investment buys nothing
+    val w = df.repartition(nBuckets, col(key)).write.mode(mode)
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // an explicit path makes the table EXTERNAL (data outlives / lives
+    // outside the session warehouse) — lets ephemeral jobs bucket into
+    // scratch space without touching spark-warehouse
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Latest-wins upsert (MERGE) of keyed updates into a
     * date-partitioned lake: rewrites ONLY the partitions an update

@@ -1,0 +1,198 @@
+package graft
+
+import graft.operators.{Funnel, Graph, Retrieval}
+import graft.queries.Analytics
+import org.apache.spark.sql.functions._
+
+/** Round-10 analytics operators: bucketed co-located join, integer
+  * PageRank, funnel matching, TF-IDF keyword extraction. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // ---- bucketed join -------------------------------------------------
+
+  test("q90 core: bucketed join is a SortMergeJoin with no exchange " +
+      "and matches the plain join") {
+    val tag = "spec" + System.nanoTime().toString.takeRight(8)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_spec_bucketed").toString
+    try {
+      val j = Analytics.bucketedOrdersItems(spark, sf, tag, base)
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p)
+      // NO exchange of any kind: not the hash shuffle bucketing
+      // replaces, and not a broadcast standing in for it
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // the residual per-bucket Sort must be LOCAL (global=false in
+      // `Sort [...], false, 0`) — Spark ≥3.0 re-sorts bucket files
+      // within a task rather than trusting write-time order (see
+      // Lake.writeBucketed's contract), which is linear local work,
+      // not a shuffle
+      assert(!p.contains("], true, 0"), p)
+      val plain = Tables.orders(spark, sf)
+        .select($"o_orderkey", $"o_orderpriority")
+        .join(Tables.lineitem(spark, sf)
+          .select($"l_orderkey".as("o_orderkey"), $"l_extendedprice"),
+          "o_orderkey")
+        .count()
+      assert(j.count() === plain)
+    } finally {
+      for (t <- Seq(s"g90_orders_$tag", s"g90_items_$tag"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  // ---- integer PageRank ----------------------------------------------
+
+  /** JVM reference model: same integer recurrence, plain loops. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long, dampNum: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val init = scale / nodes.size
+    val base = (100L - dampNum) * init / 100L
+    var ranks = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- edges)
+        contrib(d) += ranks(s) / outDeg(s)
+      ranks = nodes.map(n => n -> (base + dampNum * contrib(n) / 100L)).toMap
+    }
+    ranks
+  }
+
+  test("pageRankInt: bit-identical to the JVM integer reference model") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (4L, 1L))
+    val got = Graph.pageRankInt(edges.toDF("src", "dst"), iters = 4,
+        scale = 400000L, dedupEdges = false)
+      .as[(Long, Long)].collect().toMap
+    val want = refPageRank(edges, iters = 4, scale = 400000L, dampNum = 85L)
+    assert(got === want)
+    // node 4 is dangling-in (nothing points at it): base mass only
+    assert(got(4L) === (15L * (400000L / 4)) / 100L)
+  }
+
+  test("pageRankInt: deterministic under repartitioning, parallel " +
+      "edges collapse under dedupEdges") {
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRankInt(e, 3, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankInt(e.repartition(7), 3, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // deduped: symmetric 2-cycle → ranks equal
+    assert(a(1L) === a(2L))
+    // NOT deduped: 1→2 twice means node 1 splits mass across 2 edges
+    // (out_deg 2), each carrying rank/2 — the multigraph semantics
+    val m = Graph.pageRankInt(e, 3, scale = 1000000L, dedupEdges = false)
+      .as[(Long, Long)].collect().toMap
+    val mRef = refPageRank(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 3,
+      1000000L, 85L)
+    assert(m === mRef)
+  }
+
+  test("pageRankInt: guards fire loudly") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(e, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      // 2 nodes at scale 100 → 50 units each, under the precision floor
+      Graph.pageRankInt(e, iters = 1, scale = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(e, iters = 1, dampNum = 101L)
+    }
+  }
+
+  // ---- funnel --------------------------------------------------------
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("funnelTimes: greedy strictly-after matching, stalls, and " +
+      "non-entrants") {
+    val ev = Seq(
+      // u1 completes A→B→C in order
+      (1L, ts(1000), "A"), (1L, ts(2000), "B"), (1L, ts(3000), "C"),
+      // u2: B before A must NOT count; the later B does
+      (2L, ts(1000), "B"), (2L, ts(2000), "A"), (2L, ts(3000), "B"),
+      // u3 enters and stalls at depth 1
+      (3L, ts(5000), "A"),
+      // u4 never does A → absent from the funnel
+      (4L, ts(1000), "B"), (4L, ts(2000), "C"),
+      // u5: B at the SAME instant as A is not strictly after
+      (5L, ts(1000), "A"), (5L, ts(1000), "B")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelTimes(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"))
+      .orderBy($"user_id")
+      .select($"user_id", $"t1".cast("long"), $"t2".cast("long"),
+        $"t3".cast("long"), $"depth")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L, 3L, 3L),
+      (2L, 2L, 3L, -1L, 2L),
+      (3L, 5L, -1L, -1L, 1L),
+      (5L, 1L, -1L, -1L, 1L)))
+  }
+
+  test("funnelTimes: duplicate step names rejected") {
+    val ev = Seq((1L, ts(0), "A")).toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Funnel.funnelTimes(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "A"))
+    }
+  }
+
+  // ---- TF-IDF --------------------------------------------------------
+
+  test("tfIdfTopTerms: exact quantized scores, short docs, blank docs") {
+    val docs = Seq(
+      (1L, "rare the the"),
+      (2L, "the common"),
+      (3L, "the common"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.tfIdfTopTerms(docs, k = 3)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // N=3 (blank doc excluded); df: the=3, rare=1, common=2
+    // idfq: df=3 → bits(1048576//7=149796)=18; df=1 → bits(5242880//3
+    //   =1747626)=21; df=2 → bits(3145728//5=629145)=20
+    assert(got === Seq(
+      (1L, 1L, "the", 36L),  // tf 2 × 18
+      (1L, 2L, "rare", 21L), // tf 1 × 21
+      (2L, 1L, "common", 20L),
+      (2L, 2L, "the", 18L),
+      (3L, 1L, "common", 20L),
+      (3L, 2L, "the", 18L)))
+  }
+
+  test("tfIdfTopTerms: stable under repartitioning (bounded aggregate " +
+      "ties break on the portable term hash)") {
+    val docs = Tables.documents(spark, sf)
+    val a = Retrieval.tfIdfTopTerms(docs, 3)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val b = Retrieval.tfIdfTopTerms(docs.repartition(13), 3)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
