@@ -111,6 +111,7 @@ object SparkEntry {
     "q91_tfidf_terms"     -> (Analytics.q91TfidfTerms _),
     "q92_pagerank"        -> (Analytics.q92PageRank _),
     "q93_funnel"          -> (Analytics.q93Funnel _),
+    "q94_pq_ann"          -> (Analytics.q94PqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,5 +277,8 @@ object SparkEntry {
     // q93: ordered-step funnel — greedy earliest-first subsequence
     // matching, replayed as chained min-after joins.
     "q93_funnel"          -> Analytics.q93Sql,
+    // q94: PQ-ADC search at pool = corpus ≡ exact brute force (the
+    // q65 full-probe convention); small-pool recall is spec-pinned.
+    "q94_pq_ann"          -> Analytics.q94Sql,
   )
 }

@@ -366,4 +366,164 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfTopK(queries, corpus, k, dim, centroids.size, nProbe, idCol, vecCol,
       Some(centroids))
+
+  // ---- product quantization ------------------------------------------
+
+  /** L2 nearest-centroid index for a subvector: argmin ‖x−c‖² ≡ argmax
+    * (2·x·c − ‖c‖²) — the ‖c‖² bias is a driver-side constant, so the
+    * whole assignment is `nCent` native dot products + a stable
+    * array_sort (ties → lowest cell index, deterministic anywhere). */
+  private def l2ArgminCell(sub: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val nsq = c.map(x => x * x).sum
+      struct((dot(sub, constVec(c)) * 2 - lit(nsq)).as("score"),
+        lit(i).as("cell"))
+    }
+    element_at(array_sort(array(scored: _*),
+      (l, r) => when(l("score") > r("score"), -1)
+        .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell")
+  }
+
+  /** Unit-normalized (id, vec) projection shared by the PQ paths —
+    * zero-norm / non-finite vectors cannot be normalized and are
+    * excluded (the same contract as [[kmeansCentroids]]). */
+  private def unitVectors(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
+      .withColumn("nrm", norm(col("raw")))
+      .filter(col("nrm") > 0 && !isnan(col("nrm")) &&
+        col("nrm") < lit(Double.PositiveInfinity))
+      .select(col("id"), col("raw"),
+        transform(col("raw"), x => x / col("nrm")).as("vec"))
+
+  /** Train PQ sub-codebooks: split the (unit-normalized) vectors into
+    * `m` contiguous subspaces of `dim/m` dims and run plain L2 Lloyd's
+    * k-means in each — all `m` subspaces trained in the SAME Spark
+    * jobs (one assignment projection + one
+    * [[graft.functions.VectorDecimalSum]] aggregate per iteration,
+    * never m separate passes). Deterministic: seeds are the subvectors
+    * of the `nCent` lowest-id vectors, means are exact decimal sums
+    * (bit-identical under any partitioning), ties assign to the lowest
+    * cell. Driver-side state is the m×nCent×(dim/m) codebook itself —
+    * a few KB at any corpus scale.
+    *
+    * @return codebooks(s)(cell) = centroid of subspace s */
+  def pqCodebooks(vectors: DataFrame, dim: Int, m: Int, nCent: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nCent >= 1 && iters >= 0, "nCent and iters must be positive")
+    val subDim = dim / m
+    val v = unitVectors(vectors, idCol, vecCol)
+    val seeds = v.orderBy(col("id")).limit(nCent)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.size == nCent,
+      s"pqCodebooks: need >= $nCent non-zero vectors to seed")
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val subs = v.select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("vec"), s * subDim + 1, subDim).as("subvec"))): _*))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.subvec").as("subvec"))
+    for (_ <- 1 to iters) {
+      val assign = coalesce((0 until m).map(s =>
+        when(col("s") === s, l2ArgminCell(col("subvec"), books(s)))): _*)
+      val means = subs.withColumn("cell", assign)
+        .groupBy(col("s"), col("cell"))
+        .agg(graft.functions.VectorAggregates
+            .vectorDecimalSum(col("subvec"), subDim).as("sum"),
+          count(lit(1)).cast(DoubleType).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getSeq[Double](2), r.getDouble(3))))
+        .toMap
+      books = books.zipWithIndex.map { case (cents, s) =>
+        cents.zipWithIndex.map { case (old, c) =>
+          means.get((s, c)) match {
+            // plain L2 mean — NOT re-normalized (subvectors of a unit
+            // vector are not unit; spherical renorm would bias them)
+            case Some((sums, cnt)) => (0 until subDim).map(d => sums(d) / cnt)
+            case None => old
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ code column for a normalized vector: `array<int>` of length m,
+    * codes(s) = nearest centroid of subspace s. 8-bit codes compress a
+    * 64-dim float vector 32× — the storage/bandwidth lever that makes
+    * billion-vector ANN fit a cluster's memory. */
+  private def pqCodes(vec: Column, books: Seq[Seq[Seq[Double]]],
+      subDim: Int): Column =
+    array(books.zipWithIndex.map { case (cents, s) =>
+      l2ArgminCell(slice(vec, s * subDim + 1, subDim), cents)
+    }: _*)
+
+  /** PQ-ADC top-k search: corpus vectors quantized to `m` small codes;
+    * each query precomputes an m×nCent table of subspace dot products
+    * (asymmetric distance computation) and scores a corpus row with m
+    * table LOOKUPS instead of a dim-wide dot product; the best `pool`
+    * candidates per query (bounded partial-aggregatable kernel — no
+    * window over the corpus) are re-ranked with the EXACT cosine of
+    * the raw vectors, so precision of the final top-k comes from the
+    * re-rank and the codes only steer candidate generation.
+    *
+    * At `pool` ≥ corpus size the candidate stage passes everything and
+    * the result is EXACTLY brute force ([[bruteForceTopK]]'s contract,
+    * same scoring + tie-break) — the oracle gate. At realistic pools
+    * the ADC scan reads 8 bytes of codes per corpus row instead of
+    * 256+ bytes of floats: the 100 TB story is memory-bandwidth
+    * compression, measured in ScaleBench.
+    *
+    * The ADC tables ride the (broadcast) query rows as literal-free
+    * Column expressions — nothing is collected to the driver. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      books: Seq[Seq[Seq[Double]]], pool: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
+    val m = books.size
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(pool >= k, s"pool=$pool must cover k=$k")
+    val subDim = dim / m
+    // corpus projection feeds the ADC scan AND the re-rank join
+    val c = Hydration.persist(unitVectors(corpus, idCol, vecCol)
+      .withColumn("codes", pqCodes(col("vec"), books, subDim))
+      .select(col("id").as("n_id"), col("raw").as("n_raw"), col("codes")))
+    val q = unitVectors(queries, idCol, vecCol)
+      .withColumn("tbl", array(books.zipWithIndex.map { case (cents, s) =>
+        array(cents.map(cent =>
+          dot(slice(col("vec"), s * subDim + 1, subDim), constVec(cent))): _*)
+      }: _*))
+      .select(col("id").as("q_id"), col("raw").as("q_raw"), col("tbl"))
+    val qSide =
+      if (fitsBroadcast(q, broadcastLimit)) broadcast(q)
+      else q.hint("shuffle_replicate_nl")
+    val approx = c.select(col("n_id"), col("codes"))
+      .join(qSide.select(col("q_id"), col("tbl")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("tbl"),
+          (code, t) => element_at(t, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val cand = approx
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedMaxByScore
+        .boundedMaxByScore(col("adc"), col("n_id"), pool).as("__ids"))
+      .select(col("q_id"), explode(col("__ids")).as("n_id"))
+    val rer = cand
+      .join(c.select(col("n_id"), col("n_raw")), Seq("n_id"))
+      .join(qSide.select(col("q_id"), col("q_raw")), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_raw"), col("n_raw")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val out = rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+      .localCheckpoint()
+    c.unpersist()
+    out
+  }
 }

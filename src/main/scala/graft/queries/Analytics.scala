@@ -174,6 +174,37 @@ object Analytics {
        |LIMIT 25""".stripMargin
   }
 
+  /** Product-quantization ANN (q94): corpus compressed to 8 one-byte
+    * codes per vector (32× the 64-dim float payload), candidates from
+    * the ADC table-lookup scan through the bounded top-pool kernel,
+    * exact cosine re-rank on the raw vectors. Run at pool = corpus the
+    * result is EXACTLY brute force — the same oracle family as q65's
+    * full-probe trained IVF; realistic-pool recall is spec-pinned and
+    * ScaleBench-measured. */
+  def q94PqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val books = graft.operators.Similarity
+      .pqCodebooks(emb, dim = 64, m = 8, nCent = 16, iters = 2)
+    graft.operators.Similarity.pqTopK(
+        emb.filter($"vec_id" < 5), emb, k = 10, dim = 64, books,
+        pool = emb.count().toInt)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q94Sql: String =
+    """SELECT q_id, rank, n_id, score FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) DESC, c.vec_id ASC) AS rank
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |  JOIN embeddings c ON q.vec_id <> c.vec_id
+      |) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** The funnel's step sequence and observation window (the window
     * keeps per-user event counts small enough that stall depths vary
     * at test SF; both engines apply the identical bound). */

@@ -183,6 +183,57 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 2L, "the", 18L)))
   }
 
+  // ---- product quantization ------------------------------------------
+
+  test("pqTopK: full pool is EXACTLY brute force; codebooks train " +
+      "deterministically under repartitioning") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val books = Similarity.pqCodebooks(emb, dim = 64, m = 8, nCent = 16,
+      iters = 2)
+    assert(books.size === 8 && books.forall(_.size === 16) &&
+      books.forall(_.forall(_.size === 8)))
+    val books2 = Similarity.pqCodebooks(emb.repartition(7), dim = 64,
+      m = 8, nCent = 16, iters = 2)
+    assert(books === books2)
+    val q = emb.filter($"vec_id" < 3)
+    val pq = Similarity.pqTopK(q, emb, k = 5, dim = 64, books, pool = n)
+      .orderBy($"q_id", $"rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5)
+      .orderBy($"q_id", $"rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pq === bf)
+  }
+
+  test("pqTopK: a planted duplicate vector is retrieved at rank 1 " +
+      "through a SMALL candidate pool") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact copy of vector 7 under a fresh id
+    val dup = emb.filter($"vec_id" === 7)
+      .withColumn("vec_id", lit(900000L))
+    val corpus = emb.unionByName(dup)
+    val books = Similarity.pqCodebooks(emb, 64, 8, 16, iters = 1)
+    val got = Similarity.pqTopK(emb.filter($"vec_id" === 7), corpus,
+        k = 1, dim = 64, books, pool = 16)
+      .select($"n_id", $"score").as[(Long, Double)].collect()
+    assert(got.toSeq === Seq((900000L, 1.0)))
+  }
+
+  test("pqTopK/pqCodebooks: shape guards fire") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, dim = 64, m = 7, nCent = 4, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb.limit(1), emb, k = 50, dim = 64,
+        Seq.fill(8)(Seq.fill(4)(Seq.fill(8)(0.0))), pool = 10)
+    }
+  }
+
   test("tfIdfTopTerms: stable under repartitioning (bounded aggregate " +
       "ties break on the portable term hash)") {
     val docs = Tables.documents(spark, sf)
