@@ -103,6 +103,17 @@ object ScaleBench {
     edgeFrame(1200000L * factor).write.mode("overwrite")
       .parquet(s"$scratch/edges")
 
+    // embeddings amplified with fresh ids (identical vectors — ANN cost
+    // depends on row count and dims, not vector novelty)
+    val emb = Tables.embeddings(spark, sf)
+    emb.write.mode("overwrite").parquet(s"$scratch/embeddings_x1")
+    emb.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .select(($"vec_id" * factor + $"copy").as("vec_id"),
+        $"embedding", $"label")
+      .write.mode("overwrite").parquet(s"$scratch/embeddings")
+    val emb1 = spark.read.parquet(s"$scratch/embeddings_x1")
+    val embN = spark.read.parquet(s"$scratch/embeddings")
+
     val events1 = spark.read.parquet(s"$scratch/events_x1")
     val li1 = spark.read.parquet(s"$scratch/lineitem_x1")
     val edges1 = spark.read.parquet(s"$scratch/edges_x1")
@@ -297,7 +308,43 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Retrieval.bm25TopK(
           d, graft.queries.TrainingData.Bm25Queries.toDF("query_id", "term"),
           10).count(),
-        docs1, docsN))
+        docs1, docsN),
+      // q92's engine over the SAME diameter-63 chain graphs as the CC
+      // row: per-iteration cost is one edge join + one aggregate, so
+      // the ratio must track edge count — a super-linear drift here
+      // means the rank/degree hydration or checkpoint hygiene broke
+      ("pagerank_int",
+        (d: DataFrame) => graft.operators.Graph.pageRankInt(
+          d.select($"id_a".as("src"), $"id_b".as("dst")),
+          iters = 3, dedupEdges = false).count(),
+        edges1, edgesN),
+      // q93: each step is a filtered-scan aggregate keyed on user —
+      // amplified copies add users (copy-offset ids), so the ratio
+      // tracks the event scan with O(1) state per user per step
+      ("funnel_4step",
+        (d: DataFrame) => graft.operators.Funnel.funnelTimes(
+          d, "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase")).count(),
+        events1, eventsN),
+      // q91: corpus-wide tf/df aggregates + the bounded per-doc top-k
+      // kernel; the amplified vocabulary grows (unique copy suffixes),
+      // so a linear ratio means df aggregation scales with tokens, not
+      // with vocabulary² anywhere
+      ("tfidf_topterms",
+        (d: DataFrame) => graft.operators.Retrieval
+          .tfIdfTopTerms(d, 3).count(),
+        docs1, docsN),
+      // q94 at a REALISTIC pool (100 of corpus): one training step +
+      // the 8-byte-per-row ADC scan + bounded pool + pool-sized exact
+      // re-rank; ratio tracks the corpus scan
+      ("pq_ann_pool100",
+        (d: DataFrame) => {
+          val books = graft.operators.Similarity
+            .pqCodebooks(d, 64, 8, 16, iters = 1)
+          graft.operators.Similarity.pqTopK(
+            d.filter($"vec_id" < 3), d, 10, 64, books, pool = 100).count()
+        },
+        emb1, embN))
 
     // warm-up
     docsN.count(); events1.count(); eventsN.count()

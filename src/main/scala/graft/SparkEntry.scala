@@ -112,6 +112,8 @@ object SparkEntry {
     "q92_pagerank"        -> (Analytics.q92PageRank _),
     "q93_funnel"          -> (Analytics.q93Funnel _),
     "q94_pq_ann"          -> (Analytics.q94PqAnn _),
+    "q95_zorder_skipping" -> (Analytics.q95ZorderSkipping _),
+    "q96_profile"         -> (Analytics.q96Profile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -280,5 +282,12 @@ object SparkEntry {
     // q94: PQ-ADC search at pool = corpus ≡ exact brute force (the
     // q65 full-probe convention); small-pool recall is spec-pinned.
     "q94_pq_ann"          -> Analytics.q94Sql,
+    // q95: a REAL z-ordered rewrite + box-predicate read-back; the
+    // oracle is the plain-table filter — layout must be result-
+    // invisible (the skipping itself is metric-gated in AnalyticsSpec).
+    "q95_zorder_skipping" -> Analytics.q95Sql,
+    // q96: one-pass per-column profile; exact counts and type-aware
+    // extremes replay directly.
+    "q96_profile"         -> Analytics.q96Sql,
   )
 }

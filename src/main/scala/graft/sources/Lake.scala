@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned parquet lake writer/reader.
@@ -68,6 +68,59 @@ object Lake {
     // outside the session warehouse) — lets ephemeral jobs bucket into
     // scratch space without touching spark-warehouse
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Bit-interleaved z-value over quantized dimensions: result bit
+    * `i·n + j` is bit `i` of dimension `j` — points close in EVERY
+    * dimension get close z-values, so range-sorting by z clusters a
+    * multi-dimensional box predicate into few parquet row groups. */
+  private[graft] def zValue(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    val parts = for {
+      i <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * n + j)
+    parts.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` Z-ORDERED on `zCols`: rows clustered by the interleaved
+    * bits of the (min-max quantized) dimensions, so parquet row-group
+    * min/max statistics become TIGHT on every z column at once and a
+    * multi-column range predicate prunes most row groups at scan time
+    * (`PushedFilters` + footer stats — no index structure needed). At
+    * 100 TB this is the difference between scanning a day of data and
+    * scanning the 2% of row groups a (key₁, key₂) box actually
+    * touches; the single-column analog (plain sort) only skips for the
+    * leading column. Layout-only: query RESULTS are identical under
+    * any layout (q95's oracle runs the same filter on the unordered
+    * table).
+    *
+    * Quantization is linear min-max over each column (driver-side: one
+    * tiny 1-row stats aggregate) — right for roughly uniform keys;
+    * heavily skewed columns cluster poorly at the hot end and want a
+    * quantile-based bucketing fed in via a derived column instead.
+    * Columns must be integral and non-negative. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 8, nFiles: Int = 16, mode: String = "overwrite"): Unit = {
+    require(zCols.size >= 2,
+      "writeZOrdered: < 2 dims — use a plain sortWithinPartitions")
+    require(zCols.size * bits <= 62,
+      s"writeZOrdered: ${zCols.size} dims × $bits bits overflows a long")
+    val statCols = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val dims = zCols.zipWithIndex.map { case (c, j) =>
+      val lo = stats.getLong(2 * j)
+      val hi = stats.getLong(2 * j + 1)
+      require(lo >= 0, s"writeZOrdered: $c has negative values")
+      val span = math.max(hi - lo, 1L)
+      // quantize to 0..(2^bits - 1): exact integer arithmetic
+      expr(s"(($c - ${lo}L) * ${(1L << bits) - 1}L) div ${span}L")
+    }
+    val z = zValue(dims, bits)
+    df.repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(mode).parquet(path)
   }
 
   /** Latest-wins upsert (MERGE) of keyed updates into a

@@ -234,6 +234,92 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ---- z-order data skipping -----------------------------------------
+
+  /** Total rows DECODED by the parquet scans of `df` (post row-group
+    * pruning — the number footer-stat skipping actually reduces). */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("writeZOrdered: box predicate decodes a FRACTION of what a " +
+      "random layout decodes, and results are layout-invariant") {
+    import graft.sources.Lake
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_spec_zorder").toString
+    try {
+      // sf0.01: enough rows that 16 files have meaningfully distinct
+      // row-group stats
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      Lake.writeZOrdered(li, s"$base/z", Seq("l_partkey", "l_suppkey"),
+        bits = 8, nFiles = 16)
+      li.repartition(16).write.parquet(s"$base/rand")
+      def boxed(p: String) = spark.read.parquet(p)
+        .filter($"l_partkey" < 200 && $"l_suppkey" < 10)
+      val zRows = scannedRows(boxed(s"$base/z"))
+      val randRows = scannedRows(boxed(s"$base/rand"))
+      assert(zRows < randRows / 2,
+        s"z-order decoded $zRows rows vs random layout $randRows — no skipping")
+      // layout-invisible results
+      val a = boxed(s"$base/z").agg(count(lit(1)), sum($"l_extendedprice"))
+        .as[(Long, Double)].head()
+      val b = boxed(s"$base/rand").agg(count(lit(1)), sum($"l_extendedprice"))
+        .as[(Long, Double)].head()
+      assert(a._1 === b._1 && a._1 > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("writeZOrdered: guards — dims, bit budget, negative values") {
+    import graft.sources.Lake
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(df, "/tmp/never", Seq("a"), bits = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(df, "/tmp/never", Seq("a", "b"), bits = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(Seq((-1L, 2L)).toDF("a", "b"), "/tmp/never",
+        Seq("a", "b"), bits = 4)
+    }
+  }
+
+  // ---- data profile ---------------------------------------------------
+
+  test("profile: exact counts and type-aware extremes on a " +
+      "hand-built frame") {
+    import graft.operators.Profile
+    val df = Seq(
+      (Some(1L), Some("ab"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (None, Some("xyz"), Some(2.5))
+    ).toDF("k", "s", "v")
+    val got = Profile.profile(df).orderBy($"col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+        Option(r.get(7)))).toSeq
+    assert(got === Seq(
+      ("k", 3L, 1L, 2L, Some(1.0), Some(2.0), None, None),
+      ("s", 3L, 1L, 2L, None, None, Some(2L), Some(3L)),
+      ("v", 3L, 0L, 2L, Some(-1.0), Some(2.5), None, None)))
+  }
+
+  test("profile: unknown column rejected; subset selection works") {
+    import graft.operators.Profile
+    val df = Seq((1L, "x")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("nope"))
+    }
+    assert(Profile.profile(df, Seq("b")).count() === 1)
+  }
+
   test("tfIdfTopTerms: stable under repartitioning (bounded aggregate " +
       "ties break on the portable term hash)") {
     val docs = Tables.documents(spark, sf)
