@@ -36,6 +36,9 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "profile: no columns")
+    require(names.distinct.size == names.size,
+      s"profile: duplicate columns in $names — each column is one " +
+        "output row; dedup the request")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     names.foreach(n => require(types.contains(n),
       s"profile: no such column $n (have ${df.columns.mkString(", ")})"))

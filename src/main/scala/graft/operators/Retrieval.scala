@@ -139,9 +139,11 @@ object Retrieval {
     * ships ≤ k pairs per map partition. Term identity crosses the
     * bounded kernel as the portable 48-bit md5 hash
     * ([[Sampling.portableHash48]]) and the string is joined back from
-    * the df table afterwards; a 48-bit collision between two terms of
-    * the SAME doc could tie their order (probability ~V²/2⁴⁹ per doc —
-    * negligible, documented).
+    * a term_id-UNIQUE table afterwards; a 48-bit collision between two
+    * distinct vocabulary terms (birthday bound ~50% at ~17M distinct
+    * tokens — realistic at web scale) FAILS LOUDLY via the collision
+    * gate on the join-back table rather than fanning ranks out or
+    * attaching the wrong term.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -165,13 +167,30 @@ object Retrieval {
         s"length(bin(((2L * ${n}L - 2L * df + 1L) * 1048576L) div " +
           "(2L * df + 1L)))").cast("long"))
       .withColumn("score", col("tf") * col("idfq"))
+    // join-back table keyed UNIQUELY on term_id, with a loud collision
+    // gate: a 48-bit collision between two DISTINCT terms would
+    // otherwise fan every affected (doc_id, rank) row out into
+    // duplicates with the wrong term attached — at web scale the
+    // birthday bound makes that a real event (~50% at 17M distinct
+    // tokens), so it must kill the job, not corrupt the output. One
+    // vocab-sized aggregate; min≠max of the colliding strings is the
+    // detector (raise_error is codegen'd, no UDF)
+    val byId = dfreq
+      .groupBy(col("term_id"))
+      .agg(min(col("term")).as("term"), max(col("term")).as("__t2"))
+      .select(col("term_id"),
+        when(col("term") =!= col("__t2"),
+          raise_error(concat(lit("tfIdfTopTerms: 48-bit term-hash " +
+            "collision between '"), col("term"), lit("' and '"),
+            col("__t2"), lit("' — widen the hash domain or pre-dedup"))))
+          .otherwise(col("term")).as("term"))
     scored
       .groupBy(col("doc_id"))
       .agg(boundedMaxLongPairs(col("score"), col("term_id"), k).as("__ps"))
       .select(col("doc_id"), posexplode(col("__ps")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("term_id"), col("col.score").as("score"))
-      .join(dfreq.select(col("term_id"), col("term")), Seq("term_id"))
+      .join(byId, Seq("term_id"))
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
   }
 }

@@ -227,16 +227,10 @@ object Similarity {
   def kmeansCentroids(vectors: DataFrame, nCells: Int, iters: Int,
       dim: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Double]] = {
-    // guard: non-finite vectors (an Inf/NaN component) would normalize
-    // to NaN elements and crash the ANSI decimal cast in the mean
-    // aggregate below — drop them here (NaN compares LARGER than
-    // anything in Spark, so `nrm > 0` alone would let them through)
-    val v = vectors
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
-      .withColumn("nrm", norm(col("raw")))
-      .filter(col("nrm") > 0 && !isnan(col("nrm")) &&
-        col("nrm") < lit(Double.PositiveInfinity))
-      .select(col("id"), transform(col("raw"), x => x / col("nrm")).as("vec"))
+    // zero-norm/non-finite vectors excluded — see [[unitVectors]] (a
+    // NaN component would otherwise crash the ANSI decimal cast in the
+    // mean aggregate below)
+    val v = unitVectors(vectors, idCol, vecCol).select(col("id"), col("vec"))
     var centroids: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     require(centroids.size == nCells,
@@ -384,9 +378,11 @@ object Similarity {
         .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell")
   }
 
-  /** Unit-normalized (id, vec) projection shared by the PQ paths —
-    * zero-norm / non-finite vectors cannot be normalized and are
-    * excluded (the same contract as [[kmeansCentroids]]). */
+  /** Unit-normalized (id, raw, vec) projection shared by the PQ paths
+    * and [[kmeansCentroids]] — zero-norm / non-finite vectors cannot
+    * be normalized and are excluded (one exclusion contract, one
+    * place; NaN norms compare LARGER than anything in Spark, so
+    * `nrm > 0` alone would let them through). */
   private def unitVectors(vectors: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
@@ -412,7 +408,9 @@ object Similarity {
       iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
-    require(nCent >= 1 && iters >= 0, "nCent and iters must be positive")
+    require(nCent >= 1, s"nCent must be >= 1, got $nCent")
+    require(iters >= 0,
+      s"iters must be >= 0 (0 = seed-only codebooks), got $iters")
     val subDim = dim / m
     val v = unitVectors(vectors, idCol, vecCol)
     val seeds = v.orderBy(col("id")).limit(nCent)
@@ -421,11 +419,15 @@ object Similarity {
       s"pqCodebooks: need >= $nCent non-zero vectors to seed")
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
       seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
-    val subs = v.select(col("id"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"),
-          slice(col("vec"), s * subDim + 1, subDim).as("subvec"))): _*))
-        .as("e"))
-      .select(col("e.s").as("s"), col("e.subvec").as("subvec"))
+    // hydrated: every Lloyd iteration re-references this projection —
+    // without the persist each round re-reads, re-normalizes, and
+    // m-way re-explodes the full corpus from source
+    val subs = Hydration.persist(
+      v.select(col("id"), explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("vec"), s * subDim + 1, subDim).as("subvec"))): _*))
+          .as("e"))
+        .select(col("e.s").as("s"), col("e.subvec").as("subvec")))
     for (_ <- 1 to iters) {
       val assign = coalesce((0 until m).map(s =>
         when(col("s") === s, l2ArgminCell(col("subvec"), books(s)))): _*)
@@ -449,6 +451,7 @@ object Similarity {
         }
       }
     }
+    subs.unpersist()
     books
   }
 
@@ -486,6 +489,7 @@ object Similarity {
       broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
     val m = books.size
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(k >= 1, s"k must be >= 1, got $k")
     require(pool >= k, s"pool=$pool must cover k=$k")
     val subDim = dim / m
     // corpus projection feeds the ADC scan AND the re-rank join

@@ -109,13 +109,25 @@ object Lake {
     val statCols = zCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val mask = (1L << bits) - 1L
     val dims = zCols.zipWithIndex.map { case (c, j) =>
+      require(!stats.isNullAt(2 * j),
+        s"writeZOrdered: empty input or all-null column $c — nothing " +
+          "to quantize")
       val lo = stats.getLong(2 * j)
       val hi = stats.getLong(2 * j + 1)
       require(lo >= 0, s"writeZOrdered: $c has negative values")
       val span = math.max(hi - lo, 1L)
+      // division-form overflow gate (the bm25TopK discipline): the
+      // quantization product (c - lo) * mask must fit a long — an
+      // epoch-nanos-range key would otherwise die in an opaque ANSI
+      // ArithmeticException (or wrap silently in non-ANSI sessions,
+      // destroying the clustering with no error to catch it)
+      require(span <= Long.MaxValue / mask,
+        s"writeZOrdered: $c spans $span — quantization at bits=$bits " +
+          "overflows a long; pre-bucket the column or lower bits")
       // quantize to 0..(2^bits - 1): exact integer arithmetic
-      expr(s"(($c - ${lo}L) * ${(1L << bits) - 1}L) div ${span}L")
+      expr(s"(($c - ${lo}L) * ${mask}L) div ${span}L")
     }
     val z = zValue(dims, bits)
     df.repartitionByRange(nFiles, z)

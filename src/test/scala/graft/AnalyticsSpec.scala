@@ -232,6 +232,10 @@ class AnalyticsSpec extends SparkSpec {
       Similarity.pqTopK(emb.limit(1), emb, k = 50, dim = 64,
         Seq.fill(8)(Seq.fill(4)(Seq.fill(8)(0.0))), pool = 10)
     }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb.limit(1), emb, k = 0, dim = 64,
+        Seq.fill(8)(Seq.fill(4)(Seq.fill(8)(0.0))), pool = 0)
+    }
   }
 
   // ---- z-order data skipping -----------------------------------------
@@ -276,7 +280,8 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("writeZOrdered: guards — dims, bit budget, negative values") {
+  test("writeZOrdered: guards — dims, bit budget, negative values, " +
+      "span overflow, empty input") {
     import graft.sources.Lake
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
@@ -289,6 +294,17 @@ class AnalyticsSpec extends SparkSpec {
       Lake.writeZOrdered(Seq((-1L, 2L)).toDF("a", "b"), "/tmp/never",
         Seq("a", "b"), bits = 4)
     }
+    // epoch-nanos-range span: quantization product would overflow
+    val wide = intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(Seq((0L, 1L), (Long.MaxValue / 100, 2L))
+        .toDF("a", "b"), "/tmp/never", Seq("a", "b"), bits = 8)
+    }
+    assert(wide.getMessage.contains("overflows"))
+    // empty input: loud, not an opaque NPE
+    val empty = intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(df.limit(0), "/tmp/never", Seq("a", "b"), bits = 4)
+    }
+    assert(empty.getMessage.contains("empty input"))
   }
 
   // ---- data profile ---------------------------------------------------
@@ -311,11 +327,14 @@ class AnalyticsSpec extends SparkSpec {
       ("v", 3L, 0L, 2L, Some(-1.0), Some(2.5), None, None)))
   }
 
-  test("profile: unknown column rejected; subset selection works") {
+  test("profile: unknown/duplicate columns rejected; subset works") {
     import graft.operators.Profile
     val df = Seq((1L, "x")).toDF("a", "b")
     intercept[IllegalArgumentException] {
       Profile.profile(df, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("a", "a"))
     }
     assert(Profile.profile(df, Seq("b")).count() === 1)
   }
