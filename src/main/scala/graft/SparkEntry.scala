@@ -114,6 +114,8 @@ object SparkEntry {
     "q94_pq_ann"          -> (Analytics.q94PqAnn _),
     "q95_zorder_skipping" -> (Analytics.q95ZorderSkipping _),
     "q96_profile"         -> (Analytics.q96Profile _),
+    "q97_stream_funnel"   -> (StreamingQueries.q97StreamFunnel _),
+    "q98_snapshot_diff"   -> (Analytics.q98SnapshotDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -289,5 +291,12 @@ object SparkEntry {
     // q96: one-pass per-column profile; exact counts and type-aware
     // extremes replay directly.
     "q96_profile"         -> Analytics.q96Sql,
+    // q97: a REAL stateful stream (flatMapGroupsWithState funnel);
+    // a drained run ≡ the batch funnel — q93's oracle, the q72 ↔ q28
+    // convention.
+    "q97_stream_funnel"   -> StreamingQueries.q97Sql,
+    // q98: snapshot diff — one full-outer join, classification
+    // replays with IS [NOT] DISTINCT FROM semantics.
+    "q98_snapshot_diff"   -> Analytics.q98Sql,
   )
 }

@@ -279,11 +279,60 @@ object Analytics {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Keyed snapshot diff (q98): the lake-maintenance audit — old vs
+    * new table version classified into added / removed / changed over
+    * one full-outer join ([[graft.operators.Diff.snapshotDiff]]).
+    * Versions are derived deterministically from events: drop every
+    * 13th key (removed), double value on every 7th (changed), re-key
+    * every 11th into a fresh id range (added). */
+  def q98SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_id" < 5000)
+      .select($"event_id", $"event_type", $"value")
+    val next = ev.filter($"event_id" % 13 =!= 0)
+      .withColumn("value",
+        when($"event_id" % 7 === 0, $"value" * 2).otherwise($"value"))
+      .unionByName(ev.filter($"event_id" % 11 === 0)
+        .withColumn("event_id", $"event_id" + lit(1000000000L)))
+    graft.operators.Diff
+      .snapshotDiff(ev, next, Seq("event_id"), Seq("event_type", "value"))
+      .orderBy($"event_id", $"change_type")
+  }
+
+  val q98Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value FROM events
+      |  WHERE event_id < 5000),
+      |n AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+      |  FROM ev WHERE event_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 1000000000, event_type, value
+      |  FROM ev WHERE event_id % 11 = 0),
+      |j AS (
+      |  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+      |    o.event_type AS old_event_type, n.event_type AS new_event_type,
+      |    o.value AS old_value, n.value AS new_value,
+      |    o.event_id IS NULL AS added_f, n.event_id IS NULL AS removed_f
+      |  FROM ev o FULL OUTER JOIN n ON o.event_id = n.event_id)
+      |SELECT event_id,
+      |  CASE WHEN added_f THEN 'added'
+      |       WHEN removed_f THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  old_event_type, new_event_type, old_value, new_value
+      |FROM j
+      |WHERE added_f OR removed_f
+      |   OR (old_event_type IS DISTINCT FROM new_event_type)
+      |   OR (old_value IS DISTINCT FROM new_value)
+      |ORDER BY event_id, change_type""".stripMargin
+
   /** The funnel's step sequence and observation window (the window
     * keeps per-user event counts small enough that stall depths vary
     * at test SF; both engines apply the identical bound). */
-  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
-  private val FunnelEnd = "2024-01-05 00:00:00"
+  private[queries] val FunnelSteps = Seq("signup", "view", "click", "purchase")
+  private[queries] val FunnelEnd = "2024-01-05 00:00:00"
 
   /** Ordered-step funnel: for each user entering at `signup`, the
     * earliest strictly-increasing completion times through

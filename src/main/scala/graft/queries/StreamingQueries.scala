@@ -218,6 +218,51 @@ object StreamingQueries {
     }
   }
 
+  private val lastSink97 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q97: STREAMING FUNNEL — q93's ordered-step matching maintained
+    * live per user ([[graft.streaming.FunnelStream]]: buffered-events
+    * state, per-batch greedy re-match, progress-stream emissions).
+    * Consumers take the max-`n_seen` snapshot per user — done here
+    * with `max_by`, robust to multi-batch delivery; the drained
+    * single-batch run reproduces the batch funnel EXACTLY, so q93's
+    * oracle gates the streaming plan (the q72 ↔ q28 convention).
+    * Same step sequence and observation window as q93 — shared
+    * constants, so the two cannot drift apart silently. */
+  def q97StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val steps = Analytics.FunnelSteps
+      val stepIdx = coalesce(steps.zipWithIndex.map { case (st, i) =>
+        when($"event_type" === st, lit(i)) }: _*)
+      val ev = eventsStream(s, dir)
+        .filter($"ts" < lit(Analytics.FunnelEnd).cast("timestamp"))
+        .filter($"event_type".isin(steps: _*))
+        .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
+          stepIdx.as("step"))
+      val snaps = graft.streaming.FunnelStream.funnel(ev, steps.size)
+      val name = s"q97_stream_out_${runSeq.incrementAndGet()}"
+      val q = snaps.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val prev = lastSink97.getAndSet(name)
+      if (prev != null) s.catalog.dropTempView(prev)
+      val latest = s.table(name)
+        .groupBy($"user_id")
+        .agg(max_by(struct($"ts", $"depth"), $"n_seen").as("f"))
+        .filter($"f.depth" >= 1) // funnel entrants only, as in batch
+      val tCols = steps.indices.map(i =>
+        when(element_at($"f.ts", i + 1) =!= -1L,
+          element_at($"f.ts", i + 1)).as(s"t${i + 1}_us"))
+      latest
+        .select(($"user_id" +: tCols) :+ $"f.depth".as("depth"): _*)
+        .orderBy($"user_id")
+    }
+  }
+
+  /** The drained stream ≡ the batch funnel — q93's oracle. */
+  val q97Sql: String = Analytics.q93Sql
+
   /** Batch replay of the same sketch + estimator (q85's integer math
     * at k = 16 over the portable user-id hash). */
   val q89Sql: String =

@@ -307,6 +307,89 @@ class AnalyticsSpec extends SparkSpec {
     assert(empty.getMessage.contains("empty input"))
   }
 
+  // ---- streaming funnel ----------------------------------------------
+
+  test("FunnelStream: late-arriving EARLY event re-times the whole " +
+      "funnel (buffered-state exactness across micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Int)]
+    val snaps = graft.streaming.FunnelStream.funnel(
+      input.toDF().toDF("user_id", "ts_us", "step"), nSteps = 3)
+    val q = snaps.toDF().writeStream.format("memory")
+      .queryName("funnel_stream_spec").outputMode("append").start()
+    try {
+      // batch 1: signup@10, step-1@20 → depth 2 with t1=10
+      input.addData((1L, 10L, 0), (1L, 20L, 1))
+      q.processAllAvailable()
+      // batch 2: a LATE signup@5 (t1 must improve to 5) and step-2@25
+      input.addData((1L, 5L, 0), (1L, 25L, 2))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream_spec")
+        .orderBy($"n_seen".desc).limit(1)
+        .select($"ts", $"depth").as[(Seq[Long], Long)].head()
+      assert(last === (Seq(5L, 20L, 25L), 3L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_stream_spec")
+    }
+  }
+
+  test("FunnelStream: cap keeps the EARLIEST events — late events " +
+      "beyond cap under-report depth, never phantom-complete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Int)]
+    val snaps = graft.streaming.FunnelStream.funnel(
+      input.toDF().toDF("user_id", "ts_us", "step"), nSteps = 3, cap = 3)
+    val q = snaps.toDF().writeStream.format("memory")
+      .queryName("funnel_cap_spec").outputMode("append").start()
+    try {
+      // 4 events; cap=3 keeps ts 1,2,3 → the step-2@40 is dropped
+      input.addData((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 1), (1L, 40L, 2))
+      q.processAllAvailable()
+      val last = spark.table("funnel_cap_spec")
+        .orderBy($"n_seen".desc).limit(1)
+        .select($"ts", $"depth").as[(Seq[Long], Long)].head()
+      assert(last === (Seq(1L, 2L, -1L), 2L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_cap_spec")
+    }
+  }
+
+  // ---- snapshot diff --------------------------------------------------
+
+  test("snapshotDiff: added/removed/changed classification, null-safe " +
+      "compares, unchanged omitted") {
+    import graft.operators.Diff
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("gone"))).toDF("k", "v")
+    val neu = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("now")),
+      (5L, Some("new"))).toDF("k", "v")
+    val got = Diff.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .orderBy($"k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      (2L, "changed", Some("b"), Some("B")),
+      (3L, "changed", None, Some("now")), // null → value IS a change
+      (4L, "removed", Some("gone"), None),
+      (5L, "added", None, Some("new"))))
+  }
+
+  test("snapshotDiff: guards — empty/overlapping column sets") {
+    import graft.operators.Diff
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(df, df, Nil, Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(df, df, Seq("k"), Seq("k"))
+    }
+  }
+
   // ---- data profile ---------------------------------------------------
 
   test("profile: exact counts and type-aware extremes on a " +
