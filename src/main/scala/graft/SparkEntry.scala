@@ -116,6 +116,8 @@ object SparkEntry {
     "q96_profile"         -> (Analytics.q96Profile _),
     "q97_stream_funnel"   -> (StreamingQueries.q97StreamFunnel _),
     "q98_snapshot_diff"   -> (Analytics.q98SnapshotDiff _),
+    "q99_hist_quantiles"  -> (Analytics.q99HistQuantiles _),
+    "q100_rate_anomaly"   -> (Analytics.q100RateAnomaly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,5 +300,12 @@ object SparkEntry {
     // q98: snapshot diff — one full-outer join, classification
     // replays with IS [NOT] DISTINCT FROM semantics.
     "q98_snapshot_diff"   -> Analytics.q98Sql,
+    // q99: histogram quantiles — exact integer ranks + fixed IEEE
+    // parenthesization make the estimates engine-portable where
+    // percentile_approx's sketch is not.
+    "q99_hist_quantiles"  -> Analytics.q99Sql,
+    // q100: trailing z-scores — window sums of integers exact, one
+    // mirrored double formula, round(…,4) contract.
+    "q100_rate_anomaly"   -> Analytics.q100Sql,
   )
 }

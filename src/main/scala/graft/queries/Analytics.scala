@@ -328,6 +328,81 @@ object Analytics {
       |   OR (old_value IS DISTINCT FROM new_value)
       |ORDER BY event_id, change_type""".stripMargin
 
+  /** Histogram-quantile estimation (q99): the one-pass bounded-error
+    * quantile path beside q51's exact percentiles — every estimate
+    * replays bit-for-bit (exact integer ranks, fixed-parenthesization
+    * IEEE binning), which `percentile_approx`'s opaque sketch cannot. */
+  def q99HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Histogram.quantileEstimates(
+        Tables.lineitem(s, dir), "l_extendedprice", nBins = 256,
+        pcts = Seq(50, 90, 99))
+      .orderBy($"pct")
+  }
+
+  val q99Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+      |c AS (SELECT min(x) AS lo, max(x) - min(x) AS span,
+      |        CAST(count(*) AS BIGINT) AS n FROM v),
+      |b AS (SELECT LEAST(255,
+      |        CAST(FLOOR(((x - c.lo) * 256.0) / c.span) AS BIGINT)) AS bin
+      |      FROM v CROSS JOIN c),
+      |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+      |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+      |p(pct) AS (VALUES (50), (90), (99)),
+      |r AS (SELECT pct, (c.n * pct + 99) // 100 AS rank
+      |      FROM p CROSS JOIN c),
+      |sel AS (SELECT r.pct, r.rank, MIN(cum.bin) AS bin
+      |        FROM r JOIN cum ON cum.cum >= r.rank GROUP BY 1, 2)
+      |SELECT CAST(pct AS BIGINT) AS pct, CAST(rank AS BIGINT) AS rank,
+      |  bin, c.lo + (CAST(bin AS DOUBLE) * (c.span / 256.0)) AS est
+      |FROM sel CROSS JOIN c
+      |ORDER BY pct""".stripMargin
+
+  /** Event-rate anomaly z-scores (q100): per-minute counts per type
+    * scored against a trailing 30-minute baseline — the monitoring
+    * layer over the keyed stream. */
+  def q100RateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Anomaly
+      .rateZScores(Tables.events(s, dir), "event_type", "ts", trailing = 30)
+      .select($"key",
+        date_format($"minute_start", "yyyy-MM-dd HH:mm:ss")
+          .as("minute_str"),
+        $"n", $"z")
+      .orderBy($"key", $"minute_str")
+  }
+
+  val q100Sql: String =
+    """WITH c0 AS (
+      |  SELECT event_type AS key, date_trunc('minute', ts) AS m,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT key, m, n,
+      |    CAST(SUM(n) OVER win AS BIGINT) AS s,
+      |    CAST(SUM(n * n) OVER win AS BIGINT) AS ss,
+      |    CAST(COUNT(*) OVER win AS BIGINT) AS c
+      |  FROM c0
+      |  WINDOW win AS (PARTITION BY key ORDER BY m
+      |                 ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+      |SELECT key, strftime(m, '%Y-%m-%d %H:%M:%S') AS minute_str, n,
+      |  CASE WHEN (CAST(ss AS DOUBLE) -
+      |             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |               CAST(c AS DOUBLE)) /
+      |            (CAST(c AS DOUBLE) - 1.0) > 0
+      |       THEN round((CAST(n AS DOUBLE) -
+      |              CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
+      |            sqrt((CAST(ss AS DOUBLE) -
+      |                  CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |                    CAST(c AS DOUBLE)) /
+      |                 (CAST(c AS DOUBLE) - 1.0)), 4)
+      |       END AS z
+      |FROM w WHERE c = 30
+      |ORDER BY key, minute_str""".stripMargin
+
   /** The funnel's step sequence and observation window (the window
     * keeps per-user event counts small enough that stall depths vary
     * at test SF; both engines apply the identical bound). */

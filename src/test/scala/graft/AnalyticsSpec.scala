@@ -390,6 +390,71 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ---- histogram quantiles -------------------------------------------
+
+  test("quantileEstimates: hand-checked bins/ranks, one-bin-width " +
+      "error bound vs exact, degenerate single value, guards") {
+    import graft.operators.Histogram
+    // values 0..99 over 10 bins of width 9.9
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val got = Histogram.quantileEstimates(df, "x", nBins = 10,
+        pcts = Seq(50, 99))
+      .orderBy($"pct").as[(Long, Long, Long, Double)].collect().toSeq
+    // n=100: p50 → rank 50 → value 49 lands in bin floor(49*10/99)=4;
+    // p99 → rank 99 → value 98 → bin floor(98*10/99)=9
+    assert(got.map(t => (t._1, t._2, t._3)) === Seq((50L, 50L, 4L),
+      (99L, 99L, 9L)))
+    // estimate = bin lower bound; exact p50 value is 49 → within one
+    // bin width (9.9)
+    assert(math.abs(got.head._4 - 49.0) <= 9.9)
+    val one = Histogram.quantileEstimates(
+      Seq(7.0, 7.0, 7.0).toDF("x"), "x", 16, Seq(50))
+      .as[(Long, Long, Long, Double)].head()
+    assert(one === ((50L, 2L, 0L, 7.0)))
+    intercept[IllegalArgumentException] {
+      Histogram.quantileEstimates(df, "x", 0, Seq(50))
+    }
+    intercept[IllegalArgumentException] {
+      Histogram.quantileEstimates(df, "x", 10, Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Histogram.quantileEstimates(df.filter($"x" < 0), "x", 10, Seq(50))
+    }
+  }
+
+  // ---- rate anomaly ---------------------------------------------------
+
+  test("rateZScores: planted spike scores high; partial baselines " +
+      "never emit; zero-variance baseline emits null z") {
+    import graft.operators.Anomaly
+    // key A: 5 events/minute for 40 minutes, then a 50-event spike;
+    // key B: constant 3/minute (zero variance → null z)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def minute(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    val rows =
+      (0 until 40).flatMap(m => Seq.fill(if (m % 2 == 0) 5 else 6)(
+        ("A", minute(m)))) ++
+      Seq.fill(50)(("A", minute(40))) ++
+      (0 until 35).flatMap(m => Seq.fill(3)(("B", minute(m))))
+    val got = Anomaly.rateZScores(rows.toDF("event_type", "ts"),
+        "event_type", "ts", trailing = 30)
+      .orderBy($"key", $"minute_start")
+    val a = got.filter($"key" === "A").collect()
+    // first 30 minutes have no full baseline → rows start at minute 30
+    assert(a.length === 11) // minutes 30..40
+    val spike = a.last
+    assert(spike.getLong(2) === 50L)
+    assert(spike.getDouble(3) > 10.0, spike.toString)
+    // normal minutes stay small
+    assert(a.init.forall(r => math.abs(r.getDouble(3)) < 2.0))
+    val b = got.filter($"key" === "B").collect()
+    assert(b.length === 5 && b.forall(_.isNullAt(3))) // zero variance
+    intercept[IllegalArgumentException] {
+      Anomaly.rateZScores(rows.toDF("event_type", "ts"),
+        "event_type", "ts", trailing = 1)
+    }
+  }
+
   // ---- data profile ---------------------------------------------------
 
   test("profile: exact counts and type-aware extremes on a " +
