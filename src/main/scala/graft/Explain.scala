@@ -23,6 +23,13 @@ object Explain {
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // the finalized adaptive plan shows which duplicate subtrees AQE
+      // actually collapsed (ReusedExchange / ReusedQueryStage)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+      val reused = fin.linesIterator.count(l =>
+        l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))
+      println(s"reused_stages=$reused")
     }
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Analytics, Completeness, MoreRelational, Relational, StreamingQueries, TrainingData}
+import graft.queries.{Advanced, Analytics, Behavior, Completeness, MoreRelational, Relational, StreamingQueries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -118,6 +118,12 @@ object SparkEntry {
     "q98_snapshot_diff"   -> (Analytics.q98SnapshotDiff _),
     "q99_hist_quantiles"  -> (Analytics.q99HistQuantiles _),
     "q100_rate_anomaly"   -> (Analytics.q100RateAnomaly _),
+    "q101_group_quantiles" -> (Behavior.q101GroupQuantiles _),
+    "q102_retention"      -> (Behavior.q102Retention _),
+    "q103_transitions"    -> (Behavior.q103Transitions _),
+    "q104_triangles"      -> (Behavior.q104Triangles _),
+    "q105_trend"          -> (Behavior.q105Trend _),
+    "q106_collocations"   -> (Behavior.q106Collocations _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -307,5 +313,23 @@ object SparkEntry {
     // q100: trailing z-scores — window sums of integers exact, one
     // mirrored double formula, round(…,4) contract.
     "q100_rate_anomaly"   -> Analytics.q100Sql,
+    // q101: per-key histogram quantiles — exact integer ranks + the
+    // same fixed IEEE binning as q99, replayed per key.
+    "q101_group_quantiles" -> Behavior.q101Sql,
+    // q102: cohort retention — calendar truncations, exact month
+    // offsets, one round(…,4) division.
+    "q102_retention"      -> Behavior.q102Sql,
+    // q103: transition matrix — a total (ts, id) order makes the
+    // adjacency multiset engine-independent; counts exact.
+    "q103_transitions"    -> Behavior.q103Sql,
+    // q104: triangle counts — degree-ordered orientation replayed as
+    // joins; exact integers end to end.
+    "q104_triangles"      -> Behavior.q104Sql,
+    // q105: OLS trend — floor-quantized y, exact integer moments
+    // (HUGEINT ≙ decimal(38,0)), one round(…,6) division.
+    "q105_trend"          -> Behavior.q105Sql,
+    // q106: PMI collocations — exact integer ratio, floor-log2 via
+    // bitlength, (qpmi, n_ab, a, b) tie order.
+    "q106_collocations"   -> Behavior.q106Sql,
   )
 }

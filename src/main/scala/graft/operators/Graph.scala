@@ -120,4 +120,73 @@ object Graph {
     e.unpersist()
     ranks
   }
+
+  /** Exact per-node triangle counts over an undirected graph — the
+    * standard local-clustering / community-density statistic (and the
+    * classic "does your join strategy survive skew" graph benchmark).
+    *
+    * Algorithm: degree-ordered edge orientation (Cohen's map-reduce
+    * triangle counting / the compact-forward algorithm). Each
+    * undirected edge is directed from its lower-ranked endpoint to
+    * its higher-ranked one under the TOTAL order (degree, id); every
+    * triangle then has exactly one "pivot" node with two outgoing
+    * oriented edges, is generated exactly once as a wedge join on the
+    * pivot, and is confirmed by one equi-join against the oriented
+    * edge list. The orientation is the skew guard: out-degree under
+    * degree ordering is O(√m) for ANY graph (a star's hub ranks
+    * highest, so the hub gets NO outgoing edges — its million
+    * spokes produce zero wedges), which bounds the wedge table by
+    * Σ out_deg² = O(m^1.5) worst-case and far less on real graphs.
+    * All joins are equi-joins on node ids (hash-partitionable, AQE
+    * skew-splittable); nothing touches the driver.
+    *
+    * Determinism: counts are exact integers over a canonicalized
+    * (dedup'd, self-loop-free, undirected) edge set, so any engine
+    * replays them exactly.
+    *
+    * Output: (node, triangles) for every node in ≥1 triangle,
+    * triangle count attributed to all three corners. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, id) endpoint; carry the
+    // destination's rank so the wedge join can order its two legs
+    // without re-joining degrees
+    val annotated = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = annotated.filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"),
+        col("dv").as("ddeg"))
+    val bwd = annotated.filter(col("dv") < col("du") ||
+        (col("dv") === col("du") && col("v") < col("u")))
+      .select(col("v").as("src"), col("u").as("dst"),
+        col("du").as("ddeg"))
+    val oriented = fwd.union(bwd)
+    // wedges from each pivot: unordered pairs of out-neighbors,
+    // ordered by the same (deg, id) rank so the closing edge — also
+    // oriented low→high — matches by plain equality
+    val e1 = oriented.select(col("src").as("p"), col("dst").as("x"),
+      col("ddeg").as("dx"))
+    val e2 = oriented.select(col("src").as("p"), col("dst").as("y"),
+      col("ddeg").as("dy"))
+    val wedges = e1.join(e2, Seq("p"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val triangles = wedges.join(closing, Seq("x", "y"))
+      .select(col("p"), col("x"), col("y"))
+    triangles.select(col("p").as("node"))
+      .union(triangles.select(col("x").as("node")))
+      .union(triangles.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -81,4 +81,85 @@ object Histogram {
         StructField("bin", LongType, nullable = false),
         StructField("est", DoubleType, nullable = false))))
   }
+
+  /** PER-KEY quantile estimates — the fully distributed twin of
+    * [[quantileEstimates]] (which drives a single global histogram
+    * through a driver-side cumulative pass). Nothing here touches the
+    * driver: per-key ranges are ONE hash aggregate, binning is a
+    * narrow map over a broadcast of that (one row per key), the
+    * histogram is a second hash aggregate with map-side combine —
+    * a billion-row hot key collapses to ≤ `nBins` rows per map
+    * partition before the shuffle, so key skew cannot concentrate —
+    * and the cumulative/rank selection runs over the AGGREGATED
+    * (key, bin) table, whose size is keys × nBins regardless of data
+    * volume. The per-key window partition is bounded by `nBins` rows
+    * BY CONSTRUCTION (never by traffic), which is the only kind of
+    * keyed window this library allows itself.
+    *
+    * Broadcast contract: the ranges frame is one row per distinct
+    * key. Per-key quantiles over an unbounded key domain (e.g. a
+    * user id) are the wrong tool — use the global estimator or
+    * pre-bucket; the broadcast fails loudly, not wrongly, if the key
+    * domain outgrows the executor budget.
+    *
+    * Same determinism contract as the global estimator: exact integer
+    * ranks `⌈n·pct/100⌉`, one fixed parenthesization of IEEE double
+    * ops for binning (`floor(((x − lo) · nBins) / span)`) and bin
+    * lower bounds (`lo + bin · (span / nBins)`), so the estimates
+    * replay bit-for-bit in any engine. Keys and values that are
+    * null (or NaN values) are excluded; a key whose every value is
+    * null does not appear.
+    *
+    * Output: (key, pct, rank, bin, est), one row per present key ×
+    * pct. */
+  def groupQuantileEstimates(df: DataFrame, keyCol: String,
+      valueCol: String, nBins: Int, pcts: Seq[Int]): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000000,
+      s"nBins=$nBins outside [1, 1e6]")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in 1..100, got $pcts")
+    require(pcts.distinct.size == pcts.size, s"duplicate pcts in $pcts")
+    val v = df
+      .select(col(keyCol).as("key"), col(valueCol).cast(DoubleType).as("x"))
+      .filter(col("key").isNotNull && col("x").isNotNull && !isnan(col("x")))
+    val ranges = v.groupBy(col("key")).agg(
+      min(col("x")).as("lo"),
+      (max(col("x")) - min(col("x"))).as("span"),
+      count(lit(1)).as("n"))
+    // the broadcast join carries lo/span/n through to the histogram
+    // aggregate (min over per-key-constant values — exact), so the
+    // per-key ranges are computed from raw data exactly ONCE: two raw
+    // scans total (ranges + binning), everything after runs on the
+    // keys × nBins aggregate
+    val binned = v
+      .join(broadcast(ranges), Seq("key"))
+      .select(col("key"), col("lo"), col("span"), col("n"),
+        when(col("span") === 0d, lit(0L)).otherwise(
+          least(lit(nBins.toLong - 1L),
+            floor((col("x") - col("lo")) * lit(nBins.toDouble) / col("span"))
+              .cast(LongType))).as("bin"))
+    val hist = binned.groupBy(col("key"), col("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"),
+        min(col("span")).as("span"), min(col("n")).as("n"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bin"))
+      .rowsBetween(Long.MinValue, 0)
+    // rank selection runs directly on the cumulated histogram (pcts
+    // exploded in place, ≤ nBins × |pcts| rows per key) — a join of
+    // two separately-pruned re-reads of `hist` would defeat exchange
+    // reuse and scan the raw data twice more
+    hist
+      .select(col("key"), col("bin"), col("lo"), col("span"), col("n"),
+        sum(col("cnt")).over(wcum).as("cum"))
+      .select(col("key"), col("bin"), col("lo"), col("span"), col("n"),
+        col("cum"), explode(typedlit(pcts.sorted.map(_.toLong))).as("pct"))
+      .withColumn("rank", expr("(n * pct + 99) div 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("key"), col("pct"), col("rank"), col("lo"), col("span"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("key"), col("pct"), col("rank"), col("bin"),
+        (col("lo") +
+          col("bin").cast(DoubleType) * (col("span") / lit(nBins.toDouble)))
+          .as("est"))
+  }
 }

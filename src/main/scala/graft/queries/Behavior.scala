@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Cohort, Collocations, Graph, Histogram, Transitions,
+  Trend}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / statistical analytics surface (q101–q106): per-key
+  * distribution estimates, cohort retention, Markov transitions,
+  * triangle counting, trend regression, and PMI collocations. Each
+  * query is oracle-backed — DuckDB replays the identical integer,
+  * fixed-IEEE, or quantized-log arithmetic — and each operator
+  * carries its own 100 TB scale contract
+  * ([[graft.operators.Histogram.groupQuantileEstimates]],
+  * [[graft.operators.Cohort.retention]],
+  * [[graft.operators.Transitions.transitionMatrix]],
+  * [[graft.operators.Graph.triangleCounts]],
+  * [[graft.operators.Trend.groupTrend]],
+  * [[graft.operators.Collocations.pmiTopBigrams]]).
+  */
+object Behavior {
+
+  /** Per-event-type quantile estimates of `value` (q101): the fully
+    * distributed per-key histogram path beside q99's driver-assisted
+    * global one. */
+  def q101GroupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Histogram.groupQuantileEstimates(Tables.events(s, dir),
+        "event_type", "value", nBins = 128, pcts = Seq(25, 50, 90, 99))
+      .orderBy($"key", $"pct")
+  }
+
+  val q101Sql: String =
+    """WITH v AS (
+      |  SELECT event_type AS key, CAST(value AS DOUBLE) AS x FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND NOT isnan(value)),
+      |r AS (SELECT key, min(x) AS lo, max(x) - min(x) AS span,
+      |        CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |b AS (SELECT v.key,
+      |        CASE WHEN r.span = 0 THEN CAST(0 AS BIGINT)
+      |             ELSE LEAST(127, CAST(FLOOR(((v.x - r.lo) * 128.0)
+      |                                        / r.span) AS BIGINT)) END
+      |          AS bin
+      |      FROM v JOIN r ON v.key = r.key),
+      |h AS (SELECT key, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |cum AS (SELECT key, bin,
+      |          SUM(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum
+      |        FROM h),
+      |p(pct) AS (VALUES (25), (50), (90), (99)),
+      |rk AS (SELECT r.key, CAST(pct AS BIGINT) AS pct,
+      |         (r.n * pct + 99) // 100 AS rank, r.lo, r.span
+      |       FROM r CROSS JOIN p),
+      |sel AS (SELECT rk.key, rk.pct, rk.rank, rk.lo, rk.span,
+      |          MIN(cum.bin) AS bin
+      |        FROM rk JOIN cum ON cum.key = rk.key AND cum.cum >= rk.rank
+      |        GROUP BY 1, 2, 3, 4, 5)
+      |SELECT key, pct, CAST(rank AS BIGINT) AS rank, bin,
+      |  lo + (CAST(bin AS DOUBLE) * (span / 128.0)) AS est
+      |FROM sel ORDER BY key, pct""".stripMargin
+
+  /** Monthly cohort retention of customers by first order (q102). */
+  def q102Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Cohort.retention(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        "month")
+      .select(date_format($"cohort_period", "yyyy-MM-dd").as("cohort_month"),
+        $"offset", $"n_active", $"cohort_size", $"retention")
+      .orderBy($"cohort_month", $"offset")
+  }
+
+  val q102Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT o_custkey AS entity,
+      |    date_trunc('month', o_orderdate) AS period
+      |  FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+      |f AS (SELECT entity, min(period) AS cohort FROM act GROUP BY 1),
+      |o AS (SELECT f.cohort,
+      |        date_diff('month', f.cohort, a.period) AS "offset"
+      |      FROM act a JOIN f ON a.entity = f.entity),
+      |c AS (SELECT cohort, CAST("offset" AS BIGINT) AS "offset",
+      |        CAST(count(*) AS BIGINT) AS n_active
+      |      FROM o GROUP BY 1, 2),
+      |s AS (SELECT cohort, n_active AS cohort_size FROM c
+      |      WHERE "offset" = 0)
+      |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_month, c."offset",
+      |  c.n_active, s.cohort_size,
+      |  round(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4)
+      |    AS retention
+      |FROM c JOIN s ON c.cohort = s.cohort
+      |ORDER BY cohort_month, c."offset"""".stripMargin
+
+  /** First-order event-type transition matrix per user (q103). */
+  def q103Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Transitions.transitionMatrix(Tables.events(s, dir), "user_id",
+        "event_type", $"ts_ns", $"event_id")
+      .orderBy($"from_state", $"to_state")
+  }
+
+  val q103Sql: String =
+    """WITH p AS (
+      |  SELECT lag(event_type)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
+      |    event_type AS t
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (SELECT f AS from_state, t AS to_state,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE f IS NOT NULL GROUP BY 1, 2),
+      |tt AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS total
+      |       FROM c GROUP BY 1)
+      |SELECT c.from_state, c.to_state, c.n, tt.total,
+      |  round(CAST(c.n AS DOUBLE) / CAST(tt.total AS DOUBLE), 4) AS prob
+      |FROM c JOIN tt USING (from_state)
+      |ORDER BY from_state, to_state""".stripMargin
+
+  /** Triangle counts on the customer co-order graph (q104): customers
+    * chained (not cliqued — the chain keeps the edge count linear in
+    * orders, where the all-pairs clique is quadratic in group size)
+    * within each (order day, priority) group; triangles then measure
+    * repeat co-occurrence across groups. The chain window partitions
+    * on (day, priority) — bounded by a day's order book, not by any
+    * single key. */
+  def q104Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = Tables.orders(s, dir)
+      .select(to_date(date_trunc("DD", $"o_orderdate")).as("day"),
+        $"o_orderpriority".as("prio"), $"o_custkey".as("cust"))
+      .filter($"day".isNotNull && $"prio".isNotNull && $"cust".isNotNull)
+      .distinct()
+    val w = Window.partitionBy($"day", $"prio").orderBy($"cust")
+    val edges = members.withColumn("prev", lag($"cust", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev".as("src"), $"cust".as("dst"))
+    Graph.triangleCounts(edges)
+      .orderBy($"triangles".desc, $"node")
+      .limit(25)
+  }
+
+  val q104Sql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day,
+      |    o_orderpriority AS prio, o_custkey AS cust
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      |    AND o_custkey IS NOT NULL),
+      |ch AS (SELECT lag(cust)
+      |           OVER (PARTITION BY day, prio ORDER BY cust) AS prev,
+      |         cust
+      |       FROM m),
+      |und AS (SELECT DISTINCT LEAST(prev, cust) AS u,
+      |          GREATEST(prev, cust) AS v
+      |        FROM ch WHERE prev IS NOT NULL AND prev <> cust),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS node FROM und
+      |              UNION ALL SELECT v FROM und)
+      |        GROUP BY 1),
+      |ann AS (SELECT und.u, und.v, da.deg AS du, db.deg AS dv
+      |        FROM und
+      |        JOIN deg da ON und.u = da.node
+      |        JOIN deg db ON und.v = db.node),
+      |ori AS (
+      |  SELECT u AS src, v AS dst, dv AS ddeg FROM ann
+      |  WHERE du < dv OR (du = dv AND u < v)
+      |  UNION ALL
+      |  SELECT v AS src, u AS dst, du AS ddeg FROM ann
+      |  WHERE dv < du OR (dv = du AND v < u)),
+      |wg AS (SELECT e1.src AS p, e1.dst AS x, e2.dst AS y
+      |       FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+      |       WHERE e1.ddeg < e2.ddeg
+      |          OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+      |tri AS (SELECT p, x, y FROM wg
+      |        JOIN ori ON wg.x = ori.src AND wg.y = ori.dst),
+      |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      |       FROM (SELECT p AS node FROM tri
+      |             UNION ALL SELECT x FROM tri
+      |             UNION ALL SELECT y FROM tri)
+      |       GROUP BY 1)
+      |SELECT node, triangles FROM pn
+      |ORDER BY triangles DESC, node LIMIT 25""".stripMargin
+
+  /** Per-event-type OLS trend of value over epoch minutes (q105). */
+  def q105Trend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Trend.groupTrend(Tables.events(s, dir), "event_type",
+        expr("ts_ns div 60000000000"), $"value")
+      .orderBy($"key")
+  }
+
+  val q105Sql: String =
+    """WITH r AS (
+      |  SELECT event_type AS key,
+      |    CAST(epoch_us(ts) // 60000000 AS HUGEINT) AS xd,
+      |    CAST(FLOOR(value * 10000.0) AS HUGEINT) AS yd
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)),
+      |m AS (SELECT key, CAST(count(*) AS HUGEINT) AS n,
+      |        sum(xd) AS sx, sum(yd) AS sy,
+      |        sum(xd * yd) AS sxy, sum(xd * xd) AS sxx
+      |      FROM r GROUP BY 1)
+      |SELECT key, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |          / CAST((n * sxx - sx * sx) * 10000 AS DOUBLE), 6)
+      |  END AS slope,
+      |  CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |          / CAST((n * sxx - sx * sx) * 10000 AS DOUBLE), 6)
+      |  END AS intercept
+      |FROM m ORDER BY key""".stripMargin
+
+  /** Top PMI bigram collocations over the document corpus (q106). */
+  def q106Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Collocations.pmiTopBigrams(Tables.documents(s, dir), "text",
+        minCount = 5L, k = 50)
+      .orderBy($"qpmi".desc, $"n_ab".desc, $"a", $"b")
+  }
+
+  val q106Sql: String =
+    """WITH tk AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t
+      |        FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM uni),
+      |bi0 AS (SELECT toks,
+      |          unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tk),
+      |bi AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM bi0),
+      |bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      |       FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+      |j AS (SELECT bc.a, bc.b, bc.n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+      |        (CAST(bc.n_ab AS HUGEINT) * t.n_total)
+      |          // (CAST(ua.n_t AS HUGEINT) * ub.n_t) AS q
+      |      FROM bc
+      |      JOIN uni ua ON bc.a = ua.t
+      |      JOIN uni ub ON bc.b = ub.t
+      |      CROSS JOIN tot t)
+      |SELECT a, b, n_ab, n_a, n_b,
+      |  CAST(length(bin(CAST(q AS BIGINT))) - 1 AS BIGINT) AS qpmi
+      |FROM j WHERE q >= 1
+      |ORDER BY qpmi DESC, n_ab DESC, a, b LIMIT 50""".stripMargin
+}

@@ -1,0 +1,243 @@
+package graft
+
+import graft.operators.{Cohort, Collocations, Graph, Histogram, Transitions,
+  Trend}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Unit contracts for the behavioral/statistical operators behind
+  * q101–q106. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Histogram.groupQuantileEstimates (q101) ----
+
+  test("groupQuantileEstimates: hand-checked per-key bins/ranks; " +
+      "degenerate single-value key; all-null key absent; guards") {
+    val df = Seq(
+      // key "a": values 0..9 → lo 0, span 9, 4 bins → bin = min(3, floor(x*4/9))
+      ("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 5.0), ("a", 6.0), ("a", 7.0), ("a", 8.0), ("a", 9.0),
+      // key "b": constant — degenerate span 0, everything in bin 0
+      ("b", 42.0), ("b", 42.0), ("b", 42.0),
+      // key "c": nulls only — must not appear
+      ("c", Double.NaN)).toDF("k", "x")
+      .union(Seq(("c", Option.empty[Double])).toDF("k", "x"))
+    val out = Histogram.groupQuantileEstimates(df, "k", "x",
+        nBins = 4, pcts = Seq(50, 100))
+      .orderBy($"key", $"pct")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // key a, n=10: pct 50 → rank 5 → x=4.0 is the 5th value; bins:
+    // x in [0,2.25)→0 [2.25,4.5)→1 [4.5,6.75)→2 [6.75,9]→3; cum:
+    // bin0 has {0,1,2} cum 3, bin1 {3,4} cum 5 → rank5 → bin1, est
+    // 0 + 1*(9/4) = 2.25. pct 100 → rank 10 → bin3, est 3*2.25=6.75
+    assert(out === Seq(
+      ("a", 50L, 5L, 1L, 2.25),
+      ("a", 100L, 10L, 3L, 6.75),
+      ("b", 50L, 2L, 0L, 42.0),
+      ("b", 100L, 3L, 0L, 42.0)))
+    intercept[IllegalArgumentException] {
+      Histogram.groupQuantileEstimates(df, "k", "x", 0, Seq(50))
+    }
+    intercept[IllegalArgumentException] {
+      Histogram.groupQuantileEstimates(df, "k", "x", 4, Seq(50, 50))
+    }
+    intercept[IllegalArgumentException] {
+      Histogram.groupQuantileEstimates(df, "k", "x", 4, Seq(0))
+    }
+  }
+
+  test("groupQuantileEstimates: estimate within one bin width of the " +
+      "exact quantile, per key") {
+    val df = (1 to 500).flatMap(i =>
+      Seq(("lin", i.toDouble), ("sq", (i * i).toDouble))).toDF("k", "x")
+    val nBins = 64
+    val out = Histogram.groupQuantileEstimates(df, "k", "x", nBins,
+        Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    for (k <- Seq("lin", "sq"); p <- Seq(50, 90, 99)) {
+      val vals = (1 to 500).map(i => if (k == "lin") i.toDouble
+        else (i * i).toDouble).sorted
+      val exact = vals((vals.size * p + 99) / 100 - 1)
+      val width = (vals.last - vals.head) / nBins
+      val est = out((k, p.toLong))
+      assert(est <= exact && exact <= est + width,
+        s"$k p$p: est $est exact $exact width $width")
+    }
+  }
+
+  // ---- Cohort.retention (q102) ----
+
+  test("retention: hand-built monthly cohorts; offset 0 is 1.0; " +
+      "multi-event periods dedup; unit guard") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // u1: joins Jan, active Jan (twice — dedup), Feb, Apr
+      (1L, ts("2024-01-05 00:00:00")), (1L, ts("2024-01-20 00:00:00")),
+      (1L, ts("2024-02-01 00:00:00")), (1L, ts("2024-04-30 00:00:00")),
+      // u2: joins Jan, active Jan only
+      (2L, ts("2024-01-09 00:00:00")),
+      // u3: joins Feb, active Feb + Mar
+      (3L, ts("2024-02-11 00:00:00")), (3L, ts("2024-03-11 00:00:00")))
+      .toDF("u", "t")
+    val out = Cohort.retention(df, "u", "t", "month")
+      .orderBy($"cohort_period", $"offset")
+      .select(date_format($"cohort_period", "yyyy-MM").as("c"),
+        $"offset", $"n_active", $"cohort_size", $"retention")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01", 0L, 2L, 2L, 1.0),
+      ("2024-01", 1L, 1L, 2L, 0.5),
+      ("2024-01", 3L, 1L, 2L, 0.5),
+      ("2024-02", 0L, 1L, 1L, 1.0),
+      ("2024-02", 1L, 1L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Cohort.retention(df, "u", "t", "fortnight")
+    }
+  }
+
+  test("retention: day and week units produce exact integer offsets") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday
+      (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-10 23:00:00"))).toDF("u", "t")
+    val day = Cohort.retention(df, "u", "t", "day")
+      .select($"offset").as[Long].collect().toSet
+    assert(day === Set(0L, 2L, 9L))
+    val week = Cohort.retention(df, "u", "t", "week")
+      .select($"offset").as[Long].collect().toSet
+    assert(week === Set(0L, 1L)) // Jan 1 + Jan 3 same ISO week; Jan 10 next
+  }
+
+  // ---- Transitions.transitionMatrix (q103) ----
+
+  test("transitionMatrix: hand-built sequences; tie-break total order; " +
+      "null states skipped over; per-source normalization") {
+    val df = Seq(
+      // u1: a→b→a (ordered by ts)
+      (1L, Some("a"), 10L, 1L), (1L, Some("b"), 20L, 2L),
+      (1L, Some("a"), 30L, 3L),
+      // u2: ts tie broken by id: a(id 1)→b(id 2); null state between
+      // b and c is skipped → b→c is adjacent
+      (2L, Some("a"), 10L, 1L), (2L, Some("b"), 10L, 2L),
+      (2L, None, 15L, 3L), (2L, Some("c"), 20L, 4L),
+      // u3: single event — no transitions
+      (3L, Some("a"), 10L, 1L))
+      .toDF("u", "state", "ts", "id")
+    val out = Transitions.transitionMatrix(df, "u", "state",
+        col("ts"), col("id"))
+      .orderBy($"from_state", $"to_state")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 2L, 2L, 1.0), // from a: both u1 and u2 go to b
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "c", 1L, 2L, 0.5)))
+  }
+
+  // ---- Graph.triangleCounts (q104) ----
+
+  test("triangleCounts: K4 has 4 triangles with every node in 3; " +
+      "a star has none; duplicate/reversed/self edges canonicalize") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L),
+      // noise: duplicates, reversed, self-loop — must not change counts
+      (2L, 1L), (3L, 1L), (4L, 4L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(k4)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    val star = (2L to 20L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star).count() === 0L)
+  }
+
+  test("triangleCounts: one triangle hanging off a hub star is found " +
+      "exactly once (the orientation neutralizes the hub)") {
+    val g = ((2L to 1000L).map(i => (1L, i)) ++
+      Seq((2L, 3L))).toDF("src", "dst") // triangle 1-2-3
+    val out = Graph.triangleCounts(g)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ---- Trend.groupTrend (q105) ----
+
+  test("groupTrend: exact slope/intercept on a clean linear series; " +
+      "zero-variance x and n=1 yield nulls; NaN/null y excluded") {
+    val df = Seq(
+      ("lin", 0L, 1.0), ("lin", 1L, 3.0), ("lin", 2L, 5.0),
+      ("lin", 3L, 7.0), // y = 2x + 1 exactly
+      ("flat", 5L, 1.0), ("flat", 5L, 9.0), // zero x variance
+      ("one", 7L, 4.0), // single point
+      ("nan", 1L, Double.NaN), ("nan", 2L, 2.0), ("nan", 3L, 4.0))
+      .toDF("k", "x", "y")
+    val out = Trend.groupTrend(df, "k", col("x"), col("y"))
+      .orderBy($"key")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("flat", 2L, None, None),
+      ("lin", 4L, Some(2.0), Some(1.0)),
+      ("nan", 2L, Some(2.0), Some(-2.0)), // y=2x-2 over surviving points
+      ("one", 1L, None, None)))
+  }
+
+  test("groupTrend: quantization contract — slopes are exact OLS of " +
+      "floor(y·1e4), matching a BigDecimal reference") {
+    val pts = (0 until 50).map(i => (i.toLong, math.sin(i) * 100.0))
+    val df = pts.map { case (x, y) => ("s", x, y) }.toDF("k", "x", "y")
+    val out = Trend.groupTrend(df, "k", col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    val n = BigInt(pts.size)
+    val xs = pts.map(p => BigInt(p._1))
+    val ys = pts.map(p => BigInt(math.floor(p._2 * 10000.0).toLong))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = pts.indices.map(i => xs(i) * ys(i)).sum
+    val sxx = xs.map(x => x * x).sum
+    val den = (n * sxx - sx * sx) * 10000
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._3.get ===
+      r6((n * sxy - sx * sy).toDouble / den.toDouble))
+    assert(out._4.get ===
+      r6((sy * sxx - sx * sxy).toDouble / den.toDouble))
+  }
+
+  // ---- Collocations.pmiTopBigrams (q106) ----
+
+  test("pmiTopBigrams: planted collocation scores the top band; " +
+      "minCount filters; single-token docs contribute nothing; " +
+      "hand-checked qpmi") {
+    // corpus: 10 docs "alpha beta", 40 filler docs of one token each
+    // (distinct fillers, so no other bigram or repeat)
+    val docs = ((1 to 10).map(i => (i.toLong, "alpha beta")) ++
+      (1 to 40).map(i => (100L + i, s"w$i"))).toDF("doc_id", "text")
+    val out = Collocations.pmiTopBigrams(docs, "text", minCount = 5L,
+        k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // N = 60 tokens; n_alpha = n_beta = 10, n_ab = 10
+    // ratio = 10*60/(10*10) = 6 → qpmi = floor(log2 6) = 2
+    assert(out === Seq(("alpha", "beta", 10L, 10L, 10L, 2L)))
+    // raise minCount past the plant: nothing survives
+    assert(Collocations.pmiTopBigrams(docs, "text", 11L, 10).count() === 0)
+    intercept[IllegalArgumentException] {
+      Collocations.pmiTopBigrams(docs, "text", 0L, 10)
+    }
+  }
+
+  test("pmiTopBigrams: deterministic tie order and negative-PMI " +
+      "exclusion") {
+    // two bigrams with identical counts → tie broken lexicographically;
+    // a bigram of two very common tokens with ratio < 1 is excluded
+    val docs = ((1 to 6).map(i => (i.toLong, "aa bb")) ++
+      (7 to 12).map(i => (i.toLong, "cc dd")) ++
+      // "ee ff" co-occur 5 times but each appears 40 more times alone
+      (13 to 17).map(i => (i.toLong, "ee ff")) ++
+      (18 to 57).map(i => (i.toLong, "ee")) ++
+      (58 to 97).map(i => (i.toLong, "ff"))).toDF("doc_id", "text")
+    val out = Collocations.pmiTopBigrams(docs, "text", 5L, 10)
+      .select($"a", $"b").as[(String, String)].collect().toSeq
+    // N = 114; aa/bb: 6*114/36 = 19 → band 4; cc/dd same; ee/ff:
+    // 5*114/(45*45) = 570/2025 → ratio 0 → excluded
+    assert(out === Seq(("aa", "bb"), ("cc", "dd")))
+  }
+}

@@ -123,9 +123,11 @@ class PlanChecksSpec extends SparkSpec {
     // q79's NLJ broadcasts a ONE-row grand total — linear, intended
     // q85's non-equi pair join runs on the POST-aggregate sketch table
     // (one row per slice) — bounded by slice count, intended
+    // q106's NLJ broadcasts a ONE-row corpus token total — linear,
+    // intended (q79's shape)
     val intendedNlj =
       Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
-        "q85_kmv_overlap")
+        "q85_kmv_overlap", "q106_collocations")
     for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
       val p = fn(spark, sf).queryExecution.optimizedPlan.toString
       assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")

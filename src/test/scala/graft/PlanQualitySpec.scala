@@ -30,8 +30,10 @@ class PlanQualitySpec extends SparkSpec {
     // POST-aggregate sketch table — one k-long array per slice, bounded
     // by slice count, never corpus size — the same bounded-side class
     // as q79's 1-row grand-total cross join
+    // q106 broadcasts a ONE-row corpus token total against the
+    // (pruned) bigram count table — q79's linear 1-row NLJ shape
     Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
-      "q85_kmv_overlap")
+      "q85_kmv_overlap", "q106_collocations")
 
   test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
     // the SimHash pair join deliberately does NOT cache its signature
