@@ -24,8 +24,10 @@ object Explain {
       val n = df.count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       // the finalized adaptive plan shows which duplicate subtrees AQE
-      // actually collapsed (ReusedExchange / ReusedQueryStage)
-      df.collect()
+      // actually collapsed (ReusedExchange / ReusedQueryStage);
+      // foreach(noop) finalizes the identical plan without pulling the
+      // result onto the driver
+      df.foreach(_ => ())
       val fin = df.queryExecution.executedPlan.toString
       val reused = fin.linesIterator.count(l =>
         l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))

@@ -39,8 +39,13 @@ object Histogram {
       s"pcts must be integer percents in 1..100, got $pcts")
     require(pcts.distinct.size == pcts.size, s"duplicate pcts in $pcts")
     val spark = df.sparkSession
+    // non-finite values are excluded (NaN bins to garbage; one ±Inf
+    // makes the span infinite and silently collapses every bin to 0);
+    // `between(±MaxValue)` is false for NaN and both infinities —
+    // the oracle mirrors it as isfinite()
     val v = df.select(col(valueCol).cast(DoubleType).as("x"))
-      .filter(col("x").isNotNull && !isnan(col("x")))
+      .filter(col("x").isNotNull &&
+        col("x").between(-Double.MaxValue, Double.MaxValue))
     val mm = v.agg(min(col("x")), max(col("x"))).head()
     require(!mm.isNullAt(0),
       s"quantileEstimates: no non-null values in $valueCol")
@@ -121,7 +126,8 @@ object Histogram {
     require(pcts.distinct.size == pcts.size, s"duplicate pcts in $pcts")
     val v = df
       .select(col(keyCol).as("key"), col(valueCol).cast(DoubleType).as("x"))
-      .filter(col("key").isNotNull && col("x").isNotNull && !isnan(col("x")))
+      .filter(col("key").isNotNull && col("x").isNotNull &&
+        col("x").between(-Double.MaxValue, Double.MaxValue))
     val ranges = v.groupBy(col("key")).agg(
       min(col("x")).as("lo"),
       (max(col("x")) - min(col("x"))).as("span"),

@@ -49,7 +49,19 @@ object Trend {
       .filter(col("key").isNotNull && col("x").isNotNull &&
         col("y").isNotNull && !isnan(col("y")))
       .select(col("key"), col("x").cast(DecimalType(19, 0)).as("xd"),
-        floor(col("y") * lit(10000.0)).cast(DecimalType(19, 0)).as("yd"))
+        // floor() returns a LONG, and double→long conversion CLAMPS at
+        // ±2⁶³ — a y beyond the quantization range (or ±Inf, which the
+        // NaN filter passes) would silently produce a wrong moment
+        // instead of tripping the aggregate-stage overflow guard, so
+        // the bound is enforced here, per row, fused into the consumed
+        // expression
+        when(col("y").between(-9.0e14, 9.0e14),
+          floor(col("y") * lit(10000.0)).cast(DecimalType(19, 0)))
+          .otherwise(raise_error(concat(
+            lit("groupTrend: y="), col("y").cast("string"),
+            lit(" beyond the ±9e14 quantization bound — floor(y*10^4) " +
+              "would silently clamp; rescale y")))
+            .cast(DecimalType(19, 0))).as("yd"))
     val m = rows.groupBy(col("key")).agg(
       count(lit(1)).cast(D).as("n"),
       sum(col("xd")).cast(D).as("sx"),

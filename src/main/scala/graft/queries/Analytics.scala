@@ -343,11 +343,13 @@ object Analytics {
   val q99Sql: String =
     """WITH v AS (
       |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
-      |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+      |  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
       |c AS (SELECT min(x) AS lo, max(x) - min(x) AS span,
       |        CAST(count(*) AS BIGINT) AS n FROM v),
-      |b AS (SELECT LEAST(255,
-      |        CAST(FLOOR(((x - c.lo) * 256.0) / c.span) AS BIGINT)) AS bin
+      |b AS (SELECT CASE WHEN c.span = 0 THEN CAST(0 AS BIGINT)
+      |        ELSE LEAST(255,
+      |          CAST(FLOOR(((x - c.lo) * 256.0) / c.span) AS BIGINT)) END
+      |          AS bin
       |      FROM v CROSS JOIN c),
       |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
       |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
@@ -379,13 +381,22 @@ object Analytics {
     """WITH c0 AS (
       |  SELECT event_type AS key, date_trunc('minute', ts) AS m,
       |    CAST(count(*) AS BIGINT) AS n
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |b AS (SELECT key, min(m) AS lo, max(m) AS hi FROM c0 GROUP BY 1),
+      |sp AS (SELECT key,
+      |         unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+      |       FROM b),
+      |ser AS (SELECT sp.key, sp.m,
+      |          CAST(COALESCE(c0.n, 0) AS BIGINT) AS n
+      |        FROM sp LEFT JOIN c0 ON c0.key = sp.key AND c0.m = sp.m),
       |w AS (
       |  SELECT key, m, n,
       |    CAST(SUM(n) OVER win AS BIGINT) AS s,
       |    CAST(SUM(n * n) OVER win AS BIGINT) AS ss,
       |    CAST(COUNT(*) OVER win AS BIGINT) AS c
-      |  FROM c0
+      |  FROM ser
       |  WINDOW win AS (PARTITION BY key ORDER BY m
       |                 ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
       |SELECT key, strftime(m, '%Y-%m-%d %H:%M:%S') AS minute_str, n,

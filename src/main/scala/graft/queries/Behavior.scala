@@ -36,7 +36,7 @@ object Behavior {
     """WITH v AS (
       |  SELECT event_type AS key, CAST(value AS DOUBLE) AS x FROM events
       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
-      |    AND NOT isnan(value)),
+      |    AND isfinite(value)),
       |r AS (SELECT key, min(x) AS lo, max(x) - min(x) AS span,
       |        CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
       |b AS (SELECT v.key,

@@ -455,6 +455,59 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rateZScores: dense spine — an OUTAGE emits zero-count rows " +
+      "with strongly negative z, and the trailing window counts " +
+      "calendar minutes, not active ones") {
+    import graft.operators.Anomaly
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def minute(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    // ~5/minute with variance for minutes 0..39, silence 40..49
+    // (the outage), resume at 50
+    val rows =
+      (0 until 40).flatMap(m => Seq.fill(if (m % 2 == 0) 5 else 6)(
+        ("C", minute(m)))) ++ Seq.fill(5)(("C", minute(50)))
+    val got = Anomaly.rateZScores(rows.toDF("event_type", "ts"),
+        "event_type", "ts", trailing = 30)
+      .orderBy($"minute_start").collect()
+    // spine covers minutes 30..50 (first full baseline at 30):
+    // 21 rows including the 10 zero-filled outage minutes
+    assert(got.length === 21)
+    val outage = got.filter(_.getLong(2) === 0L)
+    assert(outage.length === 10, "all 10 silent minutes must emit")
+    assert(outage.head.getDouble(3) < -5.0,
+      s"an outage minute against a ~5.5/min baseline must score " +
+        s"strongly negative: ${outage.head}")
+    // the resume minute's 30-minute baseline includes the 10 zeros —
+    // calendar-true, not stretched across the gap
+    val resume = got.last
+    assert(resume.getLong(2) === 5L && resume.getDouble(3) > 0.0)
+  }
+
+  test("rateZScores: null keys and timestamps are excluded; a corrupt " +
+      "far-future timestamp fails loudly instead of exploding the spine") {
+    import graft.operators.Anomaly
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (Some("A"), Some(base)), (None, Some(base)),
+      (Some("A"), Option.empty[java.sql.Timestamp]))
+      .toDF("event_type", "ts")
+    // nulls drop before the spine: only key A's single minute survives,
+    // and with trailing=2 nothing has a full baseline → empty, no error
+    assert(Anomaly.rateZScores(rows, "event_type", "ts", trailing = 2)
+      .count() === 0L)
+    val corrupt = Seq(
+      ("A", base),
+      ("A", java.sql.Timestamp.valueOf("9999-01-01 00:00:00")))
+      .toDF("event_type", "ts")
+    val e = intercept[Exception] {
+      Anomaly.rateZScores(corrupt, "event_type", "ts", trailing = 2)
+        .count()
+    }
+    assert(e.getMessage.contains("maxSpanMinutes") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("maxSpanMinutes")))
+  }
+
   // ---- data profile ---------------------------------------------------
 
   test("profile: exact counts and type-aware extremes on a " +

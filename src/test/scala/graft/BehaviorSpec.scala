@@ -47,6 +47,17 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("groupQuantileEstimates: non-finite values are excluded — one " +
+      "Infinity must not collapse the histogram") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", Double.PositiveInfinity), ("a", Double.NegativeInfinity),
+      ("a", Double.NaN)).toDF("k", "x")
+    val out = Histogram.groupQuantileEstimates(df, "k", "x", 4, Seq(100))
+      .as[(String, Long, Long, Long, Double)].head()
+    // only the 4 finite values count: rank 4, top bin, est 1+3*(3/4)
+    assert(out === (("a", 100L, 4L, 3L, 3.25)))
+  }
+
   test("groupQuantileEstimates: estimate within one bin width of the " +
       "exact quantile, per key") {
     val df = (1 to 500).flatMap(i =>
@@ -179,6 +190,20 @@ class BehaviorSpec extends SparkSpec {
       ("lin", 4L, Some(2.0), Some(1.0)),
       ("nan", 2L, Some(2.0), Some(-2.0)), // y=2x-2 over surviving points
       ("one", 1L, None, None)))
+  }
+
+  test("groupTrend: a y beyond the ±9e14 quantization bound (incl. " +
+      "Infinity) fails loudly instead of silently clamping") {
+    for (bad <- Seq(1.0e15, Double.PositiveInfinity)) {
+      val df = Seq(("k", 1L, 1.0), ("k", 2L, bad)).toDF("k", "x", "y")
+      val e = intercept[Exception] {
+        Trend.groupTrend(df, "k", col("x"), col("y")).collect()
+      }
+      assert(e.getMessage.contains("quantization bound") ||
+        (e.getCause != null &&
+          e.getCause.getMessage.contains("quantization bound")),
+        s"for y=$bad: $e")
+    }
   }
 
   test("groupTrend: quantization contract — slopes are exact OLS of " +
