@@ -344,7 +344,61 @@ object ScaleBench {
           graft.operators.Similarity.pqTopK(
             d.filter($"vec_id" < 3), d, 10, 64, books, pool = 100).count()
         },
-        emb1, embN))
+        emb1, embN),
+      // q101: per-key quantiles — exactly two raw scans (ranges +
+      // binning) and a keys×nBins downstream; ratio tracks the scans
+      ("group_quantiles",
+        (d: DataFrame) => graft.operators.Histogram.groupQuantileEstimates(
+          d, "event_type", "value", 128, Seq(25, 50, 90, 99)).count(),
+        events1, eventsN),
+      // q102: distinct (entity, period) partial-dedups map-side, so
+      // 4× event volume over the same calendar must track the scan
+      ("cohort_retention",
+        (d: DataFrame) => graft.operators.Cohort.retention(
+          d, "user_id", "ts", "day").count(),
+        events1, eventsN),
+      // q103: one lag(1) window per entity (amplified copies add NEW
+      // users, so partitions stay user-sized) + a states² aggregate
+      ("transition_matrix",
+        (d: DataFrame) => graft.operators.Transitions.transitionMatrix(
+          d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
+        events1, eventsN),
+      // q104's engine on a co-minute chain graph derived from events
+      // (amplified copies add users → ~factor× more edges): ratio
+      // tracks edges through the orientation joins, and the wedge
+      // stage is bounded by out-degree under degree ordering
+      ("triangles",
+        (d: DataFrame) => {
+          import org.apache.spark.sql.expressions.Window
+          val members = d.select(date_trunc("minute", $"ts").as("m"),
+            $"event_type".as("g"), $"user_id".as("u")).distinct()
+          val w = Window.partitionBy($"m", $"g").orderBy($"u")
+          val edges = members.withColumn("prev", lag($"u", 1).over(w))
+            .filter($"prev".isNotNull)
+            .select($"prev".as("src"), $"u".as("dst"))
+          graft.operators.Graph.triangleCounts(edges).count()
+        },
+        events1, eventsN),
+      // q105: ONE five-moment hash aggregate — the cheapest shape in
+      // the library; ratio is the pure scan bound
+      ("group_trend",
+        (d: DataFrame) => graft.operators.Trend.groupTrend(
+          d, "event_type", expr("ts_ns div 60000000000"), $"value").count(),
+        events1, eventsN),
+      // q106: narrow bigram zip + token-keyed aggregates/joins; the
+      // amplified vocabulary grows (unique copy suffixes), so a linear
+      // ratio means cost tracks tokens, not vocabulary²
+      ("pmi_collocations",
+        (d: DataFrame) => graft.operators.Collocations.pmiTopBigrams(
+          d, "text", 5L, 50).count(),
+        docs1, docsN),
+      // q100: the dense spine is CALENDAR-bounded (identical across
+      // factors — amplified events add density, not span), so the
+      // ratio must come out SUB-linear: only the count aggregate grows
+      ("rate_anomaly_dense",
+        (d: DataFrame) => graft.operators.Anomaly.rateZScores(
+          d, "event_type", "ts", 30).count(),
+        events1, eventsN))
 
     // warm-up
     docsN.count(); events1.count(); eventsN.count()
@@ -414,6 +468,24 @@ object ScaleBench {
     val megaDomain = spark.range(1000000L)
       .select($"id".as("doc_id"), lit("megadomain.example").as("source"))
       .union(spark.range(1000L).select($"id" + 2000000L, lit("tail.example")))
+    // ---- triangle counting under a PLANTED 1M-spoke hub star (plus
+    // one planted triangle): a naive wedge enumeration from the hub
+    // generates ~5·10¹¹ wedges in one task; degree-ordered orientation
+    // ranks the hub HIGHEST, so it receives every spoke edge and emits
+    // ZERO wedges — pass = join-shaped time and exactly the planted
+    // triangle's three corners. ----
+    val tTri = time {
+      val spokes = spark.range(2L, 1000002L)
+        .select(lit(1L).as("src"), $"id".as("dst"))
+      val g = spokes.union(
+        Seq((2L, 3L)).toDF("src", "dst"))
+      val corners = graft.operators.Graph.triangleCounts(g)
+        .orderBy($"node").as[(Long, Long)].collect().toSeq
+      require(corners == Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+        s"mega-star must yield exactly the planted triangle: $corners")
+    }
+    println(f"""{"pipeline":"triangles_megastar","sec":$tTri%.2f,"planted":1000000,"triangles":1}""")
+
     val tQuota = time {
       val kept = graft.operators.Sampling
         .quotaPerKey(megaDomain, "source", "doc_id", 100)
