@@ -124,6 +124,9 @@ object SparkEntry {
     "q104_triangles"      -> (Behavior.q104Triangles _),
     "q105_trend"          -> (Behavior.q105Trend _),
     "q106_collocations"   -> (Behavior.q106Collocations _),
+    "q107_twap"           -> (Behavior.q107Twap _),
+    "q108_interpolate"    -> (Behavior.q108Interpolate _),
+    "q109_apportion"      -> (Behavior.q109Apportion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,5 +334,14 @@ object SparkEntry {
     // q106: PMI collocations — exact integer ratio, floor-log2 via
     // bitlength, (qpmi, n_ab, a, b) tie order.
     "q106_collocations"   -> Behavior.q106Sql,
+    // q107: time-weighted average — exact ns durations × quantized
+    // values in HUGEINT ≙ decimal(38,0), one round(…,6) division.
+    "q107_twap"           -> Behavior.q107Sql,
+    // q108: as-of interpolation — DuckDB ASOF both directions + the
+    // same fixed-IEEE lerp, round(…,4).
+    "q108_interpolate"    -> Behavior.q108Sql,
+    // q109: largest-remainder apportionment — exact integer floors /
+    // modulos + the (rem DESC, key) rank, Σ quota = budget.
+    "q109_apportion"      -> Behavior.q109Sql,
   )
 }

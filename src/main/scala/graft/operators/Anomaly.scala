@@ -61,34 +61,11 @@ object Anomaly {
       .filter(col("key").isNotNull && col("minute_start").isNotNull)
       .groupBy(col("key"), col("minute_start"))
       .agg(count(lit(1)).as("n"))
-    // zero-filled spine over each key's active span, generated
-    // day-by-day so no row holds more than a 1440-element array
+    // zero-filled spine over each key's active span (shared two-level
+    // day/minute generator — see Timeseries.minuteSpine)
     val bounds = counts.groupBy(col("key")).agg(
       min(col("minute_start")).as("lo"), max(col("minute_start")).as("hi"))
-    val guarded = bounds.withColumn("__span",
-        expr("(unix_micros(hi) - unix_micros(lo)) div 60000000"))
-      .withColumn("lo",
-        when(col("__span") > maxSpanMinutes,
-          raise_error(concat(lit("rateZScores: key "),
-            col("key").cast("string"), lit(" spans "),
-            col("__span").cast("string"),
-            lit(s" minutes — beyond maxSpanMinutes=$maxSpanMinutes; " +
-              "a corrupt timestamp would explode the spine"))))
-          .otherwise(col("lo")))
-    val spine = guarded
-      .select(col("key"), col("lo"), col("hi"),
-        explode(sequence(to_date(col("lo")), to_date(col("hi")),
-          expr("interval 1 day"))).as("day"))
-      .select(col("key"),
-        greatest(col("day").cast("timestamp"), col("lo")).as("mlo"),
-        least(timestamp_micros(
-            expr("unix_micros(cast(day as timestamp)) + 86340000000")),
-          col("hi")).as("mhi"))
-      .filter(col("mlo") <= col("mhi"))
-      .select(col("key"),
-        explode(sequence(col("mlo"), col("mhi"),
-          expr("interval 1 minute"))).as("minute_start"))
-    val series = spine
+    val series = Timeseries.minuteSpine(bounds, maxSpanMinutes)
       .join(counts, Seq("key", "minute_start"), "left")
       .select(col("key"), col("minute_start"),
         coalesce(col("n"), lit(0L)).as("n"))

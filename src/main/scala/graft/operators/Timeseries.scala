@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Regular-grid time-series analytics over irregular keyed samples:
+  * the dense minute spine (shared with [[Anomaly]]), exact
+  * time-weighted averaging, and as-of linear interpolation — the
+  * numeric layer a sensor/telemetry feed (the reference's electric
+  * scrape is one) needs between raw samples and dashboards.
+  */
+object Timeseries {
+
+  /** Dense per-key minute spine over each key's [lo, hi] span,
+    * generated in two bounded levels (days, then ≤ 1440 minutes per
+    * day) so no row materializes a calendar-sized array. A key
+    * spanning more than `maxSpanMinutes` fails loudly — one corrupt
+    * year-9999 timestamp must not explode a 100 TB job into a
+    * calendar cross join. Input: (key, lo, hi) minute-truncated
+    * timestamps; output: (key, minute_start). */
+  private[operators] def minuteSpine(bounds: DataFrame,
+      maxSpanMinutes: Long): DataFrame = {
+    require(maxSpanMinutes >= 1, s"maxSpanMinutes=$maxSpanMinutes")
+    val guarded = bounds.withColumn("__span",
+        expr("(unix_micros(hi) - unix_micros(lo)) div 60000000"))
+      .withColumn("lo",
+        when(col("__span") > maxSpanMinutes,
+          raise_error(concat(lit("minute spine: key "),
+            col("key").cast("string"), lit(" spans "),
+            col("__span").cast("string"),
+            lit(s" minutes — beyond maxSpanMinutes=$maxSpanMinutes; " +
+              "a corrupt timestamp would explode the spine"))))
+          .otherwise(col("lo")))
+    guarded
+      .select(col("key"), col("lo"), col("hi"),
+        explode(sequence(to_date(col("lo")), to_date(col("hi")),
+          expr("interval 1 day"))).as("day"))
+      .select(col("key"),
+        greatest(col("day").cast("timestamp"), col("lo")).as("mlo"),
+        least(timestamp_micros(
+            expr("unix_micros(cast(day as timestamp)) + 86340000000")),
+          col("hi")).as("mhi"))
+      .filter(col("mlo") <= col("mhi"))
+      .select(col("key"),
+        explode(sequence(col("mlo"), col("mhi"),
+          expr("interval 1 minute"))).as("minute_start"))
+  }
+
+  /** Exact time-weighted average per key: each sample's value is
+    * weighted by its holding duration (next sample's timestamp minus
+    * its own — step-function/last-observation-carried-forward
+    * semantics; the final sample has no duration and drops out).
+    * The plain mean answers "what was the average REPORTED value";
+    * this answers "what was the average value OVER TIME" — the right
+    * statistic whenever sampling is irregular (a sensor that reports
+    * on change would otherwise over-weight volatile periods).
+    *
+    * EXACT-MOMENT CONTRACT ([[Trend]]'s discipline): values are
+    * floor-quantized once at the row level (`floor(v·10⁴)`, ±9e14
+    * bound enforced loudly), durations are exact int64 nanoseconds,
+    * the weighted sum is an exact decimal(38,0) integer sum, and ONE
+    * double division + round(·,6) happens last — bit-replayable in
+    * any engine with 128-bit integer arithmetic.
+    *
+    * Scale shape: one `lead(1)` window partitioned by key (the same
+    * per-entity bound as [[Transitions]] — a pathological key
+    * serializes its own sort; cap upstream), then one five-column
+    * hash aggregate with map-side combine. Null keys/timestamps/
+    * values and NaN values are excluded BEFORE pairing, so a null
+    * sample does not zero out its predecessor's duration. Duplicate
+    * sample timestamps collapse to their MIN value first — a tied
+    * timestamp would otherwise make the lead() order, and therefore
+    * the weighted sum, partition-order-dependent.
+    *
+    * Output: (key, n, span_ns, twap): `n` = deduped sample count
+    * (incl. the final sample), `span_ns` = Σ durations = last−first,
+    * `twap`/`span_ns` null when the key has a single sample (no
+    * duration). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsNsCol: String,
+      valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df
+      .select(col(keyCol).as("key"), col(tsNsCol).cast(LongType).as("t"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .filter(col("key").isNotNull && col("t").isNotNull &&
+        col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("key"), col("t")).agg(min(col("v")).as("v"))
+      .select(col("key"), col("t"),
+        when(col("v").between(-9.0e14, 9.0e14),
+          floor(col("v") * lit(10000.0)).cast(DecimalType(19, 0)))
+          .otherwise(raise_error(concat(
+            lit("timeWeightedAvg: v="), col("v").cast("string"),
+            lit(" beyond the ±9e14 quantization bound — floor(v*10^4) " +
+              "would silently clamp; rescale v")))
+            .cast(DecimalType(19, 0))).as("vq"))
+    val w = Window.partitionBy(col("key")).orderBy(col("t"))
+    val paired = rows
+      .withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
+    paired.groupBy(col("key")).agg(
+        count(lit(1)).as("n"),
+        sum(col("dur")).as("span_ns"),
+        sum(col("vq") * col("dur").cast(DecimalType(19, 0))).cast(D)
+          .as("__num"))
+      .select(col("key"), col("n"), col("span_ns"),
+        when(col("span_ns") > 0L,
+          round(col("__num").cast(DoubleType) /
+            (col("span_ns").cast(D) * lit(10000L).cast(D))
+              .cast(DoubleType), 6)).as("twap"))
+  }
+
+  /** Linear interpolation of each key's irregular series onto its
+    * dense minute grid: for each grid minute, the bracketing samples
+    * come from one BACKWARD and one FORWARD as-of join (the library's
+    * own custom as-of operator — shuffle on key, per-partition merge,
+    * no row-wise time join), and the estimate is the fixed-IEEE lerp
+    * `v0 + (v1 − v0) · ((t − t0) / (t1 − t0))`, rounded to 4 dp. A
+    * grid point landing exactly on a sample returns that sample's
+    * value (both brackets resolve to it). Duplicate sample
+    * timestamps collapse to their MIN value first (deterministic;
+    * pre-aggregate yourself for other semantics). The grid spans each
+    * key's own [first, last] sample minute; a leading grid minute
+    * before the first sample has no backward bracket and drops out —
+    * nothing ever extrapolates.
+    *
+    * Cost note: the deduped sample projection feeds THREE consumers
+    * (the span bounds and both as-of sides) whose column pruning
+    * makes the subtrees canonically distinct — the raw input is
+    * scanned up to three times. If the input scan dominates (it
+    * usually does not: as-of sides shuffle on key anyway), persist
+    * the sample projection upstream and pass it in pre-deduped.
+    *
+    * Output: (key, minute_start, est). */
+  def interpolateMinutes(df: DataFrame, keyCol: String, tsNsCol: String,
+      valueCol: String, maxSpanMinutes: Long = 10512000L): DataFrame = {
+    val samples = df
+      .select(col(keyCol).as("key"), col(tsNsCol).cast(LongType).as("t"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .filter(col("key").isNotNull && col("t").isNotNull &&
+        col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("key"), col("t")).agg(min(col("v")).as("v"))
+    val bounds = samples.groupBy(col("key")).agg(
+      date_trunc("minute", timestamp_micros(expr("min(t) div 1000")))
+        .as("lo"),
+      date_trunc("minute", timestamp_micros(expr("max(t) div 1000")))
+        .as("hi"))
+    val grid = minuteSpine(bounds, maxSpanMinutes)
+      .select(col("key"),
+        col("minute_start"),
+        expr("unix_micros(minute_start) * 1000").as("gt"))
+    val sBack = samples.select(col("key").as("bk"), col("t").as("t0"),
+      col("v").as("v0"))
+    val back = graft.plans.AsOf.join(grid, sBack,
+      grid("key"), sBack("bk"), grid("gt"), sBack("t0"))
+    val sFwd = samples.select(col("key").as("fk"), col("t").as("t1"),
+      col("v").as("v1"))
+    val both = graft.plans.AsOf.join(back, sFwd,
+      back("key"), sFwd("fk"), back("gt"), sFwd("t1"),
+      direction = "forward")
+    both
+      .filter(col("v0").isNotNull && col("v1").isNotNull)
+      .select(col("key"), col("minute_start"),
+        when(col("t1") === col("t0"), round(col("v0"), 4))
+          .otherwise(round(col("v0") + (col("v1") - col("v0")) *
+            ((col("gt") - col("t0")).cast(DoubleType) /
+              (col("t1") - col("t0")).cast(DoubleType)), 4))
+          .as("est"))
+  }
+}

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cohort, Collocations, Graph, Histogram, Transitions,
-  Trend}
+import graft.operators.{Cohort, Collocations, Graph, Histogram, Mixture,
+  Timeseries, Transitions, Trend}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -246,4 +246,109 @@ object Behavior {
       |  CAST(length(bin(CAST(q AS BIGINT))) - 1 AS BIGINT) AS qpmi
       |FROM j WHERE q >= 1
       |ORDER BY qpmi DESC, n_ab DESC, a, b LIMIT 50""".stripMargin
+
+  /** Time-weighted average of value per event type (q107): duration-
+    * weighted, not count-weighted — the honest mean for an
+    * irregularly sampled series. */
+  def q107Twap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Timeseries.timeWeightedAvg(Tables.events(s, dir), "event_type",
+        "ts_ns", "value")
+      .orderBy($"key")
+  }
+
+  val q107Sql: String =
+    """WITH s0 AS (
+      |  SELECT event_type AS key, epoch_ns(ts) AS t,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)),
+      |s AS (SELECT key, t, min(v) AS v FROM s0 GROUP BY 1, 2),
+      |p AS (SELECT key, CAST(FLOOR(v * 10000.0) AS HUGEINT) AS vq,
+      |        lead(t) OVER (PARTITION BY key ORDER BY t) - t AS dur
+      |      FROM s),
+      |m AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(dur) AS BIGINT) AS span_ns,
+      |        sum(vq * CAST(dur AS HUGEINT)) AS num
+      |      FROM p GROUP BY 1)
+      |SELECT key, n, span_ns,
+      |  CASE WHEN span_ns > 0 THEN
+      |    round(CAST(num AS DOUBLE)
+      |          / CAST(CAST(span_ns AS HUGEINT) * 10000 AS DOUBLE), 6)
+      |  END AS twap
+      |FROM m ORDER BY key""".stripMargin
+
+  /** As-of linear interpolation onto the minute grid (q108): both
+    * brackets come from the library's own custom as-of physical
+    * operator, composed back-to-back. */
+  def q108Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Timeseries.interpolateMinutes(Tables.events(s, dir), "event_type",
+        "ts_ns", "value")
+      .select($"key",
+        date_format($"minute_start", "yyyy-MM-dd HH:mm:ss")
+          .as("minute_str"),
+        $"est")
+      .orderBy($"key", $"minute_str")
+  }
+
+  val q108Sql: String =
+    """WITH s0 AS (
+      |  SELECT event_type AS key, epoch_ns(ts) AS t,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)),
+      |s AS (SELECT key, t, min(v) AS v FROM s0 GROUP BY 1, 2),
+      |b AS (SELECT key,
+      |        date_trunc('minute', make_timestamp(min(t) // 1000)) AS lo,
+      |        date_trunc('minute', make_timestamp(max(t) // 1000)) AS hi
+      |      FROM s GROUP BY 1),
+      |g AS (SELECT key,
+      |        unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+      |      FROM b),
+      |g2 AS (SELECT key, m, epoch_ns(m) AS gt FROM g),
+      |bk AS (SELECT g2.key, g2.m, g2.gt, s.t AS t0, s.v AS v0
+      |       FROM g2 ASOF LEFT JOIN s
+      |         ON g2.key = s.key AND s.t <= g2.gt),
+      |fw AS (SELECT bk.key, bk.m, bk.gt, bk.t0, bk.v0,
+      |         s.t AS t1, s.v AS v1
+      |       FROM bk ASOF LEFT JOIN s
+      |         ON bk.key = s.key AND s.t >= bk.gt)
+      |SELECT key, strftime(m, '%Y-%m-%d %H:%M:%S') AS minute_str,
+      |  CASE WHEN t1 = t0 THEN round(v0, 4)
+      |       ELSE round(v0 + (v1 - v0) *
+      |              (CAST(gt - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)),
+      |            4) END AS est
+      |FROM fw WHERE v0 IS NOT NULL AND v1 IS NOT NULL
+      |ORDER BY key, minute_str""".stripMargin
+
+  /** Largest-remainder mixture apportionment (q109): a 999,983-unit
+    * budget split across sources proportionally to their character
+    * mass; Σ quota = budget exactly. */
+  def q109Apportion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Tables.documents(s, dir)
+      .groupBy($"source").agg(sum($"n_chars").as("w"))
+    Mixture.apportion(weights, "source", "w", budget = 999983L)
+      .orderBy($"key")
+  }
+
+  val q109Sql: String =
+    """WITH pk AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS w
+      |            FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM pk),
+      |a AS (SELECT key, w,
+      |        (CAST(999983 AS HUGEINT) * w) // t.tw AS base,
+      |        (CAST(999983 AS HUGEINT) * w) % t.tw AS rem
+      |      FROM pk CROSS JOIN t),
+      |l AS (SELECT 999983 - sum(base) AS leftover FROM a),
+      |rk AS (SELECT key, w, base, rem,
+      |         row_number() OVER (ORDER BY rem DESC, key) AS rnk
+      |       FROM a)
+      |SELECT key, w,
+      |  CAST(base + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS quota
+      |FROM rk CROSS JOIN l ORDER BY key""".stripMargin
 }

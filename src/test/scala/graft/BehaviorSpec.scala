@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Cohort, Collocations, Graph, Histogram, Transitions,
-  Trend}
+import graft.operators.{Cohort, Collocations, Graph, Histogram, Mixture,
+  Timeseries, Transitions, Trend}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -246,6 +246,123 @@ class BehaviorSpec extends SparkSpec {
     assert(Collocations.pmiTopBigrams(docs, "text", 11L, 10).count() === 0)
     intercept[IllegalArgumentException] {
       Collocations.pmiTopBigrams(docs, "text", 0L, 10)
+    }
+  }
+
+  // ---- Timeseries.timeWeightedAvg (q107) ----
+
+  test("timeWeightedAvg: hand-checked duration weighting; duplicate " +
+      "timestamps collapse to min; single sample yields nulls; " +
+      "quantization guard raises") {
+    val df = Seq(
+      // key "a": v=1 held 10ns, v=3 held 30ns → twap (10+90)/40 = 2.5
+      ("a", 0L, 1.0), ("a", 10L, 3.0), ("a", 40L, 0.0),
+      // duplicate ts on "a" at t=10: min(3.0, 9.0) = 3.0 wins
+      ("a", 10L, 9.0),
+      // key "b": single sample — no duration
+      ("b", 5L, 7.0),
+      // key "c": NaN and null excluded → single survivor → nulls
+      ("c", 1L, Double.NaN), ("c", 2L, 4.0))
+      .toDF("k", "t", "v")
+    val out = Timeseries.timeWeightedAvg(df, "k", "t", "v")
+      .orderBy($"key")
+      .as[(String, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("a", 3L, Some(40L), Some(2.5)),
+      ("b", 1L, None, None),
+      ("c", 1L, None, None)))
+    val e = intercept[Exception] {
+      Timeseries.timeWeightedAvg(
+        Seq(("k", 1L, 1.0e15), ("k", 2L, 1.0)).toDF("k", "t", "v"),
+        "k", "t", "v").collect()
+    }
+    assert(e.getMessage.contains("quantization bound") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("quantization bound")))
+  }
+
+  // ---- Timeseries.interpolateMinutes (q108) ----
+
+  test("interpolateMinutes: on-sample minutes return the sample, " +
+      "between-sample minutes lerp exactly, the leading partial " +
+      "minute drops, duplicate timestamps collapse to min") {
+    def ns(s: String) =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    val df = Seq(
+      // key "a": samples on minute boundaries 00:00 v=0 and 00:02 v=6
+      // → 00:01 lerps to 3.0
+      ("a", ns("2024-01-01 00:00:00"), 0.0),
+      ("a", ns("2024-01-01 00:02:00"), 6.0),
+      // duplicate at 00:02 collapses to min(6, 8) = 6
+      ("a", ns("2024-01-01 00:02:00"), 8.0),
+      // key "b": samples at 00:00:30 and 00:01:30 → grid 00:00 has no
+      // backward bracket (drops); 00:01 lerps halfway to 5.0
+      ("b", ns("2024-01-01 00:00:30"), 0.0),
+      ("b", ns("2024-01-01 00:01:30"), 10.0))
+      .toDF("k", "t", "v")
+    val out = Timeseries.interpolateMinutes(df, "k", "t", "v")
+      .select($"key",
+        date_format($"minute_start", "HH:mm").as("m"), $"est")
+      .orderBy($"key", $"m")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "00:00", 0.0), ("a", "00:01", 3.0), ("a", "00:02", 6.0),
+      ("b", "00:01", 5.0)))
+  }
+
+  // ---- Mixture.apportion (q109) ----
+
+  test("apportion: textbook largest-remainder case; ties break by " +
+      "key; duplicate keys sum; sum always equals the budget") {
+    // weights 5/3/2, budget 7: ideals 3.5/2.1/1.4 → bases 3/2/1,
+    // leftover 1 goes to the largest remainder (a: rem 5)
+    val out = Mixture.apportion(
+        Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w"), "k", "w", 7L)
+      .orderBy($"key").as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)))
+    // equal weights, budget 10 over 3 keys: all rems tie → extra unit
+    // goes to the lexicographically first key
+    val tie = Mixture.apportion(
+        Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w"), "k", "w", 10L)
+      .orderBy($"key").as[(String, Long, Long)].collect().toSeq
+    assert(tie === Seq(("x", 1L, 4L), ("y", 1L, 3L), ("z", 1L, 3L)))
+    // duplicate keys are summed before apportioning
+    val dup = Mixture.apportion(
+        Seq(("a", 3L), ("a", 2L), ("b", 5L)).toDF("k", "w"), "k", "w", 4L)
+      .orderBy($"key").as[(String, Long, Long)].collect().toSeq
+    assert(dup === Seq(("a", 5L, 2L), ("b", 5L, 2L)))
+  }
+
+  test("apportion: matches a reference implementation on 500 keys " +
+      "across shard counts, and guards fire") {
+    val ws = (0 until 500).map(i => (f"k$i%03d", (i * 37 % 101 + 1).toLong))
+    val budget = 99991L
+    // reference: exact BigInt largest remainder
+    val w = ws.map(_._2).map(BigInt(_)).sum
+    val base = ws.map { case (k, wi) =>
+      (k, (BigInt(budget) * wi / w).toLong, (BigInt(budget) * wi % w)) }
+    val leftover = budget - base.map(_._2).sum
+    val extra = base.sortBy { case (k, _, r) => (-r, k) }
+      .take(leftover.toInt).map(_._1).toSet
+    val expect = base.map { case (k, b, _) =>
+      k -> (b + (if (extra(k)) 1L else 0L)) }.toMap
+    for (shards <- Seq(1, 7, 64)) {
+      val got = Mixture.apportion(ws.toDF("k", "w"), "k", "w", budget,
+          numShards = shards)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(got === expect, s"shards=$shards")
+      assert(got.values.sum === budget)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.apportion(Seq(("a", -1L)).toDF("k", "w"), "k", "w", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.apportion(Seq(("a", 0L)).toDF("k", "w"), "k", "w", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.apportion(
+        Seq((Option.empty[String], 1L)).toDF("k", "w"), "k", "w", 5L)
     }
   }
 
