@@ -398,6 +398,18 @@ object ScaleBench {
       ("rate_anomaly_dense",
         (d: DataFrame) => graft.operators.Anomaly.rateZScores(
           d, "event_type", "ts", 30).count(),
+        events1, eventsN),
+      // q107: dedup + lag window + one five-column aggregate — ratio
+      // tracks the sample scan
+      ("twap",
+        (d: DataFrame) => graft.operators.Timeseries.timeWeightedAvg(
+          d, "event_type", "ts_ns", "value").count(),
+        events1, eventsN),
+      // q108: grid is calendar-bounded; the as-of sides grow with
+      // samples — ratio must stay sub-linear like the dense spine
+      ("interpolate_minutes",
+        (d: DataFrame) => graft.operators.Timeseries.interpolateMinutes(
+          d, "event_type", "ts_ns", "value").count(),
         events1, eventsN))
 
     // warm-up
@@ -457,6 +469,22 @@ object ScaleBench {
       require(keepers == 1L, s"mega-span must keep exactly 1 owner, got $keepers")
     }
     println(f"""{"pipeline":"span_dedup_mega_span","sec":$tSpan%.2f,"planted":1000000,"span_copies":1000000}""")
+
+    // ---- largest-remainder apportionment at 1M KEYS: the remainder
+    // rank is the two-level sharded pattern, so a keys-scale weights
+    // frame must apportion in aggregate+window-shaped time with the
+    // exact-sum contract intact (a global row_number window would
+    // sort all 1M remainders in one task). ----
+    val tApp = time {
+      val ws = spark.range(1000000L)
+        .select($"id".cast("string").as("k"), ($"id" % 1000L + 1L).as("w"))
+      val out = graft.operators.Mixture.apportion(ws, "k", "w",
+        budget = 1000000000000L)
+      val total = out.agg(sum($"quota")).head().getLong(0)
+      require(total == 1000000000000L,
+        s"apportion must hit the budget exactly, got $total")
+    }
+    println(f"""{"pipeline":"apportion_1m_keys","sec":$tApp%.2f,"keys":1000000,"budget":1000000000000}""")
 
     // ---- quota sampling under a PLANTED mega-domain: 1M rows all in
     // ONE source key (the web-crawl shape: a single dominant domain).

@@ -28,13 +28,16 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * pattern ([[Sampling.packSequences]]' discipline), NOT a global
   * window: rows shard by a monotonic bucketing of the remainder,
   * each shard ranks locally under a partitioned window, and the
-  * per-shard exclusive offsets (≤ numShards numbers) fold on the
-  * driver. Two 1-row driver aggregates (W and the leftover count)
-  * are the only other driver touches — the same bounded class as
-  * AQE statistics.
+  * per-shard (count, Σbase) stats — ≤ numShards rows, serving both
+  * the rank offsets and the leftover count in ONE action — fold on
+  * the driver. One 1-row bounds aggregate (W + every guard count) is
+  * the only other driver touch — the same bounded class as AQE
+  * statistics.
   *
   * Output: (key, w, quota), Σ quota = budget. Guards: null keys or
-  * weights, negative weights, W = 0, or W ≥ 2⁶³ fail loudly. */
+  * weights, negative weights, W = 0, any per-key summed weight ≥ 2⁶³
+  * (duplicate-key sums run in decimal, so near-2⁶³ weights cannot
+  * silently wrap first), or W ≥ 2⁶³ — all fail loudly. */
 object Mixture {
 
   def apportion(weights: DataFrame, keyCol: String, weightCol: String,
@@ -43,21 +46,30 @@ object Mixture {
     val spark = weights.sparkSession
     import spark.implicits._
     val D = DecimalType(38, 0)
+    // per-key sums in decimal(38,0): a LongType sum would silently
+    // WRAP on duplicate-key weights near 2⁶³ (possibly to a plausible
+    // positive value), defeating every downstream guard — the guards
+    // below then run on the exact decimal values
     val perKey = weights
-      .select(col(keyCol).as("key"), col(weightCol).cast(LongType).as("w"))
+      .select(col(keyCol).as("key"),
+        col(weightCol).cast(LongType).cast(D).as("w"))
       .groupBy(col("key")).agg(sum(col("w")).as("w"))
     // one bounds pass: total weight + every guard count (a separate
     // require-scan per guard would re-read the frame)
     val b = perKey.agg(
-      sum(col("w").cast(D)),
+      sum(col("w")),
       count(when(col("key").isNull || col("w").isNull, 1)),
-      count(when(col("w") < 0L, 1)),
+      count(when(col("w") < lit(0L).cast(D), 1)),
+      count(when(col("w") >= lit(Long.MaxValue).cast(D), 1)),
       count(lit(1))).head()
     require(b.getLong(1) == 0L,
       s"apportion: ${b.getLong(1)} null key/weight rows — filter or " +
         "impute them first")
     require(b.getLong(2) == 0L,
       s"apportion: ${b.getLong(2)} negative weights")
+    require(b.getLong(3) == 0L,
+      s"apportion: ${b.getLong(3)} keys whose summed weight reaches " +
+        "2^63 — rescale weights")
     val wTotal = Option(b.getDecimal(0)).map(BigDecimal(_))
       .getOrElse(BigDecimal(0))
     require(wTotal > 0, "apportion: total weight is zero")
@@ -65,13 +77,11 @@ object Mixture {
       s"apportion: total weight $wTotal overflows the int64 " +
         "remainder domain — rescale weights")
     val w = wTotal.toLongExact
-    val nKeys = b.getLong(3)
+    val nKeys = b.getLong(4)
     val based = perKey
-      .withColumn("__bw", col("w").cast(D) * lit(budget).cast(D))
+      .withColumn("__bw", col("w") * lit(budget).cast(D))
       .withColumn("base", expr(s"__bw div ${w}L"))
       .withColumn("rem", expr(s"__bw % ${w}L").cast(LongType))
-    val leftover = budget -
-      based.agg(sum(col("base"))).head().getLong(0)
     // rank remainders globally via monotone shards + local windows;
     // shard sizes are keys/shards-scale, offsets fold on the driver
     val shards = math.max(1L, math.min(nKeys,
@@ -83,9 +93,15 @@ object Mixture {
       least(floor(((lit(w - 1).cast(D) - col("rem").cast(D)) *
           lit(shards).cast(D)) / lit(w).cast(D)).cast(LongType),
         lit(shards - 1)))
-    val offsets = sharded.groupBy(col("__shard"))
-      .agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // ONE action serves both the rank offsets (per-shard counts) and
+    // the leftover count (budget − Σ base, folded from the same rows)
+    // — a separate leftover aggregate would recompute the whole
+    // lineage a job earlier
+    val shardStats = sharded.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("base")).as("__bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val leftover = budget - shardStats.map(_._3).sum
+    val offsets = shardStats.map(t => (t._1, t._2)).sortBy(_._1)
       .scanLeft((-1L, 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
     val exclusive = offsets.sliding(2).collect {
       case Array((_, prevAcc), (s, _)) => (s, prevAcc)
@@ -96,7 +112,8 @@ object Mixture {
     sharded
       .withColumn("__rnk", row_number().over(lw))
       .join(broadcast(offDf), "__shard")
-      .select(col("key"), col("w"),
+      .select(col("key"),
+        col("w").cast(LongType).as("w"), // exact: guarded < 2^63 above
         (col("base") +
           when(col("__off") + col("__rnk") <= leftover, 1L).otherwise(0L))
           .cast(LongType).as("quota"))

@@ -88,13 +88,7 @@ object Timeseries {
         col("v").isNotNull && !isnan(col("v")))
       .groupBy(col("key"), col("t")).agg(min(col("v")).as("v"))
       .select(col("key"), col("t"),
-        when(col("v").between(-9.0e14, 9.0e14),
-          floor(col("v") * lit(10000.0)).cast(DecimalType(19, 0)))
-          .otherwise(raise_error(concat(
-            lit("timeWeightedAvg: v="), col("v").cast("string"),
-            lit(" beyond the ±9e14 quantization bound — floor(v*10^4) " +
-              "would silently clamp; rescale v")))
-            .cast(DecimalType(19, 0))).as("vq"))
+        Trend.quantize4(col("v"), "timeWeightedAvg", "v").as("vq"))
     val w = Window.partitionBy(col("key")).orderBy(col("t"))
     val paired = rows
       .withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
@@ -104,10 +98,22 @@ object Timeseries {
         sum(col("vq") * col("dur").cast(DecimalType(19, 0))).cast(D)
           .as("__num"))
       .select(col("key"), col("n"), col("span_ns"),
-        when(col("span_ns") > 0L,
-          round(col("__num").cast(DoubleType) /
-            (col("span_ns").cast(D) * lit(10000L).cast(D))
-              .cast(DoubleType), 6)).as("twap"))
+        // overflow guard (Trend's discipline): with ≥2 samples the
+        // span is non-null and vq/dur are non-null by construction, so
+        // a null weighted sum can only be a decimal(38,0) overflow —
+        // in non-ANSI sessions that would otherwise read as a silent
+        // single-sample-style null twap. Within the CURRENT bounds it
+        // is provably unreachable (|vq| ≤ 9·10¹⁸ and Σdur ≤ 2⁶³ ns ⇒
+        // |num| ≤ 8.3·10³⁷ < 10³⁸) — kept as defense against a future
+        // bound or scale change
+        when(col("span_ns").isNotNull && col("__num").isNull,
+          raise_error(lit("timeWeightedAvg: weighted sum overflowed " +
+            "10^38 — the exactness bound is exceeded; rescale v or " +
+            "shard the series")).cast(DoubleType))
+          .otherwise(when(col("span_ns") > 0L,
+            round(col("__num").cast(DoubleType) /
+              (col("span_ns").cast(D) * lit(10000L).cast(D))
+                .cast(DoubleType), 6))).as("twap"))
   }
 
   /** Linear interpolation of each key's irregular series onto its

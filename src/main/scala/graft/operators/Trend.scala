@@ -40,6 +40,24 @@ import org.apache.spark.sql.types._
   */
 object Trend {
 
+  /** The library-wide 4-dp quantization step, guarded: `floor(v·10⁴)`
+    * as decimal(19,0), with the ±9e14 bound enforced per row —
+    * floor() returns a LONG and double→long conversion CLAMPS at
+    * ±2⁶³, so an out-of-range (or ±Inf, which a NaN-only filter
+    * passes) value would silently produce a wrong moment instead of
+    * tripping the aggregate-stage overflow guard. Shared by
+    * [[groupTrend]] and [[Timeseries.timeWeightedAvg]] — one bound,
+    * one message shape. */
+  private[operators] def quantize4(v: Column, op: String,
+      name: String): Column =
+    when(v.between(-9.0e14, 9.0e14),
+      floor(v * lit(10000.0)).cast(DecimalType(19, 0)))
+      .otherwise(raise_error(concat(
+        lit(s"$op: $name="), v.cast("string"),
+        lit(s" beyond the ±9e14 quantization bound — floor($name*10^4) " +
+          s"would silently clamp; rescale $name")))
+        .cast(DecimalType(19, 0)))
+
   def groupTrend(df: DataFrame, keyCol: String, xCol: Column,
       yCol: Column): DataFrame = {
     val D = DecimalType(38, 0)
@@ -49,19 +67,7 @@ object Trend {
       .filter(col("key").isNotNull && col("x").isNotNull &&
         col("y").isNotNull && !isnan(col("y")))
       .select(col("key"), col("x").cast(DecimalType(19, 0)).as("xd"),
-        // floor() returns a LONG, and double→long conversion CLAMPS at
-        // ±2⁶³ — a y beyond the quantization range (or ±Inf, which the
-        // NaN filter passes) would silently produce a wrong moment
-        // instead of tripping the aggregate-stage overflow guard, so
-        // the bound is enforced here, per row, fused into the consumed
-        // expression
-        when(col("y").between(-9.0e14, 9.0e14),
-          floor(col("y") * lit(10000.0)).cast(DecimalType(19, 0)))
-          .otherwise(raise_error(concat(
-            lit("groupTrend: y="), col("y").cast("string"),
-            lit(" beyond the ±9e14 quantization bound — floor(y*10^4) " +
-              "would silently clamp; rescale y")))
-            .cast(DecimalType(19, 0))).as("yd"))
+        Trend.quantize4(col("y"), "groupTrend", "y").as("yd"))
     val m = rows.groupBy(col("key")).agg(
       count(lit(1)).cast(D).as("n"),
       sum(col("xd")).cast(D).as("sx"),

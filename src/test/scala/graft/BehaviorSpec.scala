@@ -357,6 +357,16 @@ class BehaviorSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mixture.apportion(Seq(("a", -1L)).toDF("k", "w"), "k", "w", 5L)
     }
+    // duplicate-key weights summing past 2^63 must fail loudly, not
+    // wrap: two rows of 2^62 reach exactly 2^63 (a LongType sum would
+    // wrap to -2^63 and fire a MISLEADING negative-weights error; four
+    // would wrap to a plausible 0)
+    val wrap = intercept[IllegalArgumentException] {
+      Mixture.apportion(
+        Seq(("a", 1L << 62), ("a", 1L << 62), ("b", 1L)).toDF("k", "w"),
+        "k", "w", 5L)
+    }
+    assert(wrap.getMessage.contains("2^63"), wrap.getMessage)
     intercept[IllegalArgumentException] {
       Mixture.apportion(Seq(("a", 0L)).toDF("k", "w"), "k", "w", 5L)
     }
