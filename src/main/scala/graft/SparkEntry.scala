@@ -127,6 +127,8 @@ object SparkEntry {
     "q107_twap"           -> (Behavior.q107Twap _),
     "q108_interpolate"    -> (Behavior.q108Interpolate _),
     "q109_apportion"      -> (Behavior.q109Apportion _),
+    "q110_discretize"     -> (Behavior.q110Discretize _),
+    "q111_rolling_corr"   -> (Behavior.q111RollingCorr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +345,11 @@ object SparkEntry {
     // q109: largest-remainder apportionment — exact integer floors /
     // modulos + the (rem DESC, key) rank, Σ quota = budget.
     "q109_apportion"      -> Behavior.q109Sql,
+    // q110: equi-depth binning — q99's edge arithmetic + an identical
+    // edge-comparison count per row.
+    "q110_discretize"     -> Behavior.q110Sql,
+    // q111: rolling correlation — integer 10⁻⁴-unit minute sums,
+    // exact decimal window moments, one mirrored sqrt formula.
+    "q111_rolling_corr"   -> Behavior.q111Sql,
   )
 }

@@ -87,6 +87,44 @@ object Histogram {
         StructField("est", DoubleType, nullable = false))))
   }
 
+  /** Equi-depth discretization: add an integer `bucket` column
+    * (0..nBuckets−1) splitting `valueCol` at its histogram-estimated
+    * quantile edges — the standard feature-binning step (model inputs,
+    * stratified sampling strata, heavy-tail flattening) where
+    * equi-WIDTH bins would put 99% of a skewed column in one bin.
+    *
+    * Edges are [[quantileEstimates]] outputs (nBuckets−1 interior
+    * percentiles), so the depth balance carries their ≤ one-bin-width
+    * error — explicit and engine-portable where `ntile` (a global
+    * window — single task at scale) and `percentile_approx` (opaque
+    * sketch) are not. The bucket assignment is a codegen'd comparison
+    * chain against the broadcast edge literals: one narrow map, no
+    * shuffle, no join. `nBuckets` must divide 100 (edges are integer
+    * percentiles); non-finite values get bucket NULL (they are
+    * excluded from the edges too).
+    *
+    * Driver bound: the nBuckets−1 edge doubles (via the
+    * nBins-bounded histogram collect documented on
+    * [[quantileEstimates]]). */
+  def discretize(df: DataFrame, valueCol: String, nBuckets: Int,
+      nBins: Int = 4096): DataFrame = {
+    require(nBuckets >= 2 && 100 % nBuckets == 0,
+      s"nBuckets=$nBuckets must be >= 2 and divide 100 (integer " +
+        "percentile edges)")
+    val step = 100 / nBuckets
+    val pcts = (1 until nBuckets).map(_ * step)
+    val edges = quantileEstimates(df, valueCol, nBins, pcts)
+      .orderBy(col("pct"))
+      .collect().map(_.getDouble(3))
+    val x = col(valueCol).cast(DoubleType)
+    val finite = x.isNotNull && x.between(-Double.MaxValue, Double.MaxValue)
+    // bucket = number of edges <= x (ties go up, matching the oracle's
+    // identical comparison on identical doubles)
+    val bucket = edges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(x >= lit(e), 1L).otherwise(0L) }
+    df.withColumn("bucket", when(finite, bucket))
+  }
+
   /** PER-KEY quantile estimates — the fully distributed twin of
     * [[quantileEstimates]] (which drives a single global histogram
     * through a driver-side cumulative pass). Nothing here touches the

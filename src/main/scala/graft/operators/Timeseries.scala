@@ -116,6 +116,77 @@ object Timeseries {
                 .cast(DoubleType), 6))).as("twap"))
   }
 
+  /** Rolling Pearson correlation between TWO keys' minute series —
+    * "do error rates move with purchase rates, and when did that
+    * change" as a per-minute trailing statistic; the pairwise
+    * companion to [[Anomaly.rateZScores]]' univariate monitoring.
+    *
+    * Determinism: per-minute values are exact decimal sums quantized
+    * to integer 10⁻⁴ units at the ROW level (the proven dsum-cast
+    * contract; |v| beyond the decimal(18,4) domain raises loudly
+    * rather than summing as silent nulls), every trailing sum runs in
+    * decimal(38,0), and the Pearson numerator/denominators are exact
+    * integers; the final expression is ONE fixed parenthesization
+    * (`num / (sqrt(dx) · sqrt(dy))` — the dx·dy product would pass
+    * 10³⁸, so each factor converts to double BEFORE the multiply) +
+    * round(·,4).
+    *
+    * Scale shape: event-scale data collapses to per-(key, period)
+    * sums first (map-side combine; `grain` = "minute" or "hour" —
+    * pick the grain at which the joint series is actually dense);
+    * the join and window run on the period series. The trailing
+    * window partitions BY DAY (≤ 1440 rows per partition by
+    * construction — never a global window), so windows reset at
+    * midnight and each day's first `trailing−1` periods do not emit.
+    * The joint series contains periods where BOTH keys are active;
+    * feed pre-densified series if gap-skipping semantics are wrong
+    * for your data.
+    *
+    * Output: (period_start, r), r over the trailing-inclusive window
+    * of exactly `trailing` joint periods; null when either side has
+    * zero variance. */
+  def rollingCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, keyA: String, keyB: String,
+      trailing: Int = 30, grain: String = "minute"): DataFrame = {
+    require(trailing >= 2, s"trailing=$trailing needs >= 2 periods")
+    require(keyA != keyB, "rollingCorrelation needs two distinct keys")
+    require(grain == "minute" || grain == "hour",
+      s"grain '$grain' must be minute or hour")
+    val D = DecimalType(38, 0)
+    def units(v: org.apache.spark.sql.Column) =
+      when(v.between(-9.0e13, 9.0e13),
+        (v.cast(DecimalType(18, 4)) * lit(10000)).cast(D))
+        .otherwise(raise_error(concat(
+          lit("rollingCorrelation: v="), v.cast("string"),
+          lit(" beyond the ±9e13 quantization domain — rescale v")))
+          .cast(D))
+    def series(k: String, out: String) = df
+      .filter(col(keyCol) === k && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .groupBy(date_trunc(grain.toUpperCase, col(tsCol)).as("m"))
+      .agg(sum(units(col(valueCol).cast(DoubleType))).as(out))
+    val joint = series(keyA, "au").join(series(keyB, "bu"), Seq("m"))
+      .withColumn("d", to_date(col("m")))
+    val w = Window.partitionBy(col("d")).orderBy(col("m"))
+      .rowsBetween(-(trailing - 1), 0)
+    val stats = joint
+      .withColumn("c", count(lit(1)).over(w).cast(D))
+      .withColumn("sa", sum(col("au")).over(w))
+      .withColumn("sb", sum(col("bu")).over(w))
+      .withColumn("sab", sum(col("au") * col("bu")).over(w))
+      .withColumn("saa", sum(col("au") * col("au")).over(w))
+      .withColumn("sbb", sum(col("bu") * col("bu")).over(w))
+      .filter(col("c") === lit(trailing.toLong).cast(D))
+      .withColumn("dx", col("c") * col("saa") - col("sa") * col("sa"))
+      .withColumn("dy", col("c") * col("sbb") - col("sb") * col("sb"))
+    stats.select(col("m").as("period_start"),
+      when(col("dx") > 0 && col("dy") > 0,
+        round((col("c") * col("sab") - col("sa") * col("sb"))
+            .cast(DoubleType) /
+          (sqrt(col("dx").cast(DoubleType)) *
+            sqrt(col("dy").cast(DoubleType))), 4)).as("r"))
+  }
+
   /** Linear interpolation of each key's irregular series onto its
     * dense minute grid: for each grid minute, the bracketing samples
     * come from one BACKWARD and one FORWARD as-of join (the library's

@@ -7,18 +7,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Behavioral / statistical analytics surface (q101–q106): per-key
-  * distribution estimates, cohort retention, Markov transitions,
-  * triangle counting, trend regression, and PMI collocations. Each
-  * query is oracle-backed — DuckDB replays the identical integer,
-  * fixed-IEEE, or quantized-log arithmetic — and each operator
-  * carries its own 100 TB scale contract
+/** Behavioral / statistical analytics surface (q101–q111): per-key
+  * distribution estimates + equi-depth binning, cohort retention,
+  * Markov transitions, triangle counting, trend regression, PMI
+  * collocations, time-weighted averages, as-of interpolation,
+  * mixture apportionment, and rolling correlation. Each query is
+  * oracle-backed — DuckDB replays the identical integer, fixed-IEEE,
+  * or quantized-log arithmetic — and each operator carries its own
+  * 100 TB scale contract
   * ([[graft.operators.Histogram.groupQuantileEstimates]],
   * [[graft.operators.Cohort.retention]],
   * [[graft.operators.Transitions.transitionMatrix]],
   * [[graft.operators.Graph.triangleCounts]],
   * [[graft.operators.Trend.groupTrend]],
-  * [[graft.operators.Collocations.pmiTopBigrams]]).
+  * [[graft.operators.Collocations.pmiTopBigrams]],
+  * [[graft.operators.Timeseries]], [[graft.operators.Mixture]]).
   */
 object Behavior {
 
@@ -323,6 +326,96 @@ object Behavior {
       |            4) END AS est
       |FROM fw WHERE v0 IS NOT NULL AND v1 IS NOT NULL
       |ORDER BY key, minute_str""".stripMargin
+
+  /** Equi-depth decile binning of lineitem prices (q110): per-bucket
+    * row counts + exact value ranges. */
+  def q110Discretize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Histogram.discretize(Tables.lineitem(s, dir), "l_extendedprice",
+        nBuckets = 10, nBins = 256)
+      .groupBy($"bucket").agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+      .orderBy($"bucket")
+  }
+
+  val q110Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
+      |c AS (SELECT min(x) AS lo, max(x) - min(x) AS span,
+      |        CAST(count(*) AS BIGINT) AS n FROM v),
+      |b AS (SELECT CASE WHEN c.span = 0 THEN CAST(0 AS BIGINT)
+      |        ELSE LEAST(255,
+      |          CAST(FLOOR(((x - c.lo) * 256.0) / c.span) AS BIGINT)) END
+      |          AS bin
+      |      FROM v CROSS JOIN c),
+      |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+      |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+      |p(pct) AS (VALUES (10), (20), (30), (40), (50), (60), (70),
+      |                  (80), (90)),
+      |rkk AS (SELECT pct, (c.n * pct + 99) // 100 AS rank
+      |        FROM p CROSS JOIN c),
+      |sel AS (SELECT rkk.pct, MIN(cum.bin) AS bin
+      |        FROM rkk JOIN cum ON cum.cum >= rkk.rank GROUP BY 1),
+      |e AS (SELECT c.lo + (CAST(bin AS DOUBLE) * (c.span / 256.0))
+      |        AS edge
+      |      FROM sel CROSS JOIN c),
+      |bk AS (SELECT x,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM e
+      |          WHERE e.edge <= v.x) AS bucket
+      |       FROM v)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(x) AS lo, max(x) AS hi
+      |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Rolling purchase↔error value correlation per hour (q111) — the
+    * hourly grain keeps the joint series dense at every test SF. */
+  def q111RollingCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Timeseries.rollingCorrelation(Tables.events(s, dir), "event_type",
+        "ts", "value", "purchase", "error", trailing = 6,
+        grain = "hour")
+      .select(date_format($"period_start", "yyyy-MM-dd HH:mm:ss")
+          .as("hour_str"), $"r")
+      .orderBy($"hour_str")
+  }
+
+  val q111Sql: String =
+    """WITH am AS (
+      |  SELECT date_trunc('hour', ts) AS m,
+      |    sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT))
+      |      AS au
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)
+      |  GROUP BY 1),
+      |bm AS (
+      |  SELECT date_trunc('hour', ts) AS m,
+      |    sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT))
+      |      AS bu
+      |  FROM events
+      |  WHERE event_type = 'error' AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)
+      |  GROUP BY 1),
+      |j AS (SELECT am.m, CAST(am.m AS DATE) AS d, au, bu
+      |      FROM am JOIN bm ON am.m = bm.m),
+      |w AS (SELECT m,
+      |        CAST(COUNT(*) OVER win AS HUGEINT) AS c,
+      |        SUM(au) OVER win AS sa, SUM(bu) OVER win AS sb,
+      |        SUM(au * bu) OVER win AS sab,
+      |        SUM(au * au) OVER win AS saa,
+      |        SUM(bu * bu) OVER win AS sbb
+      |      FROM j
+      |      WINDOW win AS (PARTITION BY d ORDER BY m
+      |                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+      |SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS hour_str,
+      |  CASE WHEN c * saa - sa * sa > 0 AND c * sbb - sb * sb > 0 THEN
+      |    round(CAST(c * sab - sa * sb AS DOUBLE)
+      |          / (sqrt(CAST(c * saa - sa * sa AS DOUBLE))
+      |             * sqrt(CAST(c * sbb - sb * sb AS DOUBLE))), 4)
+      |  END AS r
+      |FROM w WHERE c = 6
+      |ORDER BY hour_str""".stripMargin
 
   /** Largest-remainder mixture apportionment (q109): a 999,983-unit
     * budget split across sources proportionally to their character

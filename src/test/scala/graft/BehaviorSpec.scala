@@ -310,6 +310,72 @@ class BehaviorSpec extends SparkSpec {
       ("b", "00:01", 5.0)))
   }
 
+  // ---- Histogram.discretize (q110) ----
+
+  test("discretize: near-balanced quartiles on a uniform column; " +
+      "non-finite values get null bucket; non-divisor guard") {
+    val df = ((1 to 100).map(_.toDouble) :+ Double.NaN :+
+      Double.PositiveInfinity).toDF("x")
+    val out = Histogram.discretize(df, "x", nBuckets = 4, nBins = 1000)
+    val counts = out.filter($"bucket".isNotNull)
+      .groupBy($"bucket").count().orderBy($"bucket")
+      .as[(Long, Long)].collect().toSeq
+    assert(counts.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    // equi-depth: each quartile holds 25 ± the one-bin-width slack
+    assert(counts.forall(c => c._2 >= 20 && c._2 <= 30), counts.toString)
+    assert(counts.map(_._2).sum === 100L)
+    // buckets are ordered: every value in bucket k is <= every value
+    // in bucket k+1
+    val ranges = out.filter($"bucket".isNotNull)
+      .groupBy($"bucket").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .orderBy($"bucket").as[(Long, Double, Double)].collect()
+    assert(ranges.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._2; case _ => true })
+    // the two non-finite rows surface with a null bucket
+    assert(out.filter($"bucket".isNull).count() === 2L)
+    intercept[IllegalArgumentException] {
+      Histogram.discretize(df, "x", nBuckets = 3)
+    }
+  }
+
+  // ---- Timeseries.rollingCorrelation (q111) ----
+
+  test("rollingCorrelation: exact ±1 on linear series, null on zero " +
+      "variance, day-boundary reset, guards") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // minutes 0..5 on day 1 + minutes 0..2 on day 2:
+    //   A ramps 1,2,3,4,5,6 ; B = 2A (r=+1) ; C = -A shape (7-A, r=-1)
+    //   D constant (zero variance -> null)
+    val rows = (0 until 6).flatMap { i =>
+      val t = ts(f"2024-01-01 00:0$i:00")
+      Seq(("A", t, (i + 1).toDouble), ("B", t, 2.0 * (i + 1)),
+        ("C", t, (7 - (i + 1)).toDouble), ("D", t, 5.0))
+    } ++ (0 until 3).flatMap { i =>
+      val t = ts(f"2024-01-02 00:0$i:00")
+      Seq(("A", t, (i + 1).toDouble), ("B", t, 3.0 * (i + 1)))
+    }
+    val df = rows.toDF("k", "t", "v")
+    def corr(b: String) = Timeseries
+      .rollingCorrelation(df, "k", "t", "v", "A", b, trailing = 3)
+      .orderBy($"period_start")
+      .as[(java.sql.Timestamp, Option[Double])].collect().toSeq
+    val ab = corr("B")
+    // day 1: windows complete at minutes 2..5 (4 rows); day 2: at
+    // minute 2 only (1 row) — the window RESET at midnight, otherwise
+    // day 2's first minutes would emit too
+    assert(ab.length === 5)
+    assert(ab.forall(_._2.contains(1.0)), ab.toString)
+    assert(corr("C").forall(_._2.contains(-1.0)))
+    assert(corr("D").forall(_._2.isEmpty)) // zero variance
+    intercept[IllegalArgumentException] {
+      Timeseries.rollingCorrelation(df, "k", "t", "v", "A", "A", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.rollingCorrelation(df, "k", "t", "v", "A", "B", 3,
+        grain = "week")
+    }
+  }
+
   // ---- Mixture.apportion (q109) ----
 
   test("apportion: textbook largest-remainder case; ties break by " +
