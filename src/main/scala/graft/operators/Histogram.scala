@@ -33,12 +33,29 @@ object Histogram {
     * bound. Nulls in `valueCol` are excluded from ranks. */
   def quantileEstimates(df: DataFrame, valueCol: String, nBins: Int,
       pcts: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    val out = estimateQuantiles(df, valueCol, nBins, pcts)
+      .map { case (p, rank, bin, est) => Row(p, rank, bin, est) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("pct", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("bin", LongType, nullable = false),
+        StructField("est", DoubleType, nullable = false))))
+  }
+
+  /** Driver-side core of [[quantileEstimates]], shared with
+    * [[discretize]] (which needs the raw edge doubles, not a 1-row
+    * DataFrame round-trip): (pct, rank, bin, est) per requested
+    * percentile, sorted by pct. */
+  private def estimateQuantiles(df: DataFrame, valueCol: String,
+      nBins: Int, pcts: Seq[Int]): Seq[(Long, Long, Long, Double)] = {
     require(nBins >= 1 && nBins <= 1000000,
       s"nBins=$nBins outside [1, 1e6] (the histogram is driver-collected)")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in 1..100, got $pcts")
     require(pcts.distinct.size == pcts.size, s"duplicate pcts in $pcts")
-    val spark = df.sparkSession
     // non-finite values are excluded (NaN bins to garbage; one ±Inf
     // makes the span infinite and silently collapses every bin to 0);
     // `between(±MaxValue)` is false for NaN and both infinities —
@@ -67,7 +84,7 @@ object Histogram {
       .map(r => (r.getLong(0), r.getLong(1)))
     val n = hist.map(_._2).sum
     val width = span / nBins.toDouble
-    val out = pcts.sorted.map { p =>
+    pcts.sorted.map { p =>
       val rank = (n * p + 99L) / 100L // ceil(n·p/100), exact
       var cum = 0L
       var binOf = hist.last._1
@@ -76,15 +93,8 @@ object Histogram {
         cum += c
         if (cum >= rank) { binOf = b; found = true }
       }
-      Row(p.toLong, rank, binOf, lo + binOf.toDouble * width)
+      (p.toLong, rank, binOf, lo + binOf.toDouble * width)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1),
-      StructType(Seq(
-        StructField("pct", LongType, nullable = false),
-        StructField("rank", LongType, nullable = false),
-        StructField("bin", LongType, nullable = false),
-        StructField("est", DoubleType, nullable = false))))
   }
 
   /** Equi-depth discretization: add an integer `bucket` column
@@ -113,9 +123,7 @@ object Histogram {
         "percentile edges)")
     val step = 100 / nBuckets
     val pcts = (1 until nBuckets).map(_ * step)
-    val edges = quantileEstimates(df, valueCol, nBins, pcts)
-      .orderBy(col("pct"))
-      .collect().map(_.getDouble(3))
+    val edges = estimateQuantiles(df, valueCol, nBins, pcts).map(_._4)
     val x = col(valueCol).cast(DoubleType)
     val finite = x.isNotNull && x.between(-Double.MaxValue, Double.MaxValue)
     // bucket = number of edges <= x (ties go up, matching the oracle's

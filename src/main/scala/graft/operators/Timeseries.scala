@@ -131,10 +131,11 @@ object Timeseries {
     * 10³⁸, so each factor converts to double BEFORE the multiply) +
     * round(·,4).
     *
-    * Scale shape: event-scale data collapses to per-(key, period)
-    * sums first (map-side combine; `grain` = "minute" or "hour" —
+    * Scale shape: event-scale data collapses to per-period sums in
+    * ONE conditional aggregate (both series from a single scan and a
+    * single shuffle — no per-key join; `grain` = "minute" or "hour" —
     * pick the grain at which the joint series is actually dense);
-    * the join and window run on the period series. The trailing
+    * the window runs on the period series. The trailing
     * window partitions BY DAY (≤ 1440 rows per partition by
     * construction — never a global window), so windows reset at
     * midnight and each day's first `trailing−1` periods do not emit.
@@ -152,6 +153,12 @@ object Timeseries {
     require(keyA != keyB, "rollingCorrelation needs two distinct keys")
     require(grain == "minute" || grain == "hour",
       s"grain '$grain' must be minute or hour")
+    // a day-partitioned window can never fill past the day's period
+    // capacity — a too-large trailing would silently emit NOTHING
+    val capacity = if (grain == "hour") 24 else 1440
+    require(trailing <= capacity,
+      s"trailing=$trailing exceeds the $capacity $grain periods a day " +
+        "partition holds — the window could never fill")
     val D = DecimalType(38, 0)
     def units(v: org.apache.spark.sql.Column) =
       when(v.between(-9.0e13, 9.0e13),
@@ -160,12 +167,36 @@ object Timeseries {
           lit("rollingCorrelation: v="), v.cast("string"),
           lit(" beyond the ±9e13 quantization domain — rescale v")))
           .cast(D))
-    def series(k: String, out: String) = df
-      .filter(col(keyCol) === k && col(tsCol).isNotNull &&
+    // per-period magnitude cap so every downstream moment stays exact:
+    // c·Σa² ≤ trailing²·cap² and (Σa)² ≤ trailing²·cap² must stay
+    // < 10³⁸ ⇒ cap = 10¹⁹/trailing. This guard is load-bearing, not
+    // defensive: an au past it makes au·au overflow decimal(38,0) to
+    // NULL, and window SUM SKIPS nulls — the moments would come back
+    // plausible-but-wrong with no signal (the oracle's HUGEINT errors
+    // loudly on the same data, so it is also a divergence)
+    val unitCap = (BigDecimal(10).pow(19) / trailing).toBigInt
+    def capped(c: org.apache.spark.sql.Column, name: String) =
+      when(abs(c) < lit(unitCap.toString).cast(D), c)
+        .otherwise(raise_error(concat(
+          lit(s"rollingCorrelation: |$name| ≥ 10^19/trailing "),
+          lit(s"($unitCap) — per-period sum too large for exact " +
+            "decimal moments; rescale v or use a finer grain")))
+          .cast(D))
+    // ONE scan + ONE shuffle: both series come from a single
+    // conditional aggregate (a per-key filter+join would scan the
+    // event-scale input twice and add a shuffle join)
+    val joint = df
+      .filter(col(keyCol).isin(keyA, keyB) && col(tsCol).isNotNull &&
         col(valueCol).isNotNull && !isnan(col(valueCol)))
-      .groupBy(date_trunc(grain.toUpperCase, col(tsCol)).as("m"))
-      .agg(sum(units(col(valueCol).cast(DoubleType))).as(out))
-    val joint = series(keyA, "au").join(series(keyB, "bu"), Seq("m"))
+      .groupBy(date_trunc(grain, col(tsCol)).as("m"))
+      .agg(
+        sum(when(col(keyCol) === keyA,
+          units(col(valueCol).cast(DoubleType)))).as("au0"),
+        sum(when(col(keyCol) === keyB,
+          units(col(valueCol).cast(DoubleType)))).as("bu0"))
+      .filter(col("au0").isNotNull && col("bu0").isNotNull)
+      .select(col("m"), capped(col("au0"), "au").as("au"),
+        capped(col("bu0"), "bu").as("bu"))
       .withColumn("d", to_date(col("m")))
     val w = Window.partitionBy(col("d")).orderBy(col("m"))
       .rowsBetween(-(trailing - 1), 0)

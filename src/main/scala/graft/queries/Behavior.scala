@@ -333,6 +333,10 @@ object Behavior {
     import s.implicits._
     Histogram.discretize(Tables.lineitem(s, dir), "l_extendedprice",
         nBuckets = 10, nBins = 256)
+      // pin the oracle contract: null/non-finite prices get a null
+      // bucket, which the oracle's isfinite() WHERE excludes — and
+      // null GROUP/ORDER position differs between engines anyway
+      .filter($"bucket".isNotNull)
       .groupBy($"bucket").agg(count(lit(1)).as("n"),
         min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
       .orderBy($"bucket")

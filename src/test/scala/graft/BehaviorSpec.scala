@@ -374,6 +374,26 @@ class BehaviorSpec extends SparkSpec {
       Timeseries.rollingCorrelation(df, "k", "t", "v", "A", "B", 3,
         grain = "week")
     }
+    // trailing beyond the day-partition capacity could never fill —
+    // reject instead of silently emitting nothing
+    intercept[IllegalArgumentException] {
+      Timeseries.rollingCorrelation(df, "k", "t", "v", "A", "B",
+        trailing = 30, grain = "hour")
+    }
+    // per-period magnitude cap is LOAD-BEARING: past 10^19/trailing
+    // the au*au product overflows decimal(38,0) to NULL and window
+    // SUM would silently skip it — must raise instead
+    val big = (0 until 2).flatMap { i =>
+      val t = ts(f"2024-01-01 00:0$i:00")
+      (0 until 60).map(_ => ("A", t, 9.0e13)) :+ (("B", t, 1.0 * i))
+    }.toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Timeseries.rollingCorrelation(big, "k", "t", "v", "A", "B", 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("per-period sum") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("per-period sum")), e.toString)
   }
 
   // ---- Mixture.apportion (q109) ----
