@@ -129,6 +129,7 @@ object SparkEntry {
     "q109_apportion"      -> (Behavior.q109Apportion _),
     "q110_discretize"     -> (Behavior.q110Discretize _),
     "q111_rolling_corr"   -> (Behavior.q111RollingCorr _),
+    "q112_stream_anomaly" -> (StreamingQueries.q112StreamAnomaly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -351,5 +352,8 @@ object SparkEntry {
     // q111: rolling correlation — integer 10⁻⁴-unit minute sums,
     // exact decimal window moments, one mirrored sqrt formula.
     "q111_rolling_corr"   -> Behavior.q111Sql,
+    // q112: the drained streaming anomaly monitor ≡ the batch
+    // dense-spine z-scores — q100's oracle verbatim.
+    "q112_stream_anomaly" -> StreamingQueries.q112Sql,
   )
 }

@@ -71,8 +71,12 @@ object Anomaly {
         coalesce(col("n"), lit(0L)).as("n"))
     val w = Window.partitionBy(col("key")).orderBy(col("minute_start"))
       .rowsBetween(-trailing, -1)
-    val s = sum(col("n")).over(w)
-    val ss = sum(col("n") * col("n")).over(w)
+    // decimal(38,0) window moments: a hot key at 100 TB scale can see
+    // ~10⁹ events/minute, where Σn² passes 2⁶³ — a LongType sum wraps
+    // SILENTLY in non-ANSI sessions (the oracle's HUGEINT is exact)
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = sum(col("n").cast(D)).over(w)
+    val ss = sum(col("n").cast(D) * col("n").cast(D)).over(w)
     val cnt = count(lit(1)).over(w)
     series
       .withColumn("__s", s).withColumn("__ss", ss).withColumn("__c", cnt)

@@ -393,8 +393,8 @@ object Analytics {
       |        FROM sp LEFT JOIN c0 ON c0.key = sp.key AND c0.m = sp.m),
       |w AS (
       |  SELECT key, m, n,
-      |    CAST(SUM(n) OVER win AS BIGINT) AS s,
-      |    CAST(SUM(n * n) OVER win AS BIGINT) AS ss,
+      |    SUM(CAST(n AS HUGEINT)) OVER win AS s,
+      |    SUM(CAST(n AS HUGEINT) * n) OVER win AS ss,
       |    CAST(COUNT(*) OVER win AS BIGINT) AS c
       |  FROM ser
       |  WINDOW win AS (PARTITION BY key ORDER BY m

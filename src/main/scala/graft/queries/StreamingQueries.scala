@@ -263,6 +263,43 @@ object StreamingQueries {
   /** The drained stream ≡ the batch funnel — q93's oracle. */
   val q97Sql: String = Analytics.q93Sql
 
+  private val lastSink112 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q112: streaming rate-anomaly monitor — the live twin of q100's
+    * dense-spine z-scores ([[graft.streaming.AnomalyStream]]). Each
+    * key re-emits its full scored series per batch tagged `seen`;
+    * the consumer keeps the max-`seen` emission per key, so the
+    * drained run is EXACTLY the batch answer — q100's oracle. */
+  def q112StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val ev = eventsStream(s, dir)
+        .filter($"event_type".isNotNull && $"ts".isNotNull)
+        .select($"event_type".as("key"),
+          expr("unix_micros(date_trunc('MINUTE', ts)) div 60000000")
+            .as("m"))
+      val out = graft.streaming.AnomalyStream.zScores(ev, trailing = 30)
+      val name = s"q112_stream_out_${runSeq.incrementAndGet()}"
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val prev = lastSink112.getAndSet(name)
+      if (prev != null) s.catalog.dropTempView(prev)
+      val t = s.table(name)
+      t.groupBy($"key", $"m")
+        .agg(max_by(struct($"n", $"z"), $"seen").as("f"))
+        .select($"key",
+          date_format(timestamp_micros($"m" * 60000000L),
+            "yyyy-MM-dd HH:mm:ss").as("minute_str"),
+          $"f.n".as("n"), $"f.z".as("z"))
+        .orderBy($"key", $"minute_str")
+    }
+  }
+
+  /** The drained stream ≡ the batch dense-spine z-scores — q100's
+    * oracle. */
+  val q112Sql: String = Analytics.q100Sql
+
   /** Batch replay of the same sketch + estimator (q85's integer math
     * at k = 16 over the portable user-id hash). */
   val q89Sql: String =

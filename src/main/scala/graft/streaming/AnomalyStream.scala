@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Streaming event-rate anomaly monitor — the live twin of
+  * [[graft.operators.Anomaly.rateZScores]] (q100): per-(key, minute)
+  * trailing z-scores over the ZERO-FILLED minute spine, maintained as
+  * events arrive. A feed outage shows up as strongly negative z rows
+  * the moment a later minute for that key proves the silent minutes
+  * really were silent.
+  *
+  * EXACTNESS UNDER DISORDER: a late event changes an already-scored
+  * minute's count, which changes the mean/variance of every window
+  * containing it — so bounded per-emission state cannot be exact.
+  * The state is therefore the key's full minute→count map (bounded by
+  * the key's active span — calendar-class, the same bound the batch
+  * spine enforces; `maxSpanMinutes` fails loudly on a corrupt
+  * timestamp) and each batch re-scores the key's whole dense series,
+  * so a drained run is EXACTLY the batch answer — q100's oracle gates
+  * it.
+  *
+  * EMISSION CONTRACT ([[FunnelStream]]'s progress-stream pattern): a
+  * key re-emits its full scored series whenever a batch delivers new
+  * events for it, tagged with `seen` (the key's total event count —
+  * strictly increasing), and consumers keep the max-`seen` emission
+  * per key. Gap minutes INSIDE the observed span are known-zero and
+  * scored; minutes after the key's last event are unknown (silence
+  * vs. not-yet-arrived) and never scored until a later event closes
+  * them — identical to the batch spine's [first, last] contract.
+  * State is never dropped (`NoTimeout`): for live deployments bound
+  * the observation window upstream or wrap with a TTL as [[NearDup]]
+  * does.
+  *
+  * Arithmetic mirrors the batch/oracle formula token for token:
+  * exact integer window sums, `mean = s/c`,
+  * `var = (ss − s·s/c)/(c−1)`, `z = round((n − mean)/√var, 4)`
+  * (HALF_UP — the library-wide round contract), null z on zero
+  * variance. */
+object AnomalyStream {
+
+  /** (key, epoch-minute) — pre-truncate upstream. */
+  case class MinuteEvent(key: String, m: Long)
+  case class CountsState(counts: Map[Long, Long])
+  case class ZRow(key: String, m: Long, n: Long, z: Option[Double],
+    seen: Long)
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private[streaming] def fn(trailing: Int, maxSpanMinutes: Long)(
+      key: String, it: Iterator[MinuteEvent],
+      state: GroupState[CountsState]): Iterator[ZRow] = {
+    val add = it.foldLeft(Map.empty[Long, Long]) { (acc, e) =>
+      acc.updated(e.m, acc.getOrElse(e.m, 0L) + 1L) }
+    if (add.isEmpty) Iterator.empty
+    else {
+      val prev = state.getOption.map(_.counts).getOrElse(Map.empty)
+      val merged = add.foldLeft(prev) { case (acc, (m, c)) =>
+        acc.updated(m, acc.getOrElse(m, 0L) + c) }
+      val lo = merged.keysIterator.min
+      val hi = merged.keysIterator.max
+      require(hi - lo <= maxSpanMinutes,
+        s"AnomalyStream: key $key spans ${hi - lo} minutes — beyond " +
+          s"maxSpanMinutes=$maxSpanMinutes; a corrupt timestamp would " +
+          "explode the state")
+      state.update(CountsState(merged))
+      val seen = merged.valuesIterator.sum
+      // dense re-score over [lo, hi]: ring buffer of the trailing
+      // window's counts; s/ss in BigInt — Σn² passes 2⁶³ on a ~10⁹
+      // events/minute key (the batch twin's decimal(38,0) moments)
+      val ring = new Array[Long](trailing)
+      var s = BigInt(0)
+      var ss = BigInt(0)
+      var filled = 0L
+      val out = Vector.newBuilder[ZRow]
+      var m = lo
+      while (m <= hi) {
+        val n = merged.getOrElse(m, 0L)
+        if (filled >= trailing) {
+          val c = trailing.toDouble
+          val mean = s.toDouble / c
+          val varr = (ss.toDouble - s.toDouble * s.toDouble / c) /
+            (c - 1.0)
+          val z = if (varr > 0) Some(round4((n.toDouble - mean) /
+            math.sqrt(varr))) else None
+          out += ZRow(key, m, n, z, seen)
+        }
+        val slot = (filled % trailing).toInt
+        if (filled >= trailing) {
+          s -= ring(slot)
+          ss -= BigInt(ring(slot)) * ring(slot)
+        }
+        ring(slot) = n
+        s += n
+        ss += BigInt(n) * n
+        filled += 1L
+        m += 1L
+      }
+      out.result().iterator
+    }
+  }
+
+  /** `events` needs (key: string, m: long epoch-minute). */
+  def zScores(events: DataFrame, trailing: Int = 30,
+      maxSpanMinutes: Long = 10512000L): Dataset[ZRow] = {
+    require(trailing >= 2, s"trailing=$trailing needs >= 2 minutes")
+    require(maxSpanMinutes >= 1, s"maxSpanMinutes=$maxSpanMinutes")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[MinuteEvent](Encoders.product[MinuteEvent])
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn(trailing, maxSpanMinutes))
+  }
+}

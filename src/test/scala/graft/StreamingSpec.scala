@@ -123,6 +123,55 @@ class StreamingSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("streaming anomaly monitor: late events re-score already-" +
+      "emitted minutes, interior gaps zero-fill, drained ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val ev = input.toDF().toDF("key", "m")
+    val out = graft.streaming.AnomalyStream.zScores(ev, trailing = 3)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("anom_out").outputMode("append").start()
+    try {
+      // batch 1: key A minutes 0..5, varying counts, minute 3 SILENT
+      val b1 = Seq(0L -> 2, 1L -> 3, 2L -> 2, 4L -> 3, 5L -> 2)
+        .flatMap { case (m, c) => Seq.fill(c)(("A", m)) }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val e1 = spark.table("anom_out")
+      // dense spine 0..5 → minutes 3,4,5 have full 3-minute baselines;
+      // the SILENT minute 3 is scored with n=0
+      assert(e1.filter($"m" === 3L && $"n" === 0L).count() === 1L)
+      // batch 2: LATE events for minute 2 (changes minute 3-5's
+      // baselines) plus new minutes 6..7
+      input.addData(Seq.fill(4)(("A", 2L)) ++
+        Seq(("A", 6L), ("A", 6L), ("A", 7L)): _*)
+      q.processAllAvailable()
+      // consumer contract: max-`seen` emission per (key, minute)
+      val got = spark.table("anom_out")
+        .groupBy($"key", $"m")
+        .agg(max_by(struct($"n", $"z"), $"seen").as("f"))
+        .select($"key", $"m", $"f.n".as("n"), $"f.z".as("z"))
+        .as[(String, Long, Long, Option[Double])].collect().toSet
+      // batch replay over the SAME union of events
+      val all = b1 ++ Seq.fill(4)(("A", 2L)) ++
+        Seq(("A", 6L), ("A", 6L), ("A", 7L))
+      val batch = graft.operators.Anomaly.rateZScores(
+          all.map { case (k, m) =>
+            (k, new java.sql.Timestamp(m * 60000L)) }.toDF("key", "ts"),
+          "key", "ts", trailing = 3)
+        .select($"key",
+          expr("unix_micros(minute_start) div 60000000").as("m"),
+          $"n", $"z")
+        .as[(String, Long, Long, Option[Double])].collect().toSet
+      assert(got === batch)
+      // the late batch really changed minute 4's score (its baseline
+      // gained the late minute-2 events)
+      val m4 = spark.table("anom_out").filter($"m" === 4L)
+        .select($"z").as[Option[Double]].collect().toSet
+      assert(m4.size === 2, s"expected two different minute-4 scores, got $m4")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a near-duplicate arriving in a LATER " +
       "micro-batch still pairs against bucket state") {
     implicit val sqlCtx = spark.sqlContext
