@@ -22,6 +22,25 @@ object StreamingQueries {
   private val lastSink = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val lastSink67 = new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** The shared memory-sink drain protocol: unique sink name, start →
+    * processAllAvailable → stop, then swap-and-drop the PREVIOUS
+    * invocation's sink table (Bench runs each query several times in
+    * one session — without the drop, results accumulate in driver
+    * memory). Returns the drained sink table. q67 keeps its own copy
+    * because its drain also toggles/restores the noDataMicroBatches
+    * conf inside the same try/finally. */
+  private def drain(s: SparkSession, out: DataFrame, prefix: String,
+      ref: java.util.concurrent.atomic.AtomicReference[String],
+      mode: String): DataFrame = {
+    val name = s"${prefix}_${runSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    val prev = ref.getAndSet(name)
+    if (prev != null) s.catalog.dropTempView(prev)
+    s.table(name)
+  }
+
   /** events.parquet has shipped `ts` both as TIMESTAMP(NANOS) and as
     * a plain µs timestamp (TESTDATA generations differ): same
     * nanosAsLong + schema-adaptive normalization as Tables.events,
@@ -63,13 +82,8 @@ object StreamingQueries {
         .select(
           date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
           $"event_type", $"n")
-      val name = s"q62_stream_out_${runSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      val prev = lastSink.getAndSet(name)
-      if (prev != null) s.catalog.dropTempView(prev)
-      s.table(name).orderBy($"window_start", $"event_type")
+      drain(s, agg, "q62_stream_out", lastSink, "complete")
+        .orderBy($"window_start", $"event_type")
     }
   }
 
@@ -164,13 +178,9 @@ object StreamingQueries {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val pairs = graft.streaming.NearDup.pairs(stream, maxHamming = 6)
-    val name = s"q72_stream_out_${runSeq.incrementAndGet()}"
-    val q = pairs.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    val prev = lastSink72.getAndSet(name)
-    if (prev != null) s.catalog.dropTempView(prev)
-    graft.streaming.NearDup.distinctPairs(s.table(name))
+    graft.streaming.NearDup
+      .distinctPairs(drain(s, pairs, "q72_stream_out", lastSink72,
+        "append"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -208,13 +218,7 @@ object StreamingQueries {
             .as("window_start"),
           $"event_type",
           graft.operators.Sketches.kmvEstimate("sketch", 16).as("est_users"))
-      val name = s"q89_stream_out_${runSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      val prev = lastSink89.getAndSet(name)
-      if (prev != null) s.catalog.dropTempView(prev)
-      s.table(name).orderBy($"window_start", $"event_type")
+      drain(s, agg, "q89_stream_out", lastSink89, "complete").orderBy($"window_start", $"event_type")
     }
   }
 
@@ -241,13 +245,8 @@ object StreamingQueries {
         .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
           stepIdx.as("step"))
       val snaps = graft.streaming.FunnelStream.funnel(ev, steps.size)
-      val name = s"q97_stream_out_${runSeq.incrementAndGet()}"
-      val q = snaps.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val prev = lastSink97.getAndSet(name)
-      if (prev != null) s.catalog.dropTempView(prev)
-      val latest = s.table(name)
+      val latest = drain(s, snaps.toDF(), "q97_stream_out", lastSink97,
+          "append")
         .groupBy($"user_id")
         .agg(max_by(struct($"ts", $"depth"), $"n_seen").as("f"))
         .filter($"f.depth" >= 1) // funnel entrants only, as in batch
@@ -279,14 +278,8 @@ object StreamingQueries {
           expr("unix_micros(date_trunc('MINUTE', ts)) div 60000000")
             .as("m"))
       val out = graft.streaming.AnomalyStream.zScores(ev, trailing = 30)
-      val name = s"q112_stream_out_${runSeq.incrementAndGet()}"
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val prev = lastSink112.getAndSet(name)
-      if (prev != null) s.catalog.dropTempView(prev)
-      val t = s.table(name)
-      t.groupBy($"key", $"m")
+      drain(s, out.toDF(), "q112_stream_out", lastSink112, "append")
+        .groupBy($"key", $"m")
         .agg(max_by(struct($"n", $"z"), $"seen").as("f"))
         .select($"key",
           date_format(timestamp_micros($"m" * 60000000L),

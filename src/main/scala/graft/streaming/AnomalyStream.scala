@@ -67,49 +67,65 @@ object AnomalyStream {
           "explode the state")
       state.update(CountsState(merged))
       val seen = merged.valuesIterator.sum
-      // dense re-score over [lo, hi]: ring buffer of the trailing
-      // window's counts; s/ss in BigInt — Σn² passes 2⁶³ on a ~10⁹
-      // events/minute key (the batch twin's decimal(38,0) moments)
-      val ring = new Array[Long](trailing)
-      var s = BigInt(0)
-      var ss = BigInt(0)
-      var filled = 0L
-      val out = Vector.newBuilder[ZRow]
-      var m = lo
-      while (m <= hi) {
-        val n = merged.getOrElse(m, 0L)
-        if (filled >= trailing) {
-          val c = trailing.toDouble
-          val mean = s.toDouble / c
-          val varr = (ss.toDouble - s.toDouble * s.toDouble / c) /
-            (c - 1.0)
-          val z = if (varr > 0) Some(round4((n.toDouble - mean) /
-            math.sqrt(varr))) else None
-          out += ZRow(key, m, n, z, seen)
+      if (hi - lo < trailing) Iterator.empty
+      else {
+        // dense re-score over [lo, hi], LAZILY — flatMapGroupsWithState
+        // drains the returned iterator on demand, so a sporadically
+        // active key with a years-long span costs O(trailing) memory
+        // here, not an O(span) materialized buffer. s/ss in BigInt —
+        // Σn² passes 2⁶³ on a ~10⁹ events/minute key (the batch
+        // twin's decimal(38,0) moments). state.update already ran.
+        val ring = new Array[Long](trailing)
+        var s = BigInt(0)
+        var ss = BigInt(0)
+        var m = lo
+        while (m < lo + trailing) { // pre-roll the first window
+          val n = merged.getOrElse(m, 0L)
+          ring(((m - lo) % trailing).toInt) = n
+          s += n
+          ss += BigInt(n) * n
+          m += 1L
         }
-        val slot = (filled % trailing).toInt
-        if (filled >= trailing) {
-          s -= ring(slot)
-          ss -= BigInt(ring(slot)) * ring(slot)
+        new Iterator[ZRow] {
+          private var cur = lo + trailing
+          override def hasNext: Boolean = cur <= hi
+          override def next(): ZRow = {
+            val n = merged.getOrElse(cur, 0L)
+            val c = trailing.toDouble
+            val mean = s.toDouble / c
+            val varr = (ss.toDouble - s.toDouble * s.toDouble / c) /
+              (c - 1.0)
+            val z = if (varr > 0) Some(round4((n.toDouble - mean) /
+              math.sqrt(varr))) else None
+            val row = ZRow(key, cur, n, z, seen)
+            val slot = ((cur - lo) % trailing).toInt
+            s -= ring(slot)
+            ss -= BigInt(ring(slot)) * ring(slot)
+            ring(slot) = n
+            s += n
+            ss += BigInt(n) * n
+            cur += 1L
+            row
+          }
         }
-        ring(slot) = n
-        s += n
-        ss += BigInt(n) * n
-        filled += 1L
-        m += 1L
       }
-      out.result().iterator
     }
   }
 
-  /** `events` needs (key: string, m: long epoch-minute). */
+  /** `events` needs (key: string, m: long epoch-minute). Null keys
+    * and minutes are EXCLUDED here (matching the batch twin's
+    * filter) — one malformed production event must not kill the
+    * monitor that exists to detect feed problems. */
   def zScores(events: DataFrame, trailing: Int = 30,
       maxSpanMinutes: Long = 10512000L): Dataset[ZRow] = {
     require(trailing >= 2, s"trailing=$trailing needs >= 2 minutes")
     require(maxSpanMinutes >= 1, s"maxSpanMinutes=$maxSpanMinutes")
     val spark = events.sparkSession
     import spark.implicits._
-    events.as[MinuteEvent](Encoders.product[MinuteEvent])
+    events
+      .filter(org.apache.spark.sql.functions.col("key").isNotNull &&
+        org.apache.spark.sql.functions.col("m").isNotNull)
+      .as[MinuteEvent](Encoders.product[MinuteEvent])
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn(trailing, maxSpanMinutes))
