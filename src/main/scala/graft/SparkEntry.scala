@@ -130,6 +130,7 @@ object SparkEntry {
     "q110_discretize"     -> (Behavior.q110Discretize _),
     "q111_rolling_corr"   -> (Behavior.q111RollingCorr _),
     "q112_stream_anomaly" -> (StreamingQueries.q112StreamAnomaly _),
+    "q113_dwell_times"    -> (Behavior.q113DwellTimes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -355,5 +356,8 @@ object SparkEntry {
     // q112: the drained streaming anomaly monitor ≡ the batch
     // dense-spine z-scores — q100's oracle verbatim.
     "q112_stream_anomaly" -> StreamingQueries.q112Sql,
+    // q113: dwell times — exact integer-ns gaps, decimal sums, one
+    // round(…,4) division to seconds.
+    "q113_dwell_times"    -> Behavior.q113Sql,
   )
 }

@@ -53,4 +53,44 @@ object Transitions {
         round(col("n").cast(DoubleType) / col("total").cast(DoubleType), 4)
           .as("prob"))
   }
+
+  /** Dwell-time statistics per transition: how LONG entities sit in
+    * `from_state` before moving to `to_state` — the timing layer over
+    * [[transitionMatrix]]'s counts (a funnel team reads "view→buy
+    * takes a median hour" here before deciding where to intervene).
+    *
+    * The dwell of a transition is the exact integer-ns gap between
+    * the two adjacent events under the same total (ts, tieBreak)
+    * order the matrix uses; per-pair mean/min/max are exact decimal
+    * sums with ONE double division + round(·,4) in SECONDS. Same
+    * scale shape as the matrix (one lag window per entity, one
+    * states² aggregate) and the same null-skip contract.
+    *
+    * Output: (from_state, to_state, n, mean_sec, min_sec, max_sec). */
+  def dwellTimes(df: DataFrame, entityCol: String, stateCol: String,
+      tsNsCol: Column, tieBreak: Column): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("__t"), tieBreak)
+    val pairs = df
+      .select(col(entityCol).as("entity"), col(stateCol).as("to_state"),
+        tsNsCol.cast(org.apache.spark.sql.types.LongType).as("__t"),
+        tieBreak)
+      .filter(col("entity").isNotNull && col("to_state").isNotNull &&
+        col("__t").isNotNull)
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .withColumn("__dwell", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("from_state").isNotNull)
+    pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__dwell").cast(D)).as("__sum"),
+        min(col("__dwell")).as("__min"),
+        max(col("__dwell")).as("__max"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("__sum").cast(DoubleType) /
+          (col("n").cast(D) * lit(1000000000L).cast(D)).cast(DoubleType),
+          4).as("mean_sec"),
+        round(col("__min").cast(DoubleType) / lit(1.0e9), 4).as("min_sec"),
+        round(col("__max").cast(DoubleType) / lit(1.0e9), 4).as("max_sec"))
+  }
 }

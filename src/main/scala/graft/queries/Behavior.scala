@@ -421,6 +421,35 @@ object Behavior {
       |FROM w WHERE c = 6
       |ORDER BY hour_str""".stripMargin
 
+  /** Transition dwell-time statistics (q113): how long users sit in
+    * each state before each next state — the timing layer over q103's
+    * transition counts. */
+  def q113DwellTimes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Transitions.dwellTimes(Tables.events(s, dir), "user_id",
+        "event_type", $"ts_ns", $"event_id")
+      .orderBy($"from_state", $"to_state")
+  }
+
+  val q113Sql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER win AS from_state,
+      |    event_type AS to_state,
+      |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER win AS dwell
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(dwell AS HUGEINT)) AS DOUBLE)
+      |        / CAST(CAST(count(*) AS HUGEINT) * 1000000000 AS DOUBLE),
+      |      4) AS mean_sec,
+      |  round(CAST(min(dwell) AS DOUBLE) / 1000000000.0, 4) AS min_sec,
+      |  round(CAST(max(dwell) AS DOUBLE) / 1000000000.0, 4) AS max_sec
+      |FROM p WHERE from_state IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Largest-remainder mixture apportionment (q109): a 999,983-unit
     * budget split across sources proportionally to their character
     * mass; Σ quota = budget exactly. */

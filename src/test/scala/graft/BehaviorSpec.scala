@@ -147,6 +147,30 @@ class BehaviorSpec extends SparkSpec {
       ("b", "c", 1L, 2L, 0.5)))
   }
 
+  test("dwellTimes: hand-checked gaps, mean/min/max in seconds, " +
+      "null-ts rows excluded before pairing") {
+    val df = Seq(
+      // u1: a →(2s)→ b →(3s)→ a →(5s)→ b : two a→b dwells (2s, 5s),
+      // one b→a (3s)
+      (1L, Some("a"), Some(0L), 1L),
+      (1L, Some("b"), Some(2000000000L), 2L),
+      (1L, Some("a"), Some(5000000000L), 3L),
+      (1L, Some("b"), Some(10000000000L), 4L),
+      // u2: a →(1.5s)→ b ; a null-ts row must not break the pairing
+      (2L, Some("a"), Some(0L), 1L),
+      (2L, Some("x"), Option.empty[Long], 2L),
+      (2L, Some("b"), Some(1500000000L), 3L))
+      .toDF("u", "state", "t", "id")
+    val out = graft.operators.Transitions
+      .dwellTimes(df, "u", "state", col("t"), col("id"))
+      .orderBy($"from_state", $"to_state")
+      .as[(String, String, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 3L, 2.8333, 1.5, 5.0), // mean (2+5+1.5)/3 round 4
+      ("b", "a", 1L, 3.0, 3.0, 3.0)))
+  }
+
   // ---- Graph.triangleCounts (q104) ----
 
   test("triangleCounts: K4 has 4 triangles with every node in 3; " +
