@@ -35,15 +35,38 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Transitions {
 
+  /** The ONE copy of the adjacency-pair contract both operators
+    * share: rename, null-skip, lag over the (order, tieBreak) total
+    * order. `withDwell` additionally casts the order column to long
+    * ns, EXCLUDES null-order rows (a dwell against an unknown time is
+    * meaningless — note the matrix KEEPS them, ordered first, so the
+    * two operators' per-pair `n` can differ on null-order data), and
+    * emits the `__dwell` gap. */
+  private def adjacentPairs(df: DataFrame, entityCol: String,
+      stateCol: String, orderCol: Column, tieBreak: Column,
+      withDwell: Boolean): DataFrame = {
+    val base = df
+      .select(col(entityCol).as("entity"), col(stateCol).as("to_state"),
+        (if (withDwell)
+          orderCol.cast(org.apache.spark.sql.types.LongType)
+        else orderCol).as("__o"),
+        tieBreak)
+      .filter(col("entity").isNotNull && col("to_state").isNotNull &&
+        (if (withDwell) col("__o").isNotNull else lit(true)))
+    val w = Window.partitionBy(col("entity")).orderBy(col("__o"), tieBreak)
+    val withFrom = base
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+    (if (withDwell)
+      withFrom.withColumn("__dwell",
+        col("__o") - lag(col("__o"), 1).over(w))
+    else withFrom)
+      .filter(col("from_state").isNotNull)
+  }
+
   def transitionMatrix(df: DataFrame, entityCol: String, stateCol: String,
       orderCol: Column, tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy(col("entity")).orderBy(orderCol, tieBreak)
-    val pairs = df
-      .select(col(entityCol).as("entity"), col(stateCol).as("to_state"),
-        orderCol, tieBreak)
-      .filter(col("entity").isNotNull && col("to_state").isNotNull)
-      .withColumn("from_state", lag(col("to_state"), 1).over(w))
-      .filter(col("from_state").isNotNull)
+    val pairs = adjacentPairs(df, entityCol, stateCol, orderCol,
+      tieBreak, withDwell = false)
     val counts = pairs.groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy(col("from_state"))
@@ -57,30 +80,27 @@ object Transitions {
   /** Dwell-time statistics per transition: how LONG entities sit in
     * `from_state` before moving to `to_state` — the timing layer over
     * [[transitionMatrix]]'s counts (a funnel team reads "view→buy
-    * takes a median hour" here before deciding where to intervene).
+    * averages an hour, worst case a week" here before deciding where
+    * to intervene; for a median/quantile view feed the dwell gaps to
+    * the histogram-quantile family).
     *
     * The dwell of a transition is the exact integer-ns gap between
     * the two adjacent events under the same total (ts, tieBreak)
     * order the matrix uses; per-pair mean/min/max are exact decimal
     * sums with ONE double division + round(·,4) in SECONDS. Same
     * scale shape as the matrix (one lag window per entity, one
-    * states² aggregate) and the same null-skip contract.
+    * states² aggregate). Null-state rows are skipped over like the
+    * matrix; null-TIMESTAMP rows are additionally EXCLUDED before
+    * pairing (a dwell against an unknown time is meaningless), so on
+    * data with null timestamps the per-pair `n` here can differ from
+    * the matrix's — see [[adjacentPairs]].
     *
     * Output: (from_state, to_state, n, mean_sec, min_sec, max_sec). */
   def dwellTimes(df: DataFrame, entityCol: String, stateCol: String,
       tsNsCol: Column, tieBreak: Column): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
-    val w = Window.partitionBy(col("entity"))
-      .orderBy(col("__t"), tieBreak)
-    val pairs = df
-      .select(col(entityCol).as("entity"), col(stateCol).as("to_state"),
-        tsNsCol.cast(org.apache.spark.sql.types.LongType).as("__t"),
-        tieBreak)
-      .filter(col("entity").isNotNull && col("to_state").isNotNull &&
-        col("__t").isNotNull)
-      .withColumn("from_state", lag(col("to_state"), 1).over(w))
-      .withColumn("__dwell", col("__t") - lag(col("__t"), 1).over(w))
-      .filter(col("from_state").isNotNull)
+    val pairs = adjacentPairs(df, entityCol, stateCol, tsNsCol,
+      tieBreak, withDwell = true)
     pairs.groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"),
         sum(col("__dwell").cast(D)).as("__sum"),
