@@ -363,6 +363,11 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Transitions.transitionMatrix(
           d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
         events1, eventsN),
+      // q113: the same adjacency shape plus the gap arithmetic
+      ("dwell_times",
+        (d: DataFrame) => graft.operators.Transitions.dwellTimes(
+          d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
+        events1, eventsN),
       // q104's engine on a co-minute chain graph derived from events
       // (amplified copies add users → ~factor× more edges): ratio
       // tracks edges through the orientation joins, and the wedge
