@@ -36,10 +36,14 @@ object CorpusStats {
     * in decimal(38,0) — exact integer arithmetic, so the SUM is
     * order-independent and engine-portable (a `sum(double)` here
     * would hash-mismatch any oracle on partition-order alone). The
-    * one double division happens last. Exactness bound: products stay
-    * < 10³⁸, i.e. N·c_g < 10³⁸ — safe past 10¹⁸ tokens (a 100 TB
-    * corpus is ~10¹³). The bound is ENFORCED, not just documented:
-    * N ≥ 10¹⁹ fails the query loudly. The guard matters most in
+    * one double division happens last. Exactness bound: every
+    * intermediate must stay < 10³⁸ (decimal(38,0)'s ceiling). The
+    * binding term is NOT the per-token product (≤ N²) but the final
+    * denominator 2·N·N_s and the summed numerator, both ≤ 2·N² — so
+    * the enforced bound is N < √(10³⁸/2) ≈ 7.07·10¹⁸, pinned at
+    * 7·10¹⁸ (a 100 TB corpus is ~10¹³ tokens; five orders of margin).
+    * The bound is ENFORCED, not just documented: N ≥ 7·10¹⁸ fails the
+    * query loudly. The guard matters most in
     * non-ANSI sessions (`spark.sql.ansi.enabled=false`), where a
     * decimal overflow would otherwise become NULL, SUM would silently
     * drop the overflowed terms, and the statistic would come out
@@ -66,7 +70,25 @@ object CorpusStats {
     * else (q19/q20).
     */
   def tokenDivergence(docs: DataFrame, sliceCol: String,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    tokenDivergenceBounded(docs, sliceCol, textCol, MaxExactTokens)
+
+  /** Largest corpus size (total tokens) the exact-decimal kernel
+    * accepts: 2·N² < 10³⁸ ⟹ N < √(5·10³⁷) ≈ 7.07·10¹⁸; pinned one
+    * digit under. Both the numerator sum and the 2·N·N_s denominator
+    * are bounded by 2·N², so this single check covers every
+    * decimal(38,0) intermediate in the plan.
+    */
+  private val MaxExactTokens = "7000000000000000000"
+
+  /** [[tokenDivergence]] with an injectable exactness bound — test
+    * seam only (the planted-overflow spec lowers the bound to watch
+    * the guard fire without needing 10¹⁸ real tokens). Production
+    * callers go through the public method and the real constant.
+    */
+  private[graft] def tokenDivergenceBounded(docs: DataFrame,
+      sliceCol: String, textCol: String,
+      maxExactTokens: String): DataFrame = {
     val per = docs
       .filter(col(sliceCol).isNotNull)
       .select(col(sliceCol).as("slice"),
@@ -91,15 +113,18 @@ object CorpusStats {
       .select(col("slice"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("vocab").cast("long").as("vocab"),
-        // exactness guard: every decimal(38,0) product above is bounded
-        // by n_tot², so n_tot < 10¹⁹ keeps all of them under 10³⁸. The
-        // check runs once per OUTPUT slice row (not per token) and
-        // turns the non-ANSI overflow→NULL→silently-dropped-terms
-        // failure into a loud error with the actual corpus size in it.
-        when(col("__n_tot") >= lit("10000000000000000000").cast(D),
+        // exactness guard: the per-token products are ≤ n_tot², and the
+        // summed numerator / 2·n_tot·n_s denominator are ≤ 2·n_tot², so
+        // n_tot ≤ 7·10¹⁸ keeps every decimal(38,0) intermediate under
+        // 10³⁸. The check runs once per OUTPUT slice row (not per
+        // token) and turns the non-ANSI overflow→NULL→silently-
+        // dropped-terms failure into a loud error carrying the actual
+        // corpus size.
+        when(col("__n_tot") >= lit(maxExactTokens).cast(D),
           raise_error(concat(
             lit("tokenDivergence: corpus has "), col("__n_tot").cast("string"),
-            lit(" tokens — beyond the 10^19 exact-decimal bound; shard " +
+            lit(" tokens — beyond the exact-decimal bound (" +
+              maxExactTokens + "); shard " +
               "the corpus (per-slice calls compose) or widen the kernel"))))
           .otherwise(
             (col("__present") +

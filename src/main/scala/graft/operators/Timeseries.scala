@@ -14,38 +14,61 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object Timeseries {
 
   /** Dense per-key minute spine over each key's [lo, hi] span,
-    * generated in two bounded levels (days, then ≤ 1440 minutes per
-    * day) so no row materializes a calendar-sized array. A key
-    * spanning more than `maxSpanMinutes` fails loudly — one corrupt
-    * year-9999 timestamp must not explode a 100 TB job into a
-    * calendar cross join. Input: (key, lo, hi) minute-truncated
-    * timestamps; output: (key, minute_start). */
+    * generated in two bounded levels (1440-minute chunks, then ≤ 1440
+    * minutes per chunk) so no row materializes a calendar-sized
+    * array. A key spanning more than `maxSpanMinutes` fails loudly —
+    * one corrupt year-9999 timestamp must not explode a 100 TB job
+    * into a calendar cross join.
+    *
+    * The whole computation runs in EPOCH-MINUTE INTEGER space (the
+    * same representation [[graft.streaming.AnomalyStream]] uses):
+    * no `to_date`, no "day start + 86340 s". A calendar-day
+    * formulation is session-timezone-dependent — under a DST zone
+    * the 23- and 25-hour days make per-day minute ranges overlap or
+    * gap at transitions, duplicating/dropping spine rows that a
+    * downstream zero-fill left join would then double-count. Integer
+    * minutes have no timezone, so the spine is identical under ANY
+    * `spark.sql.session.timeZone`.
+    *
+    * Input: (key, lo, hi) minute-truncated timestamps; output:
+    * (key, minute_start) with minute_start the UTC instant of each
+    * minute in [lo, hi]. */
   private[operators] def minuteSpine(bounds: DataFrame,
       maxSpanMinutes: Long): DataFrame = {
     require(maxSpanMinutes >= 1, s"maxSpanMinutes=$maxSpanMinutes")
-    val guarded = bounds.withColumn("__span",
-        expr("(unix_micros(hi) - unix_micros(lo)) div 60000000"))
-      .withColumn("lo",
-        when(col("__span") > maxSpanMinutes,
+    // minute-truncated inputs make unix_micros an exact multiple of
+    // 6e7, so the `div` below is exact for pre-1970 instants too
+    val guarded = bounds
+      .select(col("key"),
+        expr("unix_micros(lo) div 60000000").as("__lo"),
+        expr("unix_micros(hi) div 60000000").as("__hi"))
+      .withColumn("__lo",
+        when(col("__hi") - col("__lo") > maxSpanMinutes,
           raise_error(concat(lit("minute spine: key "),
             col("key").cast("string"), lit(" spans "),
-            col("__span").cast("string"),
+            (col("__hi") - col("__lo")).cast("string"),
             lit(s" minutes — beyond maxSpanMinutes=$maxSpanMinutes; " +
-              "a corrupt timestamp would explode the spine"))))
-          .otherwise(col("lo")))
+              "a corrupt timestamp would explode the spine")))
+            .cast(LongType))
+          .otherwise(col("__lo")))
     guarded
-      .select(col("key"), col("lo"), col("hi"),
-        explode(sequence(to_date(col("lo")), to_date(col("hi")),
-          expr("interval 1 day"))).as("day"))
+      // floor division (not `div`, which truncates toward zero and
+      // would misalign chunks for negative epoch minutes); exact in
+      // doubles out to 2^52 minutes — eight billion years
+      .select(col("key"), col("__lo"), col("__hi"),
+        explode(sequence(
+          floor(col("__lo").cast(DoubleType) / lit(1440.0)).cast(LongType),
+          floor(col("__hi").cast(DoubleType) / lit(1440.0)).cast(LongType)))
+          .as("__chunk"))
       .select(col("key"),
-        greatest(col("day").cast("timestamp"), col("lo")).as("mlo"),
-        least(timestamp_micros(
-            expr("unix_micros(cast(day as timestamp)) + 86340000000")),
-          col("hi")).as("mhi"))
-      .filter(col("mlo") <= col("mhi"))
+        greatest(col("__chunk") * lit(1440L), col("__lo")).as("__mlo"),
+        least(col("__chunk") * lit(1440L) + lit(1439L), col("__hi"))
+          .as("__mhi"))
+      .filter(col("__mlo") <= col("__mhi"))
       .select(col("key"),
-        explode(sequence(col("mlo"), col("mhi"),
-          expr("interval 1 minute"))).as("minute_start"))
+        explode(sequence(col("__mlo"), col("__mhi"))).as("__m"))
+      .select(col("key"),
+        timestamp_micros(col("__m") * lit(60000000L)).as("minute_start"))
   }
 
   /** Exact time-weighted average per key: each sample's value is

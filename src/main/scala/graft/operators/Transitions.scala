@@ -28,20 +28,28 @@ import org.apache.spark.sql.types.DoubleType
   * probability is ONE double division rounded to 4 dp.
   *
   * Output: (from_state, to_state, n, total, prob), where `total` is
-  * the source state's outgoing transition count. Null entities and
-  * null states are excluded BEFORE pairing, so a null-state event
-  * does not break an otherwise-adjacent pair (document order skips
-  * over it) — filter upstream if a null state should be a wall.
+  * the source state's outgoing transition count. Null entities, null
+  * states AND null order values are excluded BEFORE pairing, so a
+  * null-state (or unknown-time) event does not break an
+  * otherwise-adjacent pair (document order skips over it) — filter
+  * upstream if a null state should be a wall. Excluding null orders
+  * is part of the engine-independence contract: Spark sorts them
+  * NULLS FIRST, other engines NULLS LAST, so any rule that keeps
+  * them makes the adjacency multiset engine-specific.
   */
 object Transitions {
 
   /** The ONE copy of the adjacency-pair contract both operators
     * share: rename, null-skip, lag over the (order, tieBreak) total
-    * order. `withDwell` additionally casts the order column to long
-    * ns, EXCLUDES null-order rows (a dwell against an unknown time is
-    * meaningless — note the matrix KEEPS them, ordered first, so the
-    * two operators' per-pair `n` can differ on null-order data), and
-    * emits the `__dwell` gap. */
+    * order. Rows with a NULL order value are EXCLUDED in BOTH paths —
+    * an event whose position in time is unknown defines no adjacency
+    * (and would otherwise sort engine-dependently: Spark windows put
+    * ASC NULLS FIRST where DuckDB's ORDER BY defaults NULLS LAST, so
+    * keeping them would make the pair multiset silently
+    * engine-specific). `withDwell` additionally casts the order
+    * column to long ns and emits the `__dwell` gap; with the shared
+    * exclusion the two operators now agree on per-pair `n` even on
+    * null-order data. */
   private def adjacentPairs(df: DataFrame, entityCol: String,
       stateCol: String, orderCol: Column, tieBreak: Column,
       withDwell: Boolean): DataFrame = {
@@ -52,7 +60,7 @@ object Transitions {
         else orderCol).as("__o"),
         tieBreak)
       .filter(col("entity").isNotNull && col("to_state").isNotNull &&
-        (if (withDwell) col("__o").isNotNull else lit(true)))
+        col("__o").isNotNull)
     val w = Window.partitionBy(col("entity")).orderBy(col("__o"), tieBreak)
     val withFrom = base
       .withColumn("from_state", lag(col("to_state"), 1).over(w))
@@ -89,11 +97,10 @@ object Transitions {
     * order the matrix uses; per-pair mean/min/max are exact decimal
     * sums with ONE double division + round(·,4) in SECONDS. Same
     * scale shape as the matrix (one lag window per entity, one
-    * states² aggregate). Null-state rows are skipped over like the
-    * matrix; null-TIMESTAMP rows are additionally EXCLUDED before
-    * pairing (a dwell against an unknown time is meaningless), so on
-    * data with null timestamps the per-pair `n` here can differ from
-    * the matrix's — see [[adjacentPairs]].
+    * states² aggregate). Null-state and null-timestamp rows are
+    * skipped over exactly like the matrix (one shared contract —
+    * see [[adjacentPairs]]), so the per-pair `n` here always equals
+    * the matrix's.
     *
     * Output: (from_state, to_state, n, mean_sec, min_sec, max_sec). */
   def dwellTimes(df: DataFrame, entityCol: String, stateCol: String,

@@ -110,7 +110,8 @@ object Behavior {
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
       |    event_type AS t
       |  FROM events
-      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL),
       |c AS (SELECT f AS from_state, t AS to_state,
       |        CAST(count(*) AS BIGINT) AS n
       |      FROM p WHERE f IS NOT NULL GROUP BY 1, 2),

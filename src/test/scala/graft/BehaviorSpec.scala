@@ -147,6 +147,22 @@ class BehaviorSpec extends SparkSpec {
       ("b", "c", 1L, 2L, 0.5)))
   }
 
+  test("transitionMatrix: null-ORDER rows are skipped over (shared " +
+      "contract with dwellTimes), not sorted engine-dependently") {
+    // u1: a(ts 10) → [x at NULL ts — excluded] → b(ts 20): the pair is
+    // a→b, never a→x or x→b. Were null-ts rows kept, Spark's NULLS
+    // FIRST would put x BEFORE a (x→a→b) while DuckDB's NULLS LAST
+    // would put it after b (a→b→x) — both wrong, each differently.
+    val df = Seq(
+      (1L, "a", Some(10L), 1L), (1L, "x", Option.empty[Long], 2L),
+      (1L, "b", Some(20L), 3L))
+      .toDF("u", "state", "ts", "id")
+    val out = Transitions.transitionMatrix(df, "u", "state",
+        col("ts"), col("id"))
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", "b", 1L, 1L, 1.0)), out.toString)
+  }
+
   test("dwellTimes: hand-checked gaps, mean/min/max in seconds, " +
       "null-ts rows excluded before pairing") {
     val df = Seq(

@@ -53,6 +53,47 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.select($"tv_dist").as[Double].head() === 0.0)
   }
 
+  test("tokenDivergence: exactness guard fires LOUDLY past the bound, " +
+      "including in non-ANSI sessions where overflow would otherwise be silent") {
+    // First, the failure class the guard exists for, demonstrated
+    // directly: in a non-ANSI session a decimal(38,0) product that
+    // overflows becomes NULL, and SUM silently drops it — the sum of
+    // {10^37 * 20 (overflows), 5} comes back 5, not an error. A
+    // statistic built on that sum would be plausible-looking and wrong.
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val silent = Seq(("1" + "0" * 37, 20L), ("5", 1L))
+        .toDF("big", "k")
+        .select((col("big").cast("decimal(38,0)") * col("k")).as("p"))
+        .agg(sum($"p").cast("string")).as[String].head()
+      assert(silent === "5",
+        s"expected the overflowed term to be silently dropped, got $silent")
+
+      // Now the guard: same non-ANSI session, bound lowered to 10
+      // tokens via the test seam, corpus of 12 tokens → the query must
+      // fail LOUDLY with the self-describing message, not return a
+      // wrong tv_dist.
+      val docs = Seq(("a", "t1 t2 t3 t4 t5 t6"), ("b", "t1 t2 t3 t4 t5 t6"))
+        .toDF("slice", "text")
+      val ex = intercept[Exception] {
+        CorpusStats.tokenDivergenceBounded(docs, "slice", "text", "10")
+          .collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val all = messages(ex).mkString("\n")
+      assert(all.contains("beyond the exact-decimal bound"),
+        s"guard did not fire with its message; got: $all")
+
+      // and under the REAL bound the same corpus computes fine non-ANSI
+      val ok = CorpusStats.tokenDivergence(docs, "slice")
+        .select($"tv_dist").as[Double].collect()
+      assert(ok.forall(_ === 0.0), ok.mkString(","))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("duplicationMatrix: hand-computed ordered pairs; within-slice " +
       "duplicates aggregate instead of inflating the join") {
     // a: {T1, T2, T1(dup), "t1!" (≡ T1 after normalization)}  b: {T1, T3}  c: {T3}
