@@ -29,9 +29,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * scored; minutes after the key's last event are unknown (silence
   * vs. not-yet-arrived) and never scored until a later event closes
   * them — identical to the batch spine's [first, last] contract.
-  * State is never dropped (`NoTimeout`): for live deployments bound
-  * the observation window upstream or wrap with a TTL as [[NearDup]]
-  * does.
+  * State is never dropped (`NoTimeout`) — this is the EXACT twin,
+  * gated drained-≡-batch. For live deployments whose keys outlive any
+  * retention you can afford, use [[AnomalyStreamTtl]]: the bounded
+  * variant sharing this scorer, with a retention horizon and idle-TTL
+  * decay and an under-report-only miss class.
   *
   * Arithmetic mirrors the batch/oracle formula token for token:
   * exact integer window sums, `mean = s/c`,
@@ -48,6 +50,53 @@ object AnomalyStream {
 
   private def round4(v: Double): Double =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The ONE dense re-scorer both the exact monitor and the
+    * TTL-bounded [[AnomalyStreamTtl]] share: z over [lo+trailing, hi]
+    * with known-zero fill, LAZILY — flatMapGroupsWithState drains the
+    * returned iterator on demand, so a sporadically active key with a
+    * years-long span costs O(trailing) memory here, not an O(span)
+    * materialized buffer. s/ss in BigInt — Σn² passes 2⁶³ on a ~10⁹
+    * events/minute key (the batch twin's decimal(38,0) moments). */
+  private[streaming] def scoreSeries(key: String, counts: Map[Long, Long],
+      lo: Long, hi: Long, trailing: Int, seen: Long): Iterator[ZRow] = {
+    if (hi - lo < trailing) Iterator.empty
+    else {
+      val ring = new Array[Long](trailing)
+      var s = BigInt(0)
+      var ss = BigInt(0)
+      var m = lo
+      while (m < lo + trailing) { // pre-roll the first window
+        val n = counts.getOrElse(m, 0L)
+        ring(((m - lo) % trailing).toInt) = n
+        s += n
+        ss += BigInt(n) * n
+        m += 1L
+      }
+      new Iterator[ZRow] {
+        private var cur = lo + trailing
+        override def hasNext: Boolean = cur <= hi
+        override def next(): ZRow = {
+          val n = counts.getOrElse(cur, 0L)
+          val c = trailing.toDouble
+          val mean = s.toDouble / c
+          val varr = (ss.toDouble - s.toDouble * s.toDouble / c) /
+            (c - 1.0)
+          val z = if (varr > 0) Some(round4((n.toDouble - mean) /
+            math.sqrt(varr))) else None
+          val row = ZRow(key, cur, n, z, seen)
+          val slot = ((cur - lo) % trailing).toInt
+          s -= ring(slot)
+          ss -= BigInt(ring(slot)) * ring(slot)
+          ring(slot) = n
+          s += n
+          ss += BigInt(n) * n
+          cur += 1L
+          row
+        }
+      }
+    }
+  }
 
   private[streaming] def fn(trailing: Int, maxSpanMinutes: Long)(
       key: String, it: Iterator[MinuteEvent],
@@ -67,48 +116,7 @@ object AnomalyStream {
           "explode the state")
       state.update(CountsState(merged))
       val seen = merged.valuesIterator.sum
-      if (hi - lo < trailing) Iterator.empty
-      else {
-        // dense re-score over [lo, hi], LAZILY — flatMapGroupsWithState
-        // drains the returned iterator on demand, so a sporadically
-        // active key with a years-long span costs O(trailing) memory
-        // here, not an O(span) materialized buffer. s/ss in BigInt —
-        // Σn² passes 2⁶³ on a ~10⁹ events/minute key (the batch
-        // twin's decimal(38,0) moments). state.update already ran.
-        val ring = new Array[Long](trailing)
-        var s = BigInt(0)
-        var ss = BigInt(0)
-        var m = lo
-        while (m < lo + trailing) { // pre-roll the first window
-          val n = merged.getOrElse(m, 0L)
-          ring(((m - lo) % trailing).toInt) = n
-          s += n
-          ss += BigInt(n) * n
-          m += 1L
-        }
-        new Iterator[ZRow] {
-          private var cur = lo + trailing
-          override def hasNext: Boolean = cur <= hi
-          override def next(): ZRow = {
-            val n = merged.getOrElse(cur, 0L)
-            val c = trailing.toDouble
-            val mean = s.toDouble / c
-            val varr = (ss.toDouble - s.toDouble * s.toDouble / c) /
-              (c - 1.0)
-            val z = if (varr > 0) Some(round4((n.toDouble - mean) /
-              math.sqrt(varr))) else None
-            val row = ZRow(key, cur, n, z, seen)
-            val slot = ((cur - lo) % trailing).toInt
-            s -= ring(slot)
-            ss -= BigInt(ring(slot)) * ring(slot)
-            ring(slot) = n
-            s += n
-            ss += BigInt(n) * n
-            cur += 1L
-            row
-          }
-        }
-      }
+      scoreSeries(key, merged, lo, hi, trailing, seen)
     }
   }
 
