@@ -131,6 +131,7 @@ object SparkEntry {
     "q111_rolling_corr"   -> (Behavior.q111RollingCorr _),
     "q112_stream_anomaly" -> (StreamingQueries.q112StreamAnomaly _),
     "q113_dwell_times"    -> (Behavior.q113DwellTimes _),
+    "q114_dwell_quantiles" -> (Behavior.q114DwellQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -359,5 +360,9 @@ object SparkEntry {
     // q113: dwell times — exact integer-ns gaps, decimal sums, one
     // round(…,4) division to seconds.
     "q113_dwell_times"    -> Behavior.q113Sql,
+    // q114: dwell QUANTILES — q113's gaps composed into the per-key
+    // histogram estimator; the whole chain (lag window + binning +
+    // rank selection) replayed in one oracle.
+    "q114_dwell_quantiles" -> Behavior.q114Sql,
   )
 }

@@ -106,13 +106,12 @@ object Transitions {
   def dwellTimes(df: DataFrame, entityCol: String, stateCol: String,
       tsNsCol: Column, tieBreak: Column): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
-    val pairs = adjacentPairs(df, entityCol, stateCol, tsNsCol,
-      tieBreak, withDwell = true)
-    pairs.groupBy(col("from_state"), col("to_state"))
+    dwellGaps(df, entityCol, stateCol, tsNsCol, tieBreak)
+      .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"),
-        sum(col("__dwell").cast(D)).as("__sum"),
-        min(col("__dwell")).as("__min"),
-        max(col("__dwell")).as("__max"))
+        sum(col("dwell_ns").cast(D)).as("__sum"),
+        min(col("dwell_ns")).as("__min"),
+        max(col("dwell_ns")).as("__max"))
       .select(col("from_state"), col("to_state"), col("n"),
         round(col("__sum").cast(DoubleType) /
           (col("n").cast(D) * lit(1000000000L).cast(D)).cast(DoubleType),
@@ -120,4 +119,21 @@ object Transitions {
         round(col("__min").cast(DoubleType) / lit(1.0e9), 4).as("min_sec"),
         round(col("__max").cast(DoubleType) / lit(1.0e9), 4).as("max_sec"))
   }
+
+  /** The raw per-transition dwell gaps [[dwellTimes]] aggregates —
+    * THE composition point for distributional readouts: feed these
+    * exact integer-ns gaps to
+    * [[Histogram.groupQuantileEstimates]] keyed by (from_state,
+    * to_state) for the p50/p95 time-in-state view a funnel team
+    * actually reads (mean/min/max hide the bimodal "most convert in
+    * minutes, a tail stalls for days" shape). Same adjacency
+    * contract, same scale shape (one per-entity lag window), one row
+    * per transition instance: (from_state, to_state, dwell_ns). */
+  def dwellGaps(df: DataFrame, entityCol: String, stateCol: String,
+      tsNsCol: Column, tieBreak: Column): DataFrame =
+    adjacentPairs(df, entityCol, stateCol, tsNsCol, tieBreak,
+      withDwell = true)
+      .select(col("from_state"), col("to_state"),
+        col("__dwell").as("dwell_ns"))
+
 }

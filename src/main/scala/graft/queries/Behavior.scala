@@ -451,6 +451,62 @@ object Behavior {
       |FROM p WHERE from_state IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Dwell-time QUANTILES per transition (q114): the composition
+    * q113's scaladoc promises — [[Transitions.dwellGaps]]' exact
+    * integer-ns gaps fed to [[Histogram.groupQuantileEstimates]]
+    * keyed by the (from,to) pair. This is the p50/p95 time-in-state
+    * readout a funnel team actually uses: q113's mean/min/max hide
+    * the bimodal "most convert in minutes, a tail stalls for days"
+    * shape; the histogram estimator surfaces it with its documented
+    * ≤ one-bin-width error, fully distributed (per-pair windows are
+    * nBins-bounded BY CONSTRUCTION, never by traffic). The pair key
+    * is a single `from>to` string so the histogram's broadcast-range
+    * contract (one row per distinct key — states², calendar-class)
+    * holds by the same argument as the transition matrix. */
+  def q114DwellQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gaps = Transitions.dwellGaps(Tables.events(s, dir), "user_id",
+        "event_type", $"ts_ns", $"event_id")
+      .select(concat($"from_state", lit(">"), $"to_state").as("key"),
+        $"dwell_ns")
+    Histogram.groupQuantileEstimates(gaps, "key", "dwell_ns",
+        nBins = 128, pcts = Seq(50, 95))
+      .orderBy($"key", $"pct")
+  }
+
+  val q114Sql: String =
+    """WITH g AS (
+      |  SELECT lag(event_type) OVER win || '>' || event_type AS key,
+      |    CAST(epoch_ns(ts) - lag(epoch_ns(ts)) OVER win AS DOUBLE) AS x
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (SELECT key, x FROM g WHERE key IS NOT NULL),
+      |r AS (SELECT key, min(x) AS lo, max(x) - min(x) AS span,
+      |        CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |b AS (SELECT v.key,
+      |        CASE WHEN r.span = 0 THEN CAST(0 AS BIGINT)
+      |             ELSE LEAST(127, CAST(FLOOR(((v.x - r.lo) * 128.0)
+      |                                        / r.span) AS BIGINT)) END
+      |          AS bin
+      |      FROM v JOIN r ON v.key = r.key),
+      |h AS (SELECT key, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |cum AS (SELECT key, bin,
+      |          SUM(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum
+      |        FROM h),
+      |p(pct) AS (VALUES (50), (95)),
+      |rk AS (SELECT r.key, CAST(pct AS BIGINT) AS pct,
+      |         (r.n * pct + 99) // 100 AS rank, r.lo, r.span
+      |       FROM r CROSS JOIN p),
+      |sel AS (SELECT rk.key, rk.pct, rk.rank, rk.lo, rk.span,
+      |          MIN(cum.bin) AS bin
+      |        FROM rk JOIN cum ON cum.key = rk.key AND cum.cum >= rk.rank
+      |        GROUP BY 1, 2, 3, 4, 5)
+      |SELECT key, pct, CAST(rank AS BIGINT) AS rank, bin,
+      |  lo + (CAST(bin AS DOUBLE) * (span / 128.0)) AS est
+      |FROM sel ORDER BY key, pct""".stripMargin
+
   /** Largest-remainder mixture apportionment (q109): a 999,983-unit
     * budget split across sources proportionally to their character
     * mass; Σ quota = budget exactly. */

@@ -187,6 +187,33 @@ class BehaviorSpec extends SparkSpec {
       ("b", "a", 1L, 3.0, 3.0, 3.0)))
   }
 
+  test("dwellGaps → groupQuantileEstimates composition (q114 shape): " +
+      "hand-checked p50/p95 over a planted bimodal dwell distribution") {
+    // a→b dwells: nine fast (1..9 s) and one stalled (1000 s) — the
+    // bimodal shape q113's mean/min/max hide (mean 102.7 s reads like
+    // "typical ~2 minutes"; the p50 says 5 s, the p95 shows the stall)
+    val rows = (0 until 10).flatMap { i =>
+      val t0 = i * 1000000L * 1000000000L
+      val dwell = (if (i == 9) 1000L else i + 1L) * 1000000000L
+      Seq((1L + i, "a", t0, 1L), (1L + i, "b", t0 + dwell, 2L))
+    }
+    val gaps = Transitions.dwellGaps(
+      rows.toDF("u", "state", "t", "id"), "u", "state", col("t"), col("id"))
+    assert(gaps.count() === 10L)
+    val got = graft.operators.Histogram.groupQuantileEstimates(
+        gaps.select(concat($"from_state", lit(">"), $"to_state").as("key"),
+          $"dwell_ns"),
+        "key", "dwell_ns", nBins = 128, pcts = Seq(50, 95))
+      .select($"key", $"pct", $"rank", $"est")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    // n=10: p50 rank 5 → value 5e9 (bin floor ≤ one-bin-width under);
+    // p95 rank 10 → the 1000 s stall's bin
+    val binW = (1000e9 - 1e9) / 128.0
+    assert(math.abs(got((50L, 5L)) - 5e9) <= binW, got.toString)
+    assert(math.abs(got((95L, 10L)) - 1000e9) <= binW, got.toString)
+  }
+
   // ---- Graph.triangleCounts (q104) ----
 
   test("triangleCounts: K4 has 4 triangles with every node in 3; " +
