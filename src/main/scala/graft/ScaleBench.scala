@@ -368,6 +368,25 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Transitions.dwellTimes(
           d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
         events1, eventsN),
+      // q114: the gaps composed into the per-key histogram — the
+      // downstream (keys × nBins) stages are constant-size across
+      // factors, so the ratio must track the two gap scans
+      ("dwell_quantiles",
+        (d: DataFrame) => graft.operators.Histogram.groupQuantileEstimates(
+          graft.operators.Transitions.dwellGaps(
+            d, "user_id", "event_type", $"ts_ns", $"event_id")
+            .select(concat($"from_state", lit(">"), $"to_state").as("key"),
+              $"dwell_ns"),
+          "key", "dwell_ns", 128, Seq(50, 95)).count(),
+        events1, eventsN),
+      // q111: ONE conditional-aggregate scan to the per-period joint
+      // series (calendar-bounded, identical across factors) + the
+      // day-partitioned window — amplified events only grow the scan
+      ("rolling_corr",
+        (d: DataFrame) => graft.operators.Timeseries.rollingCorrelation(
+          d, "event_type", "ts", "value", "purchase", "error",
+          trailing = 6, grain = "hour").count(),
+        events1, eventsN),
       // q104's engine on a co-minute chain graph derived from events
       // (amplified copies add users → ~factor× more edges): ratio
       // tracks edges through the orientation joins, and the wedge
@@ -518,6 +537,38 @@ object ScaleBench {
         s"mega-star must yield exactly the planted triangle: $corners")
     }
     println(f"""{"pipeline":"triangles_megastar","sec":$tTri%.2f,"planted":1000000,"triangles":1}""")
+
+    // ---- PageRank broadcast-rank fallback probe (the Graph.scala
+    // revisit note, quantified): the iteration join broadcasts the
+    // materialized rank table while it fits the 10 MB AQE threshold;
+    // past it, the join falls back to shuffle. Run the SAME chain
+    // shape at a node count under and over the threshold, measure
+    // both, and OBSERVE the join mode on a replica of the iteration
+    // join against the returned (localCheckpointed, so size-accurate)
+    // rank table — the 100× story as a measured number, not a code
+    // comment. ----
+    for ((label, nNodes) <- Seq(("under_10mb", 200000L),
+        ("over_10mb", 3000000L))) {
+      val chain = spark.range(nNodes - 1L)
+        .select($"id".as("src"), ($"id" + 1L).as("dst"))
+      var ranks: DataFrame = null
+      val tPr = time {
+        ranks = graft.operators.Graph.pageRankInt(chain, iters = 3,
+          dedupEdges = false)
+        require(ranks.count() == nNodes, "rank row per node")
+      }
+      // replica of the per-iteration contribution join, against the
+      // final rank table exactly as the loop would see it
+      val probe = chain.join(
+        ranks.withColumnRenamed("node", "src"), "src")
+      probe.count()
+      val plan = probe.queryExecution.executedPlan.toString
+      val mode =
+        if (plan.contains("BroadcastHashJoin")) "broadcast"
+        else if (plan.contains("SortMergeJoin")) "sort_merge"
+        else "other"
+      println(f"""{"pipeline":"pagerank_rank_join_$label","sec":$tPr%.2f,"nodes":$nNodes,"edges":${nNodes - 1},"iters":3,"rank_join":"$mode"}""")
+    }
 
     val tQuota = time {
       val kept = graft.operators.Sampling

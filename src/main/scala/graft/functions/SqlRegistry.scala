@@ -21,6 +21,24 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * in the SQL (`bounded_min_ids(key, id, 100)`) — they size aggregation
   * buffers at plan time, so a column reference there is meaningless and
   * fails analysis loudly.
+  *
+  * DELIBERATELY NOT REGISTERED (Column/DataFrame-API-only by design,
+  * spec-pinned so a drift is a loud test failure, not an accident):
+  *  - Bloom membership ([[graft.operators.Bloom.mightContain]]): not a
+  *    Catalyst expression but a COMPOSITION of builtins over a
+  *    driver-built `Filter` whose 2²⁰-bit word array embeds in the
+  *    plan as a literal. A SQL name would need that array typed into
+  *    the query text (or a plan-time side channel); the honest SQL
+  *    path is the one the generated plan already uses — pure builtin
+  *    element_at/shift/mask calls, no custom name required.
+  *  - Perceptual hash ([[graft.sources.Multimodal.withPerceptualHash]]):
+  *    a JVM media codec over binary columns, runnable only via
+  *    `mapPartitions` (the library's one sanctioned mapPartitions
+  *    family — a Catalyst expression cannot host ImageIO). Registering
+  *    it as a SQL UDF would put an interpreted black box in a surface
+  *    that promises codegen'd kernels; SQL users get the OUTPUT
+  *    (phash0/phash1 columns persisted by the multimodal pipeline),
+  *    not the decode itself.
   */
 object SqlRegistry {
 

@@ -91,9 +91,14 @@ object Graph {
     // measured: pre-partitioning this cache on src (so the iteration
     // join could reuse the layout) LOST 0.7 s at sf0.1 — AQE
     // broadcasts the small materialized rank table into the cached
-    // edge scan, so the edges never re-exchange anyway; on a graph
-    // whose rank table outgrows broadcast, revisit with a
-    // repartition(col("src")) here
+    // edge scan, so the edges never re-exchange anyway. The broadcast
+    // ceiling is MEASURED, not hypothetical (ScaleBench guards,
+    // pagerank_rank_join rows): a 200k-node rank table broadcasts
+    // (4.3 s / 3 iters on a chain graph); at 3M nodes AQE falls back
+    // to sort-merge and 15× the graph costs 1.7× (7.4 s) — the
+    // shuffle fallback is the graceful path, so no repartition(src)
+    // pre-layout is warranted until a profile shows the per-iteration
+    // exchange dominating
     val eDeg = Hydration.persist(e.join(outDeg, "src"))
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iters) {

@@ -65,6 +65,37 @@ class SqlRegistrySpec extends SparkSpec {
       s"unexpected failure mode: ${e.getMessage}")
   }
 
+  test("the SQL surface is EXACTLY SqlRegistry.functions — the " +
+      "deliberate non-registrations (Bloom membership, perceptual " +
+      "hash) stay Column-API-only as documented") {
+    val registry = spark.sessionState.functionRegistry
+    val declared = functions.SqlRegistry.functions.map(_._1).toSet
+    // every declared name resolves after install
+    declared.foreach { name =>
+      assert(registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"declared SQL function '$name' not registered")
+    }
+    // the documented Column-API-only kernels must NOT acquire SQL
+    // names by accident — their design rationale lives in the
+    // SqlRegistry scaladoc; registering one is a contract change that
+    // should have to come HERE first
+    Seq("bloom_might_contain", "might_contain", "perceptual_hash",
+        "phash", "phash64").foreach { name =>
+      assert(!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"'$name' is registered but documented as Column-API-only")
+    }
+    // Bloom's SQL story is that its generated plan IS builtins: the
+    // membership predicate compiles to element_at/shift/mask with the
+    // words array as a literal — provably reachable from a pure-SQL
+    // session with no custom function involved
+    val filter = operators.Bloom.Filter(Array.fill(16)(-1L), 3)
+    val pred = operators.Bloom.mightContain(lit(42L), filter)
+    val all = spark.range(1).select(pred.as("hit")).head().getBoolean(0)
+    assert(all, "an all-ones filter must report containment")
+  }
+
   test("SQL-path aggregate still plans map-side Partial mode") {
     val plan = spark.sql(
       "SELECT k, bounded_min_ids(id, id, 3) FROM " +

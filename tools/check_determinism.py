@@ -12,9 +12,25 @@ Robustness: an empty parquet list (legit empty-result query) compares as
 an empty frame instead of crashing pd.concat; array-typed columns are
 stringified for the sort; any per-query exception is reported as that
 query's FAIL without aborting the sweep.
+
+Streaming drained-selection contract: the flatMapGroupsWithState
+queries (REQUIRED_STREAMING below) re-emit progress streams whose RAW
+row set varies run to run with micro-batch boundaries; what their
+Verify dumps hold is the max-`seen` SELECTION, and its run-to-run
+stability is exactly the determinism claim those operators make. The
+trio is therefore REQUIRED to be present in both dumps — silently
+dropping one from Verify would shrink this gate without failing it.
 """
 import glob, os, sys
 import pandas as pd
+
+# drained flatMapGroupsWithState selections whose stability IS the
+# operators' determinism contract -- must exist in both dumps
+REQUIRED_STREAMING = {
+    "q89_stream_kmv",
+    "q97_stream_funnel",
+    "q112_stream_anomaly",
+}
 
 def load_sorted(files):
     if not files:
@@ -38,6 +54,13 @@ def load_sorted(files):
 def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
     bad = 0
+    present = {os.path.basename(d)
+               for d in glob.glob(os.path.join(a_dir, "q*"))}
+    for missing in sorted(REQUIRED_STREAMING - present):
+        print(f"FAIL {missing}: required streaming query absent from "
+              f"{a_dir} -- the drained-selection determinism gate "
+              f"no longer covers it")
+        bad += 1
     for d1 in sorted(glob.glob(os.path.join(a_dir, "q*"))):
         name = os.path.basename(d1)
         try:
