@@ -295,6 +295,13 @@ object ScaleBench {
           d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
           n = 6, numBits = 1 << 20).count(),
         docs1, docsN),
+      // q116: the fraction variant — same prune shape plus the narrow
+      // per-doc totals projection and the hit aggregate
+      ("contamination_fraction",
+        (d: DataFrame) => graft.operators.Dedup.contaminationFraction(
+          d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
+          n = 6, numBits = 1 << 20).count(),
+        docs1, docsN),
       // q87: narrow zero-shuffle window explode — ratio must track the
       // scan (output rows grow exactly with input tokens)
       ("chunking",
@@ -378,6 +385,13 @@ object ScaleBench {
             .select(concat($"from_state", lit(">"), $"to_state").as("key"),
               $"dwell_ns"),
           "key", "dwell_ns", 128, Seq(50, 95)).count(),
+        events1, eventsN),
+      // q115: two single-column scans + the CMS-pruned count — the
+      // grid is constant-size across factors, so the ratio tracks the
+      // scans (amplified copies add users, densifying the same grid)
+      ("cms_heavy_hitters",
+        (d: DataFrame) => graft.operators.CountMin.heavyHitters(
+          d, "user_id", threshold = 70L, depth = 4, width = 1024).count(),
         events1, eventsN),
       // q111: ONE conditional-aggregate scan to the per-period joint
       // series (calendar-bounded, identical across factors) + the

@@ -132,6 +132,8 @@ object SparkEntry {
     "q112_stream_anomaly" -> (StreamingQueries.q112StreamAnomaly _),
     "q113_dwell_times"    -> (Behavior.q113DwellTimes _),
     "q114_dwell_quantiles" -> (Behavior.q114DwellQuantiles _),
+    "q115_heavy_hitters"  -> (Behavior.q115HeavyHitters _),
+    "q116_contamination_frac" -> (TrainingData.q116ContaminationFraction _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,5 +366,12 @@ object SparkEntry {
     // histogram estimator; the whole chain (lag window + binning +
     // rank selection) replayed in one oracle.
     "q114_dwell_quantiles" -> Behavior.q114Sql,
+    // q115: CMS-pruned heavy hitters — the oracle is the EXACT
+    // heavy-hitter SQL; one-sided estimates make the sketch provably
+    // invisible (q86's Bloom discipline at the frequency level).
+    "q115_heavy_hitters"  -> Behavior.q115Sql,
+    // q116: contamination fraction — exact per-doc leak counts behind
+    // a Bloom prune; frac is the raw IEEE quotient (un-rounded).
+    "q116_contamination_frac" -> TrainingData.q116Sql,
   )
 }

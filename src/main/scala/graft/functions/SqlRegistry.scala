@@ -31,6 +31,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    the query text (or a plan-time side channel); the honest SQL
   *    path is the one the generated plan already uses — pure builtin
   *    element_at/shift/mask calls, no custom name required.
+  *  - Count-Min estimates ([[graft.operators.CountMin.estimate]]):
+  *    the same shape as Bloom — a builtin composition (element_at +
+  *    least) over a driver-built sketch embedded as a plan literal;
+  *    no custom name exists to register.
   *  - Perceptual hash ([[graft.sources.Multimodal.withPerceptualHash]]):
   *    a JVM media codec over binary columns, runnable only via
   *    `mapPartitions` (the library's one sanctioned mapPartitions

@@ -1189,4 +1189,54 @@ object Dedup {
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Contamination FRACTION per document — the tolerance-threshold
+    * variant of [[decontaminate]]: instead of dropping on ANY shared
+    * n-gram, measure what share of each doc's (distinct) grams appear
+    * in the benchmark, and let the caller set the drop line. The
+    * any-gram gate over-cleans long documents (one idiomatic 13-gram
+    * kills a book); real decontamination pipelines drop on a fraction
+    * and audit the mid-band — this emits the number they need.
+    *
+    * Same scale shape as [[decontaminateBloom]]: grams cross joins as
+    * 8-byte hashes only, the Bloom filter prunes the exact-verify
+    * join's input (a gram failing the filter is DEFINITELY clean —
+    * no false negatives — so it never reaches the join; false
+    * positives die in the verify, leaving the counts EXACT). The
+    * per-doc totals ride a narrow no-shuffle projection of the
+    * corpus, not a re-aggregation of the exploded grams.
+    *
+    * `frac` is the RAW double quotient n_hit/n_grams, deliberately
+    * un-rounded: both engines perform the one identical IEEE
+    * division, while round(·,4) at an exactly-representable half
+    * boundary (1/32 = 0.03125) is rounding-mode-dependent across
+    * engines — the raw quotient is the bit-stable contract.
+    *
+    * Output: (idCol, n_grams, n_hit, frac), one row per corpus doc
+    * (zero-hit docs included — the auditable shape). Shingles are
+    * per-doc DISTINCT (the shingler's contract), so `n_hit` counts
+    * leaked distinct grams, never repeated occurrences. */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13, idCol: String = "doc_id", textCol: String = "text",
+      numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    def gramArr = transform(shingles(col(textCol), n), g => xxhash64(g))
+    val benchGrams = benchmark
+      .select(explode(gramArr).as("gram_h"))
+      .distinct()
+    val filter = Bloom.buildWords(benchGrams, "gram_h", numBits, numHashes)
+    val hits = corpus
+      .select(col(idCol).as("id"), explode(gramArr).as("gram_h"))
+      .filter(Bloom.mightContain(col("gram_h"), filter))
+      .join(benchGrams, Seq("gram_h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__hit"))
+    corpus
+      .select(col(idCol).as("id"),
+        size(gramArr).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("__hit"), lit(0L)).cast("long").as("n_hit"),
+        (coalesce(col("__hit"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("frac"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cohort, Collocations, Graph, Histogram, Mixture,
+import graft.operators.{Cohort, Collocations, CountMin, Graph, Histogram, Mixture,
   Timeseries, Transitions, Trend}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -506,6 +506,27 @@ object Behavior {
       |SELECT key, pct, CAST(rank AS BIGINT) AS rank, bin,
       |  lo + (CAST(bin AS DOUBLE) * (span / 128.0)) AS est
       |FROM sel ORDER BY key, pct""".stripMargin
+
+  /** Heavy hitters via Count-Min prune-then-verify (q115): the most
+    * active users (≥ 70 events) found by pruning the exact count's
+    * shuffle input through a depth-4 × width-1024 sketch — small
+    * enough that sf0.1's 1500 users genuinely collide (the
+    * false-positive path is exercised, then verified away). The
+    * oracle is the EXACT heavy-hitter SQL: CMS one-sidedness makes
+    * the sketch provably invisible in the result (q86's Bloom
+    * discipline, one level up — membership → frequency). */
+  def q115HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CountMin.heavyHitters(Tables.events(s, dir), "user_id",
+        threshold = 70L, depth = 4, width = 1024)
+      .orderBy($"user_id")
+  }
+
+  val q115Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 HAVING count(*) >= 70
+      |ORDER BY user_id""".stripMargin
 
   /** Largest-remainder mixture apportionment (q109): a 999,983-unit
     * budget split across sources proportionally to their character

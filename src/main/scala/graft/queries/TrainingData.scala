@@ -1382,6 +1382,49 @@ object TrainingData {
        |ORDER BY slice_a, slice_b""".stripMargin
   }
 
+  /** q116: contamination FRACTION
+    * ([[graft.operators.Dedup.contaminationFraction]]) — the
+    * tolerance-threshold decontamination readout: per corpus doc,
+    * what share of its distinct 8-grams appear in the q68 benchmark
+    * slice. Bloom-pruned exact verify (q86's discipline), so the
+    * oracle is the EXACT counting SQL; `frac` is the raw IEEE
+    * quotient (un-rounded — see the operator's scaladoc on the
+    * 1/32-boundary rounding divergence). */
+  def q116ContaminationFraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.operators.Dedup.contaminationFraction(
+        docs.filter($"doc_id" % 20 =!= 0),
+        docs.filter($"doc_id" % 20 === 0),
+        n = 8, numBits = 1 << 17)
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay: q68's gram CTE with per-doc hit/total counts —
+    * deliberately Bloom-free like q86's oracle. */
+  val q116Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 7, 1)),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |          WHERE doc_id % 20 = 0),
+      |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+      |         WHERE doc_id % 20 <> 0),
+      |tot AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams
+      |        FROM g WHERE doc_id % 20 <> 0),
+      |hit AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |        FROM corp c JOIN bench b ON c.gram = b.gram
+      |        GROUP BY 1)
+      |SELECT t.doc_id, t.n_grams,
+      |  coalesce(h.n_hit, 0) AS n_hit,
+      |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+      |    AS frac
+      |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** q86: Bloom-pruned decontamination
     * ([[graft.operators.Dedup.decontaminateBloom]]) — bit-identical
     * output to the exact gram-collision gate (the Bloom only PRUNES

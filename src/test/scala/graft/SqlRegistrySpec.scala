@@ -81,7 +81,7 @@ class SqlRegistrySpec extends SparkSpec {
     // SqlRegistry scaladoc; registering one is a contract change that
     // should have to come HERE first
     Seq("bloom_might_contain", "might_contain", "perceptual_hash",
-        "phash", "phash64").foreach { name =>
+        "phash", "phash64", "cms_estimate", "count_min").foreach { name =>
       assert(!registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"'$name' is registered but documented as Column-API-only")

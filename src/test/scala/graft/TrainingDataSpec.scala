@@ -774,6 +774,35 @@ class DedupSpec extends SparkSpec {
     assert(keptAll === Seq(1L, 2L, 3L))
   }
 
+  test("contaminationFraction: hand-checked per-doc leak shares; " +
+      "zero-hit docs emit; Bloom prune provably invisible") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 7 distinct 4-grams, 1 shared ("beta gamma delta epsilon")
+      (1L, "prefix words beta gamma delta epsilon suffix tail here now"),
+      // reordered → zero shared 4-grams, still one output row
+      (2L, "epsilon delta gamma beta alpha zeta theta eta ordered anew"),
+      // an exact benchmark copy → every gram leaks, frac 1.0
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(corpus, bench, n = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 7L, 1L, 1.0 / 7.0),
+      (2L, 7L, 0L, 0.0),
+      (3L, 5L, 5L, 1.0)), got.toString)
+    // prune invisibility: a 64-entry filter (dense false positives)
+    // yields the identical frame — false positives die in the verify
+    val tiny = Dedup.contaminationFraction(corpus, bench, n = 4,
+        numBits = 64, numHashes = 1)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(tiny === got)
+  }
+
   test("lshParams: threshold-derived banding meets the recall floor, " +
       "respects the kernel cap") {
     for (t <- Seq(0.3, 0.5, 0.8, 0.9)) {
