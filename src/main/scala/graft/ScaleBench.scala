@@ -393,6 +393,13 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.CountMin.heavyHitters(
           d, "user_id", threshold = 70L, depth = 4, width = 1024).count(),
         events1, eventsN),
+      // q117: one (key, window, qv) hash aggregate + the cum/rank
+      // selection on the aggregated table — amplified events densify
+      // the same calendar of windows, so the ratio tracks the scan
+      ("windowed_quantiles",
+        (d: DataFrame) => graft.operators.WindowedQuantiles.quantiles(
+          d, "event_type", "ts", "value", "hour", Seq(50, 95)).count(),
+        events1, eventsN),
       // q111: ONE conditional-aggregate scan to the per-period joint
       // series (calendar-bounded, identical across factors) + the
       // day-partitioned window — amplified events only grow the scan

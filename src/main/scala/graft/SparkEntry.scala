@@ -134,6 +134,8 @@ object SparkEntry {
     "q114_dwell_quantiles" -> (Behavior.q114DwellQuantiles _),
     "q115_heavy_hitters"  -> (Behavior.q115HeavyHitters _),
     "q116_contamination_frac" -> (TrainingData.q116ContaminationFraction _),
+    "q117_windowed_quantiles" -> (Behavior.q117WindowedQuantiles _),
+    "q118_stream_quantiles" -> (StreamingQueries.q118StreamQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -373,5 +375,11 @@ object SparkEntry {
     // q116: contamination fraction — exact per-doc leak counts behind
     // a Bloom prune; frac is the raw IEEE quotient (un-rounded).
     "q116_contamination_frac" -> TrainingData.q116Sql,
+    // q117: exact windowed rank-selection quantiles over the
+    // quantized value domain — integer ranks/cums, one division last.
+    "q117_windowed_quantiles" -> Behavior.q117Sql,
+    // q118: the drained streaming twin ≡ q117's batch answer — the
+    // oracle is q117's SQL verbatim (q112↔q100's pattern).
+    "q118_stream_quantiles" -> StreamingQueries.q118Sql,
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Cohort, Collocations, CountMin, Graph, Histogram, Mixture,
-  Timeseries, Transitions, Trend}
+  Timeseries, Transitions, Trend, WindowedQuantiles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -527,6 +527,42 @@ object Behavior {
       |FROM events WHERE user_id IS NOT NULL
       |GROUP BY 1 HAVING count(*) >= 70
       |ORDER BY user_id""".stripMargin
+
+  /** Exact windowed value quantiles (q117): p50/p95 of `value` per
+    * (event_type, hour) by exact rank selection over the quantized
+    * domain ([[WindowedQuantiles]]) — no sketch, no bin error;
+    * replays bit-for-bit. */
+  def q117WindowedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    WindowedQuantiles.quantiles(Tables.events(s, dir), "event_type",
+        "ts", "value", grain = "hour", pcts = Seq(50, 95))
+      .select($"key",
+        date_format($"window_start", "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+        $"pct", $"n", $"est")
+      .orderBy($"key", $"hour_str", $"pct")
+  }
+
+  val q117Sql: String =
+    """WITH v AS (
+      |  SELECT event_type AS key, date_trunc('hour', ts) AS w,
+      |    CAST(floor(CAST(value AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)),
+      |c AS (SELECT key, w, qv, count(*) AS cnt FROM v GROUP BY 1, 2, 3),
+      |x AS (SELECT key, w, qv,
+      |        SUM(cnt) OVER (PARTITION BY key, w ORDER BY qv) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY key, w) AS n
+      |      FROM c),
+      |p(pct) AS (VALUES (50), (95)),
+      |sel AS (SELECT x.key, x.w, p.pct, x.n, MIN(x.qv) AS qv
+      |        FROM x CROSS JOIN p
+      |        WHERE x.cum >= (x.n * p.pct + 99) // 100
+      |        GROUP BY 1, 2, 3, 4)
+      |SELECT key, strftime(w, '%Y-%m-%d %H:%M:%S') AS hour_str,
+      |  CAST(pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n,
+      |  CAST(qv AS DOUBLE) / 10000.0 AS est
+      |FROM sel ORDER BY key, hour_str, pct""".stripMargin
 
   /** Largest-remainder mixture apportionment (q109): a 999,983-unit
     * budget split across sources proportionally to their character

@@ -293,6 +293,41 @@ object StreamingQueries {
     * oracle. */
   val q112Sql: String = Analytics.q100Sql
 
+  private val lastSink118 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q118: streaming windowed value quantiles — the live twin of
+    * q117's exact rank selection ([[graft.streaming.QuantileStream]]).
+    * Each (key, hour) group re-emits its pct set per batch tagged
+    * `seen`; the consumer keeps the max-`seen` rows, so the drained
+    * run is EXACTLY the batch answer — q117's oracle verbatim. */
+  def q118StreamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val ev = eventsStream(s, dir)
+        .filter($"event_type".isNotNull && $"ts".isNotNull &&
+          $"value".isNotNull && !isnan($"value"))
+        .select($"event_type".as("key"),
+          expr("unix_micros(date_trunc('HOUR', ts)) div 1000000").as("w"),
+          graft.operators.WindowedQuantiles.quantizedValue($"value")
+            .as("qv"))
+      val out = graft.streaming.QuantileStream.quantiles(ev,
+        pcts = Seq(50, 95))
+      drain(s, out.toDF(), "q118_stream_out", lastSink118, "append")
+        .groupBy($"key", $"w", $"pct")
+        .agg(max_by(struct($"n", $"est"), $"seen").as("f"))
+        .select($"key",
+          date_format(timestamp_seconds($"w"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_str"),
+          $"pct".cast("long").as("pct"),
+          $"f.n".as("n"), $"f.est".as("est"))
+        .orderBy($"key", $"hour_str", $"pct")
+    }
+  }
+
+  /** The drained stream ≡ the batch exact rank selection — q117's
+    * oracle. */
+  val q118Sql: String = Behavior.q117Sql
+
   /** Batch replay of the same sketch + estimator (q85's integer math
     * at k = 16 over the portable user-id hash). */
   val q89Sql: String =

@@ -214,6 +214,40 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(got((95L, 10L)) - 1000e9) <= binW, got.toString)
   }
 
+  test("windowedQuantiles: hand-checked exact ranks; quantization to " +
+      "4dp; NaN/null exclusion; maxDistinct guard fires loudly") {
+    import graft.operators.WindowedQuantiles
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    // one (A, 10:00) window with values 1..10 → p50 = rank 5 → 5.0;
+    // p95 = rank ⌈9.5⌉ = 10 → 10.0; one NaN and one null must drop
+    val rows = (1 to 10).map(v => ("A", t0, Some(v.toDouble))) ++
+      Seq(("A", t0, Some(Double.NaN)), ("A", t0, Option.empty[Double]))
+    val got = WindowedQuantiles.quantiles(
+        rows.toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50, 95))
+      .orderBy($"pct")
+      .as[(String, java.sql.Timestamp, Long, Long, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._3, r._4, r._5)) ===
+      Seq((50L, 10L, 5.0), (95L, 10L, 10.0)), got.toString)
+    assert(got.forall(_._2 === java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    // fractional values quantize at 4dp exactly
+    val frac = WindowedQuantiles.quantiles(
+        Seq(("B", t0, 0.12345), ("B", t0, 0.12355))
+          .toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50))
+      .select($"est").as[Double].head()
+    assert(frac === 0.1234, s"floor-quantization must truncate: $frac")
+    // guard: 3 distinct values over maxDistinct=2 must die loudly
+    val e = intercept[Exception] {
+      WindowedQuantiles.quantiles(
+        Seq(("C", t0, 1.0), ("C", t0, 2.0), ("C", t0, 3.0))
+          .toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50),
+        maxDistinct = 2L).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("maxDistinct"), msgs(e))
+  }
+
   // ---- Graph.triangleCounts (q104) ----
 
   test("triangleCounts: K4 has 4 triangles with every node in 3; " +

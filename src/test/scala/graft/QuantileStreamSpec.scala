@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.QuantileStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class QuantileStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed quantiles: late events re-rank already-" +
+      "emitted windows; drained max-seen ≡ the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val out = QuantileStream.quantiles(
+      input.toDF().toDF("key", "w", "qv"), pcts = Seq(50, 95))
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("qstream_out").outputMode("append").start()
+    try {
+      // batch 1: window (A, 0) sees qv 10,20,30 → p50 = 20
+      input.addData(("A", 0L, 10L), ("A", 0L, 20L), ("A", 0L, 30L))
+      q.processAllAvailable()
+      val first = spark.table("qstream_out")
+        .filter($"pct" === 50).select($"est").as[Double].collect().toSeq
+      assert(first === Seq(0.002), first.toString)
+      // batch 2: two LATE low values shift the median down (n=5,
+      // rank 3 → qv 10), plus a second window (B)
+      input.addData(("A", 0L, 1L), ("A", 0L, 2L), ("B", 0L, 7L))
+      q.processAllAvailable()
+      val got = spark.table("qstream_out")
+        .groupBy($"key", $"w", $"pct")
+        .agg(max_by(struct($"n", $"est"), $"seen").as("f"))
+        .select($"key", $"pct", $"f.n".as("n"), $"f.est".as("est"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(got === Set(
+        ("A", 50L, 5L, 0.001), // rank 3 of {1,2,10,20,30}
+        ("A", 95L, 5L, 0.003), // rank ⌈4.75⌉ = 5 → qv 30
+        ("B", 50L, 1L, 0.0007),
+        ("B", 95L, 1L, 0.0007)), got.toString)
+    } finally q.stop()
+  }
+
+  test("drained stream ≡ batch operator on a multi-window multi-key " +
+      "corpus (the q118 contract at spec scale)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 08:00:00").getTime
+    val raw = (0 until 200).map { i =>
+      (s"k${i % 3}", new java.sql.Timestamp(t0 + (i % 7) * 3600000L),
+        (i * 37 % 50) / 10.0 - 1.5)
+    }
+    val batch = graft.operators.WindowedQuantiles.quantiles(
+        raw.toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50, 95))
+      .select($"key", unix_micros($"window_start").as("wus"),
+        $"pct", $"n", $"est")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val input = MemoryStream[(String, Long, Double)]
+    val ev = input.toDF().toDF("key", "ts_us", "v")
+      .select($"key", expr("ts_us div 3600000000 * 3600").as("w"),
+        graft.operators.WindowedQuantiles.quantizedValue($"v").as("qv"))
+    val out = QuantileStream.quantiles(ev, pcts = Seq(50, 95))
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("qstream_eq_out").outputMode("append").start()
+    try {
+      // three shuffled batches — exactness must not depend on order
+      val shuffled = scala.util.Random.shuffle(
+        raw.map { case (k, ts, v) => (k, ts.getTime * 1000L, v) }.toList)
+      shuffled.grouped(70).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      val drained = spark.table("qstream_eq_out")
+        .groupBy($"key", $"w", $"pct")
+        .agg(max_by(struct($"n", $"est"), $"seen").as("f"))
+        .select($"key", ($"w" * 1000000L).as("wus"),
+          $"pct".cast("long"), $"f.n".as("n"), $"f.est".as("est"))
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      assert(drained === batch,
+        s"drained=${drained.toSeq.sortBy(t => (t._1, t._2, t._3))}\n" +
+          s"batch=${batch.toSeq.sortBy(t => (t._1, t._2, t._3))}")
+    } finally q.stop()
+  }
+
+  test("maxDistinct guard fires in the stream; pct guards reject bad input") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val out = QuantileStream.quantiles(
+      input.toDF().toDF("key", "w", "qv"), pcts = Seq(50), maxDistinct = 2L)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("qstream_guard_out").outputMode("append").start()
+    try {
+      input.addData(("A", 0L, 1L), ("A", 0L, 2L), ("A", 0L, 3L))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+      assert(msgs(e).contains("maxDistinct"), msgs(e))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      QuantileStream.quantiles(
+        Seq(("A", 0L, 1L)).toDF("key", "w", "qv"), pcts = Seq(0))
+    }
+  }
+}
