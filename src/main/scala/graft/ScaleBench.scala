@@ -295,6 +295,12 @@ object ScaleBench {
           d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
           n = 6, numBits = 1 << 20).count(),
         docs1, docsN),
+      // q119: dedupCorpus's cluster machinery + two label joins + a
+      // narrow bucket map — ratio must track the dedup family's
+      ("leakage_safe_split",
+        (d: DataFrame) => graft.operators.Dedup.leakageSafeSplit(
+          d, trainPct = 90, jaccardThreshold = 0.5).count(),
+        docs1, docsN),
       // q116: the fraction variant — same prune shape plus the narrow
       // per-doc totals projection and the hit aggregate
       ("contamination_fraction",

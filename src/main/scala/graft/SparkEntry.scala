@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_contamination_frac" -> (TrainingData.q116ContaminationFraction _),
     "q117_windowed_quantiles" -> (Behavior.q117WindowedQuantiles _),
     "q118_stream_quantiles" -> (StreamingQueries.q118StreamQuantiles _),
+    "q119_leakage_safe_split" -> (TrainingData.q119LeakageSafeSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -381,5 +382,8 @@ object SparkEntry {
     // q118: the drained streaming twin ≡ q117's batch answer — the
     // oracle is q117's SQL verbatim (q112↔q100's pattern).
     "q118_stream_quantiles" -> StreamingQueries.q118Sql,
+    // q119: leakage-safe split — fingerprint collapse + near-dup CC +
+    // portable bucket of the cluster representative, fully replayed.
+    "q119_leakage_safe_split" -> TrainingData.q119Sql,
   )
 }

@@ -1190,6 +1190,59 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** LEAKAGE-SAFE train/eval split: deterministic percentage split
+    * where every member of a duplicate CLUSTER — exact-fingerprint
+    * groups unioned with MinHash near-dup components — lands on the
+    * SAME side. A plain per-doc hash split leaks: with near-dups
+    * split across sides, the eval set scores memorization of train
+    * twins, the exact failure decontamination exists to prevent,
+    * re-created by the splitter itself. Here the split key is the
+    * CLUSTER REPRESENTATIVE (min id through exact collapse, then
+    * component-min through near-dup edges), so twins travel together
+    * by construction.
+    *
+    * Deterministic and engine-portable: the representative is a pure
+    * function of the corpus (fingerprint min + component min under
+    * the same threshold/banding contract as [[dedupCorpus]]), and the
+    * side assignment is [[Sampling.portableBucket]] (md5-domain) on
+    * the representative — replayable in any engine, stable across
+    * runs/partitionings, and stable under APPENDING new docs (an
+    * existing cluster's representative never changes unless a new
+    * edge merges clusters — the same contract as incremental dedup).
+    *
+    * Scale shape: exactly [[dedupCorpus]]'s (one fingerprint shuffle,
+    * LSH banded pair join with hot-bucket guards, CC loop) plus two
+    * broadcast-sized label joins; the split itself is a narrow map.
+    *
+    * Output: the input rows plus `split_rep` (the cluster
+    * representative id) and `split` ('train' | 'eval'). */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int,
+      jaccardThreshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      maxBucket: Int = HotBuckets.DefaultCap,
+      strict: Boolean = false): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct=$trainPct must be in [1, 99] — 0 or 100 is not a split")
+    val withFp = docs.withColumn("__fp", fingerprint(col(textCol)))
+    val fpRep = withFp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__rep0"))
+    val exactReps = withFp.join(fpRep, Seq("__fp"))
+      .filter(col(idCol) === col("__rep0"))
+      .drop("__fp", "__rep0")
+    val pairs = minHashDupPairs(exactReps, jaccardThreshold, idCol,
+      textCol, shingleSize, -1, -1, maxBucket, strict)
+    val comps = connectedComponents(pairs)
+      .withColumnRenamed("id", "__rep0")
+    withFp
+      .join(fpRep, Seq("__fp"))
+      .join(comps, Seq("__rep0"), "left")
+      .withColumn("split_rep", coalesce(col("comp"), col("__rep0")))
+      .withColumn("split",
+        when(Sampling.portableBucket(col("split_rep"), 100) < trainPct,
+          lit("train")).otherwise(lit("eval")))
+      .drop("__fp", "__rep0", "comp")
+  }
+
   /** Contamination FRACTION per document — the tolerance-threshold
     * variant of [[decontaminate]]: instead of dropping on ANY shared
     * n-gram, measure what share of each doc's (distinct) grams appear

@@ -398,6 +398,60 @@ object TrainingData {
       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q119: leakage-safe 90/10 split
+    * ([[graft.operators.Dedup.leakageSafeSplit]]) — every exact or
+    * near-dup (J ≥ 0.5) cluster lands whole on one side, keyed by the
+    * portable bucket of its representative. Oracle replays the ENTIRE
+    * derivation: fingerprint collapse, brute-force Jaccard pairs
+    * (complete at this scale, q39's argument), recursive-CTE
+    * components, md5-domain bucket. */
+  def q119LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.leakageSafeSplit(Tables.documents(s, dir), trainPct = 90,
+        jaccardThreshold = 0.5, shingleSize = 3)
+      .select($"doc_id", $"split_rep", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val q119Sql: String =
+    """WITH RECURSIVE fpr AS (
+      |  SELECT doc_id, min(doc_id) OVER (
+      |      PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+      |    AS rep0
+      |  FROM documents),
+      |kept AS (
+      |  SELECT d.* FROM documents d
+      |  JOIN fpr ON d.doc_id = fpr.doc_id AND fpr.doc_id = fpr.rep0),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 2, 1)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM kept)
+      |  WHERE len(toks) >= 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src)
+      |SELECT f.doc_id,
+      |  coalesce(c.comp, f.rep0) AS split_rep,
+      |  CASE WHEN CAST(md5_number_upper(CAST(coalesce(c.comp, f.rep0)
+      |              AS VARCHAR)) & 281474976710655 AS BIGINT) % 100 < 90
+      |       THEN 'train' ELSE 'eval' END AS split
+      |FROM fpr f LEFT JOIN comp c ON f.rep0 = c.id
+      |ORDER BY f.doc_id""".stripMargin
+
   /** Sequence packing (context-window binning): docs in doc_id order
     * packed greedily into 4096-token bins; per-pack stats. The window
     * cumsum is SQL-portable, so this one is fully oracled. */

@@ -774,6 +774,49 @@ class DedupSpec extends SparkSpec {
     assert(keptAll === Seq(1L, 2L, 3L))
   }
 
+  test("leakageSafeSplit: exact and near-dup clusters land WHOLE on " +
+      "one side; transitive chains share a representative; guards") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      // cluster {1, 2 (exact dup), 3 (near dup)} → rep 1
+      (1L, base), (2L, base), (3L, base + " extra"),
+      // transitive chain over a DISJOINT vocabulary: 18 base shingles,
+      // +10 per link → J(4,5)=18/28, J(5,6)=28/38 ≥ 0.5 but
+      // J(4,6)=18/38 < 0.5 — only CC transitivity co-locates all three
+      (4L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (6L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      // singletons
+      (7L, "entirely different words about catalyst optimizer planning"),
+      (8L, "another unrelated document on parquet row group pruning"))
+      .toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, trainPct = 90,
+        jaccardThreshold = 0.5, shingleSize = 3)
+      .select($"doc_id", $"split_rep", $"split")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 8)
+    // clusters share rep AND side
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    assert(out(1L)._1 === 1L)
+    assert(out(4L) === out(5L) && out(5L) === out(6L))
+    assert(out(4L)._1 === 4L)
+    // singletons are their own representative
+    assert(out(7L)._1 === 7L && out(8L)._1 === 8L)
+    // determinism: a second run under different partitioning agrees
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), trainPct = 90,
+        jaccardThreshold = 0.5, shingleSize = 3)
+      .select($"doc_id", $"split_rep", $"split")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(docs, trainPct = 0) }
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(docs, trainPct = 100) }
+  }
+
   test("contaminationFraction: hand-checked per-doc leak shares; " +
       "zero-hit docs emit; Bloom prune provably invisible") {
     val bench = Seq(
