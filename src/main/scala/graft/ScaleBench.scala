@@ -385,12 +385,8 @@ object ScaleBench {
       // downstream (keys × nBins) stages are constant-size across
       // factors, so the ratio must track the two gap scans
       ("dwell_quantiles",
-        (d: DataFrame) => graft.operators.Histogram.groupQuantileEstimates(
-          graft.operators.Transitions.dwellGaps(
-            d, "user_id", "event_type", $"ts_ns", $"event_id")
-            .select(concat($"from_state", lit(">"), $"to_state").as("key"),
-              $"dwell_ns"),
-          "key", "dwell_ns", 128, Seq(50, 95)).count(),
+        (d: DataFrame) => graft.operators.Transitions.dwellQuantiles(
+          d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
         events1, eventsN),
       // q115: two single-column scans + the CMS-pruned count — the
       // grid is constant-size across factors, so the ratio tracks the

@@ -1254,10 +1254,20 @@ object Dedup {
     * Same scale shape as [[decontaminateBloom]]: grams cross joins as
     * 8-byte hashes only, the Bloom filter prunes the exact-verify
     * join's input (a gram failing the filter is DEFINITELY clean —
-    * no false negatives — so it never reaches the join; false
-    * positives die in the verify, leaving the counts EXACT). The
-    * per-doc totals ride a narrow no-shuffle projection of the
-    * corpus, not a re-aggregation of the exploded grams.
+    * no false negatives — so it never reaches the join; BLOOM false
+    * positives die in the verify). The per-doc totals ride a narrow
+    * no-shuffle projection of the corpus, not a re-aggregation of
+    * the exploded grams.
+    *
+    * Collision contract (the precise exactness claim): counts are
+    * exact IN THE xxhash64 GRAM DOMAIN — the verify join equates
+    * 64-bit hashes, not gram strings, so a corpus gram colliding
+    * with a DIFFERENT benchmark gram inflates that doc's `n_hit` by
+    * one and the verify cannot remove it ([[decontaminate]]'s
+    * documented contract, measured there at ~5·10⁻⁵ expected
+    * spurious hits for 10¹² corpus × 10⁶ benchmark grams). For a
+    * drop-threshold consumer this over-counts toward over-cleaning,
+    * never toward leaking contamination through.
     *
     * `frac` is the RAW double quotient n_hit/n_grams, deliberately
     * un-rounded: both engines perform the one identical IEEE

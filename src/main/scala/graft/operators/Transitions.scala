@@ -136,4 +136,22 @@ object Transitions {
       .select(col("from_state"), col("to_state"),
         col("__dwell").as("dwell_ns"))
 
+  /** The promised composition, as ONE named computation (the q114
+    * query, its ScaleBench row and its spec all call THIS, so the
+    * three surfaces are provably the same plan): [[dwellGaps]]' exact
+    * integer-ns gaps fed to [[Histogram.groupQuantileEstimates]]
+    * keyed by the `from>to` pair string — the p50/p95 time-in-state
+    * readout whose bimodal shape [[dwellTimes]]' mean/min/max hide.
+    * The single-string pair key keeps the histogram's
+    * one-row-per-key broadcast contract (states², calendar-class).
+    * Output: the histogram estimator's (key, pct, rank, bin, est). */
+  def dwellQuantiles(df: DataFrame, entityCol: String, stateCol: String,
+      tsNsCol: Column, tieBreak: Column, nBins: Int = 128,
+      pcts: Seq[Int] = Seq(50, 95)): DataFrame =
+    Histogram.groupQuantileEstimates(
+      dwellGaps(df, entityCol, stateCol, tsNsCol, tieBreak)
+        .select(concat(col("from_state"), lit(">"), col("to_state"))
+          .as("key"), col("dwell_ns")),
+      "key", "dwell_ns", nBins, pcts)
+
 }

@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * [[Histogram.groupQuantileEstimates]] whose estimates carry a
   * bin-width error (use that when the value domain is too rich to
   * aggregate exactly; use THIS when exactness is the contract).
+  * Windows are truncated in epoch-integer space, so the grouping is
+  * identical under ANY `spark.sql.session.timeZone` — the minute
+  * spine's discipline ([[Timeseries]]); `window_start` labels the
+  * UTC instant of each window's start.
   *
   * Scale shape: one hash aggregate to (key, window, qv) counts with
   * map-side combine — a billion-row hot window collapses to its
@@ -51,9 +55,25 @@ object WindowedQuantiles {
       s"pcts must be integer percents in 1..100, got $pcts")
     require(pcts.distinct.size == pcts.size, s"duplicate pcts in $pcts")
     require(maxDistinct >= 1L, s"maxDistinct=$maxDistinct")
+    // window truncation in EPOCH-INTEGER space, NOT date_trunc:
+    // Spark's HOUR/DAY truncation is session-timezone-aware (an
+    // Asia/Kolkata session puts hour boundaries at :30 UTC), which
+    // would silently re-group the windows and break the bit-replay
+    // contract — the same class the minute spine's epoch rewrite
+    // killed. Integer division of unix micros has no timezone.
+    val unitMicros = grain match {
+      case "minute" => 60000000L
+      case "hour"   => 3600000000L
+      case "day"    => 86400000000L
+    }
+    // floor-to-unit via x − pmod(x, unit): exact 64-bit integer
+    // arithmetic (a double-floor path loses precision past 2⁵² µs ≈
+    // 1971), correct for pre-1970 instants too (pmod is non-negative
+    // where `div` truncates toward zero)
+    val um = unix_micros(col(tsCol))
     val rows = df
       .select(col(keyCol).as("key"),
-        date_trunc(grain.toUpperCase, col(tsCol)).as("window_start"),
+        timestamp_micros(um - pmod(um, lit(unitMicros))).as("window_start"),
         col(valueCol).cast(DoubleType).as("v"))
       .filter(col("key").isNotNull && col("window_start").isNotNull &&
         col("v").isNotNull && !isnan(col("v")))

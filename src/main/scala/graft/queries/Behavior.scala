@@ -465,12 +465,8 @@ object Behavior {
     * holds by the same argument as the transition matrix. */
   def q114DwellQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gaps = Transitions.dwellGaps(Tables.events(s, dir), "user_id",
+    Transitions.dwellQuantiles(Tables.events(s, dir), "user_id",
         "event_type", $"ts_ns", $"event_id")
-      .select(concat($"from_state", lit(">"), $"to_state").as("key"),
-        $"dwell_ns")
-    Histogram.groupQuantileEstimates(gaps, "key", "dwell_ns",
-        nBins = 128, pcts = Seq(50, 95))
       .orderBy($"key", $"pct")
   }
 

@@ -307,7 +307,11 @@ object StreamingQueries {
         .filter($"event_type".isNotNull && $"ts".isNotNull &&
           $"value".isNotNull && !isnan($"value"))
         .select($"event_type".as("key"),
-          expr("unix_micros(date_trunc('HOUR', ts)) div 1000000").as("w"),
+          // epoch-integer hour truncation — the batch twin's
+          // timezone-free contract (date_trunc HOUR is session-tz-
+          // aware; x − pmod(x, unit) is not)
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+            " div 1000000").as("w"),
           graft.operators.WindowedQuantiles.quantizedValue($"value")
             .as("qv"))
       val out = graft.streaming.QuantileStream.quantiles(ev,

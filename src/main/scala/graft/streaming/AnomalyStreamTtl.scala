@@ -72,10 +72,27 @@ object AnomalyStreamTtl {
     } else {
       val prev = state.getOption
         .getOrElse(TtlState(Map.empty, Long.MinValue, 0L))
-      // late drop: below-horizon events are discarded, counted nowhere
+      // late drop: below-horizon events are discarded, counted
+      // nowhere — but ONLY within one retention of the horizon. An
+      // event below horizon by MORE than keepMinutes is not "late",
+      // it is epochally misaligned: either this event's timestamp is
+      // corrupt, or a previous corrupt far-future event dragged the
+      // horizon past all real time (which would otherwise silently
+      // blackhole the key FOREVER — every genuine event reads as
+      // late). Die loudly instead, the exact twin's maxSpanMinutes
+      // discipline.
       var accepted = 0L
       val add = it.foldLeft(Map.empty[Long, Long]) { (acc, e) =>
-        if (e.m < prev.horizon) acc
+        if (e.m < prev.horizon) {
+          require(prev.horizon - e.m <= keepMinutes,
+            s"AnomalyStreamTtl: key $key event at minute ${e.m} is " +
+              s"${prev.horizon - e.m} minutes below the retention " +
+              s"horizon ${prev.horizon} — beyond keepMinutes=" +
+              s"$keepMinutes, so this is a corrupt timestamp (either " +
+              "this event's, or an earlier one that dragged the " +
+              "horizon into the far future), not lateness")
+          acc
+        }
         else { accepted += 1L; acc.updated(e.m, acc.getOrElse(e.m, 0L) + 1L) }
       }
       if (add.isEmpty) {

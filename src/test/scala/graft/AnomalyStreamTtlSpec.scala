@@ -143,6 +143,38 @@ class AnomalyStreamTtlSpec extends SparkSpec {
     assert(scored.map(r => (r.m, r.n)) === Seq((13L, 1L)), scored.toString)
   }
 
+  test("a corrupt far-future timestamp cannot silently blackhole a " +
+      "key: the next genuine event dies LOUDLY instead of dropping " +
+      "as 'late' forever") {
+    val ttl = Option.empty[java.time.Duration]
+    val f = AnomalyStreamTtl.fn(trailing = 3, keepMinutes = 100L, ttl) _
+    // a corrupt year-9999 minute poisons the horizon...
+    val s1 = TestGroupState.create[TtlState](
+      Optional.of(TtlState(Map(1000L -> 2L), 1000L, 2L)),
+      GroupStateTimeout.NoTimeout, 1000L, Optional.empty[Long], false)
+    // (the corrupt event itself scores its own pruned span — the
+    // emissions are a symptom; the poisoned HORIZON is the issue)
+    f("A", Iterator(MinuteEvent("A", 5000000000L)), s1).toList
+    val poisoned = s1.get
+    assert(poisoned.horizon === 5000000000L - 99L)
+    // ...and the next REAL event (minute ~1001, billions below the
+    // horizon) must fail loudly, not vanish
+    val s2 = TestGroupState.create[TtlState](
+      Optional.of(poisoned), GroupStateTimeout.NoTimeout, 1000L,
+      Optional.empty[Long], false)
+    val e = intercept[IllegalArgumentException] {
+      f("A", Iterator(MinuteEvent("A", 1001L)), s2).toList
+    }
+    assert(e.getMessage.contains("corrupt timestamp"), e.getMessage)
+    // merely-late events (within keepMinutes of the horizon) still
+    // drop SILENTLY — the documented under-report class
+    val s3 = TestGroupState.create[TtlState](
+      Optional.of(TtlState(Map(500L -> 1L), 450L, 1L)),
+      GroupStateTimeout.NoTimeout, 1000L, Optional.empty[Long], false)
+    assert(f("A", Iterator(MinuteEvent("A", 400L)), s3).isEmpty)
+    assert(!s3.isUpdated)
+  }
+
   test("guards: keepMinutes must exceed trailing") {
     intercept[IllegalArgumentException] {
       AnomalyStreamTtl.zScores(

@@ -200,10 +200,10 @@ class BehaviorSpec extends SparkSpec {
     val gaps = Transitions.dwellGaps(
       rows.toDF("u", "state", "t", "id"), "u", "state", col("t"), col("id"))
     assert(gaps.count() === 10L)
-    val got = graft.operators.Histogram.groupQuantileEstimates(
-        gaps.select(concat($"from_state", lit(">"), $"to_state").as("key"),
-          $"dwell_ns"),
-        "key", "dwell_ns", nBins = 128, pcts = Seq(50, 95))
+    // the ONE shared composition the query and benchmark also call
+    val got = Transitions.dwellQuantiles(
+        rows.toDF("u", "state", "t", "id"), "u", "state", col("t"),
+        col("id"))
       .select($"key", $"pct", $"rank", $"est")
       .as[(String, Long, Long, Double)].collect()
       .map(r => (r._2, r._3) -> r._4).toMap
@@ -246,6 +246,23 @@ class BehaviorSpec extends SparkSpec {
     def msgs(t: Throwable): String =
       if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
     assert(msgs(e).contains("maxDistinct"), msgs(e))
+    // timezone invariance (review finding): hour windows are
+    // epoch-integer truncated, NOT session-tz date_trunc — an
+    // Asia/Kolkata (+05:30) session must group identically to UTC
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val inUtc = WindowedQuantiles.quantiles(
+        rows.toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50))
+      .select(unix_micros($"window_start"), $"est")
+      .as[(Long, Double)].collect().toSet
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      val inKolkata = WindowedQuantiles.quantiles(
+          rows.toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50))
+        .select(unix_micros($"window_start"), $"est")
+        .as[(Long, Double)].collect().toSet
+      assert(inKolkata === inUtc,
+        s"hour windows moved with the session timezone: $inKolkata vs $inUtc")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   // ---- Graph.triangleCounts (q104) ----
