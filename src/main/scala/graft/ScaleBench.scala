@@ -358,6 +358,12 @@ object ScaleBench {
             d.filter($"vec_id" < 3), d, 10, 64, books, pool = 100).count()
         },
         emb1, embN),
+      // q120: one posexplode scan to (label, dim) sums; the pair join
+      // runs on the labels×dims aggregate — ratio tracks the scan
+      ("centroid_affinity",
+        (d: DataFrame) => graft.operators.Affinity.centroidAffinity(
+          d, "label", "embedding").count(),
+        emb1, embN),
       // q101: per-key quantiles — exactly two raw scans (ranges +
       // binning) and a keys×nBins downstream; ratio tracks the scans
       ("group_quantiles",

@@ -137,6 +137,7 @@ object SparkEntry {
     "q117_windowed_quantiles" -> (Behavior.q117WindowedQuantiles _),
     "q118_stream_quantiles" -> (StreamingQueries.q118StreamQuantiles _),
     "q119_leakage_safe_split" -> (TrainingData.q119LeakageSafeSplit _),
+    "q120_centroid_affinity" -> (TrainingData.q120CentroidAffinity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -385,5 +386,8 @@ object SparkEntry {
     // q119: leakage-safe split — fingerprint collapse + near-dup CC +
     // portable bucket of the cluster representative, fully replayed.
     "q119_leakage_safe_split" -> TrainingData.q119Sql,
+    // q120: centroid affinity — integer sums, count terms cancel,
+    // two correctly-rounded sqrts + one division.
+    "q120_centroid_affinity" -> TrainingData.q120Sql,
   )
 }

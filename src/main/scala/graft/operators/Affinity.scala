@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Label-centroid affinity matrix: pairwise cosine similarity between
+  * the MEAN embedding of each label/slice — "which sources/clusters
+  * are semantically close" — the corpus-curation readout behind
+  * mixture re-weighting (two sources whose centroids cosine at 0.98
+  * should not get independent weights) and cluster-merge decisions.
+  *
+  * EXACT by construction: elements are floor-quantized once at the
+  * row level ([[Trend]]'s `floor(v·10⁴)` discipline, loud ±9e14
+  * bound), per-(label, dim) sums are exact decimal(38,0) integers,
+  * and the count terms CANCEL in the cosine of means —
+  * `cos(mean_a, mean_b) = Σ sa·sb / (√Σ sa² · √Σ sb²)` over the raw
+  * integer sum vectors — so the whole statistic is integer
+  * arithmetic up to two IEEE sqrt's (correctly rounded, hence
+  * engine-portable) and one final division, with ONE pinned
+  * parenthesization. Replays bit-for-bit (the q120 oracle).
+  *
+  * Scale shape: one narrow posexplode → (label, dim) hash aggregate
+  * with map-side combine (a billion vectors collapse to labels × dims
+  * rows per partition before the shuffle); the pair join runs on the
+  * AGGREGATED table — labels² × dims, calendar-class, never data-
+  * sized. Rows with a null label/vector, or a vector containing
+  * null/NaN elements, are excluded WHOLE (a single poisoned element
+  * must not skew one dimension of a centroid).
+  *
+  * Output: (label_a, label_b, n_dims, cos) for label_a < label_b;
+  * `cos` is NULL when either centroid is the zero vector. */
+object Affinity {
+
+  def centroidAffinity(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val clean = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull &&
+        !exists(col(vecCol),
+          e => e.isNull || isnan(e.cast(DoubleType))))
+    val sums = clean
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        Trend.quantize4(col("v").cast(DoubleType),
+          "centroidAffinity", "v").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).cast(D).as("s"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).cast(D).as("nq"),
+        count(lit(1)).as("n_dims"))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("s").as("sb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).cast(D).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("nq").as("nqa"), col("n_dims"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("nq").as("nqb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_dims"),
+        when(col("nqa") > 0 && col("nqb") > 0,
+          col("dot").cast(DoubleType) /
+            (sqrt(col("nqa").cast(DoubleType)) *
+              sqrt(col("nqb").cast(DoubleType))))
+          .as("cos"))
+  }
+}

@@ -398,6 +398,43 @@ object TrainingData {
       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q120: label-centroid affinity matrix
+    * ([[graft.operators.Affinity.centroidAffinity]]) — pairwise
+    * cosine between label mean-embeddings, integer-exact up to two
+    * correctly-rounded sqrt's (the count terms cancel in the cosine
+    * of means, so the statistic runs on raw quantized sum vectors). */
+  def q120CentroidAffinity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Affinity.centroidAffinity(
+        Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy($"label_a", $"label_b")
+  }
+
+  val q120Sql: String =
+    """WITH v AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+      |      AS HUGEINT) AS q
+      |  FROM embeddings
+      |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+      |    AND len(list_filter(embedding, x -> isnan(x))) = 0),
+      |s AS (SELECT label, dim, sum(q) AS s FROM v GROUP BY 1, 2),
+      |n AS (SELECT label, sum(s * s) AS nq,
+      |        CAST(count(*) AS BIGINT) AS n_dims
+      |      FROM s GROUP BY 1),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        sum(a.s * b.s) AS dot
+      |      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      |      GROUP BY 1, 2)
+      |SELECT p.label_a, p.label_b, na.n_dims,
+      |  CASE WHEN na.nq > 0 AND nb.nq > 0 THEN
+      |    CAST(p.dot AS DOUBLE)
+      |      / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+      |  END AS cos
+      |FROM p JOIN n na ON p.label_a = na.label
+      |       JOIN n nb ON p.label_b = nb.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   /** q119: leakage-safe 90/10 split
     * ([[graft.operators.Dedup.leakageSafeSplit]]) — every exact or
     * near-dup (J ≥ 0.5) cluster lands whole on one side, keyed by the

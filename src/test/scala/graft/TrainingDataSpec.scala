@@ -774,6 +774,33 @@ class DedupSpec extends SparkSpec {
     assert(keptAll === Seq(1L, 2L, 3L))
   }
 
+  test("centroidAffinity: hand-checked cosines (count terms cancel); " +
+      "NaN-poisoned vectors excluded whole; zero centroid yields null") {
+    import graft.operators.Affinity
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (0, Array(Float.NaN, 99.0f)), // poisoned: excluded WHOLE
+      (1, Array(0.0f, 2.0f)),
+      (2, Array(3.0f, 3.0f)),
+      (3, Array(0.0f, 0.0f))) // zero centroid
+      .toDF("label", "embedding")
+    val got = Affinity.centroidAffinity(vecs, "label", "embedding")
+      .orderBy($"label_a", $"label_b")
+      .as[(Int, Int, Long, Option[Double])].collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(got.forall(_._3 === 2L))
+    assert(m((0, 1)) === Some(0.0)) // orthogonal
+    // cos(mean_0, mean_2) = 6e8 / (√4e8 · √1.8e9) = 1/√2, computed
+    // with the SAME pinned parenthesization as the operator
+    assert(m((0, 2)) ===
+      Some(6.0e8 / (math.sqrt(4.0e8) * math.sqrt(1.8e9))))
+    assert(m((1, 2)) ===
+      Some(6.0e8 / (math.sqrt(4.0e8) * math.sqrt(1.8e9))))
+    // zero-centroid pairs are null, never NaN/Inf
+    assert(m((0, 3)) === None && m((1, 3)) === None && m((2, 3)) === None)
+    assert(got.size === 6)
+  }
+
   test("leakageSafeSplit: exact and near-dup clusters land WHOLE on " +
       "one side; transitive chains share a representative; guards") {
     val base = "the quick brown fox jumps over the lazy dog and then " +

@@ -156,6 +156,46 @@ def main():
         print(f"FAIL q64: {len(got64)} survivors vs {len(replay64)} in replay")
         bad += 1
 
+    # 4. q119 (leakage-safe split) co-location at scale: its all-pairs
+    # oracle is quadratic like q39's, so at sf0.1 validate the
+    # PROPERTIES instead, against independent witnesses:
+    #   (a) every verified near-dup pair (q27's set, itself
+    #       crosschecked against q25 above) shares split_rep AND side;
+    #   (b) every exact-fingerprint group (recomputed here) shares
+    #       split_rep AND side;
+    #   (c) the side assignment is exactly the md5 bucket of the rep.
+    f119 = glob.glob(f"{out_dir}/q119_leakage_safe_split/*.parquet")
+    straddle = con.sql(f"""
+      WITH s AS (SELECT * FROM read_parquet({f119!r})),
+      p AS (SELECT id_a, id_b FROM read_parquet({f27!r}))
+      SELECT count(*) FROM p
+      JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
+      WHERE a.split_rep <> b.split_rep OR a.split <> b.split
+      """).fetchone()[0]
+    fp_straddle = con.sql(f"""
+      WITH s AS (SELECT * FROM read_parquet({f119!r})),
+      fp AS (SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+             FROM documents)
+      SELECT count(*) FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      JOIN s sa ON sa.doc_id = a.doc_id JOIN s sb ON sb.doc_id = b.doc_id
+      WHERE sa.split_rep <> sb.split_rep OR sa.split <> sb.split
+      """).fetchone()[0]
+    bad_bucket = con.sql(f"""
+      SELECT count(*) FROM read_parquet({f119!r})
+      WHERE split <> CASE WHEN CAST(md5_number_upper(CAST(split_rep AS
+            VARCHAR)) & 281474976710655 AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'eval' END
+      """).fetchone()[0]
+    n119 = con.sql(f"SELECT count(*) FROM read_parquet({f119!r})").fetchone()[0]
+    if straddle == 0 and fp_straddle == 0 and bad_bucket == 0:
+        print(f"OK   q119 co-location: no near-dup pair or exact-dup group "
+              f"straddles the split; buckets replay ({n119} docs)")
+    else:
+        print(f"FAIL q119: {straddle} near-dup pairs / {fp_straddle} "
+              f"exact-dup pairs straddle, {bad_bucket} bucket mismatches")
+        bad += 1
+
     sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":
