@@ -49,6 +49,10 @@ object ScaleBench {
     require(sections.nonEmpty && sections.subsetOf(ValidSections),
       s"unknown section(s) ${sections -- ValidSections}: valid are " +
         ValidSections.mkString(", ") + " — a typo would silently bench nothing")
+    // optional third arg: comma-separated pipeline-NAME filter (only
+    // rows whose name is listed run) — iterate on one new row without
+    // paying the whole sweep; unknown names fail loudly below
+    val nameFilter = args.lift(2).map(_.split(',').toSet)
 
     // ---- tables (materialized to parquet so both runs read from disk
     // with the same access path). The 1× documents baseline is shared
@@ -469,7 +473,15 @@ object ScaleBench {
     docsN.count(); events1.count(); eventsN.count()
     li1.count(); liN.count(); edges1.count(); edgesN.count()
 
-    pipelines.foreach { case (name, run, base, amplified) =>
+    nameFilter.foreach { f =>
+      val unknown = f -- pipelines.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"unknown pipeline name(s) $unknown — a typo would silently " +
+          "bench nothing")
+    }
+    val selected = nameFilter
+      .map(f => pipelines.filter(p => f(p._1))).getOrElse(pipelines)
+    selected.foreach { case (name, run, base, amplified) =>
       // two interleaved runs each, min taken: the first pass absorbs
       // codegen/JIT for this plan shape, which otherwise dwarfs the 1×
       // runtime and makes the ratio meaningless
