@@ -23,9 +23,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * group re-emits its full pct set whenever a batch lands events for
   * it, tagged with strictly increasing `seen`; consumers keep the
   * max-`seen` row per (key, window, pct). State is never dropped
-  * (`NoTimeout`) — this is the exact twin; a live deployment over
-  * unbounded window lifetimes wraps it the way [[AnomalyStreamTtl]]
-  * wraps the anomaly monitor.
+  * (`NoTimeout`) — this is the exact twin; live deployments over
+  * unbounded window lifetimes use [[QuantileStreamTtl]], the
+  * event-time-finalizing bounded variant (the watermark closes each
+  * window to an O(1) tombstone; post-close stragglers drop).
   *
   * Selection arithmetic is the batch formula token for token: rank
   * `⌈n·p/100⌉`, smallest qv with cum ≥ rank, ONE double division by

@@ -78,6 +78,54 @@ class QuantileStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL variant: the watermark CLOSES a window to a tombstone; a " +
+      "post-close straggler re-opens nothing and the pre-close answer " +
+      "stays the max-seen winner") {
+    import graft.streaming.QuantileStreamTtl
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
+    // 60-second windows, zero lateness, 0-second watermark delay: the
+    // close fires as soon as the watermark passes the window end
+    val out = QuantileStreamTtl.quantiles(
+      input.toDF().toDF("key", "w", "qv", "ts"), pcts = Seq(50),
+      windowSeconds = 60L,
+      allowedLateness = java.time.Duration.ZERO,
+      watermarkDelay = "0 seconds")
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("qttl_out").outputMode("append").start()
+    try {
+      // batch 1: window 0 sees qv {10, 20, 30} → p50 = 20, seen 3
+      input.addData(("A", 0L, 10L, ts(5)), ("A", 0L, 20L, ts(10)),
+        ("A", 0L, 30L, ts(20)))
+      q.processAllAvailable()
+      // batch 2: far-future events advance the watermark past 60 s...
+      input.addData(("A", 600L, 7L, ts(650)))
+      q.processAllAvailable()
+      // batch 3: ...and the next batch fires window 0's close
+      input.addData(("A", 600L, 9L, ts(660)))
+      q.processAllAvailable()
+      // batch 4: a straggler for the CLOSED window 0 — must emit
+      // nothing for w=0 and must NOT beat the final answer
+      input.addData(("A", 0L, 1L, ts(30)))
+      q.processAllAvailable()
+      val w0 = spark.table("qttl_out").filter($"w" === 0L)
+        .groupBy($"key", $"w", $"pct")
+        .agg(max_by(struct($"n", $"est"), $"seen").as("f"),
+          max($"seen").as("max_seen"))
+        .select($"f.n", $"f.est", $"max_seen")
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(w0 === Seq((3L, 0.002, 3L)),
+        s"post-close straggler changed the answer: $w0")
+      // the open window 600 kept accumulating normally
+      val w600 = spark.table("qttl_out").filter($"w" === 600L)
+        .groupBy($"pct")
+        .agg(max_by(struct($"n", $"est"), $"seen").as("f"))
+        .select($"f.n", $"f.est").as[(Long, Double)].collect().toSeq
+      assert(w600 === Seq((2L, 0.0007)), w600.toString)
+    } finally q.stop()
+  }
+
   test("maxDistinct guard fires in the stream; pct guards reject bad input") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long)]
