@@ -53,6 +53,11 @@ object ScaleBench {
     // rows whose name is listed run) — iterate on one new row without
     // paying the whole sweep; unknown names fail loudly below
     val nameFilter = args.lift(2).map(_.split(',').toSet)
+    // a name filter only selects PIPELINE rows — passing one to a
+    // guards-only run would silently bench nothing of what was asked,
+    // the exact failure mode the sections guard above rejects
+    require(nameFilter.isEmpty || sections("pipelines"),
+      "a pipeline-name filter requires the 'pipelines' section")
 
     // ---- tables (materialized to parquet so both runs read from disk
     // with the same access path). The 1× documents baseline is shared
@@ -66,30 +71,52 @@ object ScaleBench {
     docs1.count() // warm-up: file index + scan path
 
     if (sections("pipelines")) {
-    docs.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
-      .select(
-        ($"doc_id" * factor + $"copy").as("doc_id"),
-        when($"copy" === 0, $"text")
-          .otherwise(concat($"text", lit(" uniqcopy"), $"copy")).as("text"),
-        $"lang", $"source", $"n_chars")
-      .write.mode("overwrite").parquet(s"$scratch/documents")
-    val events = Tables.events(spark, sf)
-    events.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
-      .select(
-        ($"event_id" * factor + $"copy").as("event_id"),
-        $"ts_ns", $"ts",
-        ($"user_id" + $"copy" * 10000L).as("user_id"),
-        $"event_type", $"value", $"props")
-      .write.mode("overwrite").parquet(s"$scratch/events")
-    val li = Tables.lineitem(spark, sf)
-    li.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
-      .drop("copy")
-      .write.mode("overwrite").parquet(s"$scratch/lineitem")
+    // Each table pair materializes LAZILY on first use: a name-filtered
+    // run pays only for the tables its selected pipelines actually read
+    // (the amplified writes dominate setup — the reason the filter
+    // exists). The read-back is counted once inside the lazy block, so
+    // the old global warm-up (file index + scan path) is preserved
+    // per-table.
+    def materialize(write: => Unit, path: String): DataFrame = {
+      write
+      val df = spark.read.parquet(path)
+      df.count() // warm-up: file index + scan path
+      df
+    }
+    lazy val docsN = materialize(
+      docs.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+        .select(
+          ($"doc_id" * factor + $"copy").as("doc_id"),
+          when($"copy" === 0, $"text")
+            .otherwise(concat($"text", lit(" uniqcopy"), $"copy")).as("text"),
+          $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").parquet(s"$scratch/documents"),
+      s"$scratch/documents")
+    lazy val events = Tables.events(spark, sf)
+    lazy val eventsN = materialize(
+      events.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+        .select(
+          ($"event_id" * factor + $"copy").as("event_id"),
+          $"ts_ns", $"ts",
+          ($"user_id" + $"copy" * 10000L).as("user_id"),
+          $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$scratch/events"),
+      s"$scratch/events")
+    lazy val li = Tables.lineitem(spark, sf)
+    lazy val liN = materialize(
+      li.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$scratch/lineitem"),
+      s"$scratch/lineitem")
 
     // 1× baselines re-materialized with the SAME writer/layout so the
     // comparison isolates data volume, not file layout
-    events.write.mode("overwrite").parquet(s"$scratch/events_x1")
-    li.write.mode("overwrite").parquet(s"$scratch/lineitem_x1")
+    lazy val events1 = materialize(
+      events.write.mode("overwrite").parquet(s"$scratch/events_x1"),
+      s"$scratch/events_x1")
+    lazy val li1 = materialize(
+      li.write.mode("overwrite").parquet(s"$scratch/lineitem_x1"),
+      s"$scratch/lineitem_x1")
 
     // synthetic edge lists ABOVE the 1M-edge driver-union-find cutoff,
     // so both runs exercise the distributed alternating-star loop (the
@@ -103,28 +130,27 @@ object ScaleBench {
       spark.range(nEdges).select(
         (expr("id div 63") * 64 + pmod($"id", lit(63))).as("id_a"),
         (expr("id div 63") * 64 + pmod($"id", lit(63)) + 1).as("id_b"))
-    edgeFrame(1200000L).write.mode("overwrite").parquet(s"$scratch/edges_x1")
-    edgeFrame(1200000L * factor).write.mode("overwrite")
-      .parquet(s"$scratch/edges")
+    lazy val edges1 = materialize(
+      edgeFrame(1200000L).write.mode("overwrite")
+        .parquet(s"$scratch/edges_x1"),
+      s"$scratch/edges_x1")
+    lazy val edgesN = materialize(
+      edgeFrame(1200000L * factor).write.mode("overwrite")
+        .parquet(s"$scratch/edges"),
+      s"$scratch/edges")
 
     // embeddings amplified with fresh ids (identical vectors — ANN cost
     // depends on row count and dims, not vector novelty)
-    val emb = Tables.embeddings(spark, sf)
-    emb.write.mode("overwrite").parquet(s"$scratch/embeddings_x1")
-    emb.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
-      .select(($"vec_id" * factor + $"copy").as("vec_id"),
-        $"embedding", $"label")
-      .write.mode("overwrite").parquet(s"$scratch/embeddings")
-    val emb1 = spark.read.parquet(s"$scratch/embeddings_x1")
-    val embN = spark.read.parquet(s"$scratch/embeddings")
-
-    val events1 = spark.read.parquet(s"$scratch/events_x1")
-    val li1 = spark.read.parquet(s"$scratch/lineitem_x1")
-    val edges1 = spark.read.parquet(s"$scratch/edges_x1")
-    val edgesN = spark.read.parquet(s"$scratch/edges")
-    val docsN = spark.read.parquet(s"$scratch/documents")
-    val eventsN = spark.read.parquet(s"$scratch/events")
-    val liN = spark.read.parquet(s"$scratch/lineitem")
+    lazy val emb = Tables.embeddings(spark, sf)
+    lazy val emb1 = materialize(
+      emb.write.mode("overwrite").parquet(s"$scratch/embeddings_x1"),
+      s"$scratch/embeddings_x1")
+    lazy val embN = materialize(
+      emb.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+        .select(($"vec_id" * factor + $"copy").as("vec_id"),
+          $"embedding", $"label")
+        .write.mode("overwrite").parquet(s"$scratch/embeddings"),
+      s"$scratch/embeddings")
 
     def sessionize(ev: DataFrame): Long = {
       import org.apache.spark.sql.expressions.Window
@@ -139,19 +165,19 @@ object ScaleBench {
         .count()
     }
 
-    val pipelines: Seq[(String, DataFrame => Long, DataFrame, DataFrame)] = Seq(
+    val pipelines: Seq[(String, DataFrame => Long, () => DataFrame, () => DataFrame)] = Seq(
       ("agg_q01_shape",
         (d: DataFrame) => d.groupBy($"l_returnflag", $"l_linestatus")
           .agg(sum($"l_quantity"), avg($"l_extendedprice"), count(lit(1))).count(),
-        li1, liN),
-      ("sessionization", sessionize _, events1, eventsN),
+        () => li1, () => liN),
+      ("sessionization", sessionize _, () => events1, () => eventsN),
       ("minhash_pairs",
         (d: DataFrame) => graft.operators.Dedup
           .minHashDupPairs(d, 0.5).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       ("corpus_dedup",
         (d: DataFrame) => graft.operators.Dedup.dedupCorpus(d, 0.5).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // the COMPOSED training-prep job (quality → PII → span dedup →
       // langID → corpus dedup → pack → split): the end-to-end artifact
       // a 100 TB user actually runs — a near-linear ratio here means
@@ -160,7 +186,7 @@ object ScaleBench {
       ("training_pipeline_composed",
         (d: DataFrame) => TrainingPipeline
           .prepare(d, jaccardThreshold = 0.5).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // NOTE: amplified copies are IDENTICAL inside the 80-char verify
       // window, so the TRUE answer grows quadratically with the factor
       // (every copy-pair is a real duplicate: ~45 pairs per 10-cluster,
@@ -172,7 +198,7 @@ object ScaleBench {
       ("edit_distance_pairs",
         (d: DataFrame) => graft.operators.Dedup
           .editDistancePairs(d, maxDist = 5).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // gram-collision gate: the corpus side explodes to 8-grams but
       // only 8-byte xxhash64 keys cross the join boundary — linear
       // ratio here means the projection (not the 13× gram-string
@@ -181,7 +207,7 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Dedup.decontaminate(
           d.filter($"doc_id" % 20 =!= 0),
           d.filter($"doc_id" % 20 === 0), n = 8).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // corpus drift: four aggregates over ONE reused corpus shuffle
       // plus a vocabulary-sized join — a linear ratio means the AQE
       // exchange reuse holds under amplification (without it this is
@@ -189,7 +215,7 @@ object ScaleBench {
       ("corpus_divergence",
         (d: DataFrame) => graft.operators.CorpusStats
           .tokenDivergence(d, "source").count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // provenance matrix: the pair join rides the AGGREGATED
       // (fingerprint, slice) table; amplified copies carry distinct
       // fingerprints (unique suffixes), so the aggregate grows
@@ -198,7 +224,7 @@ object ScaleBench {
       ("dup_matrix",
         (d: DataFrame) => graft.operators.CorpusStats
           .duplicationMatrix(d, "source").count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // the keyless (sensor-less) as-of merge: auto-sharded into
       // time-contiguous bins — without the auto-shard this whole merge
       // is ONE task at any scale, the classic hidden serialization
@@ -210,7 +236,7 @@ object ScaleBench {
           graft.streaming.Correlate.nearest(ev, sm,
             toleranceSec = Some(3600)).count()
         },
-        events1, eventsN),
+        () => events1, () => eventsN),
       // the distributed alternating-star loop at 1.2M / factor×1.2M
       // edges of diameter-63 chains: ratio ≈ linear means the per-round
       // aggregate+join scales and the edge-cache hygiene (unpersist
@@ -219,7 +245,7 @@ object ScaleBench {
       ("connected_components_distributed",
         (d: DataFrame) => graft.operators.Dedup
           .connectedComponents(d).count(),
-        edges1, edgesN),
+        () => edges1, () => edgesN),
       ("range_correlate",
         (d: DataFrame) => {
           graft.plans.BinRangeJoin.install(spark)
@@ -230,7 +256,7 @@ object ScaleBench {
           p.join(e, e("e_us") >= p("p_us") - lit(60000000L) &&
               e("e_us") <= p("p_us") + lit(60000000L)).count()
         },
-        events1, eventsN),
+        () => events1, () => eventsN),
       // inverted-index containment: amplified copies share most of
       // their shingles, so gram document-frequencies grow with the
       // factor — a near-linear ratio means the hot-gram guard (not a
@@ -238,7 +264,7 @@ object ScaleBench {
       ("containment_pairs",
         (d: DataFrame) => graft.operators.Dedup
           .containmentPairs(d, 0.5).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // the bounded-aggregate selection family at data scale (the
       // planted mega-key guards below pin the skew bound; these rows
       // pin the plain volume ratio): map-side combine means the ratio
@@ -246,16 +272,16 @@ object ScaleBench {
       ("quota_per_key",
         (d: DataFrame) => graft.operators.Sampling
           .quotaPerKey(d, "source", "doc_id", 100).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       ("topk_per_key",
         (d: DataFrame) => graft.operators.Sampling
           .topKPerKey(d.withColumn("score", ($"n_chars" % 97).cast("double")),
             "source", "doc_id", "score", 100).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       ("weighted_sample_per_key",
         (d: DataFrame) => graft.operators.Sampling
           .weightedSamplePerKey(d, "source", "doc_id", "n_chars", 100).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // zero-shuffle narrow replication (q80's dial): output rows grow
       // ~2× the input under these weights; ratio must track the scan
       ("replicate_by_weight",
@@ -264,7 +290,7 @@ object ScaleBench {
             graft.operators.Sampling.portableBucket($"source", 8)
               .cast("double") * lit(0.5)),
           "doc_id", "wt").count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q82's composition: fingerprint-cluster weights → stochastic
       // replication — one fingerprint shuffle + one narrow explode
       ("soft_dedup",
@@ -277,7 +303,7 @@ object ScaleBench {
               .withColumn("w", lit(1.0) / $"n_dup".cast("double")),
             "doc_id", "w").count()
         },
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q85's sketch: the corpus collapses to ≤ k hashes per slice per
       // map partition — the ratio must track the gram scan, never the
       // (growing) distinct-gram count, and the pairwise stage is
@@ -290,7 +316,7 @@ object ScaleBench {
             .select($"source",
               graft.operators.Sampling.portableHash48($"gram").as("h")),
           "source", $"h", 256).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q86's prune-then-verify: the benchmark side grows with the
       // factor but crosses as a fixed 2^20-bit filter; ratio tracks
       // the corpus gram scan
@@ -298,26 +324,26 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Dedup.decontaminateBloom(
           d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
           n = 6, numBits = 1 << 20).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q119: dedupCorpus's cluster machinery + two label joins + a
       // narrow bucket map — ratio must track the dedup family's
       ("leakage_safe_split",
         (d: DataFrame) => graft.operators.Dedup.leakageSafeSplit(
           d, trainPct = 90, jaccardThreshold = 0.5).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q116: the fraction variant — same prune shape plus the narrow
       // per-doc totals projection and the hit aggregate
       ("contamination_fraction",
         (d: DataFrame) => graft.operators.Dedup.contaminationFraction(
           d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
           n = 6, numBits = 1 << 20).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q87: narrow zero-shuffle window explode — ratio must track the
       // scan (output rows grow exactly with input tokens)
       ("chunking",
         (d: DataFrame) => graft.operators.Chunking
           .chunkByTokens(d, 40, 30).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q88: tf only for the broadcast query vocabulary; candidate and
       // score shuffles grow with matching rows, the top-k stays a
       // bounded aggregate — ratio tracks the token scan
@@ -325,7 +351,7 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Retrieval.bm25TopK(
           d, graft.queries.TrainingData.Bm25Queries.toDF("query_id", "term"),
           10).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q92's engine over the SAME diameter-63 chain graphs as the CC
       // row: per-iteration cost is one edge join + one aggregate, so
       // the ratio must track edge count — a super-linear drift here
@@ -334,7 +360,7 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Graph.pageRankInt(
           d.select($"id_a".as("src"), $"id_b".as("dst")),
           iters = 3, dedupEdges = false).count(),
-        edges1, edgesN),
+        () => edges1, () => edgesN),
       // q93: each step is a filtered-scan aggregate keyed on user —
       // amplified copies add users (copy-offset ids), so the ratio
       // tracks the event scan with O(1) state per user per step
@@ -342,7 +368,7 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Funnel.funnelTimes(
           d, "user_id", "ts", "event_type",
           Seq("signup", "view", "click", "purchase")).count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q91: corpus-wide tf/df aggregates + the bounded per-doc top-k
       // kernel; the amplified vocabulary grows (unique copy suffixes),
       // so a linear ratio means df aggregation scales with tokens, not
@@ -350,7 +376,7 @@ object ScaleBench {
       ("tfidf_topterms",
         (d: DataFrame) => graft.operators.Retrieval
           .tfIdfTopTerms(d, 3).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q94 at a REALISTIC pool (100 of corpus): one training step +
       // the 8-byte-per-row ADC scan + bounded pool + pool-sized exact
       // re-rank; ratio tracks the corpus scan
@@ -361,57 +387,57 @@ object ScaleBench {
           graft.operators.Similarity.pqTopK(
             d.filter($"vec_id" < 3), d, 10, 64, books, pool = 100).count()
         },
-        emb1, embN),
+        () => emb1, () => embN),
       // q120: one posexplode scan to (label, dim) sums; the pair join
       // runs on the labels×dims aggregate — ratio tracks the scan
       ("centroid_affinity",
         (d: DataFrame) => graft.operators.Affinity.centroidAffinity(
           d, "label", "embedding").count(),
-        emb1, embN),
+        () => emb1, () => embN),
       // q101: per-key quantiles — exactly two raw scans (ranges +
       // binning) and a keys×nBins downstream; ratio tracks the scans
       ("group_quantiles",
         (d: DataFrame) => graft.operators.Histogram.groupQuantileEstimates(
           d, "event_type", "value", 128, Seq(25, 50, 90, 99)).count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q102: distinct (entity, period) partial-dedups map-side, so
       // 4× event volume over the same calendar must track the scan
       ("cohort_retention",
         (d: DataFrame) => graft.operators.Cohort.retention(
           d, "user_id", "ts", "day").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q103: one lag(1) window per entity (amplified copies add NEW
       // users, so partitions stay user-sized) + a states² aggregate
       ("transition_matrix",
         (d: DataFrame) => graft.operators.Transitions.transitionMatrix(
           d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q113: the same adjacency shape plus the gap arithmetic
       ("dwell_times",
         (d: DataFrame) => graft.operators.Transitions.dwellTimes(
           d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q114: the gaps composed into the per-key histogram — the
       // downstream (keys × nBins) stages are constant-size across
       // factors, so the ratio must track the two gap scans
       ("dwell_quantiles",
         (d: DataFrame) => graft.operators.Transitions.dwellQuantiles(
           d, "user_id", "event_type", $"ts_ns", $"event_id").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q115: two single-column scans + the CMS-pruned count — the
       // grid is constant-size across factors, so the ratio tracks the
       // scans (amplified copies add users, densifying the same grid)
       ("cms_heavy_hitters",
         (d: DataFrame) => graft.operators.CountMin.heavyHitters(
           d, "user_id", threshold = 70L, depth = 4, width = 1024).count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q117: one (key, window, qv) hash aggregate + the cum/rank
       // selection on the aggregated table — amplified events densify
       // the same calendar of windows, so the ratio tracks the scan
       ("windowed_quantiles",
         (d: DataFrame) => graft.operators.WindowedQuantiles.quantiles(
           d, "event_type", "ts", "value", "hour", Seq(50, 95)).count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q111: ONE conditional-aggregate scan to the per-period joint
       // series (calendar-bounded, identical across factors) + the
       // day-partitioned window — amplified events only grow the scan
@@ -419,7 +445,7 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Timeseries.rollingCorrelation(
           d, "event_type", "ts", "value", "purchase", "error",
           trailing = 6, grain = "hour").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q104's engine on a co-minute chain graph derived from events
       // (amplified copies add users → ~factor× more edges): ratio
       // tracks edges through the orientation joins, and the wedge
@@ -435,43 +461,39 @@ object ScaleBench {
             .select($"prev".as("src"), $"u".as("dst"))
           graft.operators.Graph.triangleCounts(edges).count()
         },
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q105: ONE five-moment hash aggregate — the cheapest shape in
       // the library; ratio is the pure scan bound
       ("group_trend",
         (d: DataFrame) => graft.operators.Trend.groupTrend(
           d, "event_type", expr("ts_ns div 60000000000"), $"value").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q106: narrow bigram zip + token-keyed aggregates/joins; the
       // amplified vocabulary grows (unique copy suffixes), so a linear
       // ratio means cost tracks tokens, not vocabulary²
       ("pmi_collocations",
         (d: DataFrame) => graft.operators.Collocations.pmiTopBigrams(
           d, "text", 5L, 50).count(),
-        docs1, docsN),
+        () => docs1, () => docsN),
       // q100: the dense spine is CALENDAR-bounded (identical across
       // factors — amplified events add density, not span), so the
       // ratio must come out SUB-linear: only the count aggregate grows
       ("rate_anomaly_dense",
         (d: DataFrame) => graft.operators.Anomaly.rateZScores(
           d, "event_type", "ts", 30).count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q107: dedup + lag window + one five-column aggregate — ratio
       // tracks the sample scan
       ("twap",
         (d: DataFrame) => graft.operators.Timeseries.timeWeightedAvg(
           d, "event_type", "ts_ns", "value").count(),
-        events1, eventsN),
+        () => events1, () => eventsN),
       // q108: grid is calendar-bounded; the as-of sides grow with
       // samples — ratio must stay sub-linear like the dense spine
       ("interpolate_minutes",
         (d: DataFrame) => graft.operators.Timeseries.interpolateMinutes(
           d, "event_type", "ts_ns", "value").count(),
-        events1, eventsN))
-
-    // warm-up
-    docsN.count(); events1.count(); eventsN.count()
-    li1.count(); liN.count(); edges1.count(); edgesN.count()
+        () => events1, () => eventsN))
 
     nameFilter.foreach { f =>
       val unknown = f -- pipelines.map(_._1).toSet
@@ -482,11 +504,16 @@ object ScaleBench {
     val selected = nameFilter
       .map(f => pipelines.filter(p => f(p._1))).getOrElse(pipelines)
     selected.foreach { case (name, run, base, amplified) =>
+      // FORCE the lazy tables (write + warm-up count) OUTSIDE the
+      // timed region — first use pays materialization, later rows
+      // reuse the cached lazy val
+      val b = base()
+      val aN = amplified()
       // two interleaved runs each, min taken: the first pass absorbs
       // codegen/JIT for this plan shape, which otherwise dwarfs the 1×
       // runtime and makes the ratio meaningless
-      val t1 = Seq(time(run(base)), time(run(base))).min
-      val tN = Seq(time(run(amplified)), time(run(amplified))).min
+      val t1 = Seq(time(run(b)), time(run(b))).min
+      val tN = Seq(time(run(aN)), time(run(aN))).min
       println(f"""{"pipeline":"$name","x1_sec":$t1%.2f,"xN_sec":$tN%.2f,"factor":$factor,"ratio":${tN / t1}%.2f}""")
     }
     } // sections("pipelines")

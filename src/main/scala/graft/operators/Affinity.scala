@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * AGGREGATED table — labels² × dims, calendar-class, never data-
   * sized. Rows with a null label/vector, or a vector containing
   * null/NaN elements, are excluded WHOLE (a single poisoned element
-  * must not skew one dimension of a centroid).
+  * must not skew one dimension of a centroid). Every vector of a
+  * label must share ONE non-zero length — ragged lengths break the
+  * count-cancellation identity, so they fail LOUDLY (as do decimal
+  * overflows of the Σs²/Σsa·sb moments, which a non-ANSI session
+  * would otherwise fold into a silently-wrong cosine).
   *
   * Output: (label_a, label_b, n_dims, cos) for label_a < label_b;
   * `cos` is NULL when either centroid is the zero vector. */
@@ -39,6 +43,14 @@ object Affinity {
       .filter(col(labelCol).isNotNull && col(vecCol).isNotNull &&
         !exists(col(vecCol),
           e => e.isNull || isnan(e.cast(DoubleType))))
+    // the count-cancellation identity requires every vector of a label
+    // to have the SAME length (and at least one dim): ragged lengths
+    // make the raw-sum formula stop being the cosine of means — the
+    // silent-wrong class, so it dies loudly here (broadcast-sized
+    // check, fused into the output below)
+    val lens = clean.groupBy(col(labelCol).as("label"))
+      .agg(min(size(col(vecCol))).as("__lmin"),
+        max(size(col(vecCol))).as("__lmax"))
     val sums = clean
       .select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
@@ -50,6 +62,26 @@ object Affinity {
     val norms = sums.groupBy(col("label"))
       .agg(sum(col("s") * col("s")).cast(D).as("nq"),
         count(lit(1)).as("n_dims"))
+      .join(broadcast(lens), Seq("label"))
+      .select(col("label"),
+        when(col("__lmin") =!= col("__lmax") || col("__lmin") === 0,
+          raise_error(concat(
+            lit("centroidAffinity: label "), col("label").cast("string"),
+            lit(" has vector lengths in ["), col("__lmin").cast("string"),
+            lit(", "), col("__lmax").cast("string"),
+            lit("] — the count-cancellation identity needs ONE uniform " +
+              "non-zero length per label; pad or split upstream")))
+            .cast(D))
+          // exactness guard (Trend's discipline): nq aggregates
+          // non-null products of non-null sums, so a null here can
+          // ONLY be decimal(38,0) overflow — which a non-ANSI session
+          // would otherwise fold into a silently-wrong cosine
+          .otherwise(when(col("nq").isNull,
+            raise_error(lit("centroidAffinity: Σs² overflowed 10^38 — " +
+              "the exact-decimal bound is exceeded; rescale the " +
+              "embeddings or shard the labels")).cast(D))
+            .otherwise(col("nq"))).as("nq"),
+        col("n_dims"))
     val a = sums.select(col("label").as("label_a"), col("dim"),
       col("s").as("sa"))
     val b = sums.select(col("label").as("label_b"), col("dim"),
@@ -63,10 +95,16 @@ object Affinity {
       .join(broadcast(norms.select(col("label").as("label_b"),
         col("nq").as("nqb"))), Seq("label_b"))
       .select(col("label_a"), col("label_b"), col("n_dims"),
-        when(col("nqa") > 0 && col("nqb") > 0,
-          col("dot").cast(DoubleType) /
-            (sqrt(col("nqa").cast(DoubleType)) *
-              sqrt(col("nqb").cast(DoubleType))))
+        // dot's inputs are non-null sums, so null ⇒ overflow — loud,
+        // not a silent null cosine masquerading as a zero centroid
+        when(col("dot").isNull,
+          raise_error(lit("centroidAffinity: Σ sa·sb overflowed 10^38 " +
+            "— the exact-decimal bound is exceeded; rescale the " +
+            "embeddings or shard the labels")).cast(DoubleType))
+          .otherwise(when(col("nqa") > 0 && col("nqb") > 0,
+            col("dot").cast(DoubleType) /
+              (sqrt(col("nqa").cast(DoubleType)) *
+                sqrt(col("nqb").cast(DoubleType)))))
           .as("cos"))
   }
 }

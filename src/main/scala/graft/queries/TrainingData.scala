@@ -417,7 +417,8 @@ object TrainingData {
       |      AS HUGEINT) AS q
       |  FROM embeddings
       |  WHERE label IS NOT NULL AND embedding IS NOT NULL
-      |    AND len(list_filter(embedding, x -> isnan(x))) = 0),
+      |    AND len(list_filter(embedding, x -> isnan(x))) = 0
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
       |s AS (SELECT label, dim, sum(q) AS s FROM v GROUP BY 1, 2),
       |n AS (SELECT label, sum(s * s) AS nq,
       |        CAST(count(*) AS BIGINT) AS n_dims

@@ -44,7 +44,7 @@ object QuantileStreamTtl {
   case class QTtlState(counts: Map[Long, Long], seen: Long,
     closed: Boolean)
 
-  private[streaming] def fn(pcts: Seq[Int], maxDistinct: Long,
+  private[graft] def fn(pcts: Seq[Int], maxDistinct: Long,
       windowSeconds: Long, latenessMillis: Long)(
       group: (String, Long), it: Iterator[TsQEvent],
       state: GroupState[QTtlState]): Iterator[QRow] = {
@@ -57,8 +57,20 @@ object QuantileStreamTtl {
     } else {
       val prev = state.getOption
         .getOrElse(QTtlState(Map.empty, 0L, closed = false))
+      val closeMs = (group._2 + windowSeconds) * 1000L + latenessMillis
       if (prev.closed) {
         // post-close straggler: dropped, re-opens nothing (contract 3)
+        Iterator.empty
+      } else if (state.getCurrentWatermarkMs() >= closeMs) {
+        // a window already past its close time with NO open state: a
+        // fresh-timestamp event carrying a stale window id (a corrupt
+        // w/ts pairing — the event-time filter only vets ts). Arming
+        // the timeout would hand Spark a timestamp before the
+        // watermark, an IllegalArgumentException that kills the query
+        // and crash-loops on checkpoint replay. Treat it exactly like
+        // the tombstone path — the window is closed whether or not it
+        // ever opened — and pin the tombstone so later twins drop too.
+        state.update(QTtlState(Map.empty, prev.seen, closed = true))
         Iterator.empty
       } else {
         val add = it.foldLeft(Map.empty[Long, Long]) { (acc, e) =>
@@ -73,8 +85,7 @@ object QuantileStreamTtl {
               s"maxDistinct=$maxDistinct; use a sketch for this domain")
           val seen = prev.seen + add.valuesIterator.sum
           state.update(QTtlState(merged, seen, closed = false))
-          state.setTimeoutTimestamp(
-            (group._2 + windowSeconds) * 1000L + latenessMillis)
+          state.setTimeoutTimestamp(closeMs)
           val n = merged.valuesIterator.sum
           val sorted = merged.toArray.sortBy(_._1)
           pcts.iterator.map { p =>
@@ -104,6 +115,9 @@ object QuantileStreamTtl {
     require(pcts.distinct.size == pcts.size, s"duplicate pcts in $pcts")
     require(maxDistinct >= 1L, s"maxDistinct=$maxDistinct")
     require(windowSeconds >= 1L, s"windowSeconds=$windowSeconds")
+    require(!allowedLateness.isNegative,
+      s"allowedLateness=$allowedLateness must be non-negative — a " +
+        "negative lateness would arm timeouts behind the watermark")
     val spark = events.sparkSession
     import spark.implicits._
     val sortedPcts = pcts.sorted

@@ -126,6 +126,56 @@ class QuantileStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL state machine via TestGroupState: the tombstone branch " +
+      "actually drops (the engine's late filter can't be the only " +
+      "defense), and a stale-window/fresh-ts poison event finalizes " +
+      "instead of arming a behind-watermark timeout") {
+    import graft.streaming.QuantileStreamTtl
+    import graft.streaming.QuantileStreamTtl.{QTtlState, TsQEvent}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val f = QuantileStreamTtl.fn(Seq(50), 1000L, windowSeconds = 60L,
+      latenessMillis = 0L) _
+    def ev(w: Long, qv: Long) =
+      TsQEvent("A", w, qv, new java.sql.Timestamp(0L))
+    // 1. a CLOSED tombstone drops an arriving twin — this is the
+    // in-function guarantee, independent of Spark's event-time filter
+    // (which only vets ts, not w)
+    val closed = QTtlState(Map.empty, 7L, closed = true)
+    val s1 = TestGroupState.create[QTtlState](
+      Optional.of(closed), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500000L), false)
+    assert(f(("A", 0L), Iterator(ev(0L, 5L)), s1).isEmpty)
+    assert(!s1.isUpdated && !s1.isRemoved)
+    // 2. poison pair: fresh ts (passes the engine's late filter), w so
+    // stale its close time is behind the watermark, NO prior state —
+    // arming the timeout would throw and crash-loop the query; the
+    // group must finalize to a tombstone and emit nothing
+    val s2 = TestGroupState.create[QTtlState](
+      Optional.empty[QTtlState], GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500000L), false) // watermark 500 s >> close 60 s
+    assert(f(("A", 0L), Iterator(ev(0L, 5L)), s2).isEmpty)
+    val tomb = s2.get
+    assert(tomb.closed && tomb.counts.isEmpty,
+      s"stale window must finalize, got $tomb")
+    assert(!s2.getTimeoutTimestampMs.isPresent,
+      "no timeout may be armed behind the watermark")
+    // 3. the timeout path itself: open state collapses to the tombstone
+    val open = QTtlState(Map(10L -> 2L), 2L, closed = false)
+    val s3 = TestGroupState.create[QTtlState](
+      Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500000L), true)
+    assert(f(("A", 0L), Iterator.empty, s3).isEmpty)
+    assert(s3.get === QTtlState(Map.empty, 2L, closed = true))
+    // 4. negative lateness is rejected up front
+    intercept[IllegalArgumentException] {
+      QuantileStreamTtl.quantiles(
+        Seq(("A", 0L, 1L, new java.sql.Timestamp(0L)))
+          .toDF("key", "w", "qv", "ts"),
+        allowedLateness = java.time.Duration.ofMinutes(-1))
+    }
+  }
+
   test("maxDistinct guard fires in the stream; pct guards reject bad input") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long)]
