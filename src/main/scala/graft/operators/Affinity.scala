@@ -28,9 +28,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * null/NaN elements, are excluded WHOLE (a single poisoned element
   * must not skew one dimension of a centroid). Every vector of a
   * label must share ONE non-zero length — ragged lengths break the
-  * count-cancellation identity, so they fail LOUDLY (as do decimal
-  * overflows of the Σs²/Σsa·sb moments, which a non-ANSI session
-  * would otherwise fold into a silently-wrong cosine).
+  * count-cancellation identity, so they fail LOUDLY; and every PAIR
+  * of labels must agree on that length (checked at the pair join —
+  * all pairs share dim 0, so the check is complete), because a
+  * cosine across different-dimensional spaces silently computed over
+  * the overlapping dims is the same silent-wrong class. Decimal
+  * overflows of the Σs²/Σsa·sb moments fail loudly too (a non-ANSI
+  * session would otherwise fold them into a silently-wrong cosine).
   *
   * Output: (label_a, label_b, n_dims, cos) for label_a < label_b;
   * `cos` is NULL when either centroid is the zero vector. */
@@ -93,8 +97,24 @@ object Affinity {
       .join(broadcast(norms.select(col("label").as("label_a"),
         col("nq").as("nqa"), col("n_dims"))), Seq("label_a"))
       .join(broadcast(norms.select(col("label").as("label_b"),
-        col("nq").as("nqb"))), Seq("label_b"))
-      .select(col("label_a"), col("label_b"), col("n_dims"),
+        col("nq").as("nqb"), col("n_dims").as("__ndb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        // CROSS-label uniformity: two labels each internally uniform
+        // but at DIFFERENT lengths (128 vs 256 dims) would otherwise
+        // cosine over the overlapping dims only (the pair join is on
+        // `dim` — every label pair shares dim 0, so this check is
+        // complete) and report label_a's n_dims — a misleading
+        // affinity with no loud failure
+        when(col("n_dims") =!= col("__ndb"),
+          raise_error(concat(
+            lit("centroidAffinity: labels "), col("label_a").cast("string"),
+            lit(" ("), col("n_dims").cast("string"),
+            lit(" dims) and "), col("label_b").cast("string"),
+            lit(" ("), col("__ndb").cast("string"),
+            lit(" dims) disagree on vector length — cosines across " +
+              "different-dimensional spaces are undefined; pad or " +
+              "split upstream"))).cast("bigint"))
+          .otherwise(col("n_dims")).as("n_dims"),
         // dot's inputs are non-null sums, so null ⇒ overflow — loud,
         // not a silent null cosine masquerading as a zero centroid
         when(col("dot").isNull,

@@ -1215,7 +1215,16 @@ object Dedup {
     * broadcast-sized label joins; the split itself is a narrow map.
     *
     * Output: the input rows plus `split_rep` (the cluster
-    * representative id) and `split` ('train' | 'eval'). */
+    * representative id) and `split` ('train' | 'eval') — EVERY input
+    * row, including NULL-text docs: their fingerprint is NULL, and
+    * the rep joins below are null-SAFE, so they collapse to ONE
+    * exact group (rep = min id — a doc whose content is unknown is
+    * conservatively kept with its unknown twins on one side, the
+    * q119 oracle's window-over-md5 semantics). A plain equi-join
+    * would silently drop them from BOTH sides — silent row loss in
+    * a train/eval splitter, the library's silent-wrong class. The
+    * null group contributes no near-dup edges (no shingles to hash),
+    * so its rep never merges with a content cluster. */
   def leakageSafeSplit(docs: DataFrame, trainPct: Int,
       jaccardThreshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3,
@@ -1226,15 +1235,21 @@ object Dedup {
     val withFp = docs.withColumn("__fp", fingerprint(col(textCol)))
     val fpRep = withFp.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__rep0"))
-    val exactReps = withFp.join(fpRep, Seq("__fp"))
+    // null-safe rep join (NULL <=> NULL matches): still a plain
+    // shuffled equi-join on the fingerprint, just with NULL as one
+    // more key value instead of a dropped one
+    def joinRep(df: DataFrame): DataFrame = {
+      val r = fpRep.withColumnRenamed("__fp", "__fp_r")
+      df.join(r, df("__fp") <=> r("__fp_r")).drop("__fp_r")
+    }
+    val exactReps = joinRep(withFp)
       .filter(col(idCol) === col("__rep0"))
       .drop("__fp", "__rep0")
     val pairs = minHashDupPairs(exactReps, jaccardThreshold, idCol,
       textCol, shingleSize, -1, -1, maxBucket, strict)
     val comps = connectedComponents(pairs)
       .withColumnRenamed("id", "__rep0")
-    withFp
-      .join(fpRep, Seq("__fp"))
+    joinRep(withFp)
       .join(comps, Seq("__rep0"), "left")
       .withColumn("split_rep", coalesce(col("comp"), col("__rep0")))
       .withColumn("split",
@@ -1278,7 +1293,12 @@ object Dedup {
     * Output: (idCol, n_grams, n_hit, frac), one row per corpus doc
     * (zero-hit docs included — the auditable shape). Shingles are
     * per-doc DISTINCT (the shingler's contract), so `n_hit` counts
-    * leaked distinct grams, never repeated occurrences. */
+    * leaked distinct grams, never repeated occurrences. A NULL-text
+    * doc has nothing to measure: it emits (n_grams = NULL, n_hit = 0,
+    * frac = NULL) — explicitly guarded, because the unguarded path
+    * rides Spark's legacy `size(NULL) = -1` into a nonsense
+    * (n_grams = -1, frac = -0.0) row that NO other engine reproduces
+    * (the q116 oracle yields NULLs there). */
   def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13, idCol: String = "doc_id", textCol: String = "text",
       numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
@@ -1295,7 +1315,10 @@ object Dedup {
       .agg(count(lit(1)).as("__hit"))
     corpus
       .select(col(idCol).as("id"),
-        size(gramArr).cast("long").as("n_grams"))
+        // NULL text → NULL gram array → legacy size() = -1; guard to
+        // NULL so frac null-propagates instead of emitting -0.0
+        when(col(textCol).isNotNull, size(gramArr).cast("long"))
+          .as("n_grams"))
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_grams"),
         coalesce(col("__hit"), lit(0L)).cast("long").as("n_hit"),

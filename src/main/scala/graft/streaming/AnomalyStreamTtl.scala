@@ -53,11 +53,16 @@ object AnomalyStreamTtl {
   import AnomalyStream.{MinuteEvent, ZRow}
 
   /** `horizon` = first trusted minute (counts keys are all ≥ it);
-    * `seen` = accepted-event count, strictly increasing. */
-  case class TtlState(counts: Map[Long, Long], horizon: Long, seen: Long)
+    * `seen` = accepted-event count, strictly increasing; `decayed` =
+    * the horizon was set by IDLE DECAY (wall-clock TTL), not by live
+    * data — which changes what "far below the horizon" means (see
+    * the drop-vs-die rule in [[fn]]). */
+  case class TtlState(counts: Map[Long, Long], horizon: Long, seen: Long,
+      decayed: Boolean = false)
 
   private[graft] def fn(trailing: Int, keepMinutes: Long,
-      ttl: Option[java.time.Duration])(
+      ttl: Option[java.time.Duration],
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)(
       key: String, it: Iterator[MinuteEvent],
       state: GroupState[TtlState]): Iterator[ZRow] = {
     if (state.hasTimedOut) {
@@ -67,30 +72,36 @@ object AnomalyStreamTtl {
       val newHorizon =
         if (s.counts.isEmpty) s.horizon
         else s.counts.keysIterator.max + 1L
-      state.update(TtlState(Map.empty, newHorizon, s.seen))
+      state.update(TtlState(Map.empty, newHorizon, s.seen, decayed = true))
       Iterator.empty
     } else {
       val prev = state.getOption
         .getOrElse(TtlState(Map.empty, Long.MinValue, 0L))
-      // late drop: below-horizon events are discarded, counted
-      // nowhere — but ONLY within one retention of the horizon. An
-      // event below horizon by MORE than keepMinutes is not "late",
-      // it is epochally misaligned: either this event's timestamp is
-      // corrupt, or a previous corrupt far-future event dragged the
-      // horizon past all real time (which would otherwise silently
-      // blackhole the key FOREVER — every genuine event reads as
-      // late). Die loudly instead, the exact twin's maxSpanMinutes
-      // discipline.
+      // late drop: below-horizon events are discarded, counted only
+      // in the `dropped` accumulator (the under-report contract).
+      // The LOUD exception — an event below the horizon by MORE than
+      // keepMinutes — applies ONLY when the horizon was set by LIVE
+      // data: there it is epochally misaligned (this event's
+      // timestamp is corrupt, or a previous corrupt far-future event
+      // dragged the horizon past all real time and would silently
+      // blackhole the key FOREVER). A horizon set by IDLE DECAY
+      // carries no such bound: a producer offline longer than
+      // keepMinutes legitimately flushes a buffer arbitrarily far
+      // below the tombstone's horizon — that is lateness, not
+      // corruption, and it drops silently (counted), never kills the
+      // query (the crash-loop-on-checkpoint-replay class
+      // QuantileStreamTtl.fn deliberately avoids).
       var accepted = 0L
       val add = it.foldLeft(Map.empty[Long, Long]) { (acc, e) =>
         if (e.m < prev.horizon) {
-          require(prev.horizon - e.m <= keepMinutes,
+          require(prev.decayed || prev.horizon - e.m <= keepMinutes,
             s"AnomalyStreamTtl: key $key event at minute ${e.m} is " +
-              s"${prev.horizon - e.m} minutes below the retention " +
-              s"horizon ${prev.horizon} — beyond keepMinutes=" +
+              s"${prev.horizon - e.m} minutes below the live-data " +
+              s"retention horizon ${prev.horizon} — beyond keepMinutes=" +
               s"$keepMinutes, so this is a corrupt timestamp (either " +
               "this event's, or an earlier one that dragged the " +
               "horizon into the far future), not lateness")
+          dropped.foreach(_.add(1L))
           acc
         }
         else { accepted += 1L; acc.updated(e.m, acc.getOrElse(e.m, 0L) + 1L) }
@@ -115,7 +126,8 @@ object AnomalyStreamTtl {
           if (horizon > spanStart) merged0.filter(_._1 >= horizon)
           else merged0
         val seen = prev.seen + accepted
-        state.update(TtlState(merged, horizon, seen))
+        // accepted events make this a LIVE-set horizon again
+        state.update(TtlState(merged, horizon, seen, decayed = false))
         ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
         AnomalyStream.scoreSeries(key, merged, horizon, hi, trailing, seen)
       }
@@ -126,10 +138,16 @@ object AnomalyStreamTtl {
     * minutes excluded like the exact twin. `keepMinutes` must exceed
     * `trailing` (a window must fit inside the retained span) and also
     * serves as the corrupt-timestamp guard — a year-9999 minute just
-    * prunes everything before it instead of exploding state. */
+    * prunes everything before it instead of exploding state (the
+    * guard applies to LIVE-set horizons only; see [[fn]]).
+    * `droppedEvents`: optional accumulator counting silently-dropped
+    * below-horizon events — the observable side of the under-report
+    * contract (poll it per batch alongside `lastProgress`). */
   def zScores(events: DataFrame, trailing: Int = 30,
       keepMinutes: Long = 10080L,
-      stateTtl: Option[java.time.Duration] = None): Dataset[ZRow] = {
+      stateTtl: Option[java.time.Duration] = None,
+      droppedEvents: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ZRow] = {
     require(trailing >= 2, s"trailing=$trailing needs >= 2 minutes")
     require(keepMinutes > trailing,
       s"keepMinutes=$keepMinutes must exceed trailing=$trailing — " +
@@ -145,6 +163,6 @@ object AnomalyStreamTtl {
       .as[MinuteEvent](Encoders.product[MinuteEvent])
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        fn(trailing, keepMinutes, stateTtl))
+        fn(trailing, keepMinutes, stateTtl, droppedEvents))
   }
 }

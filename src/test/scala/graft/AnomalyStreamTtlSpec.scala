@@ -175,6 +175,44 @@ class AnomalyStreamTtlSpec extends SparkSpec {
     assert(!s3.isUpdated)
   }
 
+  test("a DECAY-set horizon carries no corruption bound: a producer " +
+      "offline past keepMinutes flushing its buffer drops silently " +
+      "(counted), never crash-loops the query") {
+    val acc = spark.sparkContext.longAccumulator("ttl_dropped")
+    val f = AnomalyStreamTtl.fn(trailing = 3, keepMinutes = 100L,
+      Option.empty[java.time.Duration], Some(acc)) _
+    // idle decay left a tombstone at horizon 100000 (decayed = true);
+    // the producer's flushed buffer is WEEKS below it — under the
+    // live-data rule (100000 - 1000 ≫ keepMinutes=100) this would
+    // require-fail and, on checkpoint replay, fail again forever
+    val tomb = TtlState(Map.empty, 100000L, 50L, decayed = true)
+    val s1 = TestGroupState.create[TtlState](
+      Optional.of(tomb), GroupStateTimeout.NoTimeout, 1000L,
+      Optional.empty[Long], false)
+    assert(f("A", (1000L to 1002L).iterator.map(MinuteEvent("A", _)),
+      s1).isEmpty)
+    assert(!s1.isUpdated && !s1.isRemoved,
+      "a dropped flush must not touch the tombstone")
+    assert(acc.value === 3L, "each dropped event must be counted")
+    // but the SAME distance below a LIVE horizon still dies loudly —
+    // the decay flag narrows the require, it does not remove it
+    val live = TtlState(Map(100000L -> 1L), 100000L, 1L)
+    val s2 = TestGroupState.create[TtlState](
+      Optional.of(live), GroupStateTimeout.NoTimeout, 1000L,
+      Optional.empty[Long], false)
+    val e = intercept[IllegalArgumentException] {
+      f("A", Iterator(MinuteEvent("A", 1000L)), s2).toList
+    }
+    assert(e.getMessage.contains("corrupt timestamp"), e.getMessage)
+    // and an accepted batch on top of a tombstone resets the flag:
+    // the new span's horizon is live-set again
+    val s3 = TestGroupState.create[TtlState](
+      Optional.of(tomb), GroupStateTimeout.NoTimeout, 1000L,
+      Optional.empty[Long], false)
+    f("A", Iterator(MinuteEvent("A", 100005L)), s3).toList
+    assert(!s3.get.decayed, "accepted events must clear the decay flag")
+  }
+
   test("guards: keepMinutes must exceed trailing") {
     intercept[IllegalArgumentException] {
       AnomalyStreamTtl.zScores(

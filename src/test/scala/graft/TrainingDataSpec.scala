@@ -801,6 +801,60 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("centroidAffinity: labels each internally uniform but at " +
+      "DIFFERENT lengths (128 vs 256 class) die loudly — no silent " +
+      "overlap-dims cosine") {
+    import graft.operators.Affinity
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)), // uniform len 2
+      (1, Array(1.0f, 2.0f, 3.0f)))                   // uniform len 3
+      .toDF("label", "embedding")
+    val e = intercept[Exception] {
+      Affinity.centroidAffinity(vecs, "label", "embedding").collect()
+    }
+    assert(e.getMessage.contains("disagree on vector length"),
+      e.getMessage)
+  }
+
+  test("leakageSafeSplit: NULL-text docs are NOT silently dropped — " +
+      "they collapse to one exact group (rep = min id) on one side, " +
+      "the q119 oracle's window-over-md5 semantics") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]),
+      (4L, "another unrelated document on parquet row group pruning"))
+      .toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, trainPct = 90,
+        jaccardThreshold = 0.5, shingleSize = 3)
+      .select($"doc_id", $"split_rep", $"split")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 4, s"rows lost: $out") // EVERY input row emits
+    assert(out(2L) === out(3L), "null-text docs must share rep AND side")
+    assert(out(2L)._1 === 2L, "null group rep is its min id")
+    assert(out(1L)._1 === 1L && out(4L)._1 === 4L)
+    // the null group must not have merged with a content cluster
+    assert(out(1L)._1 !== out(2L)._1)
+    assert(out(4L)._1 !== out(2L)._1)
+  }
+
+  test("contaminationFraction: a NULL-text doc emits (NULL, 0, NULL) — " +
+      "never the legacy size(NULL) = -1 nonsense row") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(corpus, bench, n = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Option[Long], Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some(2L), 2L, Some(1.0)),
+      (2L, None, 0L, None)), got.toString)
+  }
+
   test("leakageSafeSplit: exact and near-dup clusters land WHOLE on " +
       "one side; transitive chains share a representative; guards") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
