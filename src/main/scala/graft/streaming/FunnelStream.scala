@@ -24,10 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * whenever a batch delivers new events for them, tagged with
   * `n_seen` (strictly increasing per user); consumers take the
   * max-`n_seen` row per user for the current funnel state. State is
-  * never dropped here (`NoTimeout`): bound live deployments by
-  * filtering the funnel's observation window upstream, or wrap with a
-  * TTL'd variant as [[NearDup]] does — for a funnel whose window has
-  * passed, the state is dead weight, not wrong answers. */
+  * never dropped here (`NoTimeout`) — the EXACT twin of the pair
+  * pattern ([[AnomalyStream]]/[[AnomalyStreamTtl]]): bound live
+  * deployments with [[FunnelStreamTtl]], whose event-time tombstone
+  * close caps KEY cardinality too — for a funnel whose window has
+  * passed, open state is dead weight, not wrong answers. */
 object FunnelStream {
 
   case class StepEvent(user_id: Long, ts_us: Long, step: Int)
@@ -35,6 +36,21 @@ object FunnelStream {
   case class Buf(evs: List[(Long, Int)])
   /** `ts(i)` = earliest completion of step i+1, −1 if unreached. */
   case class Snap(user_id: Long, n_seen: Long, ts: Seq[Long], depth: Long)
+
+  /** The greedy ordered-subsequence match over a ts-sorted buffer —
+    * ONE code path shared with [[FunnelStreamTtl]] (the
+    * [[AnomalyStream.scoreSeries]] discipline: the twins cannot drift
+    * apart arithmetically). */
+  private[streaming] def matchSteps(merged: List[(Long, Int)],
+      nSteps: Int, uid: Long, nSeen: Long): Snap = {
+    val t = Array.fill(nSteps)(-1L)
+    for ((ts, s) <- merged) {
+      if (s == 0 && t(0) == -1L) t(0) = ts
+      else if (s > 0 && s < nSteps && t(s - 1) != -1L &&
+        ts > t(s - 1) && t(s) == -1L) t(s) = ts
+    }
+    Snap(uid, nSeen, t.toSeq, t.takeWhile(_ != -1L).length.toLong)
+  }
 
   private[streaming] def fn(nSteps: Int, cap: Int)(
       uid: Long, it: Iterator[StepEvent],
@@ -45,14 +61,7 @@ object FunnelStream {
       val merged = (state.getOption.map(_.evs).getOrElse(Nil) ++ incoming)
         .sorted.take(cap)
       state.update(Buf(merged))
-      val t = Array.fill(nSteps)(-1L)
-      for ((ts, s) <- merged) {
-        if (s == 0 && t(0) == -1L) t(0) = ts
-        else if (s > 0 && s < nSteps && t(s - 1) != -1L &&
-          ts > t(s - 1) && t(s) == -1L) t(s) = ts
-      }
-      Iterator.single(Snap(uid, merged.size.toLong, t.toSeq,
-        t.takeWhile(_ != -1L).length.toLong))
+      Iterator.single(matchSteps(merged, nSteps, uid, merged.size.toLong))
     }
   }
 
