@@ -138,6 +138,10 @@ object SparkEntry {
     "q118_stream_quantiles" -> (StreamingQueries.q118StreamQuantiles _),
     "q119_leakage_safe_split" -> (TrainingData.q119LeakageSafeSplit _),
     "q120_centroid_affinity" -> (TrainingData.q120CentroidAffinity _),
+    "q121_sketch_artifact_decontaminate" ->
+      (TrainingData.q121SketchArtifactDecontaminate _),
+    "q122_cms_artifact_heavy_hitters" ->
+      (Behavior.q122CmsArtifactHeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -389,5 +393,12 @@ object SparkEntry {
     // q120: centroid affinity — integer sums, count terms cancel,
     // two correctly-rounded sqrts + one division.
     "q120_centroid_affinity" -> TrainingData.q120Sql,
+    // q121: decontamination via a persisted stamped Bloom artifact —
+    // the oracle is the EXACT mod-7/5-gram SQL (artifact-free),
+    // proving the write/read round-trip is invisible in the result.
+    "q121_sketch_artifact_decontaminate" -> TrainingData.q121Sql,
+    // q122: heavy hitters via a persisted stamped CMS artifact — the
+    // exact SQL again; a flipped grid cell would surface as a diff.
+    "q122_cms_artifact_heavy_hitters" -> Behavior.q122Sql,
   )
 }

@@ -122,14 +122,35 @@ object CountMin {
     * SHUFFLE, not scan count. */
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
       depth: Int = 4, width: Int = 8192): DataFrame = {
-    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
     checkGeometry(depth, width)
-    val keyed = df
-      .select(col(keyCol))
+    val keyed = keyedHashes(df, keyCol)
+    heavyHittersWith(df, keyCol, threshold,
+      buildWords(keyed, "__h", depth, width))
+  }
+
+  private def keyedHashes(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol))
       .filter(col(keyCol).isNotNull)
       .withColumn("__h", xxhash64(col(keyCol)))
-    val sk = buildWords(keyed, "__h", depth, width)
-    keyed
+
+  /** [[heavyHitters]] with a PREBUILT sketch — the reuse form: build
+    * the sketch once over a key stream ([[buildWords]] over
+    * `xxhash64(key)`), persist it ([[SketchStore.writeCms]]), and
+    * probe it from any number of later jobs.
+    *
+    * EXACTNESS PRECONDITION: the no-false-negative argument needs
+    * `sk`'s estimates to dominate `df`'s true counts — which holds
+    * when the sketch was built over `df` itself or any SUPERSET of it
+    * (CMS cells only ever add, and a superset's cells are ≥ the
+    * subset's). Probing a sketch built over a DIFFERENT or SMALLER
+    * stream can silently drop true heavy keys — that is a domain
+    * violation, exactly what [[SketchStore]]'s stamp exists to catch
+    * at the artifact boundary. The verify stage still guarantees
+    * surviving keys carry their exact `df` counts regardless. */
+  def heavyHittersWith(df: DataFrame, keyCol: String, threshold: Long,
+      sk: Sketch): DataFrame = {
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    keyedHashes(df, keyCol)
       .filter(estimate(col("__h"), sk) >= lit(threshold))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).cast(LongType).as("n"))

@@ -1175,14 +1175,44 @@ object Dedup {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13, idCol: String = "doc_id", textCol: String = "text",
       numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
-    def gramHashes = explode(
-      transform(shingles(col(textCol), n), g => xxhash64(g)))
-    val benchGrams = benchmark
-      .select(gramHashes.as("gram_h"))
-      .distinct()
+    val benchGrams = benchmarkGrams(benchmark, n, textCol)
     val filter = Bloom.buildWords(benchGrams, "gram_h", numBits, numHashes)
+    decontaminateBloomPrebuilt(corpus, benchGrams, filter, n, idCol,
+      textCol)
+  }
+
+  /** The benchmark side of the Bloom-pruned decontamination as a
+    * PERSISTABLE artifact pair: the distinct gram-hash table this
+    * returns (write it as parquet) plus the [[Bloom.Filter]] built
+    * over it ([[SketchStore.writeBloom]], stamped with the gram
+    * width). Build both ONCE per benchmark revision, then run
+    * [[decontaminateBloomPrebuilt]] per ingestion batch — no
+    * benchmark re-scan, no filter rebuild. */
+  def benchmarkGrams(benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text"): DataFrame =
+    benchmark
+      .select(explode(transform(shingles(col(textCol), n),
+        g => xxhash64(g))).as("gram_h"))
+      .distinct()
+
+  /** [[decontaminateBloom]] against a PREBUILT benchmark: `benchGrams`
+    * is [[benchmarkGrams]]' output (fresh, or read back from parquet)
+    * and `filter` the Bloom filter built over ITS `gram_h` column —
+    * the reuse form for "hundreds of ingestion batches, one
+    * blocklist". Same exactness argument as the one-shot form: the
+    * filter only PRUNES before the exact verify join, so survivors
+    * are identical as long as filter and gram table come from the
+    * same benchmark revision AND the same gram width `n` (persist
+    * both together; [[SketchStore]]'s domain stamp is where `n`
+    * belongs — a width mismatch yields silent false negatives, which
+    * is exactly what the stamp exists to stop). */
+  def decontaminateBloomPrebuilt(corpus: DataFrame, benchGrams: DataFrame,
+      filter: Bloom.Filter, n: Int = 13, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val contaminated = corpus
-      .select(col(idCol).as("id"), gramHashes.as("gram_h"))
+      .select(col(idCol).as("id"),
+        explode(transform(shingles(col(textCol), n),
+          g => xxhash64(g))).as("gram_h"))
       .filter(Bloom.mightContain(col("gram_h"), filter))
       .join(benchGrams, Seq("gram_h"))
       .select(col("id").as(idCol))

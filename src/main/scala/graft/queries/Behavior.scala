@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Cohort, Collocations, CountMin, Graph, Histogram, Mixture,
-  Timeseries, Transitions, Trend, WindowedQuantiles}
+  SketchStore, Timeseries, Transitions, Trend, WindowedQuantiles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -522,6 +522,39 @@ object Behavior {
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n
       |FROM events WHERE user_id IS NOT NULL
       |GROUP BY 1 HAVING count(*) >= 70
+      |ORDER BY user_id""".stripMargin
+
+  /** q122: heavy hitters through a PERSISTED Count-Min artifact —
+    * q115's prune-then-verify, but the sketch is written as a stamped
+    * parquet artifact ([[graft.operators.SketchStore.writeCms]]) and
+    * read back COLD before probing
+    * ([[CountMin.heavyHittersWith]]) — the build-once / probe-many
+    * lifecycle. Different dials than q115 (threshold 50, depth 3 ×
+    * width 512 — more collisions, so the verified-away false-positive
+    * path works harder) and the oracle is the EXACT SQL: a round-trip
+    * that changed one grid cell would push a key across the prune
+    * line and surface as a diff. */
+  def q122CmsArtifactHeavyHitters(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val keyed = events.select($"user_id")
+      .filter($"user_id".isNotNull)
+      .withColumn("__h", xxhash64($"user_id"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q122_cms").toString
+    SketchStore.writeCms(s,
+      CountMin.buildWords(keyed, "__h", depth = 3, width = 512),
+      s"$tmp/cms", "xxhash64(events.user_id)")
+    CountMin.heavyHittersWith(events, "user_id", 50L,
+        SketchStore.readCms(s, s"$tmp/cms", "xxhash64(events.user_id)"))
+      .orderBy($"user_id")
+  }
+
+  val q122Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 HAVING count(*) >= 50
       |ORDER BY user_id""".stripMargin
 
   /** Exact windowed value quantiles (q117): p50/p95 of `value` per

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, SketchStore}
 import graft.sources.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1516,6 +1516,60 @@ object TrainingData {
       |    AS frac
       |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** q121: decontamination through a PERSISTED sketch artifact — the
+    * cross-batch reuse lifecycle ([[graft.operators.SketchStore]]):
+    * benchmark grams written as parquet, the Bloom filter written as
+    * a stamped artifact, BOTH read back cold, then
+    * [[graft.operators.Dedup.decontaminateBloomPrebuilt]] over the
+    * loaded pair. The oracle is the EXACT decontamination SQL
+    * (mod-7 / 5-gram — dials disjoint from q68/q86/q116, so the
+    * artifact path gates independently): a round-trip that changed
+    * one bit of the filter or one gram row would surface as a
+    * survivor-set diff. */
+  def q121SketchArtifactDecontaminate(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q121_sketch").toString
+    val domain = "xxhash64(5-gram(text))"
+    // build ONCE (the nightly job)...
+    val grams = Dedup.benchmarkGrams(bench, n = 5)
+    grams.write.mode("overwrite").parquet(s"$tmp/grams")
+    SketchStore.writeBloom(s,
+      graft.operators.Bloom.buildWords(grams, "gram_h", 1 << 17),
+      s"$tmp/bloom", domain)
+    // ...probe from a COLD read (the per-batch jobs)
+    Dedup.decontaminateBloomPrebuilt(corpus,
+        s.read.parquet(s"$tmp/grams"),
+        SketchStore.readBloom(s, s"$tmp/bloom", domain), n = 5)
+      .select($"doc_id", $"source").orderBy($"doc_id")
+  }
+
+  /** DuckDB replay: the exact mod-7 / 5-gram decontamination —
+    * deliberately artifact- and Bloom-free, proving the persisted
+    * sketch path changes nothing but the bytes moved. */
+  val q121Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 4, 1)),
+      |    i -> array_to_string(toks[i:i+4], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |          WHERE doc_id % 7 = 0),
+      |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+      |         WHERE doc_id % 7 <> 0),
+      |hit AS (SELECT DISTINCT c.doc_id FROM corp c
+      |        JOIN bench b ON c.gram = b.gram)
+      |SELECT d.doc_id, d.source
+      |FROM documents d
+      |WHERE d.doc_id % 7 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** q86: Bloom-pruned decontamination
     * ([[graft.operators.Dedup.decontaminateBloom]]) — bit-identical
