@@ -61,8 +61,7 @@ object Bloom {
     * `bit_or` combines map-side, and the driver collects AT MOST
     * `numBits/64` rows (the filter size — NEVER the key count), then
     * densifies. */
-  def buildWords(hashes: DataFrame, hashCol: String, numBits: Int,
-      numHashes: Int = 3): Filter = {
+  private[operators] def checkGeometry(numBits: Int, numHashes: Int): Unit = {
     require(numBits >= 64 && numBits % 64 == 0,
       s"numBits must be a positive multiple of 64, got $numBits")
     require(numBits <= MaxBits,
@@ -70,6 +69,11 @@ object Bloom {
         " — shard the filter or use the exact join")
     require(numHashes >= 1 && numHashes <= 8,
       s"numHashes must be in [1, 8], got $numHashes")
+  }
+
+  def buildWords(hashes: DataFrame, hashCol: String, numBits: Int,
+      numHashes: Int = 3): Filter = {
+    checkGeometry(numBits, numHashes)
     val bits = probes(col(hashCol), numBits, numHashes).map { pos =>
       struct(shiftright(pos, 6).cast("int").as("word"),
         call_function("shiftleft", lit(1L),

@@ -58,7 +58,7 @@ object CountMin {
   private def bucket(h1: Column, i: Int, width: Int): Column =
     pmod(xxhash64(h1, lit(i)), lit(width.toLong))
 
-  private def checkGeometry(depth: Int, width: Int): Unit = {
+  private[operators] def checkGeometry(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
     require(width >= 64, s"width must be >= 64, got $width")
     require(depth.toLong * width <= MaxCells,

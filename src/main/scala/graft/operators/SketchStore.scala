@@ -104,6 +104,14 @@ object SketchStore {
         val i = r.getInt(0)
         require(i >= 0 && i < n,
           s"$path: cell index $i outside the stamped geometry [0, $n)")
+        // duplicate in-range rows mean a torn/double-appended words/
+        // dir; silently last-write-wins would load a CORRUPTED sketch
+        // (for Bloom: silent false negatives — the exact failure the
+        // stamps exist to stop), and the writer never emits zero cells,
+        // so any second write to a cell is detectable as a non-zero hit
+        require(words(i) == 0L,
+          s"$path: duplicate cell index $i — the words/ dir is torn or " +
+            "double-appended; rebuild the artifact")
         words(i) = r.getLong(1)
       }
     words
@@ -124,6 +132,15 @@ object SketchStore {
       expectedDomain: String): Bloom.Filter = {
     val (numHashes, numBits) = readMeta(spark, path, "bloom",
       expectedDomain)
+    // the stamp is data, not trusted: a corrupt meta row with a garbage
+    // geometry would otherwise truncate self-consistently through
+    // .toInt and load a wrong-shaped filter, so re-run the SAME checks
+    // the builder runs before allocating anything
+    require(numBits <= Bloom.MaxBits && numHashes <= 8,
+      s"$path: stamped Bloom geometry (numBits=$numBits, " +
+        s"numHashes=$numHashes) is outside the builder's bounds — " +
+        "corrupt meta")
+    Bloom.checkGeometry(numBits.toInt, numHashes.toInt)
     Bloom.Filter(readWords(spark, path, (numBits / 64L).toInt),
       numHashes.toInt)
   }
@@ -139,6 +156,12 @@ object SketchStore {
   def readCms(spark: SparkSession, path: String,
       expectedDomain: String): CountMin.Sketch = {
     val (depth, width) = readMeta(spark, path, "cms", expectedDomain)
+    // re-validate the stamped geometry with the builder's own checks
+    // BEFORE any .toInt truncation can make garbage self-consistent
+    require(depth <= 8 && width <= CountMin.MaxCells,
+      s"$path: stamped CMS geometry (depth=$depth, width=$width) is " +
+        "outside the builder's bounds — corrupt meta")
+    CountMin.checkGeometry(depth.toInt, width.toInt)
     CountMin.Sketch(readWords(spark, path, (depth * width).toInt),
       depth.toInt, width.toInt)
   }

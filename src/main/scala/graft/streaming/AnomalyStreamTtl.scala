@@ -48,7 +48,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   *
   * Scale: state is O(active keys · keepMinutes + tombstoned keys),
   * vs the exact twin's O(keys · span). The scorer itself is the same
-  * lazy O(trailing)-memory ring. */
+  * lazy O(trailing)-memory ring.
+  *
+  * CHECKPOINT COMPATIBILITY: [[TtlState]] gained the `decayed` field
+  * after its first release, which changes the flatMapGroupsWithState
+  * state encoding — a query restored from a checkpoint written by the
+  * 3-field encoding fails Spark's state-schema compatibility check at
+  * restart (loudly, at query start — no silent misread). Upgrading a
+  * running deployment across that boundary means restarting from a
+  * FRESH checkpoint (and accepting the warm-up: every key re-enters as
+  * a new span). Future state-shape changes carry the same cost —
+  * prefer deriving new flags from existing fields when possible. */
 object AnomalyStreamTtl {
   import AnomalyStream.{MinuteEvent, ZRow}
 
@@ -142,7 +152,12 @@ object AnomalyStreamTtl {
     * guard applies to LIVE-set horizons only; see [[fn]]).
     * `droppedEvents`: optional accumulator counting silently-dropped
     * below-horizon events — the observable side of the under-report
-    * contract (poll it per batch alongside `lastProgress`). */
+    * contract (poll it per batch alongside `lastProgress`). Standard
+    * Spark accumulator caveat applies: the count is AT-LEAST-ONCE —
+    * task retries, speculative execution, and checkpoint replay can
+    * each re-add the same drops, so treat it as an approximate
+    * monitoring signal ("drops are happening, roughly this many"),
+    * never as an exact ledger to reconcile row counts against. */
   def zScores(events: DataFrame, trailing: Int = 30,
       keepMinutes: Long = 10080L,
       stateTtl: Option[java.time.Duration] = None,

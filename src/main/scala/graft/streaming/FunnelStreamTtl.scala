@@ -58,7 +58,12 @@ object FunnelStreamTtl {
   case class TsStepEvent(user_id: Long, ts_us: Long, step: Int,
     ts: java.sql.Timestamp)
   /** `evs` = in-window (ts_us, step) buffer (`cap` earliest);
-    * `nSeen` = accepted-event count, strictly increasing. */
+    * `nSeen` = ACCEPTED (in-window) event count — strictly increasing
+    * across emitted snapshots; dropped out-of-window events are not
+    * "seen". Under cap pressure this diverges from the exact twin's
+    * tag (which is its post-cap buffer size and stalls at `cap`): both
+    * remain monotone — the consumer's max-`n_seen` rule holds — and
+    * depth never fabricates either way. */
   case class FTtlState(evs: List[(Long, Int)], nSeen: Long,
     closed: Boolean)
 
@@ -89,7 +94,12 @@ object FunnelStreamTtl {
           // every pre-close arrival, so a late origin-rewriting event
           // re-filters the whole buffer (contract 3)
           val inWindow = all.takeWhile(_._1 <= first + windowMicros)
-          val closeMs = (first + windowMicros) / 1000L + latenessMillis
+          // ceil micros to the enclosing millisecond: flooring would
+          // fire the close up to 999 µs BEFORE the window's
+          // micro-precision end
+          val closeMs = Math.addExact(
+            Math.floorDiv(first + windowMicros + 999L, 1000L),
+            latenessMillis)
           if (state.getCurrentWatermarkMs() >= closeMs) {
             // the (possibly rewritten) window is already past the
             // watermark: finalize now, drop the batch (contract 5) —
@@ -97,25 +107,41 @@ object FunnelStreamTtl {
             state.update(FTtlState(Nil, prev.nSeen, closed = true))
             Iterator.empty
           } else {
-            val merged = inWindow.take(cap)
-            val nSeen = prev.nSeen + incoming.size
-            state.update(FTtlState(merged, nSeen, closed = false))
-            state.setTimeoutTimestamp(closeMs)
-            Iterator.single(
-              FunnelStream.matchSteps(merged, nSteps, uid, nSeen))
+            // only in-window events are ACCEPTED into n_seen; an
+            // all-out-of-window batch changes nothing (the buffer and
+            // anchor are untouched — an earlier event would be
+            // in-window by definition), so it emits nothing and only
+            // re-arms the close (the engine clears the armed timeout
+            // on every invocation)
+            val acceptedIncoming =
+              incoming.count(_._1 <= first + windowMicros)
+            if (acceptedIncoming == 0) {
+              state.setTimeoutTimestamp(closeMs)
+              Iterator.empty
+            } else {
+              val merged = inWindow.take(cap)
+              val nSeen = prev.nSeen + acceptedIncoming
+              state.update(FTtlState(merged, nSeen, closed = false))
+              state.setTimeoutTimestamp(closeMs)
+              Iterator.single(
+                FunnelStream.matchSteps(merged, nSteps, uid, nSeen))
+            }
           }
         }
       }
     }
   }
 
-  /** `events` needs (user_id, ts_us, step) like the exact twin PLUS
-    * `ts` (the event timestamp the watermark runs on — pass the
-    * ORIGINAL event time so lateness means what the pipeline's
-    * watermark means; `ts_us` should be its microseconds). The
-    * caller's `watermarkDelay` should be ≥ `allowedLateness` (the
-    * watermark fires the close; a shorter delay just closes users
-    * earlier). */
+  /** `events` needs (user_id, step) like the exact twin PLUS `ts`
+    * (the event timestamp the watermark runs on — pass the ORIGINAL
+    * event time so lateness means what the pipeline's watermark
+    * means). The buffer-ordering key `ts_us` is DERIVED here as
+    * `unix_micros(ts)` — any caller-supplied `ts_us` column is
+    * overwritten, so the contract the close/late-filter math depends
+    * on (`ts_us` ≡ microseconds of `ts`) holds by construction
+    * instead of by documentation. The caller's `watermarkDelay`
+    * should be ≥ `allowedLateness` (the watermark fires the close; a
+    * shorter delay just closes users earlier). */
   def funnel(events: DataFrame, nSteps: Int, cap: Int = 10000,
       window: java.time.Duration = java.time.Duration.ofDays(7),
       allowedLateness: java.time.Duration =
@@ -133,6 +159,8 @@ object FunnelStreamTtl {
     import spark.implicits._
     events
       .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .withColumn("ts_us", org.apache.spark.sql.functions
+        .unix_micros(org.apache.spark.sql.functions.col("ts")))
       .withWatermark("ts", watermarkDelay)
       .as[TsStepEvent](Encoders.product[TsStepEvent])
       .groupByKey(_.user_id)

@@ -184,6 +184,75 @@ class FunnelStreamTtlSpec extends SparkSpec {
     assert(s6.get === FTtlState(Nil, 1L, closed = true))
   }
 
+  test("n_seen counts only ACCEPTED events: an all-out-of-window batch " +
+      "emits nothing, leaves state untouched, and re-arms the close") {
+    val f = FunnelStreamTtl.fn(nSteps = 2, cap = 100,
+      windowMicros = 60000000L, latenessMillis = 0L) _
+    def ev(tsUs: Long, step: Int) =
+      TsStepEvent(1L, tsUs, step, new java.sql.Timestamp(tsUs / 1000L))
+    // open funnel anchored at 10 s (window [10 s, 70 s]); an event at
+    // 100 s is outside it — previously it bumped n_seen while being
+    // dropped, silently diverging the twins' tags
+    val open = FTtlState(List((10000000L, 0)), 1L, closed = false)
+    val s = TestGroupState.create[FTtlState](
+      Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(0L), false)
+    assert(f(1L, Iterator(ev(100000000L, 1)), s).isEmpty,
+      "an out-of-window-only batch must not emit a snapshot")
+    assert(!s.isUpdated, "state must be untouched — n_seen stays pinned")
+    assert(s.getTimeoutTimestampMs.isPresent,
+      "the close must be re-armed (the engine clears it per invocation)")
+    // ...and a subsequent IN-window event counts exactly itself
+    val s2 = TestGroupState.create[FTtlState](
+      Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(0L), false)
+    val snap = f(1L, Iterator(ev(100000000L, 1), ev(20000000L, 1)), s2)
+      .toList
+    assert(snap.map(_.n_seen) === List(2L),
+      s"n_seen must be prev(1) + accepted(1), got $snap")
+  }
+
+  test("the close instant rounds micros UP to the enclosing " +
+      "millisecond — a watermark at floor(close) must not finalize") {
+    // window end 5 s + 60.0005 s = 65.0005 s → 65001 ms ceil; flooring
+    // to 65000 ms would close up to 999 µs before the window's end
+    val f = FunnelStreamTtl.fn(nSteps = 2, cap = 100,
+      windowMicros = 60000500L, latenessMillis = 0L) _
+    val s = TestGroupState.create[FTtlState](
+      Optional.empty[FTtlState], GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(65000L), false)
+    val snap = f(1L, Iterator(
+      TsStepEvent(1L, 5000000L, 0, new java.sql.Timestamp(5000L))), s)
+      .toList
+    assert(snap.map(_.depth) === List(1L),
+      "watermark 65000 ms is inside the 65000.5 ms window — must emit")
+    assert(s.getTimeoutTimestampMs.isPresent &&
+      s.getTimeoutTimestampMs.get === 65001L,
+      s"close must arm at ceil = 65001 ms, got ${s.getTimeoutTimestampMs}")
+  }
+
+  test("funnel() derives ts_us from ts — an inconsistent caller-" +
+      "supplied ts_us column cannot skew the close/late-filter math") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Int, java.sql.Timestamp)]
+    // caller supplies a GARBAGE ts_us (raw seconds, not micros); the
+    // operator must overwrite it with unix_micros(ts)
+    val out = FunnelStreamTtl.funnel(
+      input.toDF().toDF("user_id", "ts_us", "step", "ts"), nSteps = 2,
+      window = java.time.Duration.ofSeconds(60),
+      allowedLateness = java.time.Duration.ofDays(30),
+      watermarkDelay = "30 days")
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("fttl_derive_out").outputMode("append").start()
+    try {
+      input.addData((1L, 10L, 0, ts(10)), (1L, 50L, 1, ts(50)))
+      q.processAllAvailable()
+      val got = latest("fttl_derive_out")
+      assert(got === Set((1L, Seq(10000000L, 50000000L), 2L)),
+        s"snapshots must carry derived micro timestamps: $got")
+    } finally q.stop()
+  }
+
   test("guards: cap below nSteps, zero window, negative lateness") {
     val df = Seq((1L, 0L, 0, ts(0))).toDF("user_id", "ts_us", "step", "ts")
     intercept[IllegalArgumentException] {
