@@ -876,6 +876,120 @@ object ScaleBench {
           s"expected ${corpusN + acceptedTotal}, got $rows")
       println(f"""{"pipeline":"index_lifecycle_4_batches","sec":$tLife%.2f,"corpus":$corpusN,"batches":4,"accepted":$acceptedTotal}""")
     }
+
+    // ---- windowed-quantiles preflight cost: the opt-in fail-early
+    // gate is one extra hash-aggregate pass (sort-free) — measure what
+    // that insurance costs on the real q117 shape so the dial's price
+    // is a recorded number, not a guess. Pass = identical row counts
+    // with and without preflight (the dial is result-invisible on an
+    // in-bounds domain). ----
+    {
+      val ev = Tables.events(spark, sf)
+      ev.count() // warm the scan path so the delta is the extra pass
+      val tOff = time(graft.operators.WindowedQuantiles.quantiles(
+        ev, "event_type", "ts", "value", "hour", Seq(50, 95)).count())
+      val tOn = time(graft.operators.WindowedQuantiles.quantiles(
+        ev, "event_type", "ts", "value", "hour", Seq(50, 95),
+        preflight = true).count())
+      val nOff = graft.operators.WindowedQuantiles.quantiles(
+        ev, "event_type", "ts", "value", "hour", Seq(50, 95)).count()
+      val nOn = graft.operators.WindowedQuantiles.quantiles(
+        ev, "event_type", "ts", "value", "hour", Seq(50, 95),
+        preflight = true).count()
+      require(nOff == nOn,
+        s"preflight must be result-invisible: $nOff vs $nOn rows")
+      println(f"""{"pipeline":"windowed_quantiles_preflight","off_sec":$tOff%.2f,"on_sec":$tOn%.2f,"overhead":${tOn / tOff}%.2f,"rows":$nOn}""")
+    }
+
+    // ---- sketch artifact lifecycle: ONE persisted Bloom blocklist
+    // ([[SketchStore]]) probed by N ingestion batches, vs rebuilding
+    // the filter from the benchmark corpus per batch — the economics
+    // the artifact store exists for (build-once/probe-many). Pass =
+    // both paths accept exactly the clean half of every batch (the
+    // artifact path is bit-identical to the rebuild path, q121's
+    // contract), and the reuse path is cheaper than rebuilds. ----
+    {
+      val artDir = s"$scratch/sketch_artifact_lifecycle"
+      val artPath = new org.apache.hadoop.fs.Path(artDir)
+      val afs = artPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      afs.delete(artPath, true)
+      // 7 id-salted tokens per doc: 5-gram shingle sets are disjoint
+      // across ids, so a batch doc is contaminated iff it REPLAYS a
+      // benchmark doc's text — accepted counts are deterministic
+      def synthDocs(from: Long, n: Long) = spark.range(from, from + n)
+        .select($"id".as("doc_id"), concat_ws(" ",
+          concat(lit("alpha"), $"id"), concat(lit("beta"), $"id" * 7),
+          concat(lit("gamma"), $"id" * 13), concat(lit("delta"), $"id" * 3),
+          concat(lit("eps"), $"id" * 11), concat(lit("zeta"), $"id" * 5),
+          concat(lit("eta"), $"id" * 17)).as("text"))
+      // the production shape: a blocklist 400× the batch — the point
+      // of the artifact is precisely that re-shingling the benchmark
+      // per batch (decontaminateBloom scans it TWICE: filter build +
+      // the exact verify join's gram table) dwarfs reading the
+      // persisted gram table + stamped filter. At smaller blocklists
+      // (measured: 20k docs → 0.95×, 200k → 1.04×) the batch-side
+      // probe dominates both paths and the artifact buys nothing —
+      // the dial only pays when the reference side is the heavy one.
+      val benchN = 2000000L
+      val half = 5000L
+      val nBatches = 12
+      val gramN = 5
+      val domain = s"xxhash64($gramN-gram(text))"
+      val benchmark = synthDocs(0L, benchN)
+      // batch b: `half` clean docs + `half` docs replaying benchmark
+      // texts under fresh ids (the contaminated half)
+      def batch(b: Int) = synthDocs(benchN + b * half, half)
+        .unionByName(synthDocs(b * half / 10, half)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+      // REBUILD-PER-BATCH: every batch re-scans the benchmark, re-
+      // derives the gram table, and re-collects the filter
+      var rebuildSurvivors = 0L
+      val tRebuild = time {
+        (0 until nBatches).foreach { b =>
+          rebuildSurvivors += graft.operators.Dedup
+            .decontaminateBloom(batch(b), benchmark, n = gramN,
+              numBits = 1 << 27).count() // ~6M grams: 2^27 bits ≈ 0.2% fp
+                                         // (2^20 would saturate → no prune)
+        }
+      }
+      // BUILD-ONCE: gram table + stamped filter persisted as artifacts
+      val tBuild = time {
+        val grams = graft.operators.Dedup.benchmarkGrams(benchmark, gramN)
+        grams.write.mode("overwrite").parquet(s"$artDir/grams")
+        graft.operators.SketchStore.writeBloom(spark,
+          graft.operators.Bloom.buildWords(
+            spark.read.parquet(s"$artDir/grams"), "gram_h", 1 << 27),
+          s"$artDir/bloom", domain)
+      }
+      // PROBE-MANY: each batch loads the stamped artifacts (cold read,
+      // the honest per-job cost) and runs only the probe plan
+      var probeSurvivors = 0L
+      val tProbe = time {
+        (0 until nBatches).foreach { b =>
+          probeSurvivors += graft.operators.Dedup
+            .decontaminateBloomPrebuilt(batch(b),
+              spark.read.parquet(s"$artDir/grams"),
+              graft.operators.SketchStore.readBloom(spark,
+                s"$artDir/bloom", domain), n = gramN).count()
+        }
+      }
+      val expected = nBatches.toLong * half
+      require(rebuildSurvivors == expected && probeSurvivors == expected,
+        s"both paths must accept exactly the clean half per batch " +
+          s"($expected): rebuild=$rebuildSurvivors, artifact=$probeSurvivors")
+      // the economics that matter at fleet scale are MARGINAL: what
+      // each additional ingestion batch costs on each path, and how
+      // many batches amortize the one-time artifact build (grams
+      // parquet + stamped filter) — `breakeven_batches` is that
+      // crossover; past it every further batch banks the marginal
+      // delta
+      val marginalRebuild = tRebuild / nBatches
+      val marginalProbe = tProbe / nBatches
+      require(tProbe < tRebuild,
+        "the probe path must beat rebuilds on marginal cost alone")
+      val breakeven = tBuild / math.max(marginalRebuild - marginalProbe, 1e-9)
+      println(f"""{"pipeline":"sketch_artifact_lifecycle","batches":$nBatches,"rebuild_sec":$tRebuild%.2f,"build_once_sec":$tBuild%.2f,"probe_sec":$tProbe%.2f,"reuse_speedup":${tRebuild / (tBuild + tProbe)}%.2f,"marginal_speedup":${marginalRebuild / marginalProbe}%.2f,"breakeven_batches":$breakeven%.1f}""")
+    }
     }
     spark.stop()
   }

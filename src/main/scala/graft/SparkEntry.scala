@@ -142,6 +142,8 @@ object SparkEntry {
       (TrainingData.q121SketchArtifactDecontaminate _),
     "q122_cms_artifact_heavy_hitters" ->
       (Behavior.q122CmsArtifactHeavyHitters _),
+    "q123_video_neardup" -> (TrainingData.q123VideoNearDup _),
+    "q124_audio_neardup" -> (TrainingData.q124AudioNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,5 +402,12 @@ object SparkEntry {
     // q122: heavy hitters via a persisted stamped CMS artifact — the
     // exact SQL again; a flipped grid cell would surface as a diff.
     "q122_cms_artifact_heavy_hitters" -> Behavior.q122Sql,
+    // q123/q124: frame-majority video + window-majority audio near-dup
+    // — per-frame fingerprints in the portable integer md5 domain;
+    // the oracle replays decode, per-frame aHash, same-ordinal
+    // banding (generated from simHashBandSpec), hamming verify, and
+    // the integer majority test end-to-end.
+    "q123_video_neardup" -> TrainingData.q123Sql,
+    "q124_audio_neardup" -> TrainingData.q124Sql,
   )
 }

@@ -96,12 +96,35 @@ object Bloom {
     * copy per plan, shipped with the task closure like any literal.
     * A NULL key hash yields NULL (filters drop it = not contained). */
   def mightContain(h1: Column, filter: Filter): Column = {
-    val w = typedLit(filter.words)
+    // SHIPPING MODE by size: small filters ride the plan as an array
+    // literal (zero extra moving parts); past LiteralShipWords the
+    // literal is the scale bug — a 2^27-bit filter is 16 MB of longs
+    // that java-serializes BOXED into every task binary (measured
+    // OOM of an 8 GB driver at 32 local threads), where a broadcast
+    // ships the primitive array once per executor and the expression
+    // carries only the handle. Probe arithmetic is IDENTICAL in both
+    // modes (same `probes` builtins; only the word lookup changes),
+    // spec-gated equal on the same filter.
+    val wordAt: Column => Column =
+      if (filter.words.length <= LiteralShipWords) {
+        val w = typedLit(filter.words)
+        idx => element_at(w, idx.cast("int") + lit(1))
+      } else {
+        val bc = org.apache.spark.sql.SparkSession.active
+          .sparkContext.broadcast(filter.words)
+        idx => graft.functions.BroadcastWords.wordAt(bc, idx)
+      }
     probes(h1, filter.numBits, filter.numHashes).map { pos =>
       call_function("shiftright",
-        element_at(w, shiftright(pos, 6).cast("int") + lit(1)),
+        wordAt(shiftright(pos, 6)),
         pos.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }
+
+  /** Words-array size above which [[mightContain]] broadcasts instead
+    * of inlining a literal: 2^16 longs = 512 KB raw (the boxed
+    * serialized form is ~10×) — well under any task-binary comfort
+    * zone, well over every test fixture. */
+  val LiteralShipWords: Int = 1 << 16
 }

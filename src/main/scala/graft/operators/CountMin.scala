@@ -94,14 +94,25 @@ object CountMin {
   /** Frequency estimate column over a key-hash column: the MIN over
     * depth rows of the probed cells — pure builtins (element_at +
     * least), codegen'd, no UDF; the grid ships as one array literal
-    * per plan. NULL hash → NULL estimate. Guarantee: estimate ≥ the
-    * key's true row count (counts only ever add). */
+    * per plan for small geometries and as a BROADCAST past
+    * [[Bloom.LiteralShipWords]] cells (a literal that size
+    * java-serializes boxed into every task binary — the same scale
+    * bug [[Bloom.mightContain]] documents; identical probe
+    * arithmetic in both modes). NULL hash → NULL estimate.
+    * Guarantee: estimate ≥ the key's true row count (counts only
+    * ever add). */
   def estimate(h1: Column, sk: Sketch): Column = {
-    val w = typedLit(sk.words)
+    val cellAt: Column => Column =
+      if (sk.words.length <= Bloom.LiteralShipWords) {
+        val w = typedLit(sk.words)
+        idx => element_at(w, idx.cast("int") + lit(1))
+      } else {
+        val bc = org.apache.spark.sql.SparkSession.active
+          .sparkContext.broadcast(sk.words)
+        idx => graft.functions.BroadcastWords.wordAt(bc, idx)
+      }
     val probes = (0 until sk.depth).map { i =>
-      element_at(w,
-        (lit(i.toLong * sk.width) + bucket(h1, i, sk.width)).cast("int")
-          + lit(1))
+      cellAt(lit(i.toLong * sk.width) + bucket(h1, i, sk.width))
     }
     if (probes.size == 1) probes.head else least(probes: _*)
   }

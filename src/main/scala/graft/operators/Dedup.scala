@@ -282,12 +282,18 @@ object Dedup {
     * long-lived sessions). */
   def simHashPairsFromSigWords(sig: DataFrame, wordCols: Seq[String],
       wordBits: Int, sigBits: Int, maxHamming: Int,
-      maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
+      maxBucket: Int = HotBuckets.DefaultCap,
+      extraKeyCols: Seq[String] = Nil): DataFrame = {
     require(wordCols.nonEmpty && sigBits <= wordCols.size * wordBits,
       s"$sigBits bits do not fit ${wordCols.size} ${wordBits}-bit words")
     val words = wordCols.map(col)
+    // extraKeyCols join the bucket key: rows only pair within the same
+    // extra-key slice — the frame-ordinal constraint of the video
+    // near-dup family (frame k of video A pairs only against frame k
+    // of video B; cross-ordinal buckets would both waste candidates
+    // and match content at different positions)
     val banded = sig.select(
-      col("id") +: words :+
+      (col("id") +: extraKeyCols.map(col)) ++ words :+
         posexplode(array(sigChunkExprs(words, wordBits, sigBits, maxHamming): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     // oversized buckets degrade to star candidates vs the bucket-min
@@ -296,7 +302,8 @@ object Dedup {
     val hamming = wordCols
       .map(c => bit_count(col(c + "_a").bitwiseXOR(col(c + "_b"))))
       .reduce(_ + _)
-    HotBuckets.starSelfJoinCandidates(banded, Seq("band", "chunk"), "id",
+    HotBuckets.starSelfJoinCandidates(banded,
+      Seq("band", "chunk") ++ extraKeyCols, "id",
       wordCols, maxBucket, "simhash")
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming.cast("long"))

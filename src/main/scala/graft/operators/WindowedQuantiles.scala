@@ -33,7 +33,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * fails with instructions to use the histogram estimator — the
   * guard is late-loud: the sort below it spills rather than OOMs,
   * and the query dies instead of silently serializing a mega-sort
-  * every run).
+  * every run). For domains where that late price is itself too high
+  * — at 100 TB a mis-called domain pays the FULL spilling sort
+  * before the error fires — pass `preflight = true`: an extra
+  * hash-aggregate pass (two-level, sort-free) counts each (key,
+  * window)'s exact distinct values and fails AT PLAN-BUILD TIME,
+  * before any window sort is planned. The dial costs one eager
+  * action (the builder is no longer lazy) plus one scan+aggregate of
+  * the input; the fused late guard stays in the output either way —
+  * preflight is a cost optimization on the failure path, never the
+  * exactness authority.
   *
   * Null keys/timestamps/values and NaN are excluded before counting.
   * Output: (key, window_start, pct, n, est) — one row per present
@@ -48,7 +57,7 @@ object WindowedQuantiles {
 
   def quantiles(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, grain: String = "hour", pcts: Seq[Int] = Seq(50, 95),
-      maxDistinct: Long = 100000L): DataFrame = {
+      maxDistinct: Long = 100000L, preflight: Boolean = false): DataFrame = {
     require(grain == "minute" || grain == "hour" || grain == "day",
       s"grain '$grain' must be minute, hour or day")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
@@ -80,6 +89,27 @@ object WindowedQuantiles {
       .select(col("key"), col("window_start"),
         Trend.quantize4(col("v"), "windowedQuantiles", "v")
           .cast(LongType).as("qv"))
+    if (preflight) {
+      // fail-early gate: EXACT per-(key, window) distinct counts via a
+      // two-level hash aggregate — no window function, no sort, so an
+      // over-cap domain dies here at scan+aggregate cost instead of
+      // after the full spilling mega-sort below. limit(1) stops the
+      // scan at the first offender.
+      val over = rows
+        .select(col("key"), col("window_start"), col("qv")).distinct()
+        .groupBy(col("key"), col("window_start"))
+        .agg(count(lit(1)).as("n_distinct"))
+        .filter(col("n_distinct") > lit(maxDistinct))
+        .limit(1).collect()
+      if (over.nonEmpty) {
+        val r = over.head
+        throw new IllegalArgumentException(
+          s"windowedQuantiles preflight: (key=${r.get(0)}, window=" +
+            s"${r.get(1)}) holds ${r.getLong(2)} distinct quantized " +
+            s"values — beyond maxDistinct=$maxDistinct; use " +
+            "Histogram.groupQuantileEstimates for this value domain")
+      }
+    }
     val counts = rows.groupBy(col("key"), col("window_start"), col("qv"))
       .agg(count(lit(1)).as("cnt"))
     val wall = Window.partitionBy(col("key"), col("window_start"))

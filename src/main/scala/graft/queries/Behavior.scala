@@ -541,8 +541,9 @@ object Behavior {
     val keyed = events.select($"user_id")
       .filter($"user_id".isNotNull)
       .withColumn("__h", xxhash64($"user_id"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_q122_cms").toString
+    // fixed scratch path, overwritten per invocation (the q121
+    // stance: per-call temp dirs leaked across bench passes)
+    val tmp = "target/scratch/q122_cms"
     SketchStore.writeCms(s,
       CountMin.buildWords(keyed, "__h", depth = 3, width = 512),
       s"$tmp/cms", "xxhash64(events.user_id)")

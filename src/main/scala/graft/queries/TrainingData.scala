@@ -1533,8 +1533,11 @@ object TrainingData {
     val docs = Tables.documents(s, dir)
     val bench = docs.filter($"doc_id" % 7 === 0)
     val corpus = docs.filter($"doc_id" % 7 =!= 0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_q121_sketch").toString
+    // fixed scratch path, overwritten per invocation — a fresh temp
+    // dir per call leaked ~2 artifact dirs per bench pass (and the
+    // returned frame reads the path lazily, so eager cleanup would
+    // race execution)
+    val tmp = "target/scratch/q121_sketch"
     val domain = "xxhash64(5-gram(text))"
     // build ONCE (the nightly job)...
     val grams = Dedup.benchmarkGrams(bench, n = 5)
@@ -1748,4 +1751,151 @@ object TrainingData {
        |          THEN 1 ELSE 0 END) > 0
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared oracle fragment for the sequence near-dup family: the
+    * [[graft.operators.Dedup.sigChunkExpr]] word/straddle split over
+    * two 32-bit fingerprint words, generated from the SAME
+    * [[Dedup.simHashBandSpec]] that drives the Spark banding (the
+    * q84/q28 discipline — one spec, two engines, no drift). */
+  private def seqChunkCases(maxHamming: Int): (String, String) = {
+    def chunkSql(off: Int, w: Int): String = {
+      val mask = (1L << w) - 1
+      val i = off / 32
+      val r = off % 32
+      if (r + w <= 32) s"((sig$i >> $r) & $mask)"
+      else s"(((sig0 >> $r) | (sig1 << ${32 - r})) & $mask)"
+    }
+    val cases = Dedup.simHashBandSpec(64, maxHamming).zipWithIndex
+      .map { case ((off, w), b) => s"WHEN $b THEN ${chunkSql(off, w)}" }
+      .mkString("\n    ")
+    val bands = Dedup.simHashBandSpec(64, maxHamming).indices
+      .map(b => s"($b)").mkString(", ")
+    (cases, bands)
+  }
+
+  /** DuckDB replay of the frame-majority pipeline at (`salt`,
+    * `maxHamming`, `majorityPct`, `stride`) — n_frames from the
+    * portable decode (`1 + ((md5h48(text) >> 32) % 16)`), per-frame
+    * fingerprint cells from `md5(text || '|<salt><f>' || '|' || j) %
+    * 1000` (the integer aHash domain, q84's play per frame), banding
+    * + hamming verify constrained to the SAME frame ordinal, then the
+    * integer majority test against the longer side's sampled count. */
+  private def seqNearDupSql(salt: String, maxHamming: Int,
+      majorityPct: Int, stride: Int): String = {
+    val bucket = graft.operators.Sampling.portableBucketSql("doc_id", 50)
+    val (chunkCases, bandRows) = seqChunkCases(maxHamming)
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1099511627776 AS doc_id, text
+       |  FROM documents WHERE $bucket = 0),
+       |meta AS (
+       |  SELECT doc_id, text,
+       |    1 + CAST(((md5_number_upper(text) & 281474976710655) >> 32) % 16
+       |      AS INT) AS n_frames
+       |  FROM corpus),
+       |frames AS (
+       |  SELECT doc_id, text, f.f AS frame_idx
+       |  FROM meta CROSS JOIN range(0, 16, $stride) f(f)
+       |  WHERE f.f < n_frames),
+       |nf AS (SELECT doc_id, COUNT(*) AS n_sampled FROM frames GROUP BY doc_id),
+       |feats AS (
+       |  SELECT doc_id, frame_idx, j,
+       |    CAST(md5_number_upper(text || '|$salt' || CAST(frame_idx AS VARCHAR)
+       |           || '|' || CAST(j AS VARCHAR))
+       |         & 281474976710655 AS BIGINT) % 1000 AS v
+       |  FROM frames CROSS JOIN range(0, 64) r(j)),
+       |tot AS (SELECT doc_id, frame_idx, SUM(v) AS s
+       |        FROM feats GROUP BY doc_id, frame_idx),
+       |sig AS (
+       |  SELECT f.doc_id, f.frame_idx,
+       |    SUM(CASE WHEN 64 * f.v > t.s AND f.j < 32
+       |             THEN (CAST(1 AS BIGINT) << f.j) ELSE 0 END) AS sig0,
+       |    SUM(CASE WHEN 64 * f.v > t.s AND f.j >= 32
+       |             THEN (CAST(1 AS BIGINT) << (f.j - 32)) ELSE 0 END) AS sig1
+       |  FROM feats f JOIN tot t USING (doc_id, frame_idx)
+       |  GROUP BY f.doc_id, f.frame_idx),
+       |banded AS (
+       |  SELECT doc_id, frame_idx, sig0, sig1, b.band AS band, CASE b.band
+       |    $chunkCases
+       |    END AS chunk
+       |  FROM sig, (VALUES $bandRows) AS b(band)),
+       |fpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk
+       |    AND a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig0, b.sig0)) +
+       |        bit_count(xor(a.sig1, b.sig1)) <= $maxHamming),
+       |m AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_match
+       |      FROM fpairs GROUP BY id_a, id_b)
+       |SELECT m.id_a, m.id_b, m.n_match,
+       |  CAST(na.n_sampled AS BIGINT) AS n_frames_a,
+       |  CAST(nb.n_sampled AS BIGINT) AS n_frames_b
+       |FROM m
+       |JOIN nf na ON na.doc_id = m.id_a
+       |JOIN nf nb ON nb.doc_id = m.id_b
+       |WHERE 100 * m.n_match >=
+       |  $majorityPct * greatest(na.n_sampled, nb.n_sampled)
+       |ORDER BY m.id_a, m.id_b""".stripMargin
+  }
+
+  private val SeqMirrorOffset = 1099511627776L // 2^40, the q82/q84 slice
+
+  private def seqCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("doc_id",
+        when($"doc_id" < SeqMirrorOffset && $"doc_id" >= 0, $"doc_id")
+          .otherwise(raise_error(concat(lit("seq near-dup: doc_id "),
+            $"doc_id".cast("string"),
+            lit(" outside [0, 2^40) — the _mirror id offset would collide")))))
+    docs.unionByName(
+      docs.filter(graft.operators.Sampling.portableBucket($"doc_id", 50) === 0)
+        .withColumn("doc_id", $"doc_id" + lit(SeqMirrorOffset)))
+  }
+
+  /** q123: frame-majority VIDEO near-dup
+    * ([[graft.sources.Multimodal.videoNearDupPairs]]) — the
+    * sequence-media member of the near-dup family: per-frame aHash
+    * fingerprints ([[graft.sources.MediaCodec.frameHash]]) ride the
+    * SAME pigeonhole banding + hot-bucket machinery as text SimHash
+    * and image aHash, with the frame ordinal IN the bucket key, and
+    * two videos pair when ≥ 50% of the longer side's frames match at
+    * hamming ≤ 4. The corpus is the documents media bytes plus the
+    * q84-style byte-exact `_mirror` slice (every mirrored frame
+    * matches at hamming 0 → majority 100% — real recovered pairs at
+    * every SF). [[graft.sources.PortableCodec]]'s integer md5 domain
+    * makes every frame fingerprint replayable in DuckDB. */
+  def q123VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.videoNearDupPairs(
+        Multimodal.mediaFromText(seqCorpus(s, dir)),
+        maxHamming = 4, majorityPct = 50, stride = 1,
+        codec = graft.sources.PortableCodec)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q123Sql: String = seqNearDupSql("f", maxHamming = 4,
+    majorityPct = 50, stride = 1)
+
+  /** q124: window-majority AUDIO near-dup
+    * ([[graft.sources.Multimodal.audioNearDupPairs]]) — the audio
+    * twin of q123 on deliberately DIFFERENT dials so the two gate
+    * independently: the chroma salt domain (`|a` — identical bytes
+    * never cross-match between video frames and audio windows),
+    * stride-2 window sampling (the sampled-count majority
+    * denominator, not raw n_frames), hamming ≤ 6 (7 pigeonhole
+    * bands), and a 60% majority. */
+  def q124AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.audioNearDupPairs(
+        Multimodal.mediaFromText(seqCorpus(s, dir)),
+        maxHamming = 6, majorityPct = 60, stride = 2,
+        codec = graft.sources.PortableCodec)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q124Sql: String = seqNearDupSql("a", maxHamming = 6,
+    majorityPct = 60, stride = 2)
 }

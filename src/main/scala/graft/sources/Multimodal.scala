@@ -50,6 +50,29 @@ trait MediaCodec extends Serializable {
     while (j < 64) { if (g(j) * 64.0 > sum) w1 |= (1L << (j - 32)); j += 1 }
     (w0, w1)
   }
+
+  /** Per-FRAME perceptual fingerprint of a multi-frame medium (video
+    * frame `frame`, 0-based) — the unit the frame-majority video
+    * near-dup compares. Default derivation: [[perceptualHash]] over
+    * the bytes salted with the frame index (`bytes ++ "|f<frame>"`) —
+    * deterministic, replayable (for [[PortableCodec]] it lands in the
+    * same md5 integer domain as the whole-media hash, so the oracle
+    * replays it as `md5(text || '|f<frame>' || '|' || j)`). A REAL
+    * codec overrides this to decode frame `frame`'s pixels and aHash
+    * those ([[ImageIoCodec]] does, via `ImageReader.read(frame)`). */
+  def frameHash(bytes: Array[Byte], frame: Int): (Long, Long) =
+    perceptualHash(bytes ++
+      ("|f" + frame).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Per-WINDOW chroma fingerprint of an audio medium (analysis
+    * window `window`, 0-based) — the audio twin of [[frameHash]],
+    * salted into its own domain (`"|a<window>"`) so an audio window
+    * hash can never collide with a video frame hash of the same
+    * bytes. A real codec overrides this with an actual chroma/CQT
+    * hash over the decoded samples of window `window`. */
+  def chromaHash(bytes: Array[Byte], window: Int): (Long, Long) =
+    perceptualHash(bytes ++
+      ("|a" + window).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
 /** ======== STUB ========
@@ -214,10 +237,16 @@ object ImageIoCodec extends MediaCodec {
     * mean luminance of its cell, and the vector is unit-normalized.
     * Nearby images (crops, recompressions) land nearby in cosine —
     * a genuine, if simple, visual embedding. */
-  override def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+  override def featurize(bytes: Array[Byte], dim: Int): Array[Float] =
+    pooledGrid(readImage(bytes), dim)
+
+  /** Average-pooled unit-norm grayscale grid of ONE raster — shared by
+    * [[featurize]] (frame 0 / whole image) and [[frameHash]] (any
+    * frame of a multi-frame format). */
+  private def pooledGrid(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
     val g = math.sqrt(dim.toDouble).toInt
     require(g * g == dim, s"ImageIoCodec.featurize: dim=$dim is not a square")
-    val img = readImage(bytes)
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
@@ -241,6 +270,35 @@ object ImageIoCodec extends MediaCodec {
       if (counts(c) > 0) sums(c) / counts(c) else 0.0)
     val n = math.sqrt(raw.map(v => v * v).sum)
     raw.map(v => if (n > 0) (v / n).toFloat else v.toFloat).toArray
+  }
+
+  /** REAL per-frame decode: `ImageReader.read(frame)` pulls the
+    * requested frame of a multi-frame format (animated GIF via the
+    * JDK reader), and the hash is the classic aHash over its pooled
+    * grayscale grid — same derivation as the whole-media
+    * [[MediaCodec.perceptualHash]], applied to one frame's raster
+    * instead of byte-salted input (salted bytes are not a decodable
+    * image, so the trait default would throw here). */
+  override def frameHash(bytes: Array[Byte], frame: Int): (Long, Long) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(iis != null, "ImageIoCodec.frameHash: no image input stream")
+    val img = try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        "ImageIoCodec.frameHash: bytes are not a decodable image")
+      val r = readers.next()
+      try { r.setInput(iis); r.read(frame) } finally r.dispose()
+    } finally iis.close()
+    val g = pooledGrid(img, 64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    var w0 = 0L; var w1 = 0L
+    var j = 0
+    while (j < 32) { if (g(j) * 64.0 > sum) w0 |= (1L << j); j += 1 }
+    while (j < 64) { if (g(j) * 64.0 > sum) w1 |= (1L << (j - 32)); j += 1 }
+    (w0, w1)
   }
 }
 
@@ -363,6 +421,151 @@ object Multimodal {
     graft.operators.Dedup.simHashPairsFromSigWords(
       sig, Seq("sig0", "sig1"), 32, 64, maxHamming, maxBucket)
   }
+
+  /** Per-frame fingerprints of every sampled frame: one output row per
+    * (media row, sampled frame index) carrying
+    * `(.., n_frames, frame_idx, fhash0, fhash1)`. `kind` selects the
+    * hash domain — `"video"` → [[MediaCodec.frameHash]], `"audio"` →
+    * [[MediaCodec.chromaHash]] (audio analysis windows are "frames"
+    * here: [[MediaCodec.decode]]'s `n_frames` is the window count for
+    * an audio codec). Batched per partition like every codec
+    * transform; null media emits no rows (nothing to fingerprint —
+    * the near-dup consumers drop them anyway). `stride` samples every
+    * stride-th frame, the [[sampleFrames]] economics: at 100 TB the
+    * decode is the cost, and near-dup detection rarely needs every
+    * frame of a 30 fps stream. */
+  def withFrameHashes(df: DataFrame, stride: Int = 1,
+      idCol: String = "doc_id", binaryCol: String = "media",
+      codec: MediaCodec = StubCodec, kind: String = "video"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(kind == "video" || kind == "audio",
+      s"kind '$kind' must be video or audio")
+    val audio = kind == "audio"
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("fhash0", LongType, nullable = false),
+      StructField("fhash1", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(idx)) Iterator.empty
+        else {
+          val bytes = r.getAs[Array[Byte]](idx)
+          val n = codec.decode(bytes)._3
+          Iterator.range(0, n, stride).map { f =>
+            val (w0, w1) =
+              if (audio) codec.chromaHash(bytes, f)
+              else codec.frameHash(bytes, f)
+            // Seq[Any]: a plain Seq(n, f, w0, w1) unifies to Seq[Long]
+            // and silently WIDENS the Int fields, breaking the declared
+            // IntegerType schema at runtime
+            Row.fromSeq(r.toSeq ++ Seq[Any](n, f, w0, w1))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** FRAME-MAJORITY sequence near-dup pairs — the video/audio member
+    * of the near-dup family: two media rows are near-duplicates when
+    * at least `majorityPct`% of their sampled frame positions carry
+    * matching per-frame fingerprints (hamming ≤ `maxHamming`), judged
+    * against the LONGER side's sampled-frame count, so a 3-frame clip
+    * is never a "duplicate" of a 100-frame video just because its 3
+    * frames match.
+    *
+    * Scale shape: per-frame hashes ride the SAME
+    * [[graft.operators.Dedup.simHashBandSpec]] pigeonhole banding +
+    * hot-bucket-guarded bucket join as text SimHash and image aHash —
+    * with the frame ordinal IN the bucket key, so frame k of A pairs
+    * only against frame k of B (recall 1.0 per frame at the radius by
+    * construction, and the frame-match COUNT is therefore exact — the
+    * majority decision carries no approximation beyond the hash
+    * itself). The majority test is integer arithmetic
+    * (`100·matches ≥ pct·max(n_a, n_b)`), replayable bit-for-bit.
+    *
+    * Output: (id_a, id_b, n_match, n_frames_a, n_frames_b). Frame ids
+    * are encoded as `id·maxFrames + frame_idx` internally; ids must
+    * be non-negative and below 2^62/maxFrames, and a medium with
+    * ≥ maxFrames frames fails LOUDLY (raise the dial — silent
+    * truncation would under-count matches on long videos). */
+  def sequenceNearDupPairs(df: DataFrame, kind: String,
+      maxHamming: Int = 4, majorityPct: Int = 50, stride: Int = 1,
+      idCol: String = "doc_id", binaryCol: String = "media",
+      codec: MediaCodec = StubCodec, maxFrames: Int = 256,
+      maxBucket: Int = graft.operators.HotBuckets.DefaultCap): DataFrame = {
+    require(majorityPct >= 1 && majorityPct <= 100,
+      s"majorityPct=$majorityPct must be an integer percent in 1..100")
+    require(maxFrames >= 1, s"maxFrames=$maxFrames")
+    val idBound = Long.MaxValue / (2L * maxFrames)
+    val frames = withFrameHashes(
+        df.select(col(idCol).as("vid"), col(binaryCol)),
+        stride, "vid", binaryCol, codec, kind)
+      .select(
+        when(col("vid").isNull || col("vid") < 0 || col("vid") >= idBound,
+          raise_error(concat(lit("sequenceNearDupPairs: id "),
+            col("vid").cast("string"),
+            lit(s" outside [0, $idBound) — the frame-id encoding " +
+              "would collide"))))
+          .otherwise(col("vid")).as("vid"),
+        when(col("n_frames") > lit(maxFrames),
+          raise_error(concat(lit("sequenceNearDupPairs: a medium has "),
+            col("n_frames").cast("string"),
+            lit(s" frames — beyond maxFrames=$maxFrames; raise the " +
+              "dial (silent truncation would under-count matches)"))))
+          .otherwise(col("frame_idx")).as("frame_idx"),
+        col("fhash0"), col("fhash1"))
+    val sig = frames.select(
+      (col("vid") * lit(maxFrames.toLong) + col("frame_idx")).as("id"),
+      col("frame_idx"), col("fhash0").as("sig0"), col("fhash1").as("sig1"))
+    // per-ordinal banding: candidate frame pairs share (band, chunk,
+    // frame_idx); verify exact hamming; recall 1.0 per frame
+    val framePairs = graft.operators.Dedup.simHashPairsFromSigWords(
+      sig, Seq("sig0", "sig1"), 32, 64, maxHamming, maxBucket,
+      extraKeyCols = Seq("frame_idx"))
+    val matches = framePairs
+      // integer `div`, NOT `/`: double division loses exactness past
+      // 2^53, and frame ids legitimately range to 2^62
+      .select(expr(s"id_a div ${maxFrames.toLong}").as("va"),
+        expr(s"id_b div ${maxFrames.toLong}").as("vb"))
+      // frame ids of the same ordinal are never same-video; a<b on
+      // frame ids implies va <= vb, and va == vb is impossible
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_match"))
+    val counts = frames.groupBy(col("vid"))
+      .agg(count(lit(1)).as("nf"))
+    matches
+      .join(counts.select(col("vid").as("va"), col("nf").as("n_frames_a")), "va")
+      .join(counts.select(col("vid").as("vb"), col("nf").as("n_frames_b")), "vb")
+      .filter(col("n_match") * 100 >=
+        lit(majorityPct.toLong) * greatest(col("n_frames_a"), col("n_frames_b")))
+      .select(col("va").as("id_a"), col("vb").as("id_b"), col("n_match"),
+        col("n_frames_a"), col("n_frames_b"))
+  }
+
+  /** Frame-majority VIDEO near-dup ([[sequenceNearDupPairs]] over
+    * [[MediaCodec.frameHash]]). */
+  def videoNearDupPairs(df: DataFrame, maxHamming: Int = 4,
+      majorityPct: Int = 50, stride: Int = 1, idCol: String = "doc_id",
+      binaryCol: String = "media", codec: MediaCodec = StubCodec,
+      maxFrames: Int = 256,
+      maxBucket: Int = graft.operators.HotBuckets.DefaultCap): DataFrame =
+    sequenceNearDupPairs(df, "video", maxHamming, majorityPct, stride,
+      idCol, binaryCol, codec, maxFrames, maxBucket)
+
+  /** Window-majority AUDIO near-dup ([[sequenceNearDupPairs]] over
+    * [[MediaCodec.chromaHash]] — its own salt domain, so audio
+    * windows never cross-match video frames of identical bytes). */
+  def audioNearDupPairs(df: DataFrame, maxHamming: Int = 4,
+      majorityPct: Int = 50, stride: Int = 1, idCol: String = "doc_id",
+      binaryCol: String = "media", codec: MediaCodec = StubCodec,
+      maxFrames: Int = 256,
+      maxBucket: Int = graft.operators.HotBuckets.DefaultCap): DataFrame =
+    sequenceNearDupPairs(df, "audio", maxHamming, majorityPct, stride,
+      idCol, binaryCol, codec, maxFrames, maxBucket)
 
   /** "Resize": recompute metadata for a target box preserving aspect
     * ratio — pure column arithmetic over the decoded metadata (the

@@ -246,6 +246,27 @@ class BehaviorSpec extends SparkSpec {
     def msgs(t: Throwable): String =
       if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
     assert(msgs(e).contains("maxDistinct"), msgs(e))
+    // preflight dial: the same over-cap domain dies AT PLAN-BUILD TIME
+    // — a driver-side IllegalArgumentException from the sort-free gate
+    // (the late path above surfaces as a SparkException wrapping
+    // raise_error mid-execution, AFTER the window sort ran), and the
+    // builder never returns a DataFrame for the mega-sort to plan
+    val pf = intercept[IllegalArgumentException] {
+      WindowedQuantiles.quantiles(
+        Seq(("C", t0, 1.0), ("C", t0, 2.0), ("C", t0, 3.0))
+          .toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50),
+        maxDistinct = 2L, preflight = true)
+    }
+    assert(pf.getMessage.contains("preflight") &&
+      pf.getMessage.contains("maxDistinct"), pf.getMessage)
+    // ...and on an in-bounds domain preflight changes NOTHING
+    val pfOk = WindowedQuantiles.quantiles(
+        rows.toDF("k", "ts", "v"), "k", "ts", "v", "hour", Seq(50, 95),
+        preflight = true)
+      .orderBy($"pct")
+      .as[(String, java.sql.Timestamp, Long, Long, Double)]
+      .collect().toSeq
+    assert(pfOk === got, s"preflight must be result-invisible: $pfOk")
     // timezone invariance (review finding): hour windows are
     // epoch-integer truncated, NOT session-tz date_trunc — an
     // Asia/Kolkata (+05:30) session must group identically to UTC

@@ -1244,6 +1244,108 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0, 1, 2))
   }
 
+  /** Planted-fixture codec: n_frames = first byte; frame f's hash is
+    * byte f+1's value spread over word 0 (two media share frame f iff
+    * their bytes agree at f+1) — lets the majority/stride/hamming
+    * semantics be pinned with EXACT control over which frames match. */
+  private object PlantedSeqCodec extends graft.sources.MediaCodec {
+    override def decode(bytes: Array[Byte]): (Int, Int, Int, String) =
+      (8, 8, bytes(0).toInt, "vid")
+    override def featurize(bytes: Array[Byte], dim: Int): Array[Float] =
+      new Array[Float](dim)
+    override def frameHash(bytes: Array[Byte], frame: Int): (Long, Long) =
+      (bytes(frame + 1) & 0xffL, 0L)
+    override def chromaHash(bytes: Array[Byte], window: Int): (Long, Long) =
+      ((bytes(window + 1) & 0xffL) << 8, 0L) // disjoint domain from video
+  }
+
+  test("videoNearDupPairs: frame-majority semantics — 2/4 frames pass " +
+      "at 50%, 1/4 fails, length mismatch judged by the LONGER side") {
+    def media(nFrames: Int, frameVals: Int*): Array[Byte] =
+      (nFrames.toByte +: frameVals.map(_.toByte)).toArray
+    val docs = Seq(
+      (1L, media(4, 10, 20, 30, 40)),  // the anchor
+      (2L, media(4, 10, 20, 99, 98)),  // shares frames 0,1 → 50% → pair
+      (3L, media(4, 10, 97, 96, 95)),  // shares frame 0 → 25% → no pair
+      (4L, media(2, 10, 20))           // 2/2 match but longer side has 4 → 50%
+    ).toDF("doc_id", "media")
+    val pairs = Multimodal.videoNearDupPairs(docs, maxHamming = 0,
+        majorityPct = 50, codec = PlantedSeqCodec)
+      .select($"id_a", $"id_b", $"n_match").as[(Long, Long, Long)]
+      .collect().toSet
+    // doc 2 vs doc 4 also share frames 0,1 (both carry 10, 20)
+    assert(pairs === Set((1L, 2L, 2L), (1L, 4L, 2L), (2L, 4L, 2L)),
+      pairs.toString)
+    // at 60% the same corpus yields NOTHING (2/4 = 50% < 60%)
+    val strict = Multimodal.videoNearDupPairs(docs, maxHamming = 0,
+      majorityPct = 60, codec = PlantedSeqCodec)
+    assert(strict.isEmpty)
+  }
+
+  test("videoNearDupPairs: hamming boundary per frame and stride " +
+      "sampling of the majority denominator") {
+    def media(nFrames: Int, frameVals: Int*): Array[Byte] =
+      (nFrames.toByte +: frameVals.map(_.toByte)).toArray
+    // frame 0: values 0x0F vs 0x0E differ in 1 bit → match at
+    // maxHamming 1, not at 0
+    val docs = Seq(
+      (1L, media(1, 0x0F)),
+      (2L, media(1, 0x0E))).toDF("doc_id", "media")
+    assert(Multimodal.videoNearDupPairs(docs, maxHamming = 1,
+      majorityPct = 50, codec = PlantedSeqCodec).count() === 1L)
+    assert(Multimodal.videoNearDupPairs(docs, maxHamming = 0,
+      majorityPct = 50, codec = PlantedSeqCodec).isEmpty)
+    // stride 2 samples ordinals 0,2: docs matching at 0,2 but not 1
+    // are 2/2 sampled-majority dups — the denominator is the SAMPLED
+    // count, not raw n_frames
+    val strided = Seq(
+      (1L, media(3, 10, 50, 30)),
+      (2L, media(3, 10, 60, 30))).toDF("doc_id", "media")
+    val got = Multimodal.videoNearDupPairs(strided, maxHamming = 0,
+        majorityPct = 100, stride = 2, codec = PlantedSeqCodec)
+      .select($"n_match", $"n_frames_a").as[(Long, Long)].head()
+    assert(got === ((2L, 2L)))
+  }
+
+  test("audio chroma domain is disjoint from the video frame domain; " +
+      "a long-video maxFrames overflow fails loudly") {
+    def media(nFrames: Int, frameVals: Int*): Array[Byte] =
+      (nFrames.toByte +: frameVals.map(_.toByte)).toArray
+    val docs = Seq(
+      (1L, media(2, 10, 20)),
+      (2L, media(2, 10, 20))).toDF("doc_id", "media")
+    // same bytes pair in BOTH modes (each within its own salt domain)
+    assert(Multimodal.videoNearDupPairs(docs, maxHamming = 0,
+      majorityPct = 100, codec = PlantedSeqCodec).count() === 1L)
+    assert(Multimodal.audioNearDupPairs(docs, maxHamming = 0,
+      majorityPct = 100, codec = PlantedSeqCodec).count() === 1L)
+    // ...and with the REAL portable codec the two domains never
+    // cross-match: identical bytes yield different frame-vs-chroma
+    // hashes (the salt separates them)
+    val b = "same media bytes".getBytes("UTF-8")
+    assert(graft.sources.PortableCodec.frameHash(b, 0) !==
+      graft.sources.PortableCodec.chromaHash(b, 0))
+    // a medium beyond maxFrames dies loudly, never truncates silently
+    val long = Seq((1L, media(5, 1, 2, 3, 4, 5))).toDF("doc_id", "media")
+    val e = intercept[Exception] {
+      Multimodal.videoNearDupPairs(long, maxHamming = 0,
+        majorityPct = 50, maxFrames = 4, codec = PlantedSeqCodec).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("maxFrames"), msgs(e))
+  }
+
+  test("ImageIoCodec.frameHash decodes REAL frames: identical GIF " +
+      "frames hash equal, the inverted frame differs") {
+    val bytes = gifBytes(3) // frames 0 and 2 identical, 1 inverted
+    val h0 = graft.sources.ImageIoCodec.frameHash(bytes, 0)
+    val h1 = graft.sources.ImageIoCodec.frameHash(bytes, 1)
+    val h2 = graft.sources.ImageIoCodec.frameHash(bytes, 2)
+    assert(h0 === h2, "identical frames must hash identically")
+    assert(h0 !== h1, "the inverted frame must not collide")
+  }
+
   test("PortableCodec featurize: md5-domain, unit-norm, replayable") {
     val text = "portable codec payload"
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
