@@ -187,16 +187,36 @@ object Lake {
     val updDated = updates.withColumn("event_date", to_date(col(tsCol)))
     val dates = updDated.select("event_date").distinct().collect()
       .map(_.get(0))
-    // an empty/missing target (first batch) has no schema to read
+    // SCHEMA EVOLUTION (the day-2 reality: the stream gains a column):
+    // the existing slice reads with mergeSchema so files already
+    // spanning schema versions surface every column, and the union
+    // below null-fills whichever side lacks a column — old rows get
+    // NULL in the new column, exactly the readEvolving contract. A
+    // type CHANGE on a shared column is NOT mergeable: Spark's union
+    // would silently coerce (long ∪ string → string), rewriting
+    // history with no signal — fail loudly instead (ship a NEW column
+    // for the new type).
+    // An empty/missing target (first batch) has no schema to read.
     val existingSlice =
-      scala.util.Try(read(spark, path)).toOption
+      scala.util.Try(readEvolving(spark, path)).toOption
         .map(_.filter(col("event_date").isin(dates: _*))
           .withColumn("__src", lit(0)))
         .getOrElse(updDated.limit(0).withColumn("__src", lit(0)))
+    val updTypes = updDated.schema.map(f => f.name -> f.dataType).toMap
+    existingSlice.schema.filter(_.name != "__src").foreach { f =>
+      updTypes.get(f.name).foreach { dt =>
+        require(dt == f.dataType,
+          s"upsertLatest: column '${f.name}' changes type " +
+            s"${f.dataType.simpleString} -> ${dt.simpleString} — a type " +
+            "CHANGE cannot be merged (the union would silently coerce " +
+            "old rows); write the new type as a NEW column instead")
+      }
+    }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col("__src").desc)
     val merged = existingSlice
-      .unionByName(updDated.withColumn("__src", lit(1)))
+      .unionByName(updDated.withColumn("__src", lit(1)),
+        allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
@@ -225,7 +245,11 @@ object Lake {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col("event_date").desc)
-    val latest = read(spark, path)
+    // mergeSchema: a maintenance rewrite of an EVOLVING lake must see
+    // every column any file carries — a plain read samples one footer
+    // and would silently DROP a recently-added column from the whole
+    // lake (the rewrite then destroys it)
+    val latest = readEvolving(spark, path)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -261,7 +285,11 @@ object Lake {
     * append). */
   def compact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
     val tmp = path.stripSuffix("/") + "__compacting"
-    read(spark, path)
+    // mergeSchema for the same reason as dropSupersededVersions: a
+    // compaction must never silently drop a column newer files carry
+    // (side effect: the rewrite homogenizes the lake onto the merged
+    // schema, null-filling old rows — the documented evolution shape)
+    readEvolving(spark, path)
       .repartition(nFiles, col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
     swapInto(spark, path, tmp)

@@ -139,6 +139,66 @@ class LakeUpsertSpec extends SparkSpec {
     assert(byId(2L) === Some("extra"))
   }
 
+  test("schema evolution day-2 contract: a widened UPSERT null-fills " +
+      "old rows, survives maintenance, and z-orders; a type CHANGE " +
+      "fails loudly") {
+    val path = tmp()
+    seed(path) // (id, version, ts, payload)
+    // the stream gains `region`: the upsert must merge, old partitions
+    // and losing rows surfacing NULL in the new column
+    Lake.upsertLatest(spark, path,
+      Seq((2L, 2L, "2024-01-01 12:00:00", "b-v2", "eu"),
+          (4L, 1L, "2024-01-03 08:00:00", "d-v1", "us"))
+        .toDF("id", "version", "ts", "payload", "region")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+    val widened = Lake.readEvolving(spark, path)
+      .select($"id", $"version", $"payload", $"region")
+      .as[(Long, Long, String, Option[String])].collect()
+      .map { case (i, v, p, r) => i -> ((v, p, r)) }.toMap
+    assert(widened === Map(
+      1L -> ((1L, "a-v1", None)),       // untouched partition: null-fill
+      2L -> ((2L, "b-v2", Some("eu"))), // updated row carries the column
+      3L -> ((1L, "c-v1", None)),
+      4L -> ((1L, "d-v1", Some("us")))), widened.toString)
+    // an OLD-schema producer still upserting after the widening also
+    // merges (its rows null-fill the column it does not know about)
+    Lake.upsertLatest(spark, path,
+      Seq((3L, 2L, "2024-01-02 10:00:00", "c-v2"))
+        .toDF("id", "version", "ts", "payload")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      "id", "version", "ts")
+    // maintenance over the mixed-schema lake must PRESERVE the new
+    // column (a non-merged read would sample one old footer and the
+    // rewrite would destroy it) and homogenize old rows to NULL
+    Lake.dropSupersededVersions(spark, path, "id", "version")
+    Lake.compact(spark, path)
+    val after = spark.read.parquet(path) // plain read: post-compaction
+      .select($"id", $"version", $"region")
+      .as[(Long, Long, Option[String])].collect()
+      .map { case (i, v, r) => i -> ((v, r)) }.toMap
+    assert(after === Map(
+      1L -> ((1L, None)), 2L -> ((2L, Some("eu"))),
+      3L -> ((2L, None)), 4L -> ((1L, Some("us")))), after.toString)
+    // the widened lake z-orders (evolution-neutral write path)
+    val zpath = tmp()
+    Lake.writeZOrdered(Lake.readEvolving(spark, path)
+        .withColumn("vv", $"version" + lit(10L)),
+      zpath, Seq("version", "vv"), bits = 4, nFiles = 2)
+    assert(spark.read.parquet(zpath).columns.contains("region"))
+    // a TYPE CHANGE on a shared column dies loudly — silent union
+    // coercion would rewrite history (long payload over string)
+    val e = intercept[IllegalArgumentException] {
+      Lake.upsertLatest(spark, path,
+        Seq((5L, 1L, "2024-01-03 09:00:00", 42L))
+          .toDF("id", "version", "ts", "payload")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "id", "version", "ts")
+    }
+    assert(e.getMessage.contains("type CHANGE") &&
+      e.getMessage.contains("payload"), e.getMessage)
+  }
+
   test("streaming upsert via foreachBatch reaches latest-wins state") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
