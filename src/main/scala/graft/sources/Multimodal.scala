@@ -535,8 +535,17 @@ object Multimodal {
       // frame ids implies va <= vb, and va == vb is impossible
       .groupBy(col("va"), col("vb"))
       .agg(count(lit(1)).as("n_match"))
-    val counts = frames.groupBy(col("vid"))
-      .agg(count(lit(1)).as("nf"))
+    // sampled-frame counts via a DECODE-ONLY pass: re-deriving them
+    // from `frames` would re-run the full per-frame HASH pass (64
+    // digests per frame) just to count rows — the decode is one digest
+    // per medium, and ceil(n/stride) is exactly the sampled-row count
+    // Iterator.range emits
+    val counts = withMediaMeta(
+        df.select(col(idCol).as("vid"), col(binaryCol)), binaryCol, codec)
+      .filter(col("media_meta").isNotNull)
+      .select(col("vid"),
+        expr(s"CAST((media_meta.n_frames + ${stride - 1}) div $stride" +
+          " AS BIGINT)").as("nf"))
     matches
       .join(counts.select(col("vid").as("va"), col("nf").as("n_frames_a")), "va")
       .join(counts.select(col("vid").as("vb"), col("nf").as("n_frames_b")), "vb")
