@@ -144,6 +144,11 @@ object SparkEntry {
       (Behavior.q122CmsArtifactHeavyHitters _),
     "q123_video_neardup" -> (TrainingData.q123VideoNearDup _),
     "q124_audio_neardup" -> (TrainingData.q124AudioNearDup _),
+    "q125_stream_heavy_hitters" ->
+      (StreamingQueries.q125StreamHeavyHitters _),
+    "q126_phrase_search"  -> (Analytics.q126PhraseSearch _),
+    "q127_incremental_rollup" -> (Analytics.q127IncrementalRollup _),
+    "q128_shard_manifest" -> (TrainingData.q128ShardManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -409,5 +414,18 @@ object SparkEntry {
     // the integer majority test end-to-end.
     "q123_video_neardup" -> TrainingData.q123Sql,
     "q124_audio_neardup" -> TrainingData.q124Sql,
+    // q125: drained streaming SpaceSaving snapshot in the exact
+    // regime (capacity ≥ per-shard distinct keys ⇒ no evictions) —
+    // the oracle is the EXACT heavy-hitter SQL at threshold 60.
+    "q125_stream_heavy_hitters" -> StreamingQueries.q125Sql,
+    // q126: positional phrase search — the anchor-set intersection
+    // plan vs the textbook positional-adjacency join, same tokenizer.
+    "q126_phrase_search" -> Analytics.q126Sql,
+    // q127: persisted rollup + delta merge ≡ full recompute — the
+    // oracle recomputes from scratch, so any merge-algebra slip diffs.
+    "q127_incremental_rollup" -> Analytics.q127Sql,
+    // q128: seeded deterministic shard manifest — md5 permutation
+    // key, mod-N shard, within-shard row_number, replayed exactly.
+    "q128_shard_manifest" -> TrainingData.q128Sql,
   )
 }

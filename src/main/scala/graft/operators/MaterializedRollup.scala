@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Incremental materialized-rollup maintenance — the warehouse
+  * day-2 operation the lake family (upsert q74, compaction, z-order
+  * q95) implies but never exercises at the AGGREGATE level: a
+  * persisted daily rollup refreshed from each ingestion batch
+  * WITHOUT rescanning history. Refresh cost is
+  * `O(|delta| + |rollup|)` — the delta aggregation scans only the
+  * new batch (at 100 TB: the day's partition, pruned by the lake's
+  * date layout), the merge shuffles only rollup-sized rows (groups,
+  * not events) — where a recompute pays `O(|history|)` every run.
+  *
+  * The trick is the STAT ALGEBRA, not the plumbing: every maintained
+  * column must be mergeable by an associative, commutative combine
+  * with the raw-event partials — count (+), quantized-integer sum
+  * (+ — the repo's exact-decimal discipline, so the refreshed sum is
+  * bit-identical under ANY batch split), min (least), max
+  * (greatest). Non-mergeable readouts (mean) derive from mergeable
+  * ones at read time. The same algebra is what Spark's own partial
+  * aggregation exploits map-side; this operator persists the partial
+  * state across JOBS instead of across tasks (the SketchStore
+  * build-once stance, at exact-aggregate granularity).
+  *
+  * CONTRACT: partials being merged must cover DISJOINT event sets
+  * (split by an ingestion boundary — here a ts cutoff; late events
+  * for an old day are fine, they land in a new batch and merge into
+  * the old day's row additively). Re-merging an already-merged batch
+  * double-counts — the caller owns exactly-once batch delivery, the
+  * same contract as `Dedup.ingestBatch`. */
+object MaterializedRollup {
+
+  private val D = DecimalType(38, 0)
+
+  /** Raw events → partial rollup rows, one per (event_type, UTC
+    * epoch-day): `(event_type, day, n, sum_qv, min_qv, max_qv)` with
+    * `qv = floor(value·10⁴)` (the shared guarded quantizer —
+    * [[Trend.quantize4]]'s ±9e14 loud bound) and `sum_qv` an exact
+    * decimal(38,0). Null type/ts/value and NaN rows are excluded
+    * (the q117 filter contract). Day is timezone-free epoch-integer
+    * arithmetic (`µs div 86 400 000 000`), never session-tz
+    * `date_trunc`. */
+  def aggregate(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(col(typeCol).as("event_type"),
+        unix_micros(col(tsCol)).as("__us"),
+        Trend.quantize4(col(valueCol).cast("double"),
+          "materializedRollup", valueCol).as("__qv"))
+      // integer floor-division (Column./ is IEEE true division) —
+      // the q118 timezone-free truncation idiom
+      .withColumn("day",
+        expr("(__us - pmod(__us, 86400000000)) div 86400000000")
+          .cast(LongType))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__qv")).cast(D).as("sum_qv"),
+        min(col("__qv")).cast(LongType).as("min_qv"),
+        max(col("__qv")).cast(LongType).as("max_qv"))
+
+  /** Merge partial rollups covering disjoint event sets (see the
+    * class contract) into one refreshed rollup — a rollup-sized
+    * shuffle, map-side combinable, history never touched. */
+  def merge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "merge needs at least one partial rollup")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).cast(LongType).as("n"),
+        sum(col("sum_qv")).cast(D).as("sum_qv"),
+        min(col("min_qv")).as("min_qv"),
+        max(col("max_qv")).as("max_qv"))
+  }
+
+  /** Read-time finalization: integer columns for the hash-exact
+    * surface plus the derived mean — `sum/(n·10⁴)` as ONE raw IEEE
+    * double division, deliberately UN-rounded (the q116 stance:
+    * `round(·,4)` at a representable half boundary is rounding-mode-
+    * dependent across engines — HALF_UP here, half-even in DuckDB —
+    * and a daily mean lands on one in practice). The BIGINT cast of
+    * `sum_qv` is guarded: a rollup whose exact sum outgrew int64
+    * must die loudly, not wrap or null. */
+  def readout(rollup: DataFrame): DataFrame = {
+    val inRange = col("sum_qv").between(
+      BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+    rollup.select(col("event_type"), col("day"), col("n"),
+      when(inRange, col("sum_qv").cast(LongType))
+        .otherwise(raise_error(concat(
+          lit("materializedRollup: sum_qv="), col("sum_qv").cast("string"),
+          lit(" overflows BIGINT — widen the readout")))
+          .cast(LongType)).as("sum_qv"),
+      col("min_qv"), col("max_qv"),
+      (col("sum_qv").cast("double") /
+        (col("n").cast("double") * lit(10000.0))).as("mean_v"))
+  }
+}

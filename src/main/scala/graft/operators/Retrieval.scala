@@ -193,4 +193,56 @@ object Retrieval {
       .join(byId, Seq("term_id"))
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
   }
+
+  /** Positional phrase search — "which docs contain these tokens
+    * CONTIGUOUSLY, and where": the positional completion of the
+    * retrieval family (BM25/TF-IDF are bag-of-words; a phrase query
+    * needs token POSITIONS). Returns `(doc_id, hits, first_pos)` for
+    * docs with ≥ 1 occurrence; positions are 1-based over the
+    * repo-wide whitespace tokenizer ([[graft.functions.TextFunctions
+    * .tokens]] contract).
+    *
+    * Scale shape — ONE corpus scan, ONE corpus-sized shuffle, ZERO
+    * self-joins: the naive positional-index plan joins the postings
+    * list to itself L−1 times (L = phrase length), re-scanning or
+    * re-shuffling the corpus each time; here postings are pruned to
+    * the phrase vocabulary IMMEDIATELY after the explode (the filter
+    * runs before any exchange, so the shuffle carries only
+    * phrase-term rows — for realistic phrases a vanishing fraction
+    * of the corpus), then ONE per-doc aggregate collects each term's
+    * candidate anchor positions (`pos − i` for the term at phrase
+    * offset i) and the contiguous-match set is the pure array
+    * intersection of those anchor sets — codegen'd `array_intersect`
+    * chain, no join at all. Per-doc state is bounded by the doc's
+    * phrase-term occurrence count (≤ doc length — the same per-doc
+    * bound every chunking/packing op already carries).
+    *
+    * Anchor sets are duplicate-free by construction (a token occupies
+    * exactly one position), so `array_intersect`'s set semantics are
+    * exact; repeated phrase terms ("w w") work because each offset
+    * filters the SAME postings rows into its own shifted set. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase terms must be non-empty single tokens, got $phrase")
+    val postings = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")))
+      .filter(col("col").isin(phrase.distinct.map(lit): _*))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val anchorSets = phrase.zipWithIndex.map { case (t, i) =>
+      sort_array(collect_list(when(col("tok") === t, col("pos") - i)))
+        .as(s"__a$i")
+    }
+    val perDoc = postings.groupBy(col("doc_id")).agg(
+      anchorSets.head, anchorSets.tail: _*)
+    val matched = phrase.indices.map(i => col(s"__a$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    perDoc
+      .select(col("doc_id"), matched.as("__m"))
+      .filter(size(col("__m")) > 0)
+      .select(col("doc_id"), size(col("__m")).cast("long").as("hits"),
+        array_min(col("__m")).cast("long").as("first_pos"))
+  }
 }

@@ -451,4 +451,39 @@ object Sampling {
           .cast("long"))
       .drop("__shard", "__cum", "__off")
   }
+
+  /** Deterministic global shuffle → shard manifest, the step between
+    * curation and the trainer: assign every doc a `(shard,
+    * pos_in_shard)` so readers stream shards in manifest order and
+    * the corpus arrives in a SEEDED pseudo-random permutation
+    * (training-loss curves care; a sorted-by-source corpus trains
+    * visibly worse). The naive formulation — `row_number() OVER
+    * (ORDER BY hash)` — is ONE global sort task at scale; here the
+    * permutation is hash-partitioned FIRST (shard = hash mod
+    * nShards — each shard is itself a random sample), then ordered
+    * only WITHIN shards, so every window partition is
+    * `O(N/nShards)` — the caller sizes nShards to the trainer's
+    * file-size target exactly as [[packSequences]] sizes packs.
+    *
+    * Determinism: the permutation key is [[portableHash48]] of
+    * `"<seed>:<id>"` — stable across partitioning/retries/engines
+    * (the repo's md5 discipline), tie-broken by doc id, so the
+    * manifest is bit-identical on any cluster layout and replayable
+    * in the DuckDB oracle. Changing the seed re-shuffles without
+    * touching the data. */
+  def shardManifest(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    require(!seed.contains(":"),
+      s"seed must not contain ':' (key-domain separator), got '$seed'")
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash48(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+  }
 }

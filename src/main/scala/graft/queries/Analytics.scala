@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.OracleMath.Dec
-import graft.operators.{Funnel, Graph, Retrieval, Sampling}
+import graft.operators.{Funnel, Graph, MaterializedRollup, Retrieval, Sampling}
 import graft.sources.Lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,6 +108,74 @@ object Analytics {
        |FROM r WHERE rnk <= 3
        |ORDER BY doc_id, rank""".stripMargin
   }
+
+  /** q126: positional phrase search — docs containing the contiguous
+    * token sequence "table part", with occurrence count and first
+    * 1-based position ([[Retrieval.phraseSearch]]: postings pruned to
+    * the phrase vocabulary before the one corpus shuffle, contiguity
+    * via codegen'd anchor-set intersection — no postings self-join).
+    * The oracle replays the positional index as the textbook
+    * adjacency join, so the two formulations gate each other. */
+  def q126PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.phraseSearch(Tables.documents(s, dir),
+        Seq("table", "part"))
+      .orderBy($"doc_id")
+  }
+
+  val q126Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+      |      AS pos
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS hits,
+      |  CAST(min(t0.pos) AS BIGINT) AS first_pos
+      |FROM toks t0
+      |JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      |WHERE t0.tok = 'table' AND t1.tok = 'part'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q127: incremental materialized-rollup maintenance
+    * ([[operators.MaterializedRollup]]) — the daily (event_type, day)
+    * rollup built from history (ts < 2024-01-24), PERSISTED to
+    * parquet, read back COLD, and refreshed by merging the delta
+    * batch's partials — history never rescanned. The oracle is the
+    * FULL RECOMPUTE over all events, so one wrong merge term (a
+    * dropped count, a min that should have been least(base, delta))
+    * diffs the result; the exact-decimal sum makes the refreshed
+    * sum bit-identical to the recompute under any batch split. */
+  def q127IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cutUs = 1706054400000000L // 2024-01-24T00:00:00Z, epoch µs
+    // fixed scratch path, overwritten per invocation (q121 stance)
+    val tmp = "target/scratch/q127_rollup"
+    MaterializedRollup.aggregate(ev.filter(unix_micros($"ts") < cutUs))
+      .write.mode("overwrite").parquet(tmp)
+    val cold = s.read.parquet(tmp)
+    val delta = MaterializedRollup.aggregate(
+      ev.filter(unix_micros($"ts") >= cutUs))
+    MaterializedRollup.readout(
+        MaterializedRollup.merge(Seq(cold, delta)))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q127Sql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    CAST(floor(CAST(value AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value))
+      |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(qv) AS BIGINT) AS sum_qv,
+      |  CAST(MIN(qv) AS BIGINT) AS min_qv,
+      |  CAST(MAX(qv) AS BIGINT) AS max_qv,
+      |  CAST(SUM(qv) AS DOUBLE) / (count(*) * 10000.0) AS mean_v
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Supplier-node offset separating the two halves of the bipartite
     * customer↔supplier graph (custkeys stay far below it at any SF). */

@@ -332,6 +332,47 @@ object StreamingQueries {
     * oracle. */
   val q118Sql: String = Behavior.q117Sql
 
+  private val lastSink125 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q125: streaming heavy hitters — SpaceSaving summaries per hash
+    * shard ([[graft.streaming.HeavyHitterStream]]), the live twin of
+    * the batch Count-Min prune-then-verify (q115/q122) and the first
+    * family whose exact deployment variant is bounded BY CONSTRUCTION
+    * (state = nShards × capacity rows, forever). Dials put the run in
+    * the exact regime (8 shards × capacity 512 ≥ sf0.1's ~1500
+    * distinct users ⇒ zero evictions ⇒ every count exact, every err
+    * 0), so the oracle is the EXACT heavy-hitter SQL at threshold 60
+    * — deliberately between q115's 70 and q122's 50, so the three
+    * frequency gates are independent. The consumer is the SNAPSHOT
+    * read the emission contract requires (each shard's max-`seen`
+    * rows), not per-key max-seen — see the operator doc for why. */
+  def q125StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val ev = eventsStream(s, dir)
+        .filter($"user_id".isNotNull)
+        .select(
+          pmod(xxhash64($"user_id"), lit(8)).cast("int").as("shard"),
+          $"user_id".as("key"))
+      val out = graft.streaming.HeavyHitterStream.topKeys(ev,
+        capacity = 512)
+      val emitted =
+        drain(s, out.toDF(), "q125_stream_out", lastSink125, "append")
+      graft.streaming.HeavyHitterStream.latestSnapshot(emitted)
+        .filter($"n" >= 60)
+        .select($"key".as("user_id"), $"n")
+        .orderBy($"user_id")
+    }
+  }
+
+  /** The drained snapshot ≡ the exact per-key counts (exact regime:
+    * capacity ≥ per-shard distinct keys ⇒ no evictions). */
+  val q125Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 HAVING count(*) >= 60
+      |ORDER BY user_id""".stripMargin
+
   /** Batch replay of the same sketch + estimator (q85's integer math
     * at k = 16 over the portable user-id hash). */
   val q89Sql: String =

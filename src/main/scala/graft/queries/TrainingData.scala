@@ -538,6 +538,29 @@ object TrainingData {
        |GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
+  /** q128: deterministic global shuffle → shard manifest
+    * ([[graft.operators.Sampling.shardManifest]]) — the seeded
+    * pseudo-random permutation handed to the trainer, partitioned
+    * into 16 shards so no global sort/window exists anywhere. The
+    * oracle replays the md5 permutation key, the mod-16 shard and
+    * the within-shard row_number exactly. */
+  def q128ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Sampling.shardManifest(
+        Tables.documents(s, dir), "doc_id", nShards = 16, seed = "42")
+      .orderBy($"shard", $"pos_in_shard")
+  }
+
+  val q128Sql: String = {
+    val hk = graft.operators.Sampling.portableHash48Sql(
+      "concat('42:', CAST(doc_id AS VARCHAR))")
+    s"""WITH h AS (SELECT doc_id, $hk AS hk FROM documents)
+       |SELECT doc_id, CAST(hk % 16 AS INTEGER) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hk % 16
+       |    ORDER BY hk, doc_id) AS BIGINT) AS pos_in_shard
+       |FROM h ORDER BY shard, pos_in_shard""".stripMargin
+  }
+
   /** Rolling-hash document fingerprints. The driver query uses the
     * md5-derived portable variant so DuckDB can replay the exact fold
     * (the q47 `hashSplitPortable` play); the xxhash64 fast path stays

@@ -94,4 +94,56 @@ class RetrievalSpec extends SparkSpec {
     assert(partial.nonEmpty,
       s"expected bounded_max_long_pairs in Partial mode:\n$plan")
   }
+
+  test("phraseSearch: contiguous matches only, 1-based positions, " +
+      "overlapping repeated-term phrases, misses excluded") {
+    val docs = Seq(
+      (1L, "a b c a b"),       // "a b" at 1 and 4
+      (2L, "b a c"),           // tokens present, never contiguous
+      (3L, "x y z"),           // no phrase tokens at all
+      (4L, "c a b c")          // "a b" at 2
+    ).toDF("doc_id", "text")
+    val got = operators.Retrieval.phraseSearch(docs, Seq("a", "b"))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L), (4L, 1L, 2L)), got.toString)
+    // overlapping occurrences of a repeated-term phrase: "a a a" has
+    // "a a" at positions 1 AND 2
+    val rep = operators.Retrieval.phraseSearch(
+        Seq((9L, "a a a")).toDF("doc_id", "text"), Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep === Seq((9L, 2L, 1L)), rep.toString)
+    // single-term phrase = plain token occurrences
+    val one = operators.Retrieval.phraseSearch(docs, Seq("c"))
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 1L, 3L), (2L, 1L, 3L), (4L, 2L, 1L)))
+    // null text is excluded, not an error
+    val withNull = Seq((5L, null: String), (6L, "a b"))
+      .toDF("doc_id", "text")
+    assert(operators.Retrieval.phraseSearch(withNull, Seq("a", "b"))
+      .as[(Long, Long, Long)].collect().toSeq === Seq((6L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      operators.Retrieval.phraseSearch(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Retrieval.phraseSearch(docs, Seq("a b"))
+    }
+  }
+
+  test("phraseSearch plan: one scan, phrase-vocabulary filter below " +
+      "the single shuffle, no join anywhere") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = operators.Retrieval.phraseSearch(docs, Seq("a", "b"))
+      .queryExecution.sparkPlan
+    val joins = plan.collectWithSubqueries {
+      case j if j.nodeName.toLowerCase.contains("join") => j.nodeName
+    }
+    assert(joins.isEmpty, s"phrase plan must not join: $joins")
+    val exchanges = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.nodeName
+    }
+    assert(exchanges.size <= 1,
+      s"expected at most one corpus shuffle, got $exchanges")
+  }
 }

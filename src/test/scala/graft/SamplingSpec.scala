@@ -359,4 +359,38 @@ class SamplingSpec extends SparkSpec {
       Sampling.withReplicaKey(neg, "doc_id", maxFactor = 4).collect()
     }
   }
+
+  test("shardManifest: every doc exactly once, positions contiguous " +
+      "1..|shard|, bit-identical under repartitioning, seed changes " +
+      "the permutation without touching membership") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val m = Sampling.shardManifest(docs, "doc_id", nShards = 8,
+      seed = "42").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // partition of the corpus: every doc exactly once
+    assert(m.map(_._1).toSeq === (0L until 200L).toSeq)
+    assert(m.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions within each shard are exactly 1..|shard|
+    m.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size.toLong).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    // determinism under physical layout
+    val re = Sampling.shardManifest(docs.repartition(7), "doc_id",
+      nShards = 8, seed = "42").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(re === m)
+    // a different seed is a different permutation of the same corpus
+    val other = Sampling.shardManifest(docs, "doc_id", nShards = 8,
+      seed = "43").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(other.map(_._1) === m.map(_._1))
+    assert(other !== m)
+    intercept[IllegalArgumentException] {
+      Sampling.shardManifest(docs, "doc_id", nShards = 0, seed = "42")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.shardManifest(docs, "doc_id", nShards = 8, seed = "a:b")
+    }
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[MaterializedRollup]]: the merge algebra (count/sum/min/max over
+  * quantized integers) must make any disjoint batch split
+  * bit-identical to the single-shot recompute — that's the whole
+  * point of maintaining the rollup incrementally. */
+class MaterializedRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0) = new java.sql.Timestamp(
+    (day.toLong * 86400L + h * 3600L) * 1000L)
+
+  private val events = Seq(
+    ("a", ts(100, 1), 1.5),
+    ("a", ts(100, 5), -2.25),
+    ("a", ts(101, 2), 4.0),
+    ("b", ts(100, 3), 10.0),
+    ("b", ts(100, 4), 10.0)
+  ).toDF("event_type", "ts", "value")
+
+  test("aggregate: hand-checked quantized stats per (type, day)") {
+    val got = MaterializedRollup.readout(
+        MaterializedRollup.aggregate(events))
+      .orderBy($"event_type", $"day")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      // a/day100: qv 15000, -22500 → sum -7500, mean -0.375
+      ("a", 100L, 2L, -7500L, -22500L, 15000L, -0.375),
+      ("a", 101L, 1L, 40000L, 40000L, 40000L, 4.0),
+      ("b", 100L, 2L, 200000L, 100000L, 100000L, 10.0)), got.toString)
+  }
+
+  test("merge over ANY disjoint split ≡ single-shot recompute, " +
+      "including a late event for an old day in the delta batch") {
+    val full = MaterializedRollup.readout(
+        MaterializedRollup.aggregate(events))
+      .orderBy($"event_type", $"day")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // split 1: by ts cutoff (day 101 boundary) — the q127 shape; the
+    // delta ALSO carries a late event for day 100 via split 2 below
+    val byDay = Seq(
+      events.filter($"ts" < lit(ts(101))),
+      events.filter($"ts" >= lit(ts(101))))
+    // split 2: interleaved thirds — no alignment with days at all
+    val withId = events.withColumn("i", monotonically_increasing_id())
+    val thirds = (0 until 3).map(r =>
+      withId.filter(pmod($"i", lit(3)) === r).drop("i"))
+    for (split <- Seq(byDay, thirds)) {
+      val merged = MaterializedRollup.readout(
+          MaterializedRollup.merge(split.map(
+            MaterializedRollup.aggregate(_))))
+        .orderBy($"event_type", $"day")
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      assert(merged === full, s"split ${split.size}: $merged")
+    }
+  }
+
+  test("null type/ts/value and NaN rows are excluded (q117 filter " +
+      "contract); empty input yields an empty rollup") {
+    val messy = Seq(
+      (null: String, ts(100), 1.0),
+      ("a", null: java.sql.Timestamp, 1.0),
+      ("a", ts(100), Double.NaN),
+      ("a", ts(100), 2.0)
+    ).toDF("event_type", "ts", "value")
+    val got = MaterializedRollup.aggregate(messy)
+      .select($"event_type", $"n").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 1L)))
+    assert(MaterializedRollup.aggregate(
+      messy.filter($"event_type" === "zzz")).count() === 0L)
+  }
+
+  test("guards die loudly: quantizer bound, BIGINT readout overflow") {
+    val big = Seq(("a", ts(100), 1.0e15)).toDF("event_type", "ts", "value")
+    val e1 = intercept[Exception] {
+      MaterializedRollup.aggregate(big).collect()
+    }
+    assert(e1.getMessage.contains("quantization bound"), e1.getMessage)
+    // a rollup whose exact decimal sum outgrew int64 must not wrap
+    val over = Seq(("a", 100L, 1L, BigDecimal("9223372036854775808"),
+        0L, 0L))
+      .toDF("event_type", "day", "n", "sum_qv", "min_qv", "max_qv")
+      .withColumn("sum_qv",
+        $"sum_qv".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val e2 = intercept[Exception] {
+      MaterializedRollup.readout(over).collect()
+    }
+    assert(e2.getMessage.contains("overflows BIGINT"), e2.getMessage)
+  }
+}
