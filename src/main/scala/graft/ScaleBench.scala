@@ -493,7 +493,21 @@ object ScaleBench {
       ("interpolate_minutes",
         (d: DataFrame) => graft.operators.Timeseries.interpolateMinutes(
           d, "event_type", "ts_ns", "value").count(),
-        () => events1, () => eventsN))
+        () => events1, () => eventsN),
+      // round-13 text-family rows: near-linear ratios mean the
+      // one-corpus-shuffle shapes hold under amplification
+      ("phrase_search",
+        (d: DataFrame) => graft.operators.Retrieval
+          .phraseSearch(d, Seq("table", "part")).count(),
+        () => docs1, () => docsN),
+      ("shard_manifest",
+        (d: DataFrame) => graft.operators.Sampling
+          .shardManifest(d, "doc_id", nShards = 64, seed = "42").count(),
+        () => docs1, () => docsN),
+      ("lm_surprisal",
+        (d: DataFrame) => graft.operators.LanguageModel
+          .bigramSurprisal(d).count(),
+        () => docs1, () => docsN))
 
     nameFilter.foreach { f =>
       val unknown = f -- pipelines.map(_._1).toSet
@@ -989,6 +1003,82 @@ object ScaleBench {
         "the probe path must beat rebuilds on marginal cost alone")
       val breakeven = tBuild / math.max(marginalRebuild - marginalProbe, 1e-9)
       println(f"""{"pipeline":"sketch_artifact_lifecycle","batches":$nBatches,"rebuild_sec":$tRebuild%.2f,"build_once_sec":$tBuild%.2f,"probe_sec":$tProbe%.2f,"reuse_speedup":${tRebuild / (tBuild + tProbe)}%.2f,"marginal_speedup":${marginalRebuild / marginalProbe}%.2f,"breakeven_batches":$breakeven%.1f}""")
+    }
+
+    // ---- materialized rollup maintenance: a persisted daily rollup
+    // refreshed by N ingestion batches (aggregate the delta, merge
+    // with the COLD previous rollup) vs recomputing from the ever-
+    // growing history each batch — the O(|delta| + |rollup|) vs
+    // O(|history|) economics [[graft.operators.MaterializedRollup]]
+    // exists for. Pass = the final incremental readout is IDENTICAL
+    // to the final recompute's (the merge-algebra gate, at scale,
+    // after N real merge generations) and the incremental path's
+    // marginal batch cost beats the recompute's.
+    {
+      val dir = s"$scratch/rollup_maintenance"
+      val rPath = new org.apache.hadoop.fs.Path(dir)
+      val rfs = rPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rfs.delete(rPath, true)
+      val t0us = 1704067200000000L // 2024-01-01, epoch µs
+      def synthEvents(from: Long, n: Long) = spark.range(from, from + n)
+        .select(concat(lit("type_"), $"id" % 8).as("event_type"),
+          timestamp_micros(lit(t0us) + ($"id" % 30) * 86400000000L +
+            ($"id" % 86400L) * 1000000L).as("ts"),
+          (($"id" % 1000L).cast("double") / 10.0).as("value"))
+      // history large enough that the rescan dominates the per-job
+      // fixed overhead — measured ladder on this box: 4M history →
+      // 1.08× marginal, 20M → 1.19× (the ~1.2 s/batch local job
+      // floor hides the asymmetry), 100M → the rescan is finally the
+      // visible term. The operator's regime is precisely the one
+      // where history no longer fits a casual rescan.
+      val histN = 100000000L
+      val deltaN = 500000L // each ingestion batch: 0.5% of history
+      val nBatches = 5
+      synthEvents(0L, histN).write.mode("overwrite")
+        .parquet(s"$dir/delta_0")
+      (1 to nBatches).foreach { b =>
+        synthEvents(histN + (b - 1) * deltaN, deltaN)
+          .write.mode("overwrite").parquet(s"$dir/delta_$b")
+      }
+      import graft.operators.MaterializedRollup
+      // one-time initial build (both paths would pay it)
+      val tBase = time {
+        MaterializedRollup.aggregate(spark.read.parquet(s"$dir/delta_0"))
+          .write.mode("overwrite").parquet(s"$dir/rollup_0")
+      }
+      // INCREMENTAL: each batch aggregates its delta and merges with
+      // the cold persisted rollup — history is never re-read
+      val tInc = time {
+        (1 to nBatches).foreach { b =>
+          MaterializedRollup.merge(Seq(
+              spark.read.parquet(s"$dir/rollup_${b - 1}"),
+              MaterializedRollup.aggregate(
+                spark.read.parquet(s"$dir/delta_$b"))))
+            .write.mode("overwrite").parquet(s"$dir/rollup_$b")
+        }
+      }
+      // RECOMPUTE-PER-BATCH: each batch rescans history + all deltas
+      val tRe = time {
+        (1 to nBatches).foreach { b =>
+          MaterializedRollup.aggregate(spark.read.parquet(
+              (0 to b).map(i => s"$dir/delta_$i"): _*))
+            .write.mode("overwrite").parquet(s"$dir/recompute_$b")
+        }
+      }
+      val incFinal = MaterializedRollup.readout(
+          spark.read.parquet(s"$dir/rollup_$nBatches"))
+        .orderBy($"event_type", $"day").collect().toSeq
+      val reFinal = MaterializedRollup.readout(
+          spark.read.parquet(s"$dir/recompute_$nBatches"))
+        .orderBy($"event_type", $"day").collect().toSeq
+      require(incFinal == reFinal && incFinal.nonEmpty,
+        s"incremental rollup diverged from recompute after $nBatches " +
+          s"merges: ${incFinal.size} vs ${reFinal.size} rows")
+      val marginalInc = tInc / nBatches
+      val marginalRe = tRe / nBatches
+      require(marginalInc < marginalRe,
+        "the incremental path must beat recompute on marginal cost")
+      println(f"""{"pipeline":"rollup_maintenance","batches":$nBatches,"base_sec":$tBase%.2f,"incremental_sec":$tInc%.2f,"recompute_sec":$tRe%.2f,"marginal_speedup":${marginalRe / marginalInc}%.2f}""")
     }
     }
     spark.stop()

@@ -149,6 +149,8 @@ object SparkEntry {
     "q126_phrase_search"  -> (Analytics.q126PhraseSearch _),
     "q127_incremental_rollup" -> (Analytics.q127IncrementalRollup _),
     "q128_shard_manifest" -> (TrainingData.q128ShardManifest _),
+    "q129_lm_surprisal"   -> (TrainingData.q129LmSurprisal _),
+    "q130_mmr_select"     -> (TrainingData.q130MmrSelect _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -427,5 +429,11 @@ object SparkEntry {
     // q128: seeded deterministic shard manifest — md5 permutation
     // key, mod-N shard, within-shard row_number, replayed exactly.
     "q128_shard_manifest" -> TrainingData.q128Sql,
+    // q129: self-scored bigram LM — integer ratio + bitlength
+    // floor-log2, the whole train+score chain replayed exactly.
+    "q129_lm_surprisal" -> TrainingData.q129Sql,
+    // q130: the ENTIRE 8-step greedy MMR walk replayed in one
+    // recursive CTE (round-4 cosines, smallest-id ties).
+    "q130_mmr_select" -> TrainingData.q130Sql,
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Bigram language-model surprisal scoring — the perplexity-style
+  * quality filter (CCNet/Gopher lineage, see PAPERS.md) a curation
+  * pipeline runs between the cheap ratio heuristics (q20) and
+  * anything model-based: score each document by how PREDICTABLE its
+  * token sequence is under a bigram model trained on the corpus
+  * itself. Boilerplate scores low (every bigram is common),
+  * gibberish and mojibake score high (every bigram is a surprise);
+  * both tails are what curators drop or audit.
+  *
+  * QUANTIZED-LOG CONTRACT ([[Collocations]]' trick, pointed at
+  * conditional probability): per-bigram surprisal is
+  * `−log₂ P(b|a) = log₂(n(a·)/n(ab))` with `n(a·)` the CONTEXT count
+  * (Σ over bigrams starting at `a` — the proper conditional
+  * denominator, not the unigram count: the last token of a doc is a
+  * unigram occurrence but never a context). A libm `log` would drift
+  * across engines, so the score is the floor-log₂ of the EXACT
+  * scaled integer ratio `(n(a·)·2¹⁰) div n(ab)`, recovered as
+  * `bitlength − 1` — pure integer arithmetic, 10 fractional bits
+  * (q = 1024·log₂ would need 38-digit products; 2¹⁰ resolution is
+  * plenty to rank docs). `n(a·) ≥ n(ab)` always, so q ≥ 10; subtract
+  * 10 for whole bits.
+  *
+  * SELF-SCORED: the model is trained on the corpus being scored, so
+  * every scored bigram has count ≥ 1 and no smoothing/backoff is
+  * needed (scoring a held-out set against a train-corpus model needs
+  * an OOV policy — deliberately out of scope). Docs with < 2 tokens
+  * have no bigrams and emit no row.
+  *
+  * Scale shape: bigram generation is the NARROW in-row zip
+  * ([[Collocations]] — no posexplode self-join); the model tables
+  * are hash aggregates with map-side combine; scoring joins are
+  * vocabulary-keyed equi-joins (bigram table on (a,b), context table
+  * on (a) — corpus rows never join row-wise); the readout is one
+  * per-doc aggregate. Four shuffles total, all keyed, all partial-
+  * aggregated — the q91 TF-IDF shape with a second model join. */
+object LanguageModel {
+
+  /** `(doc_id, n_bigrams, q_total, q_avg)` per doc with ≥ 1 bigram:
+    * `q_total` = Σ floor(log₂(2¹⁰·n(a·)/n(ab))) over the doc's
+    * bigrams (order-independent, exactly reproducible), `q_avg` the
+    * one raw IEEE division `q_total / n_bigrams` (un-rounded — the
+    * q127 rounding stance). */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+    val pairLen = greatest(size(col("toks")) - 1, lit(0))
+    val bg = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), pairLen),
+        slice(col("toks"), lit(2), pairLen),
+        (l, r) => struct(l.as("a"), r.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val nab = bg.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    // context counts derive from the bigram table — vocabulary-sized
+    // input, so this aggregate never rescans the corpus
+    val ctx = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    bg
+      .join(nab, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .select(col("doc_id"),
+        // loud scale bound (the quantize4 stance): 2¹⁰·n(a·) must
+        // stay in int64 — fires at ~9·10¹⁵ context occurrences
+        when(col("n_a") <= lit(9000000000000000L),
+          (length(bin(expr("(n_a * 1024) div n_ab"))) - 1)
+            .cast(LongType))
+          .otherwise(raise_error(concat(
+            lit("bigramSurprisal: context count "), col("n_a"),
+            lit(" overflows the 2^10-scaled ratio — widen to decimal")))
+            .cast(LongType)).as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_total"))
+      .select(col("doc_id"), col("n_bigrams"), col("q_total"),
+        (col("q_total").cast("double") /
+          col("n_bigrams").cast("double")).as("q_avg"))
+  }
+}

@@ -530,4 +530,74 @@ object Similarity {
     c.unpersist()
     out
   }
+
+  /** Maximal-marginal-relevance diverse selection (Carbonell &
+    * Goldstein 1998, see PAPERS.md) — pick k exemplars that are
+    * RELEVANT to a query vector but DISSIMILAR to each other: the
+    * curation op behind diverse few-shot pools and eval-set seeding,
+    * where plain top-k returns k near-duplicates of the best hit.
+    *
+    * Greedy contract (λ = 0.5, argmax-equivalent form): step 1 takes
+    * the max relevance; step i takes
+    * `argmax_d (rel₄(d) − max_{s∈S} sim₄(d, s))` over unselected
+    * candidates, where rel₄/sim₄ are round-4 cosines (the q24
+    * determinism stance) and ties break to the smallest id — fully
+    * deterministic, so the whole greedy walk replays in a DuckDB
+    * recursive CTE.
+    *
+    * Scale shape: an EXPLICITLY bounded driver loop of k distributed
+    * argmax steps (the PageRank/Lloyd stance — k ≤ 100, loud guard).
+    * Each step broadcasts the ≤ k selected vectors and scans the
+    * candidate set once (`O(k·N·d)` total work, no candidate-pair
+    * blowup); the per-step winner is a TakeOrdered, never a window;
+    * relevance is computed ONCE and persisted across steps. Returns
+    * `(step, vec_id, score)`; fewer than k candidates ends the walk
+    * early with the rows selected so far. */
+  def mmrSelect(vectors: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 100,
+      s"k=$k outside [1, 100] — the greedy loop is k driver actions")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors
+      .select(col(idCol).cast(LongType).as("id"),
+        asDouble(col(vecCol)).as("vec"))
+      .filter(col("id").isNotNull && col("vec").isNotNull)
+    val qRows = base.filter(col("id") === queryId).limit(2).collect()
+    require(qRows.length == 1,
+      s"queryId=$queryId must match exactly one vector, " +
+        s"got ${qRows.length}")
+    val qvec = qRows(0).getSeq[Double](1)
+    val cand = Hydration.persist(base.filter(col("id") =!= queryId)
+      .withColumn("rel4", round(cosine(col("vec"), constVec(qvec)), 4)))
+    try {
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      var continue = true
+      while (continue && picked.size < k) {
+        val notPicked =
+          if (picked.isEmpty) cand
+          else cand.filter(!col("id").isin(picked.map(_._1).toSeq: _*))
+        val top =
+          if (picked.isEmpty)
+            notPicked.select(col("id"), col("rel4").as("score"))
+              .orderBy(col("score").desc, col("id")).limit(1).collect()
+          else {
+            val selVecs = cand
+              .filter(col("id").isin(picked.map(_._1).toSeq: _*))
+              .select(col("id").as("s_id"), col("vec").as("s_vec"))
+            notPicked.crossJoin(broadcast(selVecs))
+              .groupBy(col("id"), col("rel4"))
+              .agg(max(round(cosine(col("vec"), col("s_vec")), 4))
+                .as("ms4"))
+              .select(col("id"), (col("rel4") - col("ms4")).as("score"))
+              .orderBy(col("score").desc, col("id")).limit(1).collect()
+          }
+        if (top.isEmpty) continue = false
+        else picked += ((top(0).getLong(0), top(0).getDouble(1)))
+      }
+      picked.toSeq.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1L, id, sc) }
+        .toDF("step", "vec_id", "score")
+    } finally cand.unpersist()
+  }
 }

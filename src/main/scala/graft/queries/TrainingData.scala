@@ -561,6 +561,85 @@ object TrainingData {
        |FROM h ORDER BY shard, pos_in_shard""".stripMargin
   }
 
+  /** q129: bigram-LM surprisal scoring
+    * ([[graft.operators.LanguageModel.bigramSurprisal]]) — the
+    * perplexity-style quality filter between q20's ratio heuristics
+    * and anything model-based; quantized floor-log₂ of the exact
+    * scaled conditional ratio, so the whole model (train + score)
+    * replays bit-for-bit in the oracle. */
+  def q129LmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.LanguageModel.bigramSurprisal(
+        Tables.documents(s, dir))
+      .orderBy($"doc_id")
+  }
+
+  val q129Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |idx AS (SELECT doc_id, l,
+      |          unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+      |        FROM toks),
+      |bg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM idx),
+      |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      |        FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+      |        FROM nab GROUP BY 1),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
+      |  FROM bg g
+      |  JOIN nab n ON n.a = g.a AND n.b = g.b
+      |  JOIN ctx c ON c.a = g.a)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(q) AS BIGINT) AS q_total,
+      |  CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q130: maximal-marginal-relevance diverse selection
+    * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
+    * relevant to vec 0 but mutually dissimilar; round-4 cosines +
+    * smallest-id ties make the greedy walk fully deterministic, so
+    * the oracle replays ALL 8 steps in one recursive CTE (the
+    * selected-set list accumulates through the recursion). */
+  def q130MmrSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Similarity.mmrSelect(
+        Tables.embeddings(s, dir), queryId = 0L, k = 8)
+      .orderBy($"step")
+  }
+
+  val q130Sql: String =
+    """WITH RECURSIVE
+      |  base AS (
+      |    SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+      |    FROM embeddings
+      |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      |  qv AS (SELECT vec FROM base WHERE id = 0),
+      |  cand AS (
+      |    SELECT b.id, b.vec,
+      |      round(list_dot_product(b.vec, q.vec) /
+      |        (sqrt(list_dot_product(b.vec, b.vec)) *
+      |         sqrt(list_dot_product(q.vec, q.vec))), 4) AS rel4
+      |    FROM base b, qv q WHERE b.id <> 0),
+      |  sel(step, ids, id, score) AS (
+      |    (SELECT 1, [c.id], c.id, c.rel4
+      |     FROM cand c ORDER BY c.rel4 DESC, c.id LIMIT 1)
+      |    UNION ALL
+      |    (SELECT s.step + 1, list_append(s.ids, w.id), w.id, w.score
+      |     FROM sel s, LATERAL (
+      |       SELECT c.id AS id, c.rel4 - (
+      |           SELECT max(round(list_dot_product(c.vec, p.vec) /
+      |             (sqrt(list_dot_product(c.vec, c.vec)) *
+      |              sqrt(list_dot_product(p.vec, p.vec))), 4))
+      |           FROM base p WHERE list_contains(s.ids, p.id)) AS score
+      |       FROM cand c WHERE NOT list_contains(s.ids, c.id)
+      |       ORDER BY score DESC, c.id LIMIT 1) w
+      |     WHERE s.step < 8))
+      |SELECT CAST(step AS BIGINT) AS step, id AS vec_id, score
+      |FROM sel ORDER BY step""".stripMargin
+
   /** Rolling-hash document fingerprints. The driver query uses the
     * md5-derived portable variant so DuckDB can replay the exact fold
     * (the q47 `hashSplitPortable` play); the xxhash64 fast path stays

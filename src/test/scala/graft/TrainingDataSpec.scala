@@ -1091,6 +1091,35 @@ class SimilaritySpec extends SparkSpec {
       nF.count(_ == "bhj") === nN.count(_ == "bhj") - 1, nF)
     assert(spF.collect().toSet === spN.collect().toSet)
   }
+
+  test("mmrSelect: diversity beats raw relevance (the near-duplicate " +
+      "of the first pick loses to the orthogonal doc), scores are the " +
+      "hand-computed round-4 cosine arithmetic, early stop, guards") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),   // the query vector
+      (1L, Seq(0.9, 0.3)),   // rel4 0.9487 — top relevance
+      (2L, Seq(0.8, 0.4)),   // rel4 0.8944, but sim4(2,1) = 0.9899
+      (3L, Seq(0.3, -0.9))   // rel4 0.3162, orthogonal to 1
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mmrSelect(emb, 0L, k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // step 2 demonstrates the point of MMR: doc 2 out-ranks doc 3 on
+    // relevance but is a near-duplicate of the already-picked doc 1
+    assert(got === Seq(
+      (1L, 1L, 0.9487),
+      (2L, 3L, 0.3162 - 0.0),
+      (3L, 2L, 0.8944 - 0.9899)), got.toString)
+    // fewer candidates than k: the walk ends early, no error
+    val short = graft.operators.Similarity.mmrSelect(emb, 0L, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(short.size === 3 && short.map(_._2).toSet === Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mmrSelect(emb, 99L, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mmrSelect(emb, 0L, k = 0)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
