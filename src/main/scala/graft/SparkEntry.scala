@@ -151,6 +151,7 @@ object SparkEntry {
     "q128_shard_manifest" -> (TrainingData.q128ShardManifest _),
     "q129_lm_surprisal"   -> (TrainingData.q129LmSurprisal _),
     "q130_mmr_select"     -> (TrainingData.q130MmrSelect _),
+    "q131_domain_reweight" -> (TrainingData.q131DomainReweight _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -435,5 +436,9 @@ object SparkEntry {
     // q130: the ENTIRE 8-step greedy MMR walk replayed in one
     // recursive CTE (round-4 cosines, smallest-id ties).
     "q130_mmr_select" -> TrainingData.q130Sql,
+    // q131: LM-surprisal domain reweighting — q129's LM replay +
+    // integer mean-surprisal weights + q109's remainder ranking,
+    // the whole mixture composition in one statement.
+    "q131_domain_reweight" -> TrainingData.q131Sql,
   )
 }

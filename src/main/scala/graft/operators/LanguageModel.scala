@@ -84,4 +84,58 @@ object LanguageModel {
         (col("q_total").cast("double") /
           col("n_bigrams").cast("double")).as("q_avg"))
   }
+
+  /** Surprisal-driven domain reweighting (the DoReMi-lineage mixture
+    * step, see PAPERS.md): give each domain a sampling quota
+    * proportional to how HARD its text is for the corpus-trained
+    * bigram LM — the harder a domain scores, the more of the training
+    * budget it receives. The whole chain stays in exact integer
+    * arithmetic: per-domain weight is the `scale`-scaled mean
+    * surprisal `(Σ q_total · scale) div (Σ n_bigrams)` (floor — the
+    * quantized-log contract of [[bigramSurprisal]] carried through),
+    * and the budget split is [[Mixture.apportion]]'s largest-remainder
+    * method, so quotas sum to `budget` EXACTLY and the full
+    * composition replays bit-for-bit in SQL.
+    *
+    * Contract: docs with < 2 tokens carry no bigrams, so they join
+    * into no domain's weight; a domain whose every doc is that short
+    * never appears (it has no measurable difficulty). `q ≥ 10` per
+    * bigram means every appearing domain has positive weight —
+    * apportion's zero-total guard can only fire on an empty corpus.
+    *
+    * Scale shape: [[bigramSurprisal]]'s four keyed shuffles, then one
+    * doc_id equi-join against a two-column projection of the corpus,
+    * one domain-keyed aggregate (domain cardinality ≪ corpus), and
+    * apportion's driver-folded remainder ranking over the tiny
+    * per-domain frame. Nothing downstream of the per-doc score ever
+    * rescans the corpus. */
+  def domainReweight(docs: DataFrame, groupCol: String = "source",
+      budget: Long = 100000L, scale: Long = 10000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(scale > 0L, s"domainReweight: scale=$scale must be > 0")
+    val perDoc = bigramSurprisal(docs, idCol, textCol)
+    val grouped = perDoc
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(groupCol).as("key")), "doc_id")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_total")).as("qt"), sum(col("n_bigrams")).as("nb"))
+    val wCol =
+      // loud scale bound (the quantize4 stance): qt·scale must stay in
+      // int64 — at scale 10⁴ that is ~9·10¹⁴ summed surprisal bits per
+      // domain (~10¹³ bigrams), the point to widen to decimal
+      when(col("qt") <= lit(Long.MaxValue / scale),
+        expr(s"(qt * ${scale}L) div nb"))
+        .otherwise(raise_error(concat(
+          lit("domainReweight: domain "), col("key"),
+          lit(s" sums $scale-scaled surprisal past int64 — widen to " +
+            "decimal or lower scale"))).cast(LongType))
+    val weights = grouped.select(col("key"), col("n_docs"),
+      wCol.cast(LongType).as("w"))
+    Mixture.apportion(weights.select(col("key"), col("w")),
+        "key", "w", budget)
+      .join(weights.select(col("key"), col("n_docs")), "key")
+      .select(col("key").as(groupCol), col("n_docs"), col("w"),
+        col("quota"))
+  }
 }

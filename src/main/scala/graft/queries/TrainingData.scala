@@ -597,6 +597,64 @@ object TrainingData {
       |  CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q131: surprisal-driven domain reweighting
+    * ([[graft.operators.LanguageModel.domainReweight]]) — the
+    * DoReMi-lineage mixture step: per-source training quotas
+    * proportional to scaled mean bigram surprisal, split by
+    * largest-remainder apportionment so quotas sum to the budget
+    * exactly. The oracle replays the ENTIRE composition — LM train +
+    * score (q129's CTEs), per-source integer weights, and the q109
+    * remainder-ranking — in one statement. */
+  def q131DomainReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.LanguageModel.domainReweight(
+        Tables.documents(s, dir), groupCol = "source",
+        budget = 100000L, scale = 10000L)
+      .orderBy($"source")
+  }
+
+  val q131Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |idx AS (SELECT doc_id, l,
+      |          unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+      |        FROM toks),
+      |bg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM idx),
+      |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      |        FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+      |        FROM nab GROUP BY 1),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
+      |  FROM bg g
+      |  JOIN nab n ON n.a = g.a AND n.b = g.b
+      |  JOIN ctx c ON c.a = g.a),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(q) AS BIGINT) AS q_total
+      |  FROM scored GROUP BY 1),
+      |pk AS (SELECT d.source AS key,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         (CAST(sum(p.q_total) AS BIGINT) * 10000)
+      |           // CAST(sum(p.n_bigrams) AS BIGINT) AS w
+      |       FROM per_doc p JOIN documents d USING (doc_id)
+      |       GROUP BY 1),
+      |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM pk),
+      |a AS (SELECT key, n_docs, w,
+      |        (CAST(100000 AS HUGEINT) * w) // t.tw AS base,
+      |        (CAST(100000 AS HUGEINT) * w) % t.tw AS rem
+      |      FROM pk CROSS JOIN t),
+      |l AS (SELECT 100000 - sum(base) AS leftover FROM a),
+      |rk AS (SELECT key, n_docs, w, base, rem,
+      |         row_number() OVER (ORDER BY rem DESC, key) AS rnk
+      |       FROM a)
+      |SELECT key AS source, n_docs, CAST(w AS BIGINT) AS w,
+      |  CAST(base + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS quota
+      |FROM rk CROSS JOIN l ORDER BY source""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

@@ -46,4 +46,47 @@ class LanguageModelSpec extends SparkSpec {
     assert((1L to 7L).forall(got(_) === 10.0), got.toString)
     assert(got(8L) === 13.0, got.toString)
   }
+
+  test("domainReweight: hand-checked integer weights, quotas sum to " +
+      "the budget exactly, harder domain gets the larger share") {
+    // easy: 7 identical "p q" docs (q_avg 10 each, see above);
+    // hard: the rare continuation (q_avg 13) — one doc, one bigram
+    val docs = ((1L to 7L).map(i => (i, "p q", "easy")) :+
+        (8L, "p r", "hard"))
+      .toDF("doc_id", "text", "source")
+    val got = LanguageModel.domainReweight(docs, "source",
+        budget = 100L, scale = 1000L)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // easy: Σq=70, Σn=7 → w = 70·1000 div 7 = 10000; hard: w = 13000
+    // apportion(100 over 10000:13000): base 43/56, leftover 1 → the
+    // larger remainder (easy: 100·10000 % 23000 = 11000 vs hard 12000)
+    // goes to hard → (43, 57)
+    assert(got === Seq(("easy", 7L, 10000L, 43L),
+      ("hard", 1L, 13000L, 57L)), got.toString)
+    assert(got.map(_._4).sum === 100L)
+  }
+
+  test("domainReweight: sub-2-token docs join no domain's weight; an " +
+      "all-short domain disappears; null-text docs don't crash") {
+    val docs = Seq((1L, "m n", "kept"), (2L, "solo", "gone"),
+      (3L, null: String, "gone")).toDF("doc_id", "text", "source")
+    val got = LanguageModel.domainReweight(docs, "source", budget = 10L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq("kept"), got.toString)
+    assert(got.head._4 === 10L, got.toString) // whole budget, one domain
+  }
+
+  test("domainReweight: a domain summing scaled surprisal past int64 " +
+      "dies loudly, not by wrapping") {
+    val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    val e = intercept[Throwable] {
+      // scale chosen so qt·scale (10·scale) exceeds Long.MaxValue
+      LanguageModel.domainReweight(docs, "source", budget = 10L,
+        scale = Long.MaxValue / 9).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("widen to decimal"), msgs)
+  }
 }
