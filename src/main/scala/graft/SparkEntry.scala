@@ -152,6 +152,7 @@ object SparkEntry {
     "q129_lm_surprisal"   -> (TrainingData.q129LmSurprisal _),
     "q130_mmr_select"     -> (TrainingData.q130MmrSelect _),
     "q131_domain_reweight" -> (TrainingData.q131DomainReweight _),
+    "q132_winnowing_pairs" -> (TrainingData.q132WinnowingPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -440,5 +441,8 @@ object SparkEntry {
     // integer mean-surprisal weights + q109's remainder ranking,
     // the whole mixture composition in one statement.
     "q131_domain_reweight" -> TrainingData.q131Sql,
+    // q132: MOSS winnowing — exact rightmost-min-per-window selection
+    // replay (md5-derived shingle hashes, full windows only).
+    "q132_winnowing_pairs" -> TrainingData.q132Sql,
   )
 }

@@ -655,6 +655,47 @@ object TrainingData {
       |    AS BIGINT) AS quota
       |FROM rk CROSS JOIN l ORDER BY source""".stripMargin
 
+  /** q132: winnowing copy-suspect pairs
+    * ([[graft.operators.Winnowing.sharedPairs]]) — MOSS-style
+    * rightmost-min-per-window fingerprint selection (k=3 token
+    * shingles, w=4 windows), pairs sharing ≥ 2 distinct selected
+    * fingerprints. The oracle replays the exact selection: same
+    * md5-derived shingle hashes, same full-window membership, same
+    * min + rightmost-tie rule. */
+  def q132WinnowingPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Winnowing.sharedPairs(
+        Tables.documents(s, dir), k = 3, w = 4, minShared = 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q132Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) >= 6),
+      |sh AS (
+      |  SELECT doc_id, CAST(len(l) AS BIGINT) - 2 AS nsh, i,
+      |    CAST(md5_number_upper(array_to_string(l[i:i+2], ' '))
+      |      & 281474976710655 AS BIGINT) AS h
+      |  FROM (SELECT doc_id, l,
+      |          unnest(range(1, CAST(len(l) AS BIGINT) - 1)) AS i
+      |        FROM toks)),
+      |mem AS (
+      |  SELECT doc_id, i, h,
+      |    unnest(range(greatest(1, i - 3), least(i, nsh - 3) + 1)) AS s
+      |  FROM sh),
+      |wmin AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+      |fps AS (
+      |  SELECT DISTINCT m.doc_id, q.mh AS fp
+      |  FROM mem m JOIN wmin q
+      |    ON q.doc_id = m.doc_id AND q.s = m.s AND m.h = q.mh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Winnowing]]: selection equivalence against an independent JVM
+  * reference implementation, the detection guarantee the algorithm is
+  * chosen for, the full-window/short-doc contract, and hot-bucket
+  * degradation on the pair join. */
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+  private val W = 4
+
+  /** Independent reference: same hash ([[Sampling.portableHash48Jvm]]
+    * — Column-form equivalence is pinned in PropertySpec), selection
+    * re-derived from the paper's definition (min of each full window,
+    * ties to the rightmost position) with plain collections. */
+  private def reference(text: String): Set[(Int, Long)] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (toks.size < K + W - 1) return Set.empty
+    val hs = toks.sliding(K).map(_.mkString(" "))
+      .map(s => Sampling.portableHash48Jvm(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toVector
+    (0 to hs.size - W).flatMap { s =>
+      val win = hs.slice(s, s + W)
+      val m = win.min
+      val pos = s + win.lastIndexOf(m) + 1 // 1-based shingle position
+      Some((pos, m))
+    }.toSet
+  }
+
+  test("selection ≡ the JVM reference on seeded pseudo-random docs " +
+      "over a small alphabet (repeats force real window ties)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("aa", "bb", "cc", "dd")
+    val docs = (1L to 20L).map { i =>
+      val n = 6 + rnd.nextInt(40)
+      (i, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val got = Winnowing.fingerprints(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) === reference(text),
+        s"doc $id: '$text'")
+    }
+  }
+
+  test("detection guarantee: a shared run of w+k-1 tokens yields a " +
+      "shared fingerprint; density stays under the full shingle set") {
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("t" + rnd.nextInt(1000000))
+    val shared = words(W + K - 1) // exactly the guarantee length
+    val a = (words(20) ++ shared ++ words(20)).mkString(" ")
+    val b = (words(17) ++ shared ++ words(23)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Winnowing.sharedPairs(docs, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)), pairs.toString)
+    // density: far fewer selected positions than shingles (the index
+    // the detector stores is the point of winnowing)
+    val nFps = Winnowing.fingerprints(docs).count()
+    val nShingles = (20 + 20 + 17 + 23 + 2 * shared.size) - 2 * (K - 1)
+    assert(nFps < nShingles / 2, s"$nFps vs $nShingles")
+  }
+
+  test("full-window contract: docs under w+k-1 tokens emit nothing; " +
+      "exactly w+k-1 tokens emit exactly one fingerprint") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f"),
+      (3L, null: String), (4L, "")).toDF("doc_id", "text")
+    val got = Winnowing.fingerprints(docs)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._1).distinct === Seq(2L), got.toString)
+    assert(got.size === 1, got.toString) // one full window, one min
+  }
+
+  test("pair join degrades oversized fingerprint buckets to star " +
+      "pairs instead of enumerating them") {
+    // 5 identical docs: every selected fingerprint is shared 5 ways
+    val docs = (1L to 5L).map((_, "x y z x y z x y"))
+      .toDF("doc_id", "text")
+    val full = Winnowing.sharedPairs(docs, minShared = 1)
+    assert(full.count() === 10L) // C(5,2): cap not hit
+    val starred = Winnowing.sharedPairs(docs, minShared = 1,
+      maxBucket = 2)
+    // star candidates: min-id representative joins the others
+    assert(starred.as[(Long, Long, Long)].collect().toSeq
+      .map(p => (p._1, p._2)).sorted ===
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+  }
+}
