@@ -507,6 +507,25 @@ object ScaleBench {
       ("lm_surprisal",
         (d: DataFrame) => graft.operators.LanguageModel
           .bigramSurprisal(d).count(),
+        () => docs1, () => docsN),
+      // q131: LM + domain aggregate + apportion — the LM dominates, so
+      // the ratio should track lm_surprisal's
+      ("domain_reweight",
+        (d: DataFrame) => graft.operators.LanguageModel
+          .domainReweight(d, "source", budget = 100000L).count(),
+        () => docs1, () => docsN),
+      // q132 split in two: selection is the linear part (one per-doc
+      // window pass); the pair join faces the amplified corpus's
+      // DENSER duplicate graph (each copy shares fingerprints with its
+      // original → within-cluster pairs grow ~factor², the strictly-
+      // harder-instance stance in the header)
+      ("winnow_fingerprints",
+        (d: DataFrame) => graft.operators.Winnowing
+          .fingerprints(d).count(),
+        () => docs1, () => docsN),
+      ("winnow_pairs",
+        (d: DataFrame) => graft.operators.Winnowing
+          .sharedPairs(d, minShared = 2).count(),
         () => docs1, () => docsN))
 
     nameFilter.foreach { f =>
