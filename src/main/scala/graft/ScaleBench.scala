@@ -1099,6 +1099,49 @@ object ScaleBench {
         "the incremental path must beat recompute on marginal cost")
       println(f"""{"pipeline":"rollup_maintenance","batches":$nBatches,"base_sec":$tBase%.2f,"incremental_sec":$tInc%.2f,"recompute_sec":$tRe%.2f,"marginal_speedup":${marginalRe / marginalInc}%.2f}""")
     }
+
+    // ---- per-file Bloom index economics: point lookups on an
+    // UNCLUSTERED key over a 64-file table — min/max stats prune
+    // nothing (every file spans the key range), so the honest
+    // comparison is full-scan-filter vs index-pruned read, in the
+    // serve-many pattern the handle exists for (load + staleness check
+    // ONCE, probe repeatedly — a one-shot lookup pays the load and
+    // loses at small scale, the rollup-floor lesson). Breakeven counts
+    // the lookups that pay off build + load. Exactness required. ----
+    {
+      val dir = s"$scratch/bloom_index"
+      val n = 16000000L * factor
+      // key clustered by hash into files, ids scattered — the lookup
+      // key concentrates in ONE file but no min/max stat knows it
+      spark.range(n)
+        .select($"id", ($"id" % 100000L).as("key"),
+          ($"id" * 31L % 997L).as("payload"))
+        .repartition(64, $"key")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      val probes = Seq(17L, 4242L, 99999L, 31337L)
+      def fullLookup(k: Long): Long =
+        spark.read.parquet(s"$dir/data").where($"key" === k).count()
+      val expected = probes.map(fullLookup) // warm the scan path
+      val tFull = time(probes.foreach(fullLookup))
+      val tBuild = time(graft.sources.Lake.buildBloomIndex(
+        spark, s"$dir/data", "key", s"$dir/idx", numBits = 1 << 20))
+      var idx: graft.sources.Lake.BloomIndex = null
+      val tLoad = time {
+        idx = graft.sources.Lake.loadBloomIndex(
+          spark, s"$dir/data", s"$dir/idx", "key")
+      }
+      def prunedLookup(k: Long): Long = idx.read(k).count()
+      val warm = probes.map(prunedLookup)
+      require(warm == expected,
+        s"index-pruned lookups diverged from the full scan: $warm vs " +
+          s"$expected")
+      val tPruned = time(probes.foreach(prunedLookup))
+      val perFull = tFull / probes.size
+      val perPruned = tPruned / probes.size
+      val breakeven = (tBuild + tLoad) /
+        math.max(perFull - perPruned, 1e-9)
+      println(f"""{"pipeline":"bloom_index_lookup","rows":$n,"files":64,"lookups":${probes.size},"full_per_lookup_sec":$perFull%.3f,"pruned_per_lookup_sec":$perPruned%.3f,"build_sec":$tBuild%.2f,"load_sec":$tLoad%.2f,"speedup":${perFull / perPruned}%.2f,"breakeven_lookups":$breakeven%.1f}""")
+    }
     }
     spark.stop()
   }

@@ -153,6 +153,7 @@ object SparkEntry {
     "q130_mmr_select"     -> (TrainingData.q130MmrSelect _),
     "q131_domain_reweight" -> (TrainingData.q131DomainReweight _),
     "q132_winnowing_pairs" -> (TrainingData.q132WinnowingPairs _),
+    "q133_bloom_index_lookup" -> (Analytics.q133BloomIndexLookup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,5 +445,8 @@ object SparkEntry {
     // q132: MOSS winnowing — exact rightmost-min-per-window selection
     // replay (md5-derived shingle hashes, full windows only).
     "q132_winnowing_pairs" -> TrainingData.q132Sql,
+    // q133: index-pruned point lookup ≡ the plain filter (Bloom has
+    // no false negatives; false positives die at the exact predicate).
+    "q133_bloom_index_lookup" -> Analytics.q133Sql,
   )
 }

@@ -41,6 +41,14 @@ object Bloom {
     def sizeBytes: Int = words.length * 8
   }
 
+  /** The probe positions as Columns — shared with the per-file index
+    * ([[graft.sources.Lake.buildBloomIndex]]) so its build and lookup
+    * sides ride the SAME arithmetic as every other Bloom in the repo;
+    * a re-derivation drifting by one constant would mean silent false
+    * negatives, the one intolerable failure. */
+  private[graft] def probeBits(h1: Column, numBits: Int,
+      numHashes: Int): Seq[Column] = probes(h1, numBits, numHashes)
+
   private def probes(h1: Column, numBits: Int, numHashes: Int): Seq[Column] = {
     // both hashes reduce mod numBits BEFORE combining: i·h2 on the raw
     // 64-bit values overflows a long (an ANSI-mode error); after
@@ -61,7 +69,7 @@ object Bloom {
     * `bit_or` combines map-side, and the driver collects AT MOST
     * `numBits/64` rows (the filter size — NEVER the key count), then
     * densifies. */
-  private[operators] def checkGeometry(numBits: Int, numHashes: Int): Unit = {
+  private[graft] def checkGeometry(numBits: Int, numHashes: Int): Unit = {
     require(numBits >= 64 && numBits % 64 == 0,
       s"numBits must be a positive multiple of 64, got $numBits")
     require(numBits <= MaxBits,

@@ -318,6 +318,50 @@ object Analytics {
       |GROUP BY l_suppkey
       |ORDER BY l_suppkey""".stripMargin
 
+  /** q133: per-file Bloom data-skipping index
+    * ([[Lake.buildBloomIndex]] / [[Lake.readWithBloomIndex]]) — the
+    * point-lookup complement to q95's z-order min/max skipping: the
+    * lookup key (user_id) is UNCLUSTERED in a multi-file lake copy,
+    * so min/max stats prune nothing, while the per-file Bloom reads
+    * only the file(s) that might hold the key. The query gates the
+    * pruning itself (`require` candidates < files) and the result is
+    * the exact filter's — oracle-identical by the no-false-negatives
+    * construction. */
+  def q133BloomIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q133_bloomidx").toString
+    try {
+      val ev = Tables.events(s, dir)
+      val probe = ev.agg(min($"user_id")).head().getLong(0)
+      // hash-partitioned 8-file layout: one user concentrates in one
+      // file, but NOTHING tells min/max stats that — the bloom does
+      ev.select($"event_id", $"user_id", $"event_type", $"value")
+        .repartition(8, $"user_id")
+        .write.mode("overwrite").parquet(s"$base/data")
+      Lake.buildBloomIndex(s, s"$base/data", "user_id", s"$base/idx")
+      val cand = Lake.bloomIndexCandidateFiles(s, s"$base/data",
+        s"$base/idx", "user_id", probe)
+      val total = s.read.parquet(s"$base/data").inputFiles.length
+      require(cand.size < total,
+        s"bloom index pruned nothing: ${cand.size}/$total files " +
+          "survived — the index is not doing its job")
+      Lake.readWithBloomIndex(s, s"$base/data", s"$base/idx",
+          "user_id", probe)
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"event_id")
+        .localCheckpoint()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q133Sql: String =
+    """SELECT event_id, event_type, value FROM events
+      |WHERE user_id = (SELECT min(user_id) FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** One-pass data profile (q96): per-column row/null/exact-distinct
     * counts and type-aware extremes over the events stream table —
     * the ingestion-gate audit every pipeline runs first. */

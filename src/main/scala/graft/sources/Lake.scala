@@ -294,4 +294,185 @@ object Lake {
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
     swapInto(spark, path, tmp)
   }
+
+  // ------------------------------------------------------------------
+  // Per-file Bloom data-skipping index: point lookups on a
+  // high-cardinality UNORDERED column — the case z-order min/max stats
+  // (writeZOrdered) cannot prune, because an unclustered key's min/max
+  // spans every file. One Bloom filter per data file; a lookup probes
+  // the (tiny) index first and reads only the files that might contain
+  // the key. Bloom false positives cost extra file reads, never wrong
+  // rows (the exact filter still runs); false negatives are impossible
+  // as long as build and lookup share probe arithmetic — which they do
+  // by construction ([[graft.operators.Bloom.probeBits]], the same
+  // Column expressions every other Bloom in the repo uses).
+  // ------------------------------------------------------------------
+
+  /** The lookup-key hash: xxhash64 over the string form — NOT the
+    * oracle-portable md5 path (the index is internal; its observable
+    * output is the looked-up rows). Shared by build and lookup. */
+  private def indexKeyHash(key: Column): Column = xxhash64(key.cast("string"))
+
+  /** Build the index for the parquet table at `dataPath` over `keyCol`
+    * into `indexPath`: `words/` holds sparse `(file, word_idx, bits)`
+    * rows (non-zero words only, built with map-side `bit_or` combine —
+    * the driver never sees key counts), `meta/` the stamp
+    * (version / key column / hash domain / geometry / the EXACT file
+    * list) the reader fails fast on. NULL keys are not indexed — the
+    * lookup treats a null value as matching nothing, symmetric with
+    * every Bloom in the repo.
+    *
+    * `numBits` is PER FILE: size it for rows-per-file, not table rows
+    * (2²⁰ bits ≈ 128 KB/file ≈ 1% false positives at ~10⁵ distinct
+    * keys/file). Index size is nFiles·numBits/8 worst case, sparse
+    * below that. */
+  def buildBloomIndex(spark: SparkSession, dataPath: String,
+      keyCol: String, indexPath: String, numBits: Int = 1 << 20,
+      numHashes: Int = 5): Unit = {
+    graft.operators.Bloom.checkGeometry(numBits, numHashes)
+    val df = spark.read.parquet(dataPath)
+    val files = df.inputFiles.sorted
+    require(files.nonEmpty, s"bloom index: no data files under $dataPath")
+    val bits = graft.operators.Bloom
+      .probeBits(indexKeyHash(col("k")), numBits, numHashes)
+      .map { pos =>
+        struct(shiftright(pos, 6).cast("int").as("word_idx"),
+          call_function("shiftleft", lit(1L),
+            pos.bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      }
+    val tmp = indexPath.stripSuffix("/") + "__building"
+    df.select(input_file_name().as("file"), col(keyCol).as("k"))
+      .where(col("k").isNotNull)
+      .select(col("file"), explode(array(bits: _*)).as("b"))
+      .groupBy(col("file"), col("b.word_idx"))
+      .agg(expr("bit_or(b.mask)").as("bits"))
+      .write.mode("overwrite").parquet(s"$tmp/words")
+    // one meta row per indexed file: the reader's staleness check is a
+    // set compare against the CURRENT listing — a file added after the
+    // build (absent here) or removed (present here, gone there) fails
+    // loudly instead of silently missing rows / probing ghosts
+    import spark.implicits._
+    files.toSeq.toDF("file")
+      .withColumn("version", lit(1))
+      .withColumn("key_col", lit(keyCol))
+      .withColumn("hash_domain", lit("xxhash64:cast-string"))
+      .withColumn("num_bits", lit(numBits))
+      .withColumn("num_hashes", lit(numHashes))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    swapInto(spark, indexPath, tmp)
+  }
+
+  /** A loaded index: stamp validated, staleness checked, and the
+    * sparse words pulled into a DRIVER map ONCE — per-lookup cost is
+    * then one 1-row probe job plus the candidate-file read, no
+    * per-lookup listings or index scans (the serve-many pattern; a
+    * one-shot caller uses the [[readWithBloomIndex]] wrapper and pays
+    * the load each time). The words map is bounded by the index size
+    * (`loadBloomIndex` refuses past [[BloomIndexMaxLoadWords]] — at
+    * that point keep the index distributed or shard the lookup), and
+    * VALID ONLY for the file listing seen at load: a concurrently
+    * mutating lake needs a reload, same contract as any snapshot. */
+  final case class BloomIndex private[Lake] (
+      spark: SparkSession, dataPath: String, keyCol: String,
+      numBits: Int, numHashes: Int,
+      private val words: Map[String, Map[Int, Long]],
+      private val schema: org.apache.spark.sql.types.StructType) {
+
+    /** Data files that might contain `value` — the pruning decision,
+      * exposed so specs and operators can gate on "how many files
+      * survived" without reading any. A null `value` returns no files
+      * (nulls are never indexed). */
+    def candidateFiles(value: Any): Seq[String] = {
+      if (value == null) return Seq.empty
+      // the value's probe positions, via the SAME Column arithmetic as
+      // the build (one 1-row job — no JVM re-derivation to drift)
+      val pos = spark.range(1).select(
+        graft.operators.Bloom.probeBits(indexKeyHash(lit(value)),
+          numBits, numHashes).zipWithIndex
+          .map { case (c, i) => c.as(s"p$i") }: _*)
+        .head().toSeq.map(_.asInstanceOf[Long])
+      val need = pos.groupBy(p => (p >> 6).toInt).view
+        .mapValues(_.map(p => 1L << (p & 63L)).reduce(_ | _)).toMap
+      words.collect { case (file, w)
+        if need.forall { case (i, m) => (w.getOrElse(i, 0L) & m) == m } =>
+          file
+      }.toSeq.sorted
+    }
+
+    /** Point lookup: read ONLY the candidate files, then apply the
+      * exact predicate — result ≡ the full-scan filter bit-for-bit
+      * (no false negatives by construction; false positives die at
+      * the predicate). */
+    def read(value: Any): DataFrame = {
+      val files = candidateFiles(value)
+      if (files.isEmpty)
+        spark.read.schema(schema).parquet(dataPath).where(lit(false))
+      else spark.read.schema(schema).parquet(files: _*)
+        .where(col(keyCol) === lit(value))
+    }
+  }
+
+  /** Refuse to drag more than this many sparse words onto the driver
+    * (8-byte bits + ~4-byte idx + map overhead ≈ 64 MB here): past it,
+    * the index belongs distributed, not in a handle. */
+  val BloomIndexMaxLoadWords: Long = 1L << 21
+
+  /** Load + validate an index for repeated lookups. Fails fast on a
+    * stamp mismatch or a STALE index (the current data listing differs
+    * from the indexed one — an unindexed new file would silently miss
+    * rows, an indexed ghost means the data shrank under the index). */
+  def loadBloomIndex(spark: SparkSession, dataPath: String,
+      indexPath: String, keyCol: String): BloomIndex = {
+    val meta = spark.read.parquet(s"$indexPath/meta")
+    val head = meta.select("version", "key_col", "hash_domain",
+      "num_bits", "num_hashes").distinct().collect()
+    require(head.length == 1,
+      s"bloom index: inconsistent meta stamps at $indexPath")
+    val m = head.head
+    require(m.getInt(0) == 1,
+      s"bloom index: version ${m.getInt(0)} unsupported (want 1)")
+    require(m.getString(1) == keyCol,
+      s"bloom index at $indexPath indexes '${m.getString(1)}', " +
+        s"probed with '$keyCol' — wrong index for this lookup")
+    require(m.getString(2) == "xxhash64:cast-string",
+      s"bloom index: hash domain '${m.getString(2)}' is not this " +
+        "reader's — a cross-domain probe would yield silent false " +
+        "negatives")
+    val (numBits, numHashes) = (m.getInt(3), m.getInt(4))
+    graft.operators.Bloom.checkGeometry(numBits, numHashes)
+    val indexed = meta.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val data = spark.read.parquet(dataPath)
+    val current = data.inputFiles.toSet
+    require(indexed == current,
+      s"bloom index at $indexPath is STALE: " +
+        s"${(current -- indexed).size} unindexed data file(s), " +
+        s"${(indexed -- current).size} indexed ghost(s) — rebuild")
+    val wordsDf = spark.read.parquet(s"$indexPath/words")
+    val nWords = wordsDf.count()
+    require(nWords <= BloomIndexMaxLoadWords,
+      s"bloom index at $indexPath holds $nWords sparse words — past " +
+        s"the $BloomIndexMaxLoadWords driver-load bound; keep it " +
+        "distributed or shard the lookup")
+    val words = wordsDf.collect() // bounded by the require above
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    // an indexed file with zero non-null keys has no words rows — it
+    // can never be a candidate, which is correct (nothing to find)
+    BloomIndex(spark, dataPath, keyCol, numBits, numHashes, words,
+      data.schema)
+  }
+
+  /** One-shot [[BloomIndex.candidateFiles]] (pays the full load —
+    * loop over [[loadBloomIndex]]'s handle for repeated lookups). */
+  def bloomIndexCandidateFiles(spark: SparkSession, dataPath: String,
+      indexPath: String, keyCol: String, value: Any): Seq[String] =
+    loadBloomIndex(spark, dataPath, indexPath, keyCol)
+      .candidateFiles(value)
+
+  /** One-shot [[BloomIndex.read]] (pays the full load — loop over
+    * [[loadBloomIndex]]'s handle for repeated lookups). */
+  def readWithBloomIndex(spark: SparkSession, dataPath: String,
+      indexPath: String, keyCol: String, value: Any): DataFrame =
+    loadBloomIndex(spark, dataPath, indexPath, keyCol).read(value)
 }
