@@ -154,6 +154,7 @@ object SparkEntry {
     "q131_domain_reweight" -> (TrainingData.q131DomainReweight _),
     "q132_winnowing_pairs" -> (TrainingData.q132WinnowingPairs _),
     "q133_bloom_index_lookup" -> (Analytics.q133BloomIndexLookup _),
+    "q134_random_projection" -> (TrainingData.q134RandomProjection _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -448,5 +449,8 @@ object SparkEntry {
     // q133: index-pruned point lookup ≡ the plain filter (Bloom has
     // no false negatives; false positives die at the exact predicate).
     "q133_bloom_index_lookup" -> Analytics.q133Sql,
+    // q134: JL projection replayed exactly — same direction literals,
+    // same in-order double fold, same round-4.
+    "q134_random_projection" -> TrainingData.q134Sql,
   )
 }

@@ -106,6 +106,55 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** The projection directions behind [[randomProjection]] — exposed
+    * so an oracle can replay the exact projection (the
+    * [[hyperplaneValues]] discipline: double literals round-trip). A
+    * seed family disjoint from the hyperplanes', so composing
+    * projection with sign-bucketing never reuses a direction. */
+  def projectionValues(dim: Int, outDim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map(h =>
+      (0 until dim).map(d => hashU(1000003L + h * 131071L + d)))
+
+  /** The [[randomProjection]] scale making squared norms UNBIASED:
+    * directions are uniform [-1, 1] per coordinate (variance 1/3), so
+    * `√(3/outDim)` gives E‖proj(v)‖² = ‖v‖² — projected distances
+    * estimate the originals, not a constant multiple of them. */
+  def projectionScale(outDim: Int): Double = math.sqrt(3.0 / outDim)
+
+  /** Seeded Johnson–Lindenstrauss dense random projection: each output
+    * coordinate is one native dot product against a pseudo-random
+    * direction (literal arrays — reproducible in any engine), scaled
+    * so pairwise distances are preserved in expectation. The cheap
+    * front half of big-corpus ANN: shrink wide embeddings BEFORE
+    * bucketing/quantizing and every downstream dot, broadcast, and
+    * shuffle shrinks proportionally — at 100 TB the projection is a
+    * narrow in-row map, no shuffle at all.
+    *
+    * Loud dim contract: a vector of the wrong length raises
+    * ([[graft.functions.VectorExpressions]]' native dot would silently
+    * truncate to a prefix projection — a plausible-but-wrong result).
+    * NULL ids/vectors are excluded (nothing to project). Output:
+    * `(vec_id, proj)` with `proj` the round-4 double array. */
+  def randomProjection(vectors: DataFrame, dim: Int, outDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1, s"randomProjection: dim=$dim must be >= 1")
+    require(outDim >= 1 && outDim <= dim,
+      s"randomProjection: outDim=$outDim must be in [1, dim=$dim] — " +
+        "projecting UP is not reduction")
+    val scale = projectionScale(outDim)
+    val comps = projectionValues(dim, outDim).map { p =>
+      round(dot(col("__vec"), constVec(p)) * lit(scale), 4)
+    }
+    vectors
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .filter(assert_true(size(col(vecCol)) === lit(dim),
+        concat(lit("randomProjection: vector of dim "),
+          size(col(vecCol)), lit(s" != declared dim $dim"))).isNull)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .select(col("vec_id"), array(comps: _*).as("proj"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: same-bucket equi-join, cosine
     * verify ≥ threshold. Bucket width (bits) is the recall/cost dial;
     * the bucket join is hot-bucket bounded with a star fallback

@@ -696,6 +696,37 @@ object TrainingData {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q134: seeded Johnson–Lindenstrauss random projection
+    * ([[graft.operators.Similarity.randomProjection]]) — 64-dim
+    * embeddings down to 8, unbiased scale, exploded to
+    * (vec_id, proj_dim, value) rows. The oracle replays the exact
+    * projection: the same direction literals (doubles round-trip),
+    * the same in-order double dot product, the same round-4. */
+  def q134RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Similarity.randomProjection(
+        Tables.embeddings(s, dir), dim = 64, outDim = 8)
+      .select($"vec_id", posexplode($"proj"))
+      .select($"vec_id", $"pos".as("proj_dim"), $"col".as("value"))
+      .orderBy($"vec_id", $"proj_dim")
+  }
+
+  val q134Sql: String = {
+    val scale = graft.operators.Similarity.projectionScale(8).toString
+    val comps = graft.operators.Similarity.projectionValues(64, 8)
+      .map { p =>
+        val plane = p.map(_.toString).mkString("[", ", ", "]")
+        s"round(list_dot_product(vec, $plane) * $scale, 4)"
+      }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |p AS (SELECT vec_id, $comps AS l FROM v),
+       |e AS (SELECT vec_id, unnest(range(1, 9)) AS i, l FROM p)
+       |SELECT vec_id, CAST(i - 1 AS INTEGER) AS proj_dim, l[i] AS value
+       |FROM e ORDER BY vec_id, proj_dim""".stripMargin
+  }
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

@@ -1120,6 +1120,59 @@ class SimilaritySpec extends SparkSpec {
       graft.operators.Similarity.mmrSelect(emb, 0L, k = 0)
     }
   }
+
+  test("randomProjection: values match a JVM reference fold, wrong " +
+      "dims raise, null rows drop, projecting up is rejected") {
+    val emb = Seq((1L, vec(1, 0, 2, -1)), (2L, vec(0.5, 0.5, 0.5, 0.5)),
+      (3L, null: Array[Float])).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(emb, dim = 4, outDim = 2)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(got.keySet === Set(1L, 2L)) // null vector dropped
+    val planes = Similarity.projectionValues(4, 2)
+    val scale = Similarity.projectionScale(2)
+    def ref(v: Seq[Double]): Seq[Double] = planes.map { p =>
+      val d = p.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      BigDecimal(d * scale).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got(1L).toSeq === ref(Seq(1, 0, 2, -1)), got(1L).toSeq)
+    assert(got(2L).toSeq === ref(Seq(0.5, 0.5, 0.5, 0.5)))
+    // wrong per-row dim: loud, not a silent prefix projection
+    val bad = Seq((9L, vec(1, 2))).toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      Similarity.randomProjection(bad, dim = 4, outDim = 2).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("!= declared dim"), msgs)
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(emb, dim = 4, outDim = 5)
+    }
+  }
+
+  test("randomProjection: unbiased scale — mean squared-distance " +
+      "ratio near 1 on seeded vectors, rank structure preserved") {
+    val rnd = new scala.util.Random(3)
+    val n = 40
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val proj = Similarity.randomProjection(
+        vecs.toDF("vec_id", "embedding"), dim = 64, outDim = 16)
+      .as[(Long, Array[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until n; j <- (i + 1) until n
+    } yield d2(proj(i.toLong).toSeq, proj(j.toLong).toSeq) /
+      d2(vecs(i)._2.map(_.toDouble).toSeq, vecs(j)._2.map(_.toDouble).toSeq)
+    val mean = ratios.sum / ratios.size
+    // E[ratio] = 1 by the √(3/outDim) scale; the tolerance is loose
+    // because outDim=16 has real variance — the assertion pins the
+    // UNBIASED contract, not concentration
+    assert(mean > 0.75 && mean < 1.25, s"mean ratio $mean")
+    assert(ratios.count(r => r > 0.3 && r < 3.0) > ratios.size * 0.9,
+      "projected distances lost rank structure")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
