@@ -64,8 +64,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    // finite-norm exclusion on BOTH sides: a zero-norm or NaN vector
+    // scores cosine = NaN, and NaN compares LARGER than every real
+    // score in Spark — one degenerate corpus vector would otherwise
+    // become the rank-1 neighbor of EVERY query (the unitVectors
+    // contract, applied to the raw-cosine path)
+    val q = finiteRows(queries, idCol, vecCol, "q_id", "q_vec")
+    val c = finiteRows(corpus, idCol, vecCol, "n_id", "n_vec")
     val joined =
       if (fitsBroadcast(q, broadcastLimit)) c.join(broadcast(q), col("q_id") =!= col("n_id"))
       else c.join(q.hint("shuffle_replicate_nl"), col("q_id") =!= col("n_id"))
@@ -89,6 +94,28 @@ object Similarity {
   private def constVec(values: Seq[Double]): Column =
     typedLit(values)
 
+  /** Raw (un-normalized) projection with the [[unitVectors]] exclusion
+    * contract: zero-norm / non-finite vectors drop — every raw-cosine
+    * scorer needs this, or NaN scores ride Spark's NaN-is-largest
+    * ordering to rank 1. */
+  private def finiteRows(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      .withColumn("__nrm", norm(col(vecAs)))
+      .filter(col("__nrm") > 0 && !isnan(col("__nrm")) &&
+        col("__nrm") < lit(Double.PositiveInfinity))
+      .drop("__nrm")
+
+  /** Loud dim contract shared by every dim-taking entry point: the
+    * native dot silently truncates to the SHORTER operand, so a
+    * wrong-dim vector would otherwise produce a plausible prefix
+    * projection/bucketing with no signal. */
+  private def assertDim(df: DataFrame, vecCol: String,
+      dim: Int, op: String): DataFrame =
+    df.filter(assert_true(size(col(vecCol)) === lit(dim),
+      concat(lit(s"$op: vector of dim "), size(col(vecCol)),
+        lit(s" != declared dim $dim"))).isNull)
+
   /** The hyperplane constants behind [[hyperplaneBucket]] — exposed so
     * an oracle can replay the exact bucketing in another engine (the
     * planes are embedded as double literals in generated SQL; Scala's
@@ -100,6 +127,9 @@ object Similarity {
     * hyperplanes (literal arrays, reproducible everywhere); each bit =
     * sign of one native dot product against the vector. */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
+    require(bits >= 1 && bits <= 63,
+      s"hyperplaneBucket: bits=$bits outside [1, 63] — 1L << h wraps " +
+        "past 63 and would silently alias high planes onto low ones")
     val bitCols = hyperplaneValues(dim, bits).zipWithIndex.map { case (p, h) =>
       when(dot(vec, constVec(p)) > 0, lit(1L << h)).otherwise(lit(0L))
     }
@@ -179,12 +209,14 @@ object Similarity {
       maxBucket: Int = HotBuckets.DefaultCap,
       strict: Boolean = false): DataFrame = {
     // normalize ONCE per vector (projection), so the per-pair work
-    // after the bucket join is a single dot product
-    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("raw"))
-      .withColumn("nrm", norm(col("raw")))
-      .filter(col("nrm") > 0)
-      .select(col("id"),
-        transform(col("raw"), x => x / col("nrm")).as("vec"))
+    // after the bucket join is a single dot product. unitVectors, not
+    // a bare nrm > 0: a NaN norm compares LARGER than 0 in Spark, so
+    // one NaN vector would land in the all-ones bucket, score NaN
+    // against every member, PASS the >= threshold filter, and link
+    // unrelated documents into one collapse component.
+    val v = assertDim(unitVectors(vectors, idCol, vecCol), "raw", dim,
+        "lshNearDupPairs")
+      .select(col("id"), col("vec"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, bits))
     HotBuckets.starSelfJoinCandidates(v, Seq("bucket"), "id", Seq("vec"),
       maxBucket, "hyperplane_lsh", strict)
@@ -239,7 +271,8 @@ object Similarity {
   def ivfAssignTop(vectors: DataFrame, dim: Int, nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val v = assertDim(finiteRows(vectors, idCol, vecCol, "id", "vec"),
+      "vec", dim, "ivfAssignTop")
     val cs = cellScores(centroids.getOrElse(hashCentroids(dim, nCells)))
     v.withColumn("__sorted", array_sort(array(cs: _*),
         (l, r) => when(l("score") > r("score"), -1)
@@ -256,7 +289,11 @@ object Similarity {
   def ivfAssign(vectors: DataFrame, dim: Int, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    // same exclusion as the search side: a NaN/zero-norm vector's cell
+    // scores are all NaN (comparator-equal), its assignment garbage,
+    // and its cosine later poisons the rank window
+    val v = assertDim(finiteRows(vectors, idCol, vecCol, "id", "vec"),
+      "vec", dim, "ivfAssign")
     val cs = cellScores(centroids.getOrElse(hashCentroids(dim, nCells)))
     v.withColumn("cell", element_at(
       array_sort(array(cs: _*),
@@ -545,12 +582,15 @@ object Similarity {
     val c = Hydration.persist(unitVectors(corpus, idCol, vecCol)
       .withColumn("codes", pqCodes(col("vec"), books, subDim))
       .select(col("id").as("n_id"), col("raw").as("n_raw"), col("codes")))
-    val q = unitVectors(queries, idCol, vecCol)
+    // the query projection feeds THREE consumers (the broadcast-fit
+    // probe, the ADC join, the re-rank join) — persist it like the
+    // corpus side or the unitVectors+table plan re-executes per use
+    val q = Hydration.persist(unitVectors(queries, idCol, vecCol)
       .withColumn("tbl", array(books.zipWithIndex.map { case (cents, s) =>
         array(cents.map(cent =>
           dot(slice(col("vec"), s * subDim + 1, subDim), constVec(cent))): _*)
       }: _*))
-      .select(col("id").as("q_id"), col("raw").as("q_raw"), col("tbl"))
+      .select(col("id").as("q_id"), col("raw").as("q_raw"), col("tbl")))
     val qSide =
       if (fitsBroadcast(q, broadcastLimit)) broadcast(q)
       else q.hint("shuffle_replicate_nl")
@@ -577,6 +617,7 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("score"))
       .localCheckpoint()
     c.unpersist()
+    q.unpersist()
     out
   }
 
@@ -612,10 +653,17 @@ object Similarity {
       .select(col(idCol).cast(LongType).as("id"),
         asDouble(col(vecCol)).as("vec"))
       .filter(col("id").isNotNull && col("vec").isNotNull)
+      // finite-norm exclusion: a zero-norm candidate's rel4 is NaN,
+      // which sorts FIRST descending — the garbage vector wins step 1
+      // and its NaN similarity then poisons EVERY later step's scores
+      .withColumn("__nrm", norm(col("vec")))
+      .filter(col("__nrm") > 0 && !isnan(col("__nrm")) &&
+        col("__nrm") < lit(Double.PositiveInfinity))
+      .drop("__nrm")
     val qRows = base.filter(col("id") === queryId).limit(2).collect()
     require(qRows.length == 1,
-      s"queryId=$queryId must match exactly one vector, " +
-        s"got ${qRows.length}")
+      s"queryId=$queryId must match exactly one vector (finite, " +
+        s"non-zero norm), got ${qRows.length}")
     val qvec = qRows(0).getSeq[Double](1)
     val cand = Hydration.persist(base.filter(col("id") =!= queryId)
       .withColumn("rel4", round(cosine(col("vec"), constVec(qvec)), 4)))

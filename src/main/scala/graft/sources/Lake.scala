@@ -15,15 +15,32 @@ import org.apache.spark.sql.functions._
 object Lake {
 
   /** Write a frame as a date-partitioned lake. `tsCol` drives the
-    * `event_date` partition column; `filesPerPartition` coalesces
-    * micro-batch dribble into sane file counts. */
+    * `event_date` partition column; `filesPerPartition` bounds the
+    * file count per date — 1 coalesces micro-batch dribble, > 1 salts
+    * the date so a heavy day FANS OUT across writers
+    * (`repartition(n, event_date)` alone can never do that: every row
+    * of a date hashes to ONE task, making the knob a no-op above 1 and
+    * a single-writer bottleneck on backfills). */
   def write(df: DataFrame, path: String, tsCol: String,
-      mode: String = "append", filesPerPartition: Int = 1): Unit =
-    df.withColumn("event_date", to_date(col(tsCol)))
-      .repartition(filesPerPartition, col("event_date"))
-      .write.mode(mode)
+      mode: String = "append", filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition=$filesPerPartition must be >= 1")
+    val dated = df.withColumn("event_date", to_date(col(tsCol)))
+    val parted =
+      if (filesPerPartition == 1) dated.repartition(col("event_date"))
+      // EXPLICIT partition count: an unnumbered repartition is
+      // AQE-coalescible, which re-merges the salt's fan-out on small
+      // batches and would quietly re-no-op the knob
+      else dated.repartition(
+        math.max(filesPerPartition, df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt),
+        col("event_date"),
+        pmod(xxhash64(dated.columns.map(c => col(c).cast("string")): _*),
+          lit(filesPerPartition.toLong)))
+    parted.write.mode(mode)
       .partitionBy("event_date")
       .parquet(path)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -196,12 +213,23 @@ object Lake {
     // would silently coerce (long ∪ string → string), rewriting
     // history with no signal — fail loudly instead (ship a NEW column
     // for the new type).
-    // An empty/missing target (first batch) has no schema to read.
+    // An empty/missing target (first batch) has no schema to read —
+    // but ONLY absence may take that branch: a swallowed transient
+    // read failure (throttled object store, footer mid-compaction)
+    // would present as "empty lake" and the dynamic overwrite below
+    // would then rewrite every touched partition with batch rows
+    // alone, silently DELETING all pre-existing rows. Probe existence
+    // explicitly; any failure of an existing lake's read propagates.
+    val targetPath = new org.apache.hadoop.fs.Path(path)
+    val targetFs = targetPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = targetFs.exists(targetPath) &&
+      targetFs.listStatus(targetPath).nonEmpty
     val existingSlice =
-      scala.util.Try(readEvolving(spark, path)).toOption
-        .map(_.filter(col("event_date").isin(dates: _*))
-          .withColumn("__src", lit(0)))
-        .getOrElse(updDated.limit(0).withColumn("__src", lit(0)))
+      if (hasData) readEvolving(spark, path)
+        .filter(col("event_date").isin(dates: _*))
+        .withColumn("__src", lit(0))
+      else updDated.limit(0).withColumn("__src", lit(0))
     val updTypes = updDated.schema.map(f => f.name -> f.dataType).toMap
     existingSlice.schema.filter(_.name != "__src").foreach { f =>
       updTypes.get(f.name).foreach { dt =>
@@ -212,11 +240,20 @@ object Lake {
             "old rows); write the new type as a NEW column instead")
       }
     }
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col("__src").desc)
-    val merged = existingSlice
+    val unioned = existingSlice
       .unionByName(updDated.withColumn("__src", lit(1)),
         allowMissingColumns = true)
+    // final tie-break: duplicate (key, version) rows WITHIN one batch
+    // (at-least-once delivery with divergent payloads) would otherwise
+    // leave row_number's pick shuffle-order-dependent — replaying the
+    // same batch could persist a DIFFERENT winner, breaking the
+    // idempotent-replay contract. A content hash pins the winner.
+    val payloadCols = unioned.columns.filterNot(_ == "__src")
+      .map(c => col(c).cast("string"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__src").desc,
+        xxhash64(payloadCols: _*))
+    val merged = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
@@ -289,9 +326,18 @@ object Lake {
     // compaction must never silently drop a column newer files carry
     // (side effect: the rewrite homogenizes the lake onto the merged
     // schema, null-filling old rows — the documented evolution shape)
-    readEvolving(spark, path)
-      .repartition(nFiles, col("event_date"))
-      .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val lake = readEvolving(spark, path)
+    val parted =
+      if (nFiles == 1) lake.repartition(col("event_date"))
+      // same salt + explicit-count shape as write(): date alone can't
+      // fan a day out, and AQE re-coalesces an unnumbered repartition
+      else lake.repartition(
+        math.max(nFiles, spark.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt),
+        col("event_date"),
+        pmod(xxhash64(lake.columns.map(c => col(c).cast("string")): _*),
+          lit(nFiles.toLong)))
+    parted.write.mode("overwrite").partitionBy("event_date").parquet(tmp)
     swapInto(spark, path, tmp)
   }
 
@@ -407,7 +453,13 @@ object Lake {
       val files = candidateFiles(value)
       if (files.isEmpty)
         spark.read.schema(schema).parquet(dataPath).where(lit(false))
-      else spark.read.schema(schema).parquet(files: _*)
+      // basePath: without it a per-file read does no partition
+      // discovery and the explicit schema NULL-fills every partition
+      // column (event_date on this file's own lake layout) — breaking
+      // the ≡-full-scan contract, or returning zero rows when keyCol
+      // itself is a partition column
+      else spark.read.option("basePath", dataPath).schema(schema)
+        .parquet(files: _*)
         .where(col(keyCol) === lit(value))
     }
   }

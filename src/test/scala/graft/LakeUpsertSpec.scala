@@ -72,6 +72,49 @@ class LakeUpsertSpec extends SparkSpec {
     assert(state(path) === first)
   }
 
+  test("duplicate (key, version) rows WITHIN one batch pick a " +
+      "content-deterministic winner — replay persists the same row") {
+    val batch = Seq(
+      (9L, 7L, "2024-01-05 10:00:00", "payload-A"),
+      (9L, 7L, "2024-01-05 10:00:00", "payload-B"))
+      .toDF("id", "version", "ts", "payload")
+    val path1 = tmp(); val path2 = tmp()
+    // two independent lakes, same batch (fresh shuffles each): the
+    // winner must agree — shuffle order may not decide it
+    Lake.upsertLatest(spark, path1, batch, "id", "version", "ts")
+    Lake.upsertLatest(spark, path2,
+      batch.repartition(7), "id", "version", "ts")
+    val w1 = Lake.read(spark, path1).select("payload").as[String].head()
+    val w2 = Lake.read(spark, path2).select("payload").as[String].head()
+    assert(w1 === w2, s"$w1 vs $w2")
+    assert(Lake.read(spark, path1).count() === 1L)
+  }
+
+  test("a read failure of an EXISTING lake propagates — it must not " +
+      "present as an empty lake and wipe the touched partitions") {
+    val path = tmp()
+    seed(path)
+    // plant a corrupt parquet file inside a data partition: the
+    // pre-fix Try(...).toOption swallowed the read error, took the
+    // first-batch branch, and the dynamic overwrite DELETED all
+    // pre-existing rows of the touched dates
+    val part = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("event_date=")).head
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(part.getPath, "corrupt.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Throwable] {
+      Lake.upsertLatest(spark,
+        path, Seq((1L, 9L, "2024-01-01 12:00:00", "a-v9"))
+          .toDF("id", "version", "ts", "payload"),
+        "id", "version", "ts")
+    }
+    // and nothing was destroyed
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(part.getPath, "corrupt.parquet"))
+    assert(Lake.read(spark, path).count() === 3L)
+  }
+
   test("untouched date partitions are not rewritten") {
     val path = tmp()
     seed(path)

@@ -1121,6 +1121,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("degenerate vectors (zero-norm / NaN) are excluded wherever a " +
+      "raw cosine scores: brute-force rank, LSH buckets, MMR walk") {
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0)),
+      (1L, vec(0.9, 0.1, 0, 0)),
+      (2L, vec(0, 0, 0, 0)),              // zero norm → cosine NaN
+      (3L, vec(Double.NaN, 1, 0, 0)))     // NaN → NaN sorts FIRST desc
+      .toDF("vec_id", "embedding")
+    // pre-fix: NaN scores outrank every real neighbor (NaN compares
+    // LARGER in Spark), so id 2/3 would be the rank-1 hit of EVERY
+    // query and would emit query rows of their own
+    val top = Similarity.bruteForceTopK(emb, emb, k = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(top.map(_._1).toSet === Set(0L, 1L), top.toString)
+    assert(top.map(_._3).toSet.intersect(Set(2L, 3L)).isEmpty, top.toString)
+    // pre-fix: the NaN vector lands in the all-ones LSH bucket and its
+    // NaN pair scores PASS the >= threshold filter
+    val pairs = Similarity.lshNearDupPairs(emb, 0.5, dim = 4, bits = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((0L, 1L)), pairs.toString)
+    // pre-fix: a zero-norm candidate wins step 1 with score NaN and
+    // every later step degenerates to smallest-id order
+    val walk = Similarity.mmrSelect(emb, 0L, k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(walk.map(_._2) === Seq(1L), walk.toString)
+    // a degenerate QUERY vector is a loud error, not a NaN walk
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(emb, 2L, k = 2)
+    }
+    // ivf paths: the degenerate vectors never reach a rank window
+    val ivf = Similarity.ivfTopK(emb, emb, k = 1, dim = 4, nCells = 2,
+      nProbe = 2).as[(Long, Long, Long, Double)].collect().toSeq
+    assert(ivf.map(_._1).toSet === Set(0L, 1L), ivf.toString)
+    assert(ivf.map(_._3).toSet.intersect(Set(2L, 3L)).isEmpty)
+  }
+
+  test("wrong-dim vectors raise loudly in LSH/IVF instead of silently " +
+      "prefix-projecting; bits past 63 are rejected") {
+    val emb = Seq((0L, vec(1, 0)), (1L, vec(0, 1)))
+      .toDF("vec_id", "embedding")
+    def msgsOf(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Throwable] {
+      Similarity.lshNearDupPairs(emb, 0.5, dim = 8, bits = 4).collect()
+    }
+    assert(msgsOf(e1).contains("!= declared dim"), msgsOf(e1))
+    val e2 = intercept[Throwable] {
+      Similarity.ivfAssign(emb, dim = 8, nCells = 2).collect()
+    }
+    assert(msgsOf(e2).contains("!= declared dim"), msgsOf(e2))
+    intercept[IllegalArgumentException] {
+      Similarity.hyperplaneBucket(col("embedding"), dim = 2, bits = 64)
+    }
+  }
+
   test("randomProjection: values match a JVM reference fold, wrong " +
       "dims raise, null rows drop, projecting up is rejected") {
     val emb = Seq((1L, vec(1, 0, 2, -1)), (2L, vec(0.5, 0.5, 0.5, 0.5)),

@@ -112,6 +112,19 @@ class UtilitySpec extends SparkSpec {
     assert(after.columns.contains("event_date"))
   }
 
+  test("Lake.write filesPerPartition > 1 actually fans a single date " +
+      "out across files (the knob was a no-op above 1 pre-fix)") {
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    val oneDay = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"value")
+      .withColumn("ts", lit("2024-03-01 12:00:00").cast("timestamp"))
+      .limit(1000)
+    Lake.write(oneDay, dir, "ts", filesPerPartition = 4)
+    val files = Lake.read(spark, dir).inputFiles
+    assert(files.length > 1 && files.length <= 4, files.length.toString)
+    assert(Lake.read(spark, dir).count() === 1000L)
+  }
+
   test("EsSink.write emits golden bulk bytes: action lines, auto-ids, chunk boundary") {
     // the collecting-transport specs prove routing and retry; this one
     // pins the WIRE BYTES so a format regression (action-line shape,
