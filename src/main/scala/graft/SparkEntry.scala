@@ -155,6 +155,7 @@ object SparkEntry {
     "q132_winnowing_pairs" -> (TrainingData.q132WinnowingPairs _),
     "q133_bloom_index_lookup" -> (Analytics.q133BloomIndexLookup _),
     "q134_random_projection" -> (TrainingData.q134RandomProjection _),
+    "q135_projected_ann"  -> (TrainingData.q135ProjectedAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,5 +453,8 @@ object SparkEntry {
     // q134: JL projection replayed exactly — same direction literals,
     // same in-order double fold, same round-4.
     "q134_random_projection" -> TrainingData.q134Sql,
+    // q135: the oracle is the EXACT brute-force top-k — recall through
+    // the projected candidate stage is the operator's contract.
+    "q135_projected_ann" -> TrainingData.q135Sql,
   )
 }

@@ -171,10 +171,6 @@ object Similarity {
     require(outDim >= 1 && outDim <= dim,
       s"randomProjection: outDim=$outDim must be in [1, dim=$dim] — " +
         "projecting UP is not reduction")
-    val scale = projectionScale(outDim)
-    val comps = projectionValues(dim, outDim).map { p =>
-      round(dot(col("__vec"), constVec(p)) * lit(scale), 4)
-    }
     vectors
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .filter(assert_true(size(col(vecCol)) === lit(dim),
@@ -182,7 +178,67 @@ object Similarity {
           size(col(vecCol)), lit(s" != declared dim $dim"))).isNull)
       .select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("__vec"))
-      .select(col("vec_id"), array(comps: _*).as("proj"))
+      .select(col("vec_id"), projArray(col("__vec"), dim, outDim).as("proj"))
+  }
+
+  /** The round-4 projected array of `vec` — shared by
+    * [[randomProjection]] and [[projectedTopK]] so the two can never
+    * disagree on the projection arithmetic. */
+  private def projArray(vec: Column, dim: Int, outDim: Int): Column = {
+    val scale = projectionScale(outDim)
+    array(projectionValues(dim, outDim).map { p =>
+      round(dot(vec, constVec(p)) * lit(scale), 4)
+    }: _*)
+  }
+
+  /** Projected ANN: candidates ranked by dot product in the
+    * [[randomProjection]] space (outDim ≪ dim — the approx scan costs
+    * outDim/dim of brute force), then the `pool` best per query
+    * re-ranked by EXACT cosine on the raw vectors (the [[pqTopK]]
+    * shape with a JL space instead of a codebook). With `pool`
+    * generously over `k`, the exact top-k is recovered — the oracle
+    * holds the operator to the EXACT brute-force answer, q94's
+    * stance: recall is the contract, pool is the dial that buys it.
+    * Degenerate (zero-norm/NaN/wrong-dim) vectors follow
+    * [[bruteForceTopK]]'s exclusion contract. */
+  def projectedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, outDim: Int, pool: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pool >= k, s"pool=$pool must cover k=$k")
+    def side(df: DataFrame, p: String) =
+      Hydration.persist(
+        assertDim(finiteRows(df, idCol, vecCol, s"${p}_id", s"${p}_raw"),
+          s"${p}_raw", dim, "projectedTopK")
+        .select(col(s"${p}_id"), col(s"${p}_raw"),
+          projArray(col(s"${p}_raw"), dim, outDim).as(s"${p}_proj")))
+    val q = side(queries, "q")
+    val c = side(corpus, "n")
+    val qSide =
+      if (fitsBroadcast(q, broadcastLimit)) broadcast(q)
+      else q.hint("shuffle_replicate_nl")
+    val approx = c.select(col("n_id"), col("n_proj"))
+      .join(qSide.select(col("q_id"), col("q_proj")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("ascore", round(dot(col("q_proj"), col("n_proj")), 4))
+    val cand = approx
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedMaxByScore
+        .boundedMaxByScore(col("ascore"), col("n_id"), pool).as("__ids"))
+      .select(col("q_id"), explode(col("__ids")).as("n_id"))
+    val rer = cand
+      .join(c.select(col("n_id"), col("n_raw")), Seq("n_id"))
+      .join(qSide.select(col("q_id"), col("q_raw")), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_raw"), col("n_raw")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val out = rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+      .localCheckpoint()
+    q.unpersist(); c.unpersist()
+    out
   }
 
   /** LSH-bucketed near-duplicate pairs: same-bucket equi-join, cosine

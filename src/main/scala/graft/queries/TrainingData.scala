@@ -727,6 +727,59 @@ object TrainingData {
        |FROM e ORDER BY vec_id, proj_dim""".stripMargin
   }
 
+  /** q135: projected ANN with exact re-rank
+    * ([[graft.operators.Similarity.projectedTopK]]) — candidates from
+    * the q134 JL space (16 of 64 dims), pool of 200 re-ranked by exact
+    * cosine. The oracle replays the WHOLE pipeline (the q29 dial
+    * stance): projection, pool selection (ascore desc, id ties), and
+    * the exact re-rank — the pool dial is part of the contract, and
+    * this synthetic corpus is near-random (top cosines ≈ 0.3), the
+    * worst case for JL rank concentration, so exact-recall would pin
+    * the dial to pool ≈ corpus and prove nothing. */
+  def q135ProjectedAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.projectedTopK(
+        emb.filter($"vec_id" >= 5 && $"vec_id" < 15), emb,
+        k = 8, dim = 64, outDim = 16, pool = 200)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q135Sql: String = {
+    val scale = graft.operators.Similarity.projectionScale(16).toString
+    val comps = graft.operators.Similarity.projectionValues(64, 16)
+      .map { p =>
+        val plane = p.map(_.toString).mkString("[", ", ", "]")
+        s"round(list_dot_product(vec, $plane) * $scale, 4)"
+      }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, vec FROM (
+       |    SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |    FROM embeddings
+       |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+       |  WHERE nrm > 0 AND isfinite(nrm)),
+       |p AS (SELECT vec_id, vec, $comps AS proj FROM v),
+       |a AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        q.vec AS qv, c.vec AS cv,
+       |        round(list_dot_product(q.proj, c.proj), 4) AS ascore
+       |      FROM (SELECT * FROM p WHERE vec_id >= 5 AND vec_id < 15) q
+       |      JOIN p c ON q.vec_id <> c.vec_id),
+       |pool AS (SELECT q_id, n_id, qv, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ascore DESC, n_id ASC) AS prn FROM a)
+       |  WHERE prn <= 200),
+       |r AS (SELECT q_id, n_id,
+       |        round(list_dot_product(qv, cv) /
+       |          (sqrt(list_dot_product(qv, qv)) *
+       |           sqrt(list_dot_product(cv, cv))), 4) AS score
+       |      FROM pool)
+       |SELECT q_id, rank, n_id, score FROM (
+       |  SELECT q_id, n_id, score, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, n_id ASC) AS rank FROM r)
+       |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

@@ -1206,6 +1206,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("projectedTopK: pool covering the corpus reproduces " +
+      "bruteForceTopK bit-for-bit; a planted near-dup is recovered " +
+      "through a small pool") {
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // plant: vec 99 = vec 7 + tiny noise → its true top-1 is 7, and
+    // the JL space must keep that pair close enough for a pool of 5
+    val planted = (99L, base(7)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 99L)
+    val full = Similarity.projectedTopK(q, emb, k = 5, dim = 64,
+        outDim = 16, pool = 40)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(full === brute, s"$full vs $brute") // pool ≥ corpus ⇒ exact
+    val small = Similarity.projectedTopK(q, emb, k = 1, dim = 64,
+        outDim = 16, pool = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(small.head._3 === 7L, small.toString)
+  }
+
   test("randomProjection: unbiased scale — mean squared-distance " +
       "ratio near 1 on seeded vectors, rank structure preserved") {
     val rnd = new scala.util.Random(3)
