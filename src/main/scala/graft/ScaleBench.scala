@@ -526,7 +526,19 @@ object ScaleBench {
       ("winnow_pairs",
         (d: DataFrame) => graft.operators.Winnowing
           .sharedPairs(d, minShared = 2).count(),
-        () => docs1, () => docsN))
+        () => docs1, () => docsN),
+      // q24 vs q135 head-to-head at the same corpus: the projected
+      // candidate stage scans outDim/dim (16/64) of brute force's dot
+      // width — compare the two rows' xN_sec for the payoff
+      ("brute_ann",
+        (d: DataFrame) => graft.operators.Similarity.bruteForceTopK(
+          d.filter(col("vec_id") % 37L === 0L), d, k = 8).count(),
+        () => emb1, () => embN),
+      ("projected_ann",
+        (d: DataFrame) => graft.operators.Similarity.projectedTopK(
+          d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
+          outDim = 16, pool = 200).count(),
+        () => emb1, () => embN))
 
     nameFilter.foreach { f =>
       val unknown = f -- pipelines.map(_._1).toSet
