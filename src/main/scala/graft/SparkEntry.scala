@@ -156,6 +156,8 @@ object SparkEntry {
     "q133_bloom_index_lookup" -> (Analytics.q133BloomIndexLookup _),
     "q134_random_projection" -> (TrainingData.q134RandomProjection _),
     "q135_projected_ann"  -> (TrainingData.q135ProjectedAnn _),
+    "q136_winnow_decontaminate" ->
+      (TrainingData.q136WinnowDecontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -456,5 +458,8 @@ object SparkEntry {
     // q135: the oracle is the EXACT brute-force top-k — recall through
     // the projected candidate stage is the operator's contract.
     "q135_projected_ann" -> TrainingData.q135Sql,
+    // q136: winnowing decontamination — exact selection replay on both
+    // split sides, then the distinct-fingerprint overlap count.
+    "q136_winnow_decontaminate" -> TrainingData.q136Sql,
   )
 }

@@ -71,6 +71,37 @@ object Winnowing {
       .distinct()
   }
 
+  /** Eval-set contamination by winnowing overlap: per TRAINING doc,
+    * the count of DISTINCT selected fingerprints that also appear
+    * anywhere in the eval/benchmark set — the MOSS guarantee pointed
+    * at decontamination: any w+k−1-token run copied from an eval doc
+    * contributes ≥ 1 shared fingerprint, so REORDERED and partial
+    * copies are caught where exact-gram decontamination
+    * ([[Dedup]]'s q68/q86 family) needs the grams verbatim at the
+    * same stride. Rows with `n_shared ≥ minShared` are the flagged
+    * docs; anti-join them to decontaminate.
+    *
+    * Scale shape: both fingerprint passes are the one-per-doc-window
+    * selection above; the eval side collapses to a DISTINCT
+    * fingerprint SET, so the overlap equi-join has multiplicity ≤ 1
+    * per training fingerprint — no pair blowup, no hot-bucket guard
+    * needed, and Catalyst broadcasts the eval set when it is small
+    * (the common case: benchmarks ≪ corpus). */
+  def evalOverlap(train: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, w: Int = 4, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1,
+      s"winnowing: minShared=$minShared must be >= 1")
+    val tf = fingerprints(train, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val ef = fingerprints(evalDocs, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+    tf.join(ef, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= lit(minShared))
+  }
+
   /** Copy-suspect pairs: `(doc_a, doc_b, n_shared)` where `n_shared`
     * counts DISTINCT fingerprint values the two docs both selected,
     * kept when ≥ `minShared`. The fingerprint equi-join is

@@ -780,6 +780,52 @@ object TrainingData {
        |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q136: winnowing decontamination
+    * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
+    * a tenth of the range play the eval/benchmark set (the q64 split
+    * convention), the rest the training corpus; a training doc is
+    * flagged when ≥ 2 of its selected fingerprints appear anywhere in
+    * the eval set. Exact selection replay (the q132 CTEs) on both
+    * sides, then the set-overlap count. */
+  def q136WinnowDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.operators.Winnowing.evalOverlap(
+        docs.filter($"doc_id" >= cut), docs.filter($"doc_id" < cut),
+        minShared = 2)
+      .orderBy($"doc_id")
+  }
+
+  val q136Sql: String =
+    """WITH cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) >= 6),
+      |sh AS (
+      |  SELECT doc_id, CAST(len(l) AS BIGINT) - 2 AS nsh, i,
+      |    CAST(md5_number_upper(array_to_string(l[i:i+2], ' '))
+      |      & 281474976710655 AS BIGINT) AS h
+      |  FROM (SELECT doc_id, l,
+      |          unnest(range(1, CAST(len(l) AS BIGINT) - 1)) AS i
+      |        FROM toks)),
+      |mem AS (
+      |  SELECT doc_id, i, h,
+      |    unnest(range(greatest(1, i - 3), least(i, nsh - 3) + 1)) AS s
+      |  FROM sh),
+      |wmin AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+      |fps AS (
+      |  SELECT DISTINCT m.doc_id, q.mh AS fp
+      |  FROM mem m JOIN wmin q
+      |    ON q.doc_id = m.doc_id AND q.s = m.s AND m.h = q.mh),
+      |ef AS (SELECT DISTINCT fp FROM fps, cut WHERE doc_id < cut.c)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM fps t JOIN ef USING (fp) CROSS JOIN cut
+      |WHERE t.doc_id >= cut.c
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

@@ -76,6 +76,27 @@ class WinnowingSpec extends SparkSpec {
     assert(got.size === 1, got.toString) // one full window, one min
   }
 
+  test("evalOverlap flags a training doc carrying an eval span — " +
+      "including a REORDERED partial copy — and spares clean docs") {
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(1000000))
+    val secA = words(10); val secB = words(10)
+    val evalDoc = (1L, (secA ++ secB).mkString(" "))
+    val verbatim = (10L, (words(15) ++ secA ++ words(15)).mkString(" "))
+    // reordered copy: eval sections in the REVERSE order, split by
+    // fresh text — no long verbatim run of the ORIGINAL doc, but each
+    // section exceeds w+k-1 tokens, so winnowing still catches it
+    val reordered = (11L, (words(8) ++ secB ++ words(8) ++ secA)
+      .mkString(" "))
+    val clean = (12L, words(40).mkString(" "))
+    val train = Seq(verbatim, reordered, clean).toDF("doc_id", "text")
+    val ev = Seq(evalDoc).toDF("doc_id", "text")
+    val got = Winnowing.evalOverlap(train, ev, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(10L, 11L), got.toString)
+    assert(got.values.forall(_ >= 1L))
+  }
+
   test("pair join degrades oversized fingerprint buckets to star " +
       "pairs instead of enumerating them") {
     // 5 identical docs: every selected fingerprint is shared 5 ways
