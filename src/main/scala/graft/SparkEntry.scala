@@ -158,6 +158,7 @@ object SparkEntry {
     "q135_projected_ann"  -> (TrainingData.q135ProjectedAnn _),
     "q136_winnow_decontaminate" ->
       (TrainingData.q136WinnowDecontaminate _),
+    "q137_surprisal_band" -> (TrainingData.q137SurprisalBand _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,5 +462,8 @@ object SparkEntry {
     // q136: winnowing decontamination — exact selection replay on both
     // split sides, then the distinct-fingerprint overlap count.
     "q136_winnow_decontaminate" -> TrainingData.q136Sql,
+    // q137: CCNet-style perplexity band — exact integer rank edges,
+    // same (q_avg, doc_id) order both engines.
+    "q137_surprisal_band" -> TrainingData.q137Sql,
   )
 }

@@ -85,6 +85,45 @@ object LanguageModel {
           col("n_bigrams").cast("double")).as("q_avg"))
   }
 
+  /** The canonical "keep the middle of the perplexity distribution"
+    * curation filter (CCNet/Gopher lineage): within each group
+    * (language, usually), rank docs by [[bigramSurprisal]]'s `q_avg`
+    * and keep the band `(lowPct, highPct]` of the per-group rank
+    * distribution — the low tail is boilerplate (every bigram common),
+    * the high tail gibberish/mojibake (every bigram a surprise); both
+    * are what curators drop. The band edges are EXACT integer rank
+    * arithmetic (`rank > floor(lowPct·n/100)` and
+    * `rank ≤ floor(highPct·n/100)`, ranks ordered by `(q_avg, doc_id)`
+    * — no percentile interpolation to disagree across engines.
+    *
+    * Docs with < 2 tokens have no surprisal and are NOT ranked (they
+    * don't appear — run a length filter first, q20's job). Scale
+    * shape: [[bigramSurprisal]]'s keyed shuffles + one doc_id join +
+    * one per-group window (group cardinality = languages, each
+    * partition corpus-sized/|groups| — rank-banding is a sort per
+    * group, the honest price of exact rank semantics; swap in
+    * [[Histogram]] estimates when groups stop fitting a sort). */
+  def surprisalBandFilter(docs: DataFrame, groupCol: String = "lang",
+      lowPct: Int = 5, highPct: Int = 95,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(0 <= lowPct && lowPct < highPct && highPct <= 100,
+      s"surprisalBandFilter: band ($lowPct, $highPct] must satisfy " +
+        "0 <= low < high <= 100")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(groupCol).as("grp")), "doc_id")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("q_avg"), col("doc_id"))
+    val n = Window.partitionBy(col("grp"))
+    scored
+      .withColumn("__r", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__r") > expr(s"(__n * $lowPct) div 100") &&
+        col("__r") <= expr(s"(__n * $highPct) div 100"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("q_avg"))
+  }
+
   /** Surprisal-driven domain reweighting (the DoReMi-lineage mixture
     * step, see PAPERS.md): give each domain a sampling quota
     * proportional to how HARD its text is for the corpus-trained

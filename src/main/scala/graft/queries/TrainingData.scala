@@ -826,6 +826,51 @@ object TrainingData {
       |GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY doc_id""".stripMargin
 
+  /** q137: perplexity band filter
+    * ([[graft.operators.LanguageModel.surprisalBandFilter]]) — per
+    * language, keep the (5, 95] band of the q_avg rank distribution
+    * (drop boilerplate AND gibberish tails). Exact integer rank
+    * arithmetic replayed: same LM, same (q_avg, doc_id) rank order,
+    * same floor band edges. */
+  def q137SurprisalBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.LanguageModel.surprisalBandFilter(
+        Tables.documents(s, dir), groupCol = "lang")
+      .orderBy($"doc_id")
+  }
+
+  val q137Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |idx AS (SELECT doc_id, l,
+      |          unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+      |        FROM toks),
+      |bg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM idx),
+      |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      |        FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+      |        FROM nab GROUP BY 1),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
+      |  FROM bg g
+      |  JOIN nab n ON n.a = g.a AND n.b = g.b
+      |  JOIN ctx c ON c.a = g.a),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+      |  FROM scored GROUP BY 1),
+      |ranked AS (
+      |  SELECT p.doc_id, d.lang, p.q_avg,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY p.q_avg, p.doc_id) AS r,
+      |    count(*) OVER (PARTITION BY d.lang) AS n
+      |  FROM per_doc p JOIN documents d USING (doc_id))
+      |SELECT doc_id, lang, q_avg FROM ranked
+      |WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100
+      |ORDER BY doc_id""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

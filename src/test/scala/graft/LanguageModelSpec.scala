@@ -77,6 +77,29 @@ class LanguageModelSpec extends SparkSpec {
     assert(got.head._4 === 10L, got.toString) // whole budget, one domain
   }
 
+  test("surprisalBandFilter: exact integer band edges drop both " +
+      "tails per group; sub-2-token docs are not ranked; bad bands " +
+      "raise") {
+    // one group of 10 scored docs: 7 boilerplate (q_avg 10), the 8th
+    // a rare continuation (13 — the 'gibberish' tail), plus 2 more
+    // boilerplate to make the edge arithmetic interesting
+    val docs = ((1L to 9L).map(i => (i, "p q", "tr")) :+
+        (10L, "p r", "tr") :+ (11L, "solo", "tr"))
+      .toDF("doc_id", "text", "source")
+      .withColumnRenamed("source", "lang")
+    val got = LanguageModel.surprisalBandFilter(docs, "lang",
+        lowPct = 10, highPct = 90)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    // n = 10 ranked docs (doc 11 has no bigram): keep r in
+    // (floor(10·10/100), floor(10·90/100)] = (1, 9] → ranks 2..9.
+    // Order is (q_avg, doc_id): docs 1..9 (q_avg 10) then 10 (13) —
+    // so doc 1 (low tail) and doc 10 (high tail) both drop
+    assert(got === (2L to 9L), got.toString)
+    intercept[IllegalArgumentException] {
+      LanguageModel.surprisalBandFilter(docs, "lang", 90, 10)
+    }
+  }
+
   test("domainReweight: a domain summing scaled surprisal past int64 " +
       "dies loudly, not by wrapping") {
     val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
