@@ -527,6 +527,22 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Winnowing
           .sharedPairs(d, minShared = 2).count(),
         () => docs1, () => docsN),
+      // q136/q137: the decontaminate adds a multiplicity-≤1 overlap
+      // join to the fingerprint pass; the band filter adds one
+      // per-language window to the LM — both should track their
+      // component rows (winnow_fingerprints / lm_surprisal)
+      ("winnow_decontaminate",
+        (d: DataFrame) => {
+          val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 10 + 1
+          graft.operators.Winnowing.evalOverlap(
+            d.filter(col("doc_id") >= cut),
+            d.filter(col("doc_id") < cut), minShared = 2).count()
+        },
+        () => docs1, () => docsN),
+      ("surprisal_band",
+        (d: DataFrame) => graft.operators.LanguageModel
+          .surprisalBandFilter(d, "lang").count(),
+        () => docs1, () => docsN),
       // q24 vs q135 head-to-head at the same corpus: the projected
       // candidate stage scans outDim/dim (16/64) of brute force's dot
       // width — compare the two rows' xN_sec for the payoff
