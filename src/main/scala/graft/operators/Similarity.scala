@@ -207,6 +207,9 @@ object Similarity {
       broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(pool >= k, s"pool=$pool must cover k=$k")
+    require(outDim >= 1 && outDim <= dim,
+      s"projectedTopK: outDim=$outDim must be in [1, dim=$dim] — " +
+        "projecting UP is not reduction (randomProjection's contract)")
     def side(df: DataFrame, p: String) =
       Hydration.persist(
         assertDim(finiteRows(df, idCol, vecCol, s"${p}_id", s"${p}_raw"),
@@ -222,10 +225,25 @@ object Similarity {
       .join(qSide.select(col("q_id"), col("q_proj")),
         col("q_id") =!= col("n_id"))
       .withColumn("ascore", round(dot(col("q_proj"), col("n_proj")), 4))
+    val out = rerankTopK(approx, "ascore", c, qSide, k, pool)
+    q.unpersist(); c.unpersist()
+    out
+  }
+
+  /** The pool-then-exact-re-rank tail shared by [[pqTopK]] and
+    * [[projectedTopK]]: `pool` best approx candidates per query
+    * (score desc, id-asc ties — [[graft.functions.BoundedMaxByScore]]
+    * mirrors the oracle's `row_number` exactly), hydrate both raw
+    * sides, exact round-4 cosine, rank window, k-filter, checkpoint.
+    * ONE tie-break/re-rank contract, one place — the two operators
+    * cannot drift. */
+  private def rerankTopK(approx: DataFrame, approxScore: String,
+      c: DataFrame, qSide: DataFrame, k: Int, pool: Int): DataFrame = {
     val cand = approx
       .groupBy(col("q_id"))
       .agg(graft.functions.BoundedMaxByScore
-        .boundedMaxByScore(col("ascore"), col("n_id"), pool).as("__ids"))
+        .boundedMaxByScore(col(approxScore), col("n_id"), pool)
+        .as("__ids"))
       .select(col("q_id"), explode(col("__ids")).as("n_id"))
     val rer = cand
       .join(c.select(col("n_id"), col("n_raw")), Seq("n_id"))
@@ -233,12 +251,10 @@ object Similarity {
       .withColumn("score", round(cosine(col("q_raw"), col("n_raw")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
-    val out = rer.withColumn("rank", row_number().over(w).cast("long"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("score"))
       .localCheckpoint()
-    q.unpersist(); c.unpersist()
-    out
   }
 
   /** LSH-bucketed near-duplicate pairs: same-bucket equi-join, cosine
@@ -657,21 +673,7 @@ object Similarity {
         zip_with(col("codes"), col("tbl"),
           (code, t) => element_at(t, code + 1)),
         lit(0.0), (acc, x) => acc + x))
-    val cand = approx
-      .groupBy(col("q_id"))
-      .agg(graft.functions.BoundedMaxByScore
-        .boundedMaxByScore(col("adc"), col("n_id"), pool).as("__ids"))
-      .select(col("q_id"), explode(col("__ids")).as("n_id"))
-    val rer = cand
-      .join(c.select(col("n_id"), col("n_raw")), Seq("n_id"))
-      .join(qSide.select(col("q_id"), col("q_raw")), Seq("q_id"))
-      .withColumn("score", round(cosine(col("q_raw"), col("n_raw")), 4))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("n_id").asc)
-    val out = rer.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("score"))
-      .localCheckpoint()
+    val out = rerankTopK(approx, "adc", c, qSide, k, pool)
     c.unpersist()
     q.unpersist()
     out

@@ -711,13 +711,22 @@ object TrainingData {
       .orderBy($"vec_id", $"proj_dim")
   }
 
-  val q134Sql: String = {
-    val scale = graft.operators.Similarity.projectionScale(8).toString
-    val comps = graft.operators.Similarity.projectionValues(64, 8)
+  /** The `round(list_dot_product(vec, [plane]) * scale, 4)` literal
+    * list shared by the q134/q135 oracles — ONE SQL rendering of the
+    * projection arithmetic, mirroring `Similarity.projArray` being
+    * the one Spark-side rendering. */
+  private def projCompsSql(dim: Int, outDim: Int): String = {
+    val scale =
+      graft.operators.Similarity.projectionScale(outDim).toString
+    graft.operators.Similarity.projectionValues(dim, outDim)
       .map { p =>
         val plane = p.map(_.toString).mkString("[", ", ", "]")
         s"round(list_dot_product(vec, $plane) * $scale, 4)"
       }.mkString("[\n      ", ",\n      ", "]")
+  }
+
+  val q134Sql: String = {
+    val comps = projCompsSql(64, 8)
     s"""WITH v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
@@ -746,12 +755,7 @@ object TrainingData {
   }
 
   val q135Sql: String = {
-    val scale = graft.operators.Similarity.projectionScale(16).toString
-    val comps = graft.operators.Similarity.projectionValues(64, 16)
-      .map { p =>
-        val plane = p.map(_.toString).mkString("[", ", ", "]")
-        s"round(list_dot_product(vec, $plane) * $scale, 4)"
-      }.mkString("[\n      ", ",\n      ", "]")
+    val comps = projCompsSql(64, 16)
     s"""WITH v AS (
        |  SELECT vec_id, vec FROM (
        |    SELECT vec_id, embedding::DOUBLE[] AS vec,
