@@ -470,7 +470,12 @@ object Sampling {
     * (the repo's md5 discipline), tie-broken by doc id, so the
     * manifest is bit-identical on any cluster layout and replayable
     * in the DuckDB oracle. Changing the seed re-shuffles without
-    * touching the data. */
+    * touching the data.
+    *
+    * Output: `(<idCol>, shard, pos_in_shard)` — the id column KEEPS
+    * the caller's name (sibling operators' convention; a caller
+    * passing `idCol = "vec_id"` gets `vec_id` back, not a silent
+    * rename). */
   def shardManifest(docs: DataFrame, idCol: String, nShards: Int,
       seed: String): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
@@ -480,10 +485,10 @@ object Sampling {
     val h = portableHash48(
       concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__h"), col("doc_id"))
-    docs.select(col(idCol).as("doc_id"), h.as("__h"))
+      .orderBy(col("__h"), col("__id"))
+    docs.select(col(idCol).as("__id"), h.as("__h"))
       .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+      .select(col("__id").as(idCol), col("shard"), col("pos_in_shard"))
   }
 }

@@ -5,9 +5,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
-  * 2004 — the MOSS algorithm): per-doc k-token shingle hashes, then
-  * from every window of `w` consecutive hashes keep the RIGHTMOST
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2004 —
+  * the MOSS algorithm): per-doc k-token shingle hashes, then from
+  * every window of `w` consecutive hashes keep the RIGHTMOST
   * minimum. The selection guarantee is what the rolling fingerprint
   * (q30) and full shingle sets (q27) each lack half of: any token run
   * of length ≥ w + k − 1 shared by two documents contributes at least
@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * shingle count, tunable by `w`.
   *
   * Tie rule: within a window, equal-hash ties select the rightmost
-  * position (the "robust" variant — consecutive overlapping windows
-  * re-select the SAME position where possible, minimizing density).
-  * Only FULL windows select (docs with fewer than w + k − 1 tokens
-  * emit nothing — below the guarantee length there is nothing to
-  * detect).
+  * position — standard winnowing's tie rule (the paper's "robust"
+  * refinement additionally prefers re-selecting the PREVIOUS window's
+  * pick on ties, stateful across windows, which a per-window frame
+  * aggregate cannot express; the detection guarantee and density
+  * bound are the same either way, robustness only lowers density on
+  * tie-heavy hash streams). Only FULL windows select (docs with fewer
+  * than w + k − 1 tokens emit nothing — below the guarantee length
+  * there is nothing to detect).
   *
   * Hashes are [[Sampling.portableHash48]] over the space-joined
   * shingle, so the whole selection replays exactly in the oracle's
@@ -49,10 +52,13 @@ object Winnowing {
         TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(col("toks").isNotNull &&
         size(col("toks")) >= lit(k + w - 1))
-    val nsh = size(col("toks")) - lit(k - 1)
+    // shingle count bound ONCE, then referenced — not re-derived
+    // inside the posexplode input (clearer, and no reliance on CSE)
     val sh = toks
-      .select(col("doc_id"), nsh.as("nsh"),
-        posexplode(transform(sequence(lit(1), nsh), i =>
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) - lit(k - 1)).as("nsh"))
+      .select(col("doc_id"), col("nsh"),
+        posexplode(transform(sequence(lit(1), col("nsh")), i =>
           Sampling.portableHash48(
             concat_ws(" ", slice(col("toks"), i, lit(k)))))))
       .select(col("doc_id"), col("nsh"),

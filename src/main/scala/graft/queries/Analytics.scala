@@ -264,8 +264,18 @@ object Analytics {
       .orderBy($"q_id", $"rank")
   }
 
+  // `fin` mirrors the operator's finite-norm exclusion (the q24Sql
+  // stance) — a no-op on the synthetic embeddings, but the oracle
+  // must encode the same degenerate-vector contract as the operator
   val q94Sql: String =
-    """SELECT q_id, rank, n_id, score FROM (
+    """WITH fin AS (
+      |  SELECT vec_id, embedding FROM (
+      |    SELECT vec_id, embedding,
+      |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |    FROM embeddings
+      |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+      |  WHERE nrm > 0 AND isfinite(nrm))
+      |SELECT q_id, rank, n_id, score FROM (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
@@ -273,8 +283,8 @@ object Analytics {
       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
       |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) DESC, c.vec_id ASC) AS rank
-      |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
-      |  JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  FROM (SELECT * FROM fin WHERE vec_id < 5) q
+      |  JOIN fin c ON q.vec_id <> c.vec_id
       |) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   /** Z-order data skipping (q95): lineitem rewritten z-ordered on

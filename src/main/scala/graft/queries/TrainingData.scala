@@ -132,8 +132,22 @@ object TrainingData {
       .orderBy($"q_id", $"rank")
   }
 
+  // the `fin` CTE mirrors the operator's finite-norm exclusion
+  // (zero-norm/NaN vectors score cosine NaN and would ride Spark's
+  // NaN-is-largest ordering to rank 1): the synthetic embeddings are
+  // all finite, so the filter is a no-op here, but operator and
+  // oracle must encode the SAME contract or a degenerate input would
+  // diff them (the exclusion is also unit-pinned in TrainingDataSpec
+  // with deliberately degenerate vectors)
   val q24Sql: String =
-    """SELECT q_id, rank, n_id, score FROM (
+    """WITH fin AS (
+      |  SELECT vec_id, embedding FROM (
+      |    SELECT vec_id, embedding,
+      |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |    FROM embeddings
+      |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+      |  WHERE nrm > 0 AND isfinite(nrm))
+      |SELECT q_id, rank, n_id, score FROM (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
@@ -141,8 +155,8 @@ object TrainingData {
       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
       |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) DESC, c.vec_id ASC) AS rank
-      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-      |  JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  FROM (SELECT * FROM fin WHERE vec_id < 10) q
+      |  JOIN fin c ON q.vec_id <> c.vec_id
       |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** N-gram Jaccard near-dup pairs blocked on a 40-char text prefix

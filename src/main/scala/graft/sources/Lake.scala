@@ -14,15 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  /** The fan-out salt shared by [[write]] and [[compact]]: a stable
+    * per-row value mod `n`. Determinism is the only requirement (a
+    * retry must land rows in the same file), NOT full-row coverage —
+    * hashing every column cast to string pays a full-row stringify
+    * per row just to pick a writer, which on text/media-heavy lakes
+    * costs more than the write itself. Callers name a cheap stable
+    * subset (a timestamp + an id); the salt's quality only affects
+    * file-size balance, never results. */
+  private def fanOutSalt(saltCols: Seq[String], n: Int): Column =
+    pmod(xxhash64(saltCols.map(c => col(c).cast("string")): _*),
+      lit(n.toLong))
+
   /** Write a frame as a date-partitioned lake. `tsCol` drives the
     * `event_date` partition column; `filesPerPartition` bounds the
     * file count per date — 1 coalesces micro-batch dribble, > 1 salts
     * the date so a heavy day FANS OUT across writers
     * (`repartition(n, event_date)` alone can never do that: every row
     * of a date hashes to ONE task, making the knob a no-op above 1 and
-    * a single-writer bottleneck on backfills). */
+    * a single-writer bottleneck on backfills). The salt hashes
+    * `saltCols` (default: just `tsCol` — cheap and fine-grained on
+    * event feeds); a caller whose `tsCol` is low-cardinality (constant
+    * backfill stamps) passes an id/payload column too, or the fan-out
+    * quietly collapses back to few writers. */
   def write(df: DataFrame, path: String, tsCol: String,
-      mode: String = "append", filesPerPartition: Int = 1): Unit = {
+      mode: String = "append", filesPerPartition: Int = 1,
+      saltCols: Seq[String] = Seq.empty): Unit = {
     require(filesPerPartition >= 1,
       s"filesPerPartition=$filesPerPartition must be >= 1")
     val dated = df.withColumn("event_date", to_date(col(tsCol)))
@@ -35,8 +52,8 @@ object Lake {
         math.max(filesPerPartition, df.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "200").toInt),
         col("event_date"),
-        pmod(xxhash64(dated.columns.map(c => col(c).cast("string")): _*),
-          lit(filesPerPartition.toLong)))
+        fanOutSalt(if (saltCols.nonEmpty) saltCols else Seq(tsCol),
+          filesPerPartition))
     parted.write.mode(mode)
       .partitionBy("event_date")
       .parquet(path)
@@ -319,8 +336,14 @@ object Lake {
 
   /** Compact a lake partition range into `nFiles` files (the
     * maintenance job that keeps file counts bounded under streaming
-    * append). */
-  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
+    * append). `saltCols` names the cheap stable columns the fan-out
+    * salt hashes when `nFiles > 1` (see [[fanOutSalt]]); the default
+    * (empty) falls back to ALL columns — always correct, but on
+    * text/media-heavy lakes the full-row stringify dominates, so
+    * maintenance jobs over such lakes should pass their key/ts
+    * columns. */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1,
+      saltCols: Seq[String] = Seq.empty): Unit = {
     val tmp = path.stripSuffix("/") + "__compacting"
     // mergeSchema for the same reason as dropSupersededVersions: a
     // compaction must never silently drop a column newer files carry
@@ -335,8 +358,8 @@ object Lake {
         math.max(nFiles, spark.conf
           .get("spark.sql.shuffle.partitions", "200").toInt),
         col("event_date"),
-        pmod(xxhash64(lake.columns.map(c => col(c).cast("string")): _*),
-          lit(nFiles.toLong)))
+        fanOutSalt(if (saltCols.nonEmpty) saltCols
+          else lake.columns.toSeq, nFiles))
     parted.write.mode("overwrite").partitionBy("event_date").parquet(tmp)
     swapInto(spark, path, tmp)
   }

@@ -392,5 +392,13 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.shardManifest(docs, "doc_id", nShards = 8, seed = "a:b")
     }
+    // the output keeps the CALLER's id column name (no silent rename
+    // to doc_id), and the permutation is idCol-name-independent
+    val vecs = (0L until 200L).toDF("vec_id")
+    val mv = Sampling.shardManifest(vecs, "vec_id", nShards = 8,
+      seed = "42")
+    assert(mv.columns.toSeq === Seq("vec_id", "shard", "pos_in_shard"))
+    assert(mv.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted === m)
   }
 }
