@@ -159,6 +159,7 @@ object SparkEntry {
     "q136_winnow_decontaminate" ->
       (TrainingData.q136WinnowDecontaminate _),
     "q137_surprisal_band" -> (TrainingData.q137SurprisalBand _),
+    "q138_heldout_surprisal" -> (TrainingData.q138HeldoutSurprisal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,5 +466,8 @@ object SparkEntry {
     // q137: CCNet-style perplexity band — exact integer rank edges,
     // same (q_avg, doc_id) order both engines.
     "q137_surprisal_band" -> TrainingData.q137Sql,
+    // q138: held-out LM scoring with add-1 OOV smoothing — train
+    // counts + vocabulary + smoothed floor-log2 ratio all replayed.
+    "q138_heldout_surprisal" -> TrainingData.q138Sql,
   )
 }

@@ -27,11 +27,13 @@ import org.apache.spark.sql.types.LongType
   * plenty to rank docs). `n(a·) ≥ n(ab)` always, so q ≥ 10; subtract
   * 10 for whole bits.
   *
-  * SELF-SCORED: the model is trained on the corpus being scored, so
-  * every scored bigram has count ≥ 1 and no smoothing/backoff is
-  * needed (scoring a held-out set against a train-corpus model needs
-  * an OOV policy — deliberately out of scope). Docs with < 2 tokens
-  * have no bigrams and emit no row.
+  * TWO SCORING MODES: [[bigramSurprisal]] is SELF-SCORED — the model
+  * is trained on the corpus being scored, so every scored bigram has
+  * count ≥ 1 and no smoothing is needed. [[bigramSurprisalHeldOut]]
+  * is the CCNet deployment shape — train on a reference corpus, score
+  * a candidate corpus — which REQUIRES an explicit OOV policy (add-k
+  * smoothing here; see its doc). Docs with < 2 tokens have no bigrams
+  * and emit no row in either mode.
   *
   * Scale shape: bigram generation is the NARROW in-row zip
   * ([[Collocations]] — no posexplode self-join); the model tables
@@ -42,6 +44,25 @@ import org.apache.spark.sql.types.LongType
   * aggregated — the q91 TF-IDF shape with a second model join. */
 object LanguageModel {
 
+  /** `(doc_id, a, b)` bigram rows — the narrow in-row zip shared by
+    * the self-scored and held-out scorers (ONE bigram contract, one
+    * place: a tokenizer/zip drift between train and score sides would
+    * silently decouple the model from what it scores). */
+  private def bigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+    val pairLen = greatest(size(col("toks")) - 1, lit(0))
+    toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), pairLen),
+        slice(col("toks"), lit(2), pairLen),
+        (l, r) => struct(l.as("a"), r.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+  }
+
   /** `(doc_id, n_bigrams, q_total, q_avg)` per doc with ≥ 1 bigram:
     * `q_total` = Σ floor(log₂(2¹⁰·n(a·)/n(ab))) over the doc's
     * bigrams (order-independent, exactly reproducible), `q_avg` the
@@ -49,17 +70,7 @@ object LanguageModel {
     * q127 rounding stance). */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(col("toks").isNotNull)
-    val pairLen = greatest(size(col("toks")) - 1, lit(0))
-    val bg = toks
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), pairLen),
-        slice(col("toks"), lit(2), pairLen),
-        (l, r) => struct(l.as("a"), r.as("b")))).as("bg"))
-      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bg = bigrams(docs, idCol, textCol)
     val nab = bg.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
     // context counts derive from the bigram table — vocabulary-sized
@@ -81,6 +92,86 @@ object LanguageModel {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_total"))
       .select(col("doc_id"), col("n_bigrams"), col("q_total"),
+        (col("q_total").cast("double") /
+          col("n_bigrams").cast("double")).as("q_avg"))
+  }
+
+  /** Held-out bigram surprisal — the CCNet deployment shape (train on
+    * a REFERENCE corpus, score a CANDIDATE corpus; see PAPERS.md): the
+    * self-scored variant cannot play that role because training on the
+    * corpus being filtered lets the filter learn the junk it should be
+    * cutting. Scoring a held-out set means unseen bigrams and unseen
+    * contexts WILL occur, so the probability needs an explicit OOV
+    * policy — add-k (Laplace for k = 1) smoothing, kept integral so
+    * the quantized-log contract survives:
+    *
+    *   P(b|a) = (n(ab) + k) / (n(a·) + k·V)
+    *
+    * with `V` the train vocabulary size (distinct tokens across the
+    * whole train token stream — including 1-token docs, which carry a
+    * vocabulary entry but no bigram) and n(ab)/n(a·) = 0 for unseen
+    * pairs/contexts. Per-bigram surprisal is the same floor-log₂ of
+    * the exact scaled integer ratio as [[bigramSurprisal]]:
+    * `q = bitlength((n(a·) + k·V)·2¹⁰ div (n(ab) + k)) − 1`. A fully
+    * unseen bigram in an unseen context costs `≈ 10 + log₂(V/k)` bits
+    * — the OOV ceiling, finite by construction (no −∞/NaN path
+    * exists). `n(a·) + k·V ≥ n(ab) + k` always (n(a·) ≥ n(ab), V ≥ 1),
+    * so q ≥ 10 and every doc's total is positive.
+    *
+    * Output: `(doc_id, n_bigrams, n_oov, q_total, q_avg)` per scored
+    * doc with ≥ 1 bigram — `n_oov` counts the doc's bigrams absent
+    * from the train model (the decontamination-adjacent readout: a
+    * candidate doc with n_oov = 0 against a small reference is
+    * suspiciously in-domain), `q_avg` the one raw IEEE division.
+    *
+    * Scale shape: [[bigramSurprisal]]'s keyed shuffles split across
+    * two corpora — model aggregates scan TRAIN once, scoring joins are
+    * vocabulary-keyed LEFT equi-joins against model tables (broadcast
+    * when the reference is small — the common case), plus one
+    * train-token distinct aggregate for V (1 row, crossed in
+    * broadcast, never a driver action). Candidate rows are scanned
+    * once. */
+  def bigramSurprisalHeldOut(train: DataFrame, score: DataFrame,
+      addK: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(addK >= 1,
+      s"bigramSurprisalHeldOut: addK=$addK must be >= 1 — k = 0 is " +
+        "unsmoothed and divides by zero on any unseen context")
+    val tbg = bigrams(train, idCol, textCol)
+    val nab = tbg.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ctx = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    // V over the full train TOKEN stream, not the bigram table —
+    // 1-token docs contribute vocabulary but no bigram
+    val voc = train
+      .select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val num = coalesce(col("n_a"), lit(0L)) + lit(addK.toLong) * col("v")
+    val den = coalesce(col("n_ab"), lit(0L)) + lit(addK.toLong)
+    bigrams(score, idCol, textCol)
+      .join(nab, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        col("n_ab").isNull.cast(LongType).as("oov"),
+        // the bigramSurprisal int64 bound, on the SMOOTHED context
+        // count (n(a·) + k·V must survive the 2¹⁰ scale in int64)
+        when(num <= lit(9000000000000000L), num * lit(1024L))
+          .otherwise(raise_error(concat(
+            lit("bigramSurprisalHeldOut: smoothed context count "),
+            num.cast("string"),
+            lit(" overflows the 2^10-scaled ratio — widen to decimal")))
+            .cast(LongType)).as("__sn"),
+        den.as("__den"))
+      .withColumn("q",
+        (length(bin(expr("__sn div __den"))) - 1).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+        sum(col("q")).as("q_total"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("q_total"),
         (col("q_total").cast("double") /
           col("n_bigrams").cast("double")).as("q_avg"))
   }

@@ -889,6 +889,59 @@ object TrainingData {
       |WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100
       |ORDER BY doc_id""".stripMargin
 
+  /** q138: HELD-OUT bigram surprisal with add-1 OOV smoothing
+    * ([[graft.operators.LanguageModel.bigramSurprisalHeldOut]]) — the
+    * CCNet deployment shape q129 cannot play: the model trains on the
+    * doc_id < max/10 reference slice and scores the REST, so unseen
+    * bigrams/contexts genuinely occur and the add-k policy is
+    * exercised on real data (n_oov is emitted per doc and gated). The
+    * oracle replays the whole thing: train counts, the distinct-token
+    * vocabulary V, LEFT joins with 0-coalesce, and the same
+    * floor-log₂ of the smoothed integer ratio. */
+  def q138HeldoutSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.operators.LanguageModel.bigramSurprisalHeldOut(
+        docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
+      .orderBy($"doc_id")
+  }
+
+  val q138Sql: String =
+    """WITH cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |tr AS (SELECT t.* FROM toks t, cut WHERE doc_id < cut.c),
+      |sc AS (SELECT t.* FROM toks t, cut WHERE doc_id >= cut.c),
+      |tbg AS (SELECT l[i] AS a, l[i + 1] AS b
+      |        FROM (SELECT l, unnest(range(1, CAST(len(l) AS BIGINT)))
+      |                AS i FROM tr)),
+      |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      |        FROM tbg GROUP BY 1, 2),
+      |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+      |        FROM nab GROUP BY 1),
+      |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |        FROM (SELECT unnest(l) AS tok FROM tr)),
+      |sbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b
+      |        FROM (SELECT doc_id, l,
+      |                unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+      |              FROM sc)),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    CASE WHEN n.n_ab IS NULL THEN 1 ELSE 0 END AS oov,
+      |    CAST(length(bin(((COALESCE(c.n_a, 0) + voc.v) * 1024)
+      |      // (COALESCE(n.n_ab, 0) + 1))) - 1 AS BIGINT) AS q
+      |  FROM sbg g
+      |  LEFT JOIN nab n ON n.a = g.a AND n.b = g.b
+      |  LEFT JOIN ctx c ON c.a = g.a
+      |  CROSS JOIN voc)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  CAST(sum(q) AS BIGINT) AS q_total,
+      |  CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

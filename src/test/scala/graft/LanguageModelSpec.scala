@@ -100,6 +100,64 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisalHeldOut: hand-checked add-1 smoothing — seen, " +
+      "unseen-continuation, and fully-OOV bigrams; V counts 1-token " +
+      "train docs") {
+    // train: "a b c d" + "a b" + "zz" (1 token — vocabulary only)
+    // → V = |{a,b,c,d,zz}| = 5; n(ab)=2, n(bc)=1, n(cd)=1;
+    //   contexts n(a·)=2, n(b·)=1, n(c·)=1
+    val train = Seq((1L, "a b c d"), (2L, "a b"), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),   // seen:  (2+5)·1024 div (2+1) = 2389 → q=11
+      (11L, "a d"),   // unseen continuation, seen context:
+                      //        (2+5)·1024 div 1 = 7168 → q=12, oov
+      (12L, "x y"))   // fully OOV: (0+5)·1024 div 1 = 5120 → q=12, oov
+      .toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .bigramSurprisalHeldOut(train, score)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 1L, 0L, 11L, 11.0),
+      (11L, 1L, 1L, 12L, 12.0), (12L, 1L, 1L, 12L, 12.0)),
+      got.toString)
+  }
+
+  test("bigramSurprisalHeldOut: a doc of 100% unseen bigrams scores " +
+      "the finite OOV ceiling (no NaN/∞ path), n_oov = n_bigrams; " +
+      "addK shifts the ceiling; k = 0 is rejected") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text") // V = 2
+    val score = Seq((10L, "x y z")).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .bigramSurprisalHeldOut(train, score)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // each bigram: (0 + 2)·1024 div 1 = 2048 → q = 11; 2 bigrams
+    assert(got === Seq((10L, 2L, 2L, 22L, 11.0)), got.toString)
+    // addK = 2: (0 + 2·2)·1024 div 2 = 2048 → q = 11 still, but a
+    // SEEN pair shifts: "a b" → (1+4)·1024 div (1+2) = 1706 → q = 10
+    val seen = graft.operators.LanguageModel
+      .bigramSurprisalHeldOut(train,
+        Seq((20L, "a b")).toDF("doc_id", "text"), addK = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(seen === Seq((20L, 1L, 0L, 10L, 10.0)), seen.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.LanguageModel
+        .bigramSurprisalHeldOut(train, score, addK = 0)
+    }
+  }
+
+  test("bigramSurprisalHeldOut: ranking property — the in-domain doc " +
+      "scores strictly lower than the out-of-domain doc") {
+    val train = (1L to 50L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val score = Seq((100L, "the cat sat"), (101L, "quantum flux node"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .bigramSurprisalHeldOut(train, score)
+      .select($"doc_id", $"q_avg").as[(Long, Double)].collect().toMap
+    assert(got(100L) < got(101L), got.toString)
+  }
+
   test("domainReweight: a domain summing scaled surprisal past int64 " +
       "dies loudly, not by wrapping") {
     val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
