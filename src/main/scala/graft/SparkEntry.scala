@@ -160,6 +160,8 @@ object SparkEntry {
       (TrainingData.q136WinnowDecontaminate _),
     "q137_surprisal_band" -> (TrainingData.q137SurprisalBand _),
     "q138_heldout_surprisal" -> (TrainingData.q138HeldoutSurprisal _),
+    "q139_stream_global_topk" ->
+      (StreamingQueries.q139StreamGlobalTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -469,5 +471,8 @@ object SparkEntry {
     // q138: held-out LM scoring with add-1 OOV smoothing — train
     // counts + vocabulary + smoothed floor-log2 ratio all replayed.
     "q138_heldout_surprisal" -> TrainingData.q138Sql,
+    // q139: cross-shard global top-k readout of the drained
+    // SpaceSaving shards ≡ the exact global top-20 (exact regime).
+    "q139_stream_global_topk" -> StreamingQueries.q139Sql,
   )
 }

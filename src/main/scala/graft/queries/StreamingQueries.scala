@@ -365,6 +365,43 @@ object StreamingQueries {
     }
   }
 
+  private val lastSink139 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q139: GLOBAL top-k readout over the streaming SpaceSaving shards
+    * ([[graft.streaming.HeavyHitterStream.globalTopK]]) — q125 gates
+    * the per-shard snapshots; this gates their cross-shard COMPOSITION
+    * (the union-of-partitions error contract + the (n desc, key) rank)
+    * in the same exact regime, where the readout must equal the exact
+    * global top-20 including rank positions that interleave keys from
+    * different shards. */
+  def q139StreamGlobalTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val ev = eventsStream(s, dir)
+        .filter($"user_id".isNotNull)
+        .select(
+          pmod(xxhash64($"user_id"), lit(8)).cast("int").as("shard"),
+          $"user_id".as("key"))
+      val out = graft.streaming.HeavyHitterStream.topKeys(ev,
+        capacity = 512)
+      val emitted =
+        drain(s, out.toDF(), "q139_stream_out", lastSink139, "append")
+      graft.streaming.HeavyHitterStream.globalTopK(emitted, k = 20)
+        .select($"key".as("user_id"), $"n", $"err", $"rank")
+        .orderBy($"rank")
+    }
+  }
+
+  /** Exact regime ⇒ every err 0 and the readout ≡ the exact global
+    * top-20 by (count desc, user_id). */
+  val q139Sql: String =
+    """SELECT user_id, n, CAST(0 AS BIGINT) AS err, rank FROM (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+      |      AS BIGINT) AS rank
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   /** The drained snapshot ≡ the exact per-key counts (exact regime:
     * capacity ≥ per-shard distinct keys ⇒ no evictions). */
   val q125Sql: String =

@@ -126,4 +126,38 @@ object HeavyHitterStream {
         emitted("seen") === col("ls_seen"))
       .drop("ls_shard", "ls_seen")
   }
+
+  /** Global top-k readout over the shard snapshots: `(key, n, err,
+    * rank)`, ranked by (n desc, key asc) — the composed answer the
+    * per-shard family was built toward.
+    *
+    * ERROR CONTRACT (union of partitions): the shards PARTITION the
+    * key space (a key lives in exactly one shard — see the class
+    * doc), so the union of [[latestSnapshot]] rows holds every
+    * TRACKED key exactly once with its own shard's one-sided bounds
+    * intact: `n ≥ true` and `n − err ≤ true`, per row, no cross-shard
+    * arithmetic to dilute them. What the union can MISS is a key its
+    * own shard evicted — possible only when the key's true count
+    * ≤ its shard's current minimum tracked count ≤ seenₛ/capacity —
+    * so any key with true count > maxₛ(seenₛ)/capacity is guaranteed
+    * present, and in the exact regime (capacity ≥ per-shard distinct
+    * keys, every err 0) the readout IS the exact global top-k.
+    * Ranking by inflated `n` can promote an overcounted key past a
+    * true-heavier one only within an `err` margin — callers needing
+    * certainty filter `n − err ≥ threshold` (the q115 CMS stance).
+    *
+    * Scale shape: the input is ≤ nShards × capacity rows BY
+    * CONSTRUCTION, so the single global rank window (one task) is
+    * bounded by the sketch geometry, never by stream cardinality —
+    * the same bound as the state itself. */
+  def globalTopK(emitted: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"globalTopK: k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("n").desc, col("key").asc)
+    latestSnapshot(emitted)
+      .select(col("key"), col("n"), col("err"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -111,6 +111,61 @@ class HeavyHitterStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("globalTopK: cross-shard merge returns the true global top-k " +
+      "in (n desc, key) order in the exact regime — heavy keys " +
+      "planted in DIFFERENT shards interleave correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    // shard = key % 3: heavy keys 30 (shard 0, ×50), 31 (shard 1,
+    // ×40), 32 (shard 2, ×45) — the global order 30, 32, 31 crosses
+    // shard boundaries, so a per-shard-only reader would misorder it
+    val raw = (Seq.fill(50)(30L) ++ Seq.fill(40)(31L) ++
+      Seq.fill(45)(32L) ++ (100L until 140L))
+      .map(k => ((k % 3).toInt, k))
+    val input = MemoryStream[(Int, Long)]
+    val out = HeavyHitterStream.topKeys(
+      input.toDF().toDF("shard", "key"), capacity = 64)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("hh_global_out").outputMode("append").start()
+    try {
+      scala.util.Random.shuffle(raw.toList).grouped(60).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      val got = HeavyHitterStream
+        .globalTopK(spark.table("hh_global_out"), k = 4)
+        .orderBy($"rank")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // 4th place: the 40 singletons tie at n=1 → smallest key (100)
+      assert(got === Seq((30L, 50L, 0L, 1L), (32L, 45L, 0L, 2L),
+        (31L, 40L, 0L, 3L), (100L, 1L, 0L, 4L)), got.toString)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      HeavyHitterStream.globalTopK(
+        Seq((0, 1L, 1L, 0L, 1L)).toDF("shard", "key", "n", "err",
+          "seen"), k = 0)
+    }
+  }
+
+  test("globalTopK under eviction: evicted keys stay out (snapshot " +
+      "semantics), survivors keep their one-sided bounds in the " +
+      "readout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Long)]
+    val out = HeavyHitterStream.topKeys(
+      input.toDF().toDF("shard", "key"), capacity = 1)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("hh_global_evict").outputMode("append").start()
+    try {
+      input.addData((0, 7L)); q.processAllAvailable()
+      input.addData((0, 8L), (0, 8L)); q.processAllAvailable()
+      val got = HeavyHitterStream
+        .globalTopK(spark.table("hh_global_evict"), k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // 7 was evicted — a per-key max-seen reader would resurrect it;
+      // 8 carries (n=3, err=1): n ≥ true(2), n − err ≤ true
+      assert(got === Seq((8L, 3L, 1L, 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("snapshot read drops evicted keys (per-key max-seen would " +
       "resurrect them) and capacity guard fires") {
     implicit val sqlCtx = spark.sqlContext
