@@ -162,6 +162,7 @@ object SparkEntry {
     "q138_heldout_surprisal" -> (TrainingData.q138HeldoutSurprisal _),
     "q139_stream_global_topk" ->
       (StreamingQueries.q139StreamGlobalTopK _),
+    "q140_winnow_artifact" -> (TrainingData.q140WinnowArtifact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,5 +475,9 @@ object SparkEntry {
     // q139: cross-shard global top-k readout of the drained
     // SpaceSaving shards ≡ the exact global top-20 (exact regime).
     "q139_stream_global_topk" -> StreamingQueries.q139Sql,
+    // q140: winnowing decon through a persisted stamped fingerprint
+    // index — q136's artifact-free oracle verbatim (the q121 pattern:
+    // the artifact round-trip must be invisible in the result).
+    "q140_winnow_artifact" -> TrainingData.q136Sql,
   )
 }

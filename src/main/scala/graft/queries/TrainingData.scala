@@ -942,6 +942,35 @@ object TrainingData {
       |  CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q140: winnowing decontamination served from a PERSISTED
+    * fingerprint index ([[graft.operators.Winnowing
+    * .writeFingerprintIndex]] / [[graft.operators.Winnowing
+    * .evalOverlapFromIndex]]) — q136's exact semantics through the
+    * build-once/probe-many artifact lifecycle: the eval set is
+    * winnowed ONCE into a stamped parquet index, read back COLD, and
+    * the training side probes the artifact. The oracle is q136's
+    * artifact-free SQL verbatim (the q121 pattern): the round-trip
+    * must be invisible in the result, or a torn/mis-stamped index
+    * diffs. */
+  def q140WinnowArtifact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q140_winnowidx").toString
+    try {
+      graft.operators.Winnowing.writeFingerprintIndex(
+        docs.filter($"doc_id" < cut), s"$base/idx")
+      graft.operators.Winnowing.evalOverlapFromIndex(
+          docs.filter($"doc_id" >= cut), s"$base/idx", minShared = 2)
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

@@ -97,6 +97,63 @@ class WinnowingSpec extends SparkSpec {
     assert(got.values.forall(_ >= 1L))
   }
 
+  test("fingerprint index round-trip: evalOverlapFromIndex ≡ " +
+      "evalOverlap; stamp mismatches (k, w, kind, torn meta) fail " +
+      "fast instead of reading 'clean'") {
+    val rnd = new scala.util.Random(29)
+    def words(n: Int) = Seq.fill(n)("v" + rnd.nextInt(1000000))
+    val sec = words(12)
+    val ev = Seq((1L, (words(5) ++ sec).mkString(" ")),
+      (2L, words(20).mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, (words(10) ++ sec ++ words(10)).mkString(" ")),
+      (11L, words(30).mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_idx").toString
+    try {
+      Winnowing.writeFingerprintIndex(ev, s"$dir/idx")
+      val direct = Winnowing.evalOverlap(train, ev, minShared = 1)
+        .as[(Long, Long)].collect().toSet
+      val viaIdx = Winnowing
+        .evalOverlapFromIndex(train, s"$dir/idx", minShared = 1)
+        .as[(Long, Long)].collect().toSet
+      assert(direct === viaIdx)
+      assert(viaIdx.map(_._1) === Set(10L))
+      // the persisted set is exactly the eval side's distinct
+      // fingerprints
+      val fps = Winnowing.readFingerprintIndex(spark, s"$dir/idx")
+        .as[Long].collect().toSet
+      val expect = Winnowing.fingerprints(ev)
+        .select($"fp").as[Long].collect().toSet
+      assert(fps === expect)
+      // cross-domain probes fail FAST (k, then w) — zero overlap
+      // would otherwise read as "clean"
+      val ek = intercept[IllegalArgumentException] {
+        Winnowing.readFingerprintIndex(spark, s"$dir/idx", k = 4)
+      }
+      assert(ek.getMessage.contains("fingerprint domain"), ek.getMessage)
+      intercept[IllegalArgumentException] {
+        Winnowing.evalOverlapFromIndex(train, s"$dir/idx", w = 5)
+      }
+      // a wrong-kind artifact at the same layout fails on the stamp
+      Winnowing.writeFingerprintIndex(ev, s"$dir/idx2")
+      import org.apache.spark.sql.SaveMode
+      Seq((1L, "bloom", Winnowing.indexDomain(3, 4)))
+        .toDF("version", "kind", "domain")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/idx2/meta")
+      val ekind = intercept[IllegalArgumentException] {
+        Winnowing.readFingerprintIndex(spark, s"$dir/idx2")
+      }
+      assert(ekind.getMessage.contains("expected 'winnow_fps'"),
+        ekind.getMessage)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("pair join degrades oversized fingerprint buckets to star " +
       "pairs instead of enumerating them") {
     // 5 identical docs: every selected fingerprint is shared 5 ways
