@@ -564,6 +564,15 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Similarity.projectedTopK(
           d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
           outDim = 16, pool = 200).count(),
+        () => emb1, () => embN),
+      // q141 vs q135 at the same corpus/queries: the cell stage cuts
+      // the candidate count by ~nCells/nProbe (16/4 here) ON TOP of
+      // the projection's narrower dots — compare the three ANN rows'
+      // xN_sec for the composed payoff (brute → projected → +IVF)
+      ("projected_ivf_ann",
+        (d: DataFrame) => graft.operators.Similarity.projectedIvfTopK(
+          d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
+          outDim = 16, nCells = 16, nProbe = 4, pool = 200).count(),
         () => emb1, () => embN))
 
     nameFilter.foreach { f =>

@@ -163,6 +163,7 @@ object SparkEntry {
     "q139_stream_global_topk" ->
       (StreamingQueries.q139StreamGlobalTopK _),
     "q140_winnow_artifact" -> (TrainingData.q140WinnowArtifact _),
+    "q141_projected_ivf"  -> (TrainingData.q141ProjectedIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -479,5 +480,8 @@ object SparkEntry {
     // index — q136's artifact-free oracle verbatim (the q121 pattern:
     // the artifact round-trip must be invisible in the result).
     "q140_winnow_artifact" -> TrainingData.q136Sql,
+    // q141: projected IVF ANN — projection + cell-argmax + probe set
+    // + pool + exact re-rank, the whole composition replayed.
+    "q141_projected_ivf" -> TrainingData.q141Sql,
   )
 }

@@ -230,8 +230,72 @@ object Similarity {
     out
   }
 
-  /** The pool-then-exact-re-rank tail shared by [[pqTopK]] and
-    * [[projectedTopK]]: `pool` best approx candidates per query
+  /** Projected IVF ANN — the 100 TB composition of [[randomProjection]]
+    * and [[ivfTopK]]: project BOTH sides to `outDim` dims (JL), build
+    * the IVF assignment IN the projected space (centroid scan costs
+    * outDim/dim of the raw one), probe `nProbe` cells per query, rank
+    * candidates by projected dot product, and re-rank the `pool` best
+    * per query with the EXACT raw-vector cosine. q135's projectedTopK
+    * still scans every corpus row in projected space; this variant
+    * also cuts the CANDIDATE count by ~nCells/nProbe — the shape a
+    * billion-vector corpus wants: projection shrinks the per-row
+    * arithmetic, cells shrink the row count, the exact re-rank
+    * restores precision (recall is the pool/nProbe dial, the q94
+    * stance).
+    *
+    * Everything upstream of the re-rank is deterministic literals
+    * (seeded projection directions + hash centroids in the projected
+    * space), so the WHOLE pipeline — projection, argmax cell with
+    * ties to the lowest index, probe set, pool selection, re-rank —
+    * replays in the oracle. Degenerate vectors follow
+    * [[bruteForceTopK]]'s exclusion contract (an all-zero PROJECTION
+    * of a finite raw vector is kept: its cell scores tie to cell 0
+    * deterministically — replayable, never NaN). */
+  def projectedIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, outDim: Int, nCells: Int, nProbe: Int, pool: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pool >= k, s"pool=$pool must cover k=$k")
+    require(outDim >= 1 && outDim <= dim,
+      s"projectedIvfTopK: outDim=$outDim must be in [1, dim=$dim]")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"projectedIvfTopK: nProbe=$nProbe must be in [1, nCells=$nCells]")
+    val cents = hashCentroids(outDim, nCells)
+    def side(df: DataFrame, p: String) =
+      Hydration.persist(
+        assertDim(finiteRows(df, idCol, vecCol, s"${p}_id", s"${p}_raw"),
+          s"${p}_raw", dim, "projectedIvfTopK")
+        .select(col(s"${p}_id"), col(s"${p}_raw"),
+          projArray(col(s"${p}_raw"), dim, outDim).as(s"${p}_proj")))
+    val q = side(queries, "q")
+    val c = side(corpus, "n")
+    val cCells = c.select(col("n_id"), col("n_proj"),
+      element_at(array_sort(
+        array(cellScores(col("n_proj"), cents): _*), cellCmp),
+        1)("cell").as("cell"))
+    val qCells = q.select(col("q_id"), col("q_proj"),
+        array_sort(array(cellScores(col("q_proj"), cents): _*), cellCmp)
+          .as("__sorted"))
+      .withColumn("__probe", explode(slice(col("__sorted"), 1, nProbe)))
+      .select(col("q_id"), col("q_proj"), col("__probe")("cell").as("cell"))
+    val broadcastQ = fitsBroadcast(q, broadcastLimit)
+    // the cell equi-join works shuffled too — an oversized query set
+    // degrades to a shuffle hash join instead of OOMing the broadcast
+    val cellJoined =
+      if (broadcastQ) cCells.join(broadcast(qCells), Seq("cell"))
+      else cCells.join(qCells.hint("shuffle_hash"), Seq("cell"))
+    val approx = cellJoined
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("ascore", round(dot(col("q_proj"), col("n_proj")), 4))
+    val qSide = if (broadcastQ) broadcast(q) else q.hint("shuffle_hash")
+    val out = rerankTopK(approx, "ascore", c, qSide, k, pool)
+    q.unpersist(); c.unpersist()
+    out
+  }
+
+  /** The pool-then-exact-re-rank tail shared by [[pqTopK]],
+    * [[projectedTopK]], and [[projectedIvfTopK]]: `pool` best approx candidates per query
     * (score desc, id-asc ties — [[graft.functions.BoundedMaxByScore]]
     * mirrors the oracle's `row_number` exactly), hydrate both raw
     * sides, exact round-4 cosine, rank window, k-filter, checkpoint.
@@ -334,10 +398,19 @@ object Similarity {
   def hashCentroids(dim: Int, nCells: Int): Seq[Seq[Double]] =
     (0 until nCells).map(cIdx => (0 until dim).map(d => hashU(cIdx * 131071L + d)))
 
-  private def cellScores(centroids: Seq[Seq[Double]]): Seq[Column] =
+  private def cellScores(vec: Column,
+      centroids: Seq[Seq[Double]]): Seq[Column] =
     centroids.zipWithIndex.map { case (c, cIdx) =>
-      struct(dot(col("vec"), constVec(c)).as("score"), lit(cIdx).as("cell"))
+      struct(dot(vec, constVec(c)).as("score"), lit(cIdx).as("cell"))
     }
+
+  /** (score desc, insertion-stable) comparator shared by every IVF
+    * cell assignment: equal scores compare 0 and `array_sort` is
+    * stable, so ties go to the LOWEST cell index — deterministic and
+    * replayable (DuckDB's list_position-of-max has the same rule). */
+  private val cellCmp: (Column, Column) => Column =
+    (l, r) => when(l("score") > r("score"), -1)
+      .when(l("score") < r("score"), 1).otherwise(0)
 
   /** Assignment to the `nProbe` best cells (multi-probe for queries). */
   def ivfAssignTop(vectors: DataFrame, dim: Int, nCells: Int, nProbe: Int,
@@ -345,10 +418,9 @@ object Similarity {
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val v = assertDim(finiteRows(vectors, idCol, vecCol, "id", "vec"),
       "vec", dim, "ivfAssignTop")
-    val cs = cellScores(centroids.getOrElse(hashCentroids(dim, nCells)))
-    v.withColumn("__sorted", array_sort(array(cs: _*),
-        (l, r) => when(l("score") > r("score"), -1)
-          .when(l("score") < r("score"), 1).otherwise(0)))
+    val cs = cellScores(col("vec"),
+      centroids.getOrElse(hashCentroids(dim, nCells)))
+    v.withColumn("__sorted", array_sort(array(cs: _*), cellCmp))
       .withColumn("__probe", explode(slice(col("__sorted"), 1, nProbe)))
       .withColumn("cell", col("__probe")("cell"))
       .drop("__sorted", "__probe")
@@ -366,11 +438,10 @@ object Similarity {
     // and its cosine later poisons the rank window
     val v = assertDim(finiteRows(vectors, idCol, vecCol, "id", "vec"),
       "vec", dim, "ivfAssign")
-    val cs = cellScores(centroids.getOrElse(hashCentroids(dim, nCells)))
-    v.withColumn("cell", element_at(
-      array_sort(array(cs: _*),
-        (l, r) => when(l("score") > r("score"), -1)
-          .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
+    val cs = cellScores(col("vec"),
+      centroids.getOrElse(hashCentroids(dim, nCells)))
+    v.withColumn("cell",
+      element_at(array_sort(array(cs: _*), cellCmp), 1)("cell"))
   }
 
   /** Distributed Lloyd's k-means over the (unit-normalized) corpus —
@@ -395,9 +466,8 @@ object Similarity {
       s"kmeans: need >= $nCells non-zero vectors to seed")
     for (_ <- 1 to iters) {
       val assigned = v.withColumn("cell", element_at(
-        array_sort(array(cellScores(centroids): _*),
-          (l, r) => when(l("score") > r("score"), -1)
-            .when(l("score") < r("score"), 1).otherwise(0)), 1)("cell"))
+        array_sort(array(cellScores(col("vec"), centroids): _*),
+          cellCmp), 1)("cell"))
       // per-cell mean, elementwise, via the native vector-sum
       // aggregate ([[graft.functions.VectorDecimalSum]]): ONE buffer
       // per cell holding dim exact decimal accumulators — no dim× row

@@ -798,6 +798,83 @@ object TrainingData {
        |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The `[list_dot_product(<projCol>, [centroid...]), ...]` literal
+    * list shared by the q141 oracle — the centroids are
+    * [[graft.operators.Similarity.hashCentroids]]' seeded literals in
+    * the PROJECTED space, so the SQL replays the exact cell scan. */
+  private def cellScoresSql(projCol: String, outDim: Int,
+      nCells: Int): String =
+    graft.operators.Similarity.hashCentroids(outDim, nCells)
+      .map { c =>
+        val cent = c.map(_.toString).mkString("[", ", ", "]")
+        s"list_dot_product($projCol, $cent)"
+      }.mkString("[\n      ", ",\n      ", "]")
+
+  /** q141: projected IVF ANN
+    * ([[graft.operators.Similarity.projectedIvfTopK]]) — the 100 TB
+    * composition q134/q135 build toward: JL-project both sides (16 of
+    * 64 dims), assign IVF cells IN the projected space (16 hash
+    * centroids, 8-probe), rank candidates by projected dot, re-rank
+    * the 200-pool by exact raw cosine. The oracle replays the WHOLE
+    * pipeline — projection literals, argmax cell with first-index
+    * ties, the (score desc, cell) probe set, pool selection, exact
+    * re-rank — the q135 dial-is-the-contract stance with the cell
+    * stage added. */
+  def q141ProjectedIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.projectedIvfTopK(
+        emb.filter($"vec_id" >= 15 && $"vec_id" < 25), emb,
+        k = 8, dim = 64, outDim = 16, nCells = 16, nProbe = 8,
+        pool = 200)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q141Sql: String = {
+    val comps = projCompsSql(64, 16)
+    val cells = cellScoresSql("proj", 16, 16)
+    s"""WITH v AS (
+       |  SELECT vec_id, vec FROM (
+       |    SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |    FROM embeddings
+       |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+       |  WHERE nrm > 0 AND isfinite(nrm)),
+       |p AS (SELECT vec_id, vec, $comps AS proj FROM v),
+       |cs AS (SELECT vec_id, vec, proj, $cells AS sc FROM p),
+       |cc AS (SELECT vec_id, vec, proj,
+       |         CAST(list_position(sc, list_max(sc)) - 1 AS INTEGER)
+       |           AS cell
+       |       FROM cs),
+       |qexp AS (
+       |  SELECT vec_id, vec, proj, ci, sc[ci] AS cscore
+       |  FROM (SELECT *, unnest(generate_series(1, 16)) AS ci
+       |        FROM cs WHERE vec_id >= 15 AND vec_id < 25)),
+       |qprobe AS (
+       |  SELECT vec_id, vec, proj, CAST(ci - 1 AS INTEGER) AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, ci) AS crn FROM qexp)
+       |  WHERE crn <= 8),
+       |a AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        q.vec AS qv, c.vec AS cv,
+       |        round(list_dot_product(q.proj, c.proj), 4) AS ascore
+       |      FROM qprobe q
+       |      JOIN cc c ON c.cell = q.cell AND q.vec_id <> c.vec_id),
+       |pool AS (SELECT q_id, n_id, qv, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ascore DESC, n_id ASC) AS prn FROM a)
+       |  WHERE prn <= 200),
+       |r AS (SELECT q_id, n_id,
+       |        round(list_dot_product(qv, cv) /
+       |          (sqrt(list_dot_product(qv, qv)) *
+       |           sqrt(list_dot_product(cv, cv))), 4) AS score
+       |      FROM pool)
+       |SELECT q_id, rank, n_id, score FROM (
+       |  SELECT q_id, n_id, score, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, n_id ASC) AS rank FROM r)
+       |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
     * a tenth of the range play the eval/benchmark set (the q64 split

@@ -1229,6 +1229,40 @@ class SimilaritySpec extends SparkSpec {
     assert(small.head._3 === 7L, small.toString)
   }
 
+  test("projectedIvfTopK: full probe + corpus pool reproduces " +
+      "bruteForceTopK bit-for-bit; a planted near-dup is recovered " +
+      "through a realistic (nProbe, pool); dial guards raise") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = (99L,
+      base(7)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 99L)
+    // nProbe = nCells ⇒ every corpus row is a candidate; pool ≥
+    // corpus ⇒ the re-rank IS brute force (the q65 full-probe stance)
+    val full = Similarity.projectedIvfTopK(q, emb, k = 5, dim = 64,
+        outDim = 16, nCells = 8, nProbe = 8, pool = 40)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(full === brute, s"$full vs $brute")
+    // realistic dials: the planted twin projects near its original,
+    // so they share a cell and a 5-pool recovers it
+    val small = Similarity.projectedIvfTopK(q, emb, k = 1, dim = 64,
+        outDim = 16, nCells = 4, nProbe = 2, pool = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(small.head._3 === 7L, small.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.projectedIvfTopK(q, emb, k = 5, dim = 64, outDim = 16,
+        nCells = 4, nProbe = 5, pool = 40)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.projectedIvfTopK(q, emb, k = 5, dim = 64, outDim = 65,
+        nCells = 4, nProbe = 2, pool = 40)
+    }
+  }
+
   test("randomProjection: unbiased scale — mean squared-distance " +
       "ratio near 1 on seeded vectors, rank structure preserved") {
     val rnd = new scala.util.Random(3)
