@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -75,6 +75,106 @@ object MaterializedRollup {
         min(col("min_qv")).as("min_qv"),
         max(col("max_qv")).as("max_qv"))
   }
+
+  // ---- persisted rollup through the lake ----------------------------
+  // merge() keeps the algebra honest per job; a REAL rollup must also
+  // survive restarts, retries, and lake maintenance. refreshLake folds
+  // a delta batch into a rollup persisted via Lake.upsertLatest (keyed
+  // on (event_type, day), date-partitioned by the day itself), with a
+  // per-row batch stamp making replays IDEMPOTENT — the property the
+  // additive merge alone cannot give, because re-merging an applied
+  // batch double-counts.
+
+  /** The lake's row layout adds to the partial-rollup columns:
+    * `rk` = "event_type:day" (the upsert key), `batch_id` (the stamp),
+    * `rts` = the day's own midnight timestamp (drives `event_date`
+    * partitioning, so a refresh touches only the days its delta
+    * carries — O(affected days), never O(rollup)). */
+  private def stamp(rollup: DataFrame, batchId: Long): DataFrame =
+    rollup
+      .withColumn("rk", concat(col("event_type"), lit(":"),
+        col("day").cast("string")))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("rts", timestamp_micros(col("day") * 86400000000L))
+
+  /** Fold one ingestion batch's events into the rollup lake at `path`.
+    *
+    * CONTRACT: `batchId` is strictly increasing across DISTINCT
+    * batches (a replayed/retried batch reuses ITS id — foreachBatch
+    * semantics). Idempotence is per (key, batch): a key whose stored
+    * stamp already equals `batchId` is skipped (this batch is folded
+    * in), so replaying after a crash — including a crash MID-upsert
+    * that overwrote some day-partitions and not others — never
+    * double-counts: stamped days skip, unstamped days still hold
+    * their pre-batch rows and re-merge to the identical value. A
+    * stored stamp GREATER than `batchId` means the caller broke
+    * monotonicity (replaying batch 3 after 4 landed on the same key
+    * would merge against a base that already contains 4) — that
+    * fails loudly rather than corrupting history.
+    *
+    * Scale shape: delta aggregation scans only the batch; the
+    * existing-slice read prunes to the delta's event_date partitions;
+    * the merge shuffles rollup-sized rows; the upsert rewrites only
+    * affected days. Nothing ever rescans event history. */
+  def refreshLake(spark: SparkSession, path: String,
+      deltaEvents: DataFrame, batchId: Long,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value"): Unit = {
+    val delta = aggregate(deltaEvents, typeCol, tsCol, valueCol)
+      .localCheckpoint() // one computation feeds key-join + merge
+    if (delta.isEmpty) return
+    val targetPath = new org.apache.hadoop.fs.Path(path)
+    val fs = targetPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(targetPath) &&
+      fs.listStatus(targetPath).nonEmpty
+    val toApply =
+      if (!exists) delta
+      else {
+        val days = delta.select(col("day")).distinct()
+        // event_date prune first (partition-level), then the exact
+        // key semi-join — the affected slice is O(delta days)
+        val affected = spark.read.parquet(path)
+          .join(broadcast(days.select(
+            to_date(timestamp_micros(col("day") * 86400000000L))
+              .as("event_date"))), Seq("event_date"), "left_semi")
+          .join(broadcast(delta.select(col("event_type"), col("day"))),
+            Seq("event_type", "day"), "left_semi")
+          .localCheckpoint()
+        val ahead = affected.filter(col("batch_id") > batchId)
+        if (!ahead.isEmpty) {
+          val r = ahead.select(col("rk"), col("batch_id")).head()
+          throw new IllegalStateException(
+            s"refreshLake: key ${r.getString(0)} already carries batch " +
+              s"${r.getLong(1)} > $batchId — batch ids must be applied " +
+              "in increasing order (replaying an OLD batch over a newer " +
+              "stamp would merge against a base that already contains " +
+              "later data)")
+        }
+        val appliedKeys = affected.filter(col("batch_id") === batchId)
+          .select(col("event_type"), col("day"))
+        val deltaToApply = delta.join(broadcast(appliedKeys),
+          Seq("event_type", "day"), "left_anti")
+        val base = affected.filter(col("batch_id") < batchId)
+          .select(col("event_type"), col("day"), col("n"),
+            col("sum_qv"), col("min_qv"), col("max_qv"))
+          .join(broadcast(deltaToApply.select(col("event_type"),
+            col("day"))), Seq("event_type", "day"), "left_semi")
+        if (deltaToApply.isEmpty) return // fully-replayed batch: no-op
+        merge(Seq(base, deltaToApply))
+      }
+    graft.sources.Lake.upsertLatest(spark, path,
+      stamp(toApply, batchId), keyCol = "rk", versionCol = "batch_id",
+      tsCol = "rts")
+  }
+
+  /** Read the persisted rollup back as partial-rollup rows (the
+    * [[merge]]/[[readout]] input shape) — stamps and lake plumbing
+    * columns dropped. */
+  def readLake(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("event_type"), col("day"), col("n"),
+        col("sum_qv").cast(D), col("min_qv"), col("max_qv"))
 
   /** Read-time finalization: integer columns for the hash-exact
     * surface plus the derived mean — `sum/(n·10⁴)` as ONE raw IEEE

@@ -137,29 +137,38 @@ object Analytics {
       |WHERE t0.tok = 'table' AND t1.tok = 'part'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q127: incremental materialized-rollup maintenance
-    * ([[operators.MaterializedRollup]]) — the daily (event_type, day)
-    * rollup built from history (ts < 2024-01-24), PERSISTED to
-    * parquet, read back COLD, and refreshed by merging the delta
-    * batch's partials — history never rescanned. The oracle is the
-    * FULL RECOMPUTE over all events, so one wrong merge term (a
-    * dropped count, a min that should have been least(base, delta))
-    * diffs the result; the exact-decimal sum makes the refreshed
-    * sum bit-identical to the recompute under any batch split. */
+  /** q127: incremental materialized-rollup maintenance through the
+    * FULL lake lifecycle ([[operators.MaterializedRollup.refreshLake]]
+    * — r13 maintained the rollup as DataFrames; it now persists via
+    * [[graft.sources.Lake.upsertLatest]] keyed on (event_type, day),
+    * date-partitioned by the day itself): batch 1 folds history
+    * (ts < 2024-01-24) into a fresh lake, batch 2 folds the delta —
+    * reading back the batch-1 rows COLD and rewriting only the
+    * delta's days — and the result is read from the lake. History is
+    * never rescanned, restarts survive (per-key batch stamps make
+    * replays idempotent — MaterializedRollupSpec's crash cases). The
+    * oracle is the FULL RECOMPUTE over all events, so one wrong merge
+    * term, a double-fold, or an upsert losing a day diffs. Scratch
+    * lake is a per-invocation temp dir (the q74/q133 pattern). */
   def q127IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val cutUs = 1706054400000000L // 2024-01-24T00:00:00Z, epoch µs
-    // fixed scratch path, overwritten per invocation (q121 stance)
-    val tmp = "target/scratch/q127_rollup"
-    MaterializedRollup.aggregate(ev.filter(unix_micros($"ts") < cutUs))
-      .write.mode("overwrite").parquet(tmp)
-    val cold = s.read.parquet(tmp)
-    val delta = MaterializedRollup.aggregate(
-      ev.filter(unix_micros($"ts") >= cutUs))
-    MaterializedRollup.readout(
-        MaterializedRollup.merge(Seq(cold, delta)))
-      .orderBy($"event_type", $"day")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_q127_rollup").toString
+    try {
+      MaterializedRollup.refreshLake(s, s"$base/rollup",
+        ev.filter(unix_micros($"ts") < cutUs), batchId = 1L)
+      MaterializedRollup.refreshLake(s, s"$base/rollup",
+        ev.filter(unix_micros($"ts") >= cutUs), batchId = 2L)
+      MaterializedRollup.readout(
+          MaterializedRollup.readLake(s, s"$base/rollup"))
+        .orderBy($"event_type", $"day")
+        .localCheckpoint()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   val q127Sql: String =

@@ -76,6 +76,108 @@ class MaterializedRollupSpec extends SparkSpec {
       messy.filter($"event_type" === "zzz")).count() === 0L)
   }
 
+  private def withLake(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rollup_lake").toString
+    try body(s"$dir/rollup") finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
+  private def lakeReadout(path: String) =
+    MaterializedRollup.readout(MaterializedRollup.readLake(spark, path))
+      .orderBy($"event_type", $"day")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+
+  test("refreshLake: two-batch fold ≡ single-shot recompute; " +
+      "replaying an applied batch is a no-op (idempotent, no " +
+      "double-count); a fresh batch after the replay still folds") {
+    withLake { path =>
+      val full = MaterializedRollup.readout(
+          MaterializedRollup.aggregate(events))
+        .orderBy($"event_type", $"day")
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      val b1 = events.filter($"ts" < lit(ts(101)))
+      val b2 = events.filter($"ts" >= lit(ts(101)))
+      MaterializedRollup.refreshLake(spark, path, b1, batchId = 1L)
+      MaterializedRollup.refreshLake(spark, path, b2, batchId = 2L)
+      assert(lakeReadout(path) === full)
+      // crash-after-success replay (foreachBatch retry): same batch,
+      // same id — every key is stamped, the fold must be a no-op
+      MaterializedRollup.refreshLake(spark, path, b2, batchId = 2L)
+      MaterializedRollup.refreshLake(spark, path, b1, batchId = 1L)
+      assert(lakeReadout(path) === full, "replay double-counted")
+      // a genuinely new batch still merges additively
+      val b3 = Seq(("a", ts(100, 6), 1.0)).toDF("event_type", "ts", "value")
+      MaterializedRollup.refreshLake(spark, path, b3, batchId = 3L)
+      val expect = MaterializedRollup.readout(
+          MaterializedRollup.aggregate(events.unionByName(b3)))
+        .orderBy($"event_type", $"day")
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      assert(lakeReadout(path) === expect)
+    }
+  }
+
+  test("refreshLake: a crash MID-upsert (one day stamped, the other " +
+      "not) replays without double-counting the stamped day or " +
+      "losing the unstamped one") {
+    withLake { path =>
+      val b1 = events.filter($"ts" < lit(ts(101)))
+      MaterializedRollup.refreshLake(spark, path, b1, batchId = 1L)
+      // simulate the torn batch 2: its day-101 partition was written
+      // (stamped batch_id = 2) but the day-100 late-event partition
+      // crashed before the overwrite — hand-apply only the 101 slice
+      val b2 = events.filter($"ts" >= lit(ts(101)))
+        .unionByName(Seq(("b", ts(100, 7), 5.0))
+          .toDF("event_type", "ts", "value"))
+      MaterializedRollup.refreshLake(spark, path,
+        b2.filter($"ts" >= lit(ts(101))), batchId = 2L)
+      // the replay of the FULL batch 2: day 101 keys carry stamp 2
+      // (skip), day 100's late "b" row merges from its intact base
+      MaterializedRollup.refreshLake(spark, path, b2, batchId = 2L)
+      val expect = MaterializedRollup.readout(
+          MaterializedRollup.aggregate(events.unionByName(
+            Seq(("b", ts(100, 7), 5.0)).toDF("event_type", "ts", "value"))))
+        .orderBy($"event_type", $"day")
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      assert(lakeReadout(path) === expect)
+    }
+  }
+
+  test("refreshLake: an OLD batch id over a newer stamp fails " +
+      "loudly; an empty delta is a no-op; the rollup survives lake " +
+      "compaction between batches") {
+    withLake { path =>
+      MaterializedRollup.refreshLake(spark, path,
+        events.filter($"ts" < lit(ts(101))), batchId = 5L)
+      val e = intercept[IllegalStateException] {
+        MaterializedRollup.refreshLake(spark, path,
+          events.filter($"ts" < lit(ts(101))), batchId = 4L)
+      }
+      assert(e.getMessage.contains("increasing order"), e.getMessage)
+      val before = lakeReadout(path)
+      MaterializedRollup.refreshLake(spark, path,
+        events.filter($"event_type" === "zzz"), batchId = 6L)
+      assert(lakeReadout(path) === before)
+      // maintenance between batches must not perturb the fold
+      graft.sources.Lake.compact(spark, path, nFiles = 1)
+      MaterializedRollup.refreshLake(spark, path,
+        events.filter($"ts" >= lit(ts(101))), batchId = 7L)
+      val full = MaterializedRollup.readout(
+          MaterializedRollup.aggregate(events))
+        .orderBy($"event_type", $"day")
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      assert(lakeReadout(path) === full)
+    }
+  }
+
   test("guards die loudly: quantizer bound, BIGINT readout overflow") {
     val big = Seq(("a", ts(100), 1.0e15)).toDF("event_type", "ts", "value")
     val e1 = intercept[Exception] {
