@@ -164,6 +164,7 @@ object SparkEntry {
       (StreamingQueries.q139StreamGlobalTopK _),
     "q140_winnow_artifact" -> (TrainingData.q140WinnowArtifact _),
     "q141_projected_ivf"  -> (TrainingData.q141ProjectedIvf _),
+    "q142_stream_rollup"  -> (StreamingQueries.q142StreamRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,5 +484,8 @@ object SparkEntry {
     // q141: projected IVF ANN — projection + cell-argmax + probe set
     // + pool + exact re-rank, the whole composition replayed.
     "q141_projected_ivf" -> TrainingData.q141Sql,
+    // q142: a REAL foreachBatch stream maintaining the lake rollup
+    // (engine epoch id = batch stamp); drained ≡ q127's recompute.
+    "q142_stream_rollup" -> StreamingQueries.q142Sql,
   )
 }

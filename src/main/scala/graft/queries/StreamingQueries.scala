@@ -402,6 +402,49 @@ object StreamingQueries {
       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** q142: STREAMING rollup maintenance — the live twin of q127's
+    * batch fold (the q118 stance: the streaming plan is the one a
+    * live feed runs). The events file stream drives `foreachBatch`,
+    * whose body is EXACTLY the production wiring:
+    * [[graft.operators.MaterializedRollup.refreshLake]] with the
+    * engine's own epoch id as the batch stamp — so the idempotent-
+    * replay contract lines up 1:1 with foreachBatch's at-least-once
+    * retry semantics (a retried epoch re-presents the same id and
+    * the fold skips). After the drain the rollup is read back from
+    * the lake; the oracle is q127's full recompute verbatim. */
+  def q142StreamRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withNanosFlag(s) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q142_rollup").toString
+      try {
+        val ev = eventsStream(s, dir)
+          .select($"event_type", $"ts", $"value")
+        val q = ev.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.operators.MaterializedRollup.refreshLake(
+              s, s"$base/rollup", batch, batchId = id)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.MaterializedRollup.readout(
+            graft.operators.MaterializedRollup
+              .readLake(s, s"$base/rollup"))
+          .orderBy($"event_type", $"day")
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+
+  /** The drained stream-maintained rollup ≡ the batch full recompute
+    * — q127's oracle verbatim. */
+  val q142Sql: String = Analytics.q127Sql
+
   /** The drained snapshot ≡ the exact per-key counts (exact regime:
     * capacity ≥ per-shard distinct keys ⇒ no evictions). */
   val q125Sql: String =

@@ -178,6 +178,48 @@ class MaterializedRollupSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch wiring (q142's shape): a multi-epoch " +
+      "MemoryStream run maintains the lake rollup ≡ the single-shot " +
+      "recompute, including a late event for an old day") {
+    withLake { path =>
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_rollup_ckpt").toString
+      val input = MemoryStream[(String, Long, Double)]
+      val ev = input.toDF().toDF("event_type", "secs", "value")
+        .select($"event_type", timestamp_seconds($"secs").as("ts"),
+          $"value")
+      val q = ev.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          MaterializedRollup.refreshLake(spark, path, b, batchId = id)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      val d = 86400L
+      val batches = Seq(
+        Seq(("a", 100 * d + 3600, 1.5)),
+        Seq(("a", 100 * d + 7200, 2.5), ("b", 101 * d, 3.0)),
+        Seq(("a", 100 * d, -1.0))) // late event for the old day
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val all = batches.flatten
+        .toDF("event_type", "secs", "value")
+        .select($"event_type", timestamp_seconds($"secs").as("ts"),
+          $"value")
+      val expect = MaterializedRollup.readout(
+          MaterializedRollup.aggregate(all))
+        .orderBy($"event_type", $"day")
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      assert(lakeReadout(path) === expect)
+      val p = new org.apache.hadoop.fs.Path(ckpt)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("guards die loudly: quantizer bound, BIGINT readout overflow") {
     val big = Seq(("a", ts(100), 1.0e15)).toDF("event_type", "ts", "value")
     val e1 = intercept[Exception] {
