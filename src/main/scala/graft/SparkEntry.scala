@@ -165,6 +165,7 @@ object SparkEntry {
     "q140_winnow_artifact" -> (TrainingData.q140WinnowArtifact _),
     "q141_projected_ivf"  -> (TrainingData.q141ProjectedIvf _),
     "q142_stream_rollup"  -> (StreamingQueries.q142StreamRollup _),
+    "q143_pipeline_curated" -> (TrainingData.q143PipelineCurated _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -487,5 +488,8 @@ object SparkEntry {
     // q142: a REAL foreachBatch stream maintaining the lake rollup
     // (engine epoch id = batch stamp); drained ≡ q127's recompute.
     "q142_stream_rollup" -> StreamingQueries.q142Sql,
+    // q143: the CURATED composed pipeline (q83 + winnow decon + LM
+    // band) — the entire 11-stage chain replayed in one statement.
+    "q143_pipeline_curated" -> TrainingData.q143Sql,
   )
 }

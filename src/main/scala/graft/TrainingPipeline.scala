@@ -61,6 +61,13 @@ object TrainingPipeline {
     * [[Balance.Weighted]] — uniform, quality-ranked, or
     * weight-biased selection, one mode at a time, all the same
     * bounded no-window plan). Passing both is an error.
+    * `winnowEval = Some(evalDocs)` adds winnowing decontamination
+    * (fingerprint overlap ≥ `winnowMinShared` → drop — catches
+    * reordered/partial eval copies the exact-gram stage misses);
+    * `surprisalBand = Some((lo, hi))` adds the per-lang_pred
+    * perplexity band filter (keep the (lo, hi] band of the
+    * self-scored bigram-LM rank distribution). Both run on the
+    * clean corpus, before balancing — see the stage comments.
     *
     * Guard dials (the composed form of the per-operator ones, so a
     * 100 TB caller controls recall loss without unrolling the
@@ -89,6 +96,9 @@ object TrainingPipeline {
       embeddingDim: Int = 64,
       domainQuota: Option[(String, Int)] = None,
       balance: Option[Balance] = None,
+      winnowEval: Option[DataFrame] = None,
+      winnowMinShared: Int = 2,
+      surprisalBand: Option[(Int, Int)] = None,
       maxBucket: Int = HotBuckets.DefaultCap,
       strictBuckets: Boolean = false,
       instrument: Boolean = false): DataFrame = {
@@ -166,6 +176,44 @@ object TrainingPipeline {
     val cleaned = benchmark.fold(collapsed)(b =>
       marked(Dedup.decontaminate(collapsed, b, decontaminateNgram),
         "decontaminate"))
+    // 7b. winnowing decontamination (when `winnowEval` is set): the
+    //     fingerprint-overlap complement to the exact-gram stage —
+    //     catches REORDERED/partial eval copies exact grams miss. It
+    //     compares the candidate text AS IT WILL TRAIN (masked,
+    //     span-cut) against the eval set AS IT IS, and runs after
+    //     every dedup stage for the same reason decontaminate does
+    //     (a contaminated cluster survivor must drop even if its
+    //     duplicates already did).
+    // both new stages FAN OUT over their input (fingerprint pass +
+    // anti-join; LM train + score + join-back) — without a hydration
+    // pin each consumer would recompute the whole upstream chain
+    // (quality → mask → span → LSH dedup), measured ~4× the composed
+    // pipeline's cost; the pin holds the CLEAN corpus once (LRU-
+    // evicted after the job, the sparseCosineTopK discipline)
+    val winnowed = winnowEval.fold(cleaned) { ev =>
+      val pinned = graft.operators.Hydration.persist(cleaned)
+      val flagged = graft.operators.Winnowing
+        .evalOverlap(pinned, ev, minShared = winnowMinShared)
+        .select(col("doc_id"))
+      marked(pinned.join(flagged, Seq("doc_id"), "left_anti"),
+        "winnow_decontaminate")
+    }
+    // 7c. perplexity band filter (when `surprisalBand` is set): the
+    //     LM-based quality gate, per lang_pred group, SELF-SCORED on
+    //     the clean corpus — after decontamination so eval leakage
+    //     cannot shape the model, before balancing so quotas count
+    //     docs that will actually train. Every doc here carries ≥
+    //     MinTokens tokens (the stage-1/3 floor), so every doc has
+    //     bigrams and is ranked — the band can only cut tails, never
+    //     silently drop short docs.
+    val banded = surprisalBand.fold(winnowed) { case (lo, hi) =>
+      val pinned = graft.operators.Hydration.persist(winnowed)
+      val kept = graft.operators.LanguageModel.surprisalBandFilter(
+          pinned, groupCol = "lang_pred", lowPct = lo, highPct = hi)
+        .select(col("doc_id"))
+      marked(pinned.join(kept, Seq("doc_id"), "left_semi"),
+        "surprisal_band")
+    }
     // 8. per-domain balancing (when `domainQuota` or `balance` is
     //    set): balance the CLEAN corpus — after every
     //    dedup/decontamination stage so selection counts surviving
@@ -178,15 +226,15 @@ object TrainingPipeline {
       "pass either domainQuota (quota shorthand) or balance, not both")
     val balanceMode = balance.orElse(
       domainQuota.map { case (key, n) => Balance.Quota(key, n) })
-    val balanced = balanceMode.fold(cleaned) {
+    val balanced = balanceMode.fold(banded) {
       case Balance.Quota(key, n) =>
-        marked(Sampling.quotaPerKey(cleaned, key, "doc_id", n),
+        marked(Sampling.quotaPerKey(banded, key, "doc_id", n),
           "domain_quota")
       case Balance.TopK(key, scoreCol, n) =>
-        marked(Sampling.topKPerKey(cleaned, key, "doc_id", scoreCol, n),
+        marked(Sampling.topKPerKey(banded, key, "doc_id", scoreCol, n),
           "domain_topk")
       case Balance.Weighted(key, weightCol, n) =>
-        marked(Sampling.weightedSamplePerKey(cleaned, key, "doc_id",
+        marked(Sampling.weightedSamplePerKey(banded, key, "doc_id",
           weightCol, n), "domain_weighted")
     }
     // 9. sequence packing into context windows (two-level prefix sum)
@@ -209,7 +257,8 @@ object TrainingPipeline {
     * presence does NOT imply the span CUT ran; `spanWords <= 0`
     * disables only the cut, never the floor. */
   val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
-    "corpus_dedup", "semantic_collapse", "decontaminate", "domain_quota",
+    "corpus_dedup", "semantic_collapse", "decontaminate",
+    "winnow_decontaminate", "surprisal_band", "domain_quota",
     "domain_topk", "domain_weighted", "output")
 
   // ---- per-stage row accounting (instrument = true) ----------------

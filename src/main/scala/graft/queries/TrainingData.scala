@@ -875,6 +875,236 @@ object TrainingData {
        |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q143: the CURATED pipeline — q83's composed chain with the two
+    * round-13 curation stages folded into
+    * [[graft.TrainingPipeline.prepare]] itself: winnowing
+    * decontamination against an eval slice (`winnowEval`, catches
+    * reordered/partial copies the exact-gram stage misses) and the
+    * per-lang_pred perplexity band filter (`surprisalBand`), both on
+    * the clean corpus before quota balancing. Corpus = doc_id ≥
+    * max/10+1, eval = the rest (the q136 split). The ENTIRE chain —
+    * quality → mask → span dedup → langID → corpus dedup → winnow
+    * decon → LM band → quota → pack → split — is replayed in ONE
+    * DuckDB statement, so a regression in STAGE INTERACTION (the band
+    * scoring pre-decon text, the winnow flags computed pre-mask…)
+    * surfaces in one hash. Same LSH-recall adjudication as q83
+    * (all-pairs oracle vs banded LSH, recall ≥ 0.98 at t = 0.5;
+    * sf0.1 oracle replay is hours-long by construction — the driver
+    * gates at sf0.01, the q83 stance). */
+  def q143PipelineCurated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.TrainingPipeline.prepare(
+        docs.filter($"doc_id" >= cut),
+        budget = 2048L,
+        jaccardThreshold = 0.5,
+        trainPct = 95,
+        spanWords = 10,
+        domainQuota = Some(("source", 15)),
+        winnowEval = Some(docs.filter($"doc_id" < cut)),
+        surprisalBand = Some((5, 95)))
+      .select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens"),
+        $"lang_pred", $"pack_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay of the whole [[q143PipelineCurated]] chain — the
+    * q83 oracle's CTEs on the corpus slice, plus the q136 winnowing
+    * fragments (eval side on RAW text, train side on the survivors'
+    * REBUILT text — the order the pipeline mutates text in is part of
+    * what this gates) and the q137 band fragments (LM self-scored on
+    * the post-decon corpus, ranked per lang_pred). */
+  val q143Sql: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE
+       |cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+       |toks0 AS (
+       |  SELECT doc_id, source, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents, cut WHERE doc_id >= cut.c),
+       |quality AS (
+       |  SELECT doc_id, source, text FROM toks0
+       |  WHERE len(toks) >= 5
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |        greatest(CAST(len(toks) AS DOUBLE), 1.0) > 0.2
+       |    AND CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+       |        greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.5
+       |    AND 1.0 - CAST(len(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(toks) - 2, 1)),
+       |          i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) /
+       |        CAST(greatest(len(toks) - 2, 1) AS DOUBLE) <= 0.6),
+       |masked AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+       |      '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+       |      '${TextFunctions.LongDigitsRe}', '<NUM>', 'g') AS text
+       |  FROM quality),
+       |mtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM masked),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS idx,
+       |    unnest(list_transform(
+       |      generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1),
+       |      i -> array_to_string(w[(i*10+1):(i*10+10)], ' '))) AS chunk
+       |  FROM mtoks),
+       |ckept AS (
+       |  SELECT doc_id, idx, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |  FROM chunks),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text
+       |  FROM ckept WHERE rn = 1 GROUP BY doc_id),
+       |floored AS (
+       |  SELECT r.doc_id, m.source, r.text,
+       |    len(string_split_regex(trim(r.text), '\\s+')) AS n_tokens
+       |  FROM rebuilt r JOIN masked m USING (doc_id)
+       |  WHERE len(string_split_regex(trim(r.text), '\\s+')) >= 5),
+       |langed AS (
+       |  SELECT doc_id, source, text, n_tokens, CASE
+       |      WHEN s_en = m AND s_en > 0 THEN 'en'
+       |      WHEN s_de = m AND s_de > 0 THEN 'de'
+       |      WHEN s_fr = m AND s_fr > 0 THEN 'fr'
+       |      WHEN s_es = m AND s_es > 0 THEN 'es'
+       |      ELSE 'und' END AS lang_pred
+       |  FROM (
+       |    SELECT doc_id, source, text, n_tokens,
+       |      s_en, s_de, s_fr, s_es, greatest(s_en, s_de, s_fr, s_es) AS m
+       |    FROM (
+       |      SELECT doc_id, source, text, n_tokens,
+       |        len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) AS s_en,
+       |        len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+       |        len(list_filter(lt, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+       |        len(list_filter(lt, x -> x IN ('el','la','los','y','es'))) AS s_es
+       |      FROM (SELECT doc_id, source, text, n_tokens,
+       |              string_split_regex(trim(text), '\\s+') AS lt
+       |            FROM floored)))),
+       |exact_kept AS (
+       |  SELECT f.* FROM langed f
+       |  JOIN (SELECT min(doc_id) AS doc_id FROM langed
+       |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
+       |  USING (doc_id)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(len(toks) - 2, 1)),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM exact_kept)
+       |  WHERE len(toks) >= 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |r(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
+       |survivors AS (
+       |  SELECT * FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
+       |etoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents, cut
+       |  WHERE doc_id < cut.c AND text IS NOT NULL
+       |    AND len(string_split_regex(trim(text), '\\s+')) >= 6),
+       |esh AS (
+       |  SELECT doc_id, CAST(len(l) AS BIGINT) - 2 AS nsh, i,
+       |    CAST(md5_number_upper(array_to_string(l[i:i+2], ' '))
+       |      & 281474976710655 AS BIGINT) AS h
+       |  FROM (SELECT doc_id, l,
+       |          unnest(range(1, CAST(len(l) AS BIGINT) - 1)) AS i
+       |        FROM etoks)),
+       |emem AS (
+       |  SELECT doc_id, i, h,
+       |    unnest(range(greatest(1, i - 3), least(i, nsh - 3) + 1)) AS s
+       |  FROM esh),
+       |ewmin AS (SELECT doc_id, s, min(h) AS mh FROM emem GROUP BY 1, 2),
+       |efps AS (
+       |  SELECT DISTINCT q.mh AS fp
+       |  FROM emem m JOIN ewmin q
+       |    ON q.doc_id = m.doc_id AND q.s = m.s AND m.h = q.mh),
+       |ttoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM survivors
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 6),
+       |tsh AS (
+       |  SELECT doc_id, CAST(len(l) AS BIGINT) - 2 AS nsh, i,
+       |    CAST(md5_number_upper(array_to_string(l[i:i+2], ' '))
+       |      & 281474976710655 AS BIGINT) AS h
+       |  FROM (SELECT doc_id, l,
+       |          unnest(range(1, CAST(len(l) AS BIGINT) - 1)) AS i
+       |        FROM ttoks)),
+       |tmem AS (
+       |  SELECT doc_id, i, h,
+       |    unnest(range(greatest(1, i - 3), least(i, nsh - 3) + 1)) AS s
+       |  FROM tsh),
+       |twmin AS (SELECT doc_id, s, min(h) AS mh FROM tmem GROUP BY 1, 2),
+       |tfps AS (
+       |  SELECT DISTINCT m.doc_id, q.mh AS fp
+       |  FROM tmem m JOIN twmin q
+       |    ON q.doc_id = m.doc_id AND q.s = m.s AND m.h = q.mh),
+       |flagged AS (
+       |  SELECT t.doc_id FROM tfps t JOIN efps USING (fp)
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |wclean AS (
+       |  SELECT * FROM survivors
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |lmtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM wclean),
+       |lmidx AS (SELECT doc_id, l,
+       |            unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+       |          FROM lmtoks),
+       |lmbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM lmidx),
+       |lmnab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+       |          FROM lmbg GROUP BY 1, 2),
+       |lmctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+       |          FROM lmnab GROUP BY 1),
+       |lmscored AS (
+       |  SELECT g.doc_id,
+       |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
+       |  FROM lmbg g
+       |  JOIN lmnab n ON n.a = g.a AND n.b = g.b
+       |  JOIN lmctx c ON c.a = g.a),
+       |lmdoc AS (
+       |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+       |  FROM lmscored GROUP BY 1),
+       |ranked AS (
+       |  SELECT w.doc_id, w.source, w.n_tokens, w.lang_pred,
+       |    row_number() OVER (PARTITION BY w.lang_pred
+       |      ORDER BY p.q_avg, w.doc_id) AS r,
+       |    count(*) OVER (PARTITION BY w.lang_pred) AS n
+       |  FROM wclean w JOIN lmdoc p USING (doc_id)),
+       |banded AS (
+       |  SELECT doc_id, source, n_tokens, lang_pred FROM ranked
+       |  WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100),
+       |quota AS (
+       |  SELECT doc_id, source, n_tokens, lang_pred FROM (
+       |    SELECT doc_id, source, n_tokens, lang_pred, row_number() OVER (
+       |      PARTITION BY source ORDER BY $h, doc_id) AS rn
+       |    FROM banded)
+       |  WHERE rn <= 15),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens, lang_pred,
+       |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+       |  FROM quota)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, lang_pred, pack_id,
+       |  CASE WHEN $h % 100 < 95 THEN 'train' ELSE 'test' END AS split
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
     * a tenth of the range play the eval/benchmark set (the q64 split

@@ -101,12 +101,13 @@ class TrainingPipelineSpec extends SparkSpec {
     val outI = TrainingPipeline.prepare(docs, benchmark = Some(bench),
       decontaminateNgram = 8, instrument = true)
     val finalCount = outI.count()
-    // no embeddings / no balancing → the semantic_collapse stage and
-    // every balance-mode stage are disabled and must stay ABSENT
-    // (presence means "ran"); everything else reports
+    // no embeddings / no balancing / no winnow-eval / no band → those
+    // stages are disabled and must stay ABSENT (presence means
+    // "ran"); everything else reports
     val expected = TrainingPipeline.Stages
       .filterNot(Set("semantic_collapse", "domain_quota",
-        "domain_topk", "domain_weighted"))
+        "domain_topk", "domain_weighted", "winnow_decontaminate",
+        "surprisal_band"))
     val deadline = System.currentTimeMillis + 10000
     def counts = TrainingPipeline.stageCounts(spark).toMap
     while (counts.size < expected.size &&
@@ -206,6 +207,62 @@ class TrainingPipelineSpec extends SparkSpec {
     // survives); doc 1 has no embedding row and survives by default
     assert(!toks.contains(3L))
     assert(toks.keySet === Set(1L, 2L))
+  }
+
+  test("winnow-decon and surprisal-band stages fire inside the " +
+      "composed pipeline: a REORDERED eval copy drops, the per-lang " +
+      "perplexity tails drop, both stages account their rows") {
+    val rnd = new scala.util.Random(41)
+    def words(n: Int) = Seq.fill(n)("pw" + rnd.nextInt(1000000))
+    val secA = words(10); val secB = words(10)
+    // eval doc: A ++ B; the contaminated corpus doc carries B ++ A —
+    // no shared 13-gram (exact-gram decon would MISS it), but each
+    // section exceeds w+k-1, so winnowing flags it
+    val evalDocs = Seq((1L, (secA ++ secB).mkString(" ")))
+      .toDF("doc_id", "text")
+    val contaminated = (100L,
+      (words(6) ++ secB ++ words(6) ++ secA).mkString(" "))
+    // band fodder: 20 'en' docs sharing ONLY stopword contexts (each
+    // doc's content words are globally unique, so no near-dup
+    // collapse) — a 20-doc lang group, big enough that the exact
+    // integer band edges (1, 19] genuinely cut one doc per tail
+    val enDocs = (200L until 220L).map { i =>
+      val u = words(6)
+      (i, s"the ${u(0)} ${u(1)} and ${u(2)} is ${u(3)} ${u(4)} ${u(5)}")
+    }
+    val docs = (enDocs :+ contaminated)
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val out = TrainingPipeline.prepare(docs,
+      jaccardThreshold = 0.5,
+      winnowEval = Some(evalDocs),
+      surprisalBand = Some((5, 95)),
+      instrument = true)
+    val kept = out.select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(100L),
+      s"reordered eval copy survived winnow decon: $kept")
+    // en group: 20 ranked docs → keep ranks (floor(20·5/100),
+    // floor(20·95/100)] = (1, 19] → exactly 18 survive
+    assert(kept.size === 18, s"band arithmetic: $kept")
+    assert(kept.subsetOf((200L until 220L).toSet))
+    // both stages observed (ran + counted) — the stage-accounting
+    // contract: presence means the stage ran
+    val deadline = System.currentTimeMillis + 10000
+    def counts = TrainingPipeline.stageCounts(spark).toMap
+    while (!(counts.get("winnow_decontaminate").contains(20L) &&
+        counts.get("surprisal_band").contains(18L)) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    val c = counts
+    assert(c.get("winnow_decontaminate").contains(20L), c.toString)
+    assert(c.get("surprisal_band").contains(18L), c.toString)
+    // defaults leave both stages OFF: the q83 plan is untouched and
+    // neither label is observed for a default run
+    val plain = TrainingPipeline.prepare(docs)
+    assert(plain.columns.toSeq ===
+      TrainingPipeline.prepare(docs, winnowEval = Some(evalDocs),
+        surprisalBand = Some((5, 95))).columns.toSeq)
+    assert(plain.select($"doc_id").as[Long].collect().toSet
+      .contains(100L)) // no eval set → the copy survives by design
   }
 
   test("packs are contiguous in doc order and near-budget") {
