@@ -17,11 +17,13 @@ object Lake {
   /** The fan-out salt shared by [[write]] and [[compact]]: a stable
     * per-row value mod `n`. Determinism is the only requirement (a
     * retry must land rows in the same file), NOT full-row coverage —
-    * hashing every column cast to string pays a full-row stringify
-    * per row just to pick a writer, which on text/media-heavy lakes
-    * costs more than the write itself. Callers name a cheap stable
-    * subset (a timestamp + an id); the salt's quality only affects
-    * file-size balance, never results. */
+    * so callers with text/media-heavy rows should name a cheap stable
+    * subset (a timestamp + an id) via `saltCols` instead of paying a
+    * full-row stringify per row. All-columns stays the DEFAULT
+    * because it is the only subset that cannot degenerate (any fixed
+    * cheap choice collapses on some feed — tsCol-only on constant
+    * backfill stamps); the salt's quality only affects file-size
+    * balance, never results. */
   private def fanOutSalt(saltCols: Seq[String], n: Int): Column =
     pmod(xxhash64(saltCols.map(c => col(c).cast("string")): _*),
       lit(n.toLong))
@@ -33,10 +35,12 @@ object Lake {
     * (`repartition(n, event_date)` alone can never do that: every row
     * of a date hashes to ONE task, making the knob a no-op above 1 and
     * a single-writer bottleneck on backfills). The salt hashes
-    * `saltCols` (default: just `tsCol` — cheap and fine-grained on
-    * event feeds); a caller whose `tsCol` is low-cardinality (constant
-    * backfill stamps) passes an id/payload column too, or the fan-out
-    * quietly collapses back to few writers. */
+    * `saltCols` when given — the cheap-subset knob for text/media-
+    * heavy lakes, where stringifying every column per row costs more
+    * than the write — and ALL columns otherwise (always correct:
+    * a cheap default like tsCol-only would quietly collapse the
+    * fan-out on constant-timestamp backfills, the exact case the
+    * knob exists for). */
   def write(df: DataFrame, path: String, tsCol: String,
       mode: String = "append", filesPerPartition: Int = 1,
       saltCols: Seq[String] = Seq.empty): Unit = {
@@ -52,8 +56,8 @@ object Lake {
         math.max(filesPerPartition, df.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "200").toInt),
         col("event_date"),
-        fanOutSalt(if (saltCols.nonEmpty) saltCols else Seq(tsCol),
-          filesPerPartition))
+        fanOutSalt(if (saltCols.nonEmpty) saltCols
+          else dated.columns.toSeq, filesPerPartition))
     parted.write.mode(mode)
       .partitionBy("event_date")
       .parquet(path)

@@ -146,18 +146,26 @@ object HeavyHitterStream {
     * true-heavier one only within an `err` margin — callers needing
     * certainty filter `n − err ≥ threshold` (the q115 CMS stance).
     *
-    * Scale shape: the input is ≤ nShards × capacity rows BY
-    * CONSTRUCTION, so the single global rank window (one task) is
-    * bounded by the sketch geometry, never by stream cardinality —
-    * the same bound as the state itself. */
+    * Scale shape: the snapshot is ≤ nShards × capacity rows BY
+    * CONSTRUCTION, and the ranking runs through the bounded
+    * partial-aggregatable kernel ([[graft.functions.BoundedMinIds]]
+    * on the EXACT integer order (−n, key) — no global rank window,
+    * no single-task sort even if someone dials the geometry up), then
+    * one k-row equi-join back for (n, err). */
   def globalTopK(emitted: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"globalTopK: k=$k must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val w = Window.orderBy(col("n").desc, col("key").asc)
-    latestSnapshot(emitted)
+    val snap = latestSnapshot(emitted)
       .select(col("key"), col("n"), col("err"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // keys are unique across the union (shards partition the key
+    // space), so (−n, key) ascending = (n desc, key asc) exactly
+    val ranked = snap
+      .agg(graft.functions.BoundedMinIds
+        .boundedMinIds(-col("n"), col("key"), k).as("__ids"))
+      .select(posexplode(col("__ids")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col").as("key"))
+    ranked.join(snap, Seq("key"))
+      .select(col("key"), col("n"), col("err"), col("rank"))
   }
 }
