@@ -166,6 +166,8 @@ object SparkEntry {
     "q141_projected_ivf"  -> (TrainingData.q141ProjectedIvf _),
     "q142_stream_rollup"  -> (StreamingQueries.q142StreamRollup _),
     "q143_pipeline_curated" -> (TrainingData.q143PipelineCurated _),
+    "q144_stream_decontaminate" ->
+      (StreamingQueries.q144StreamDecontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,5 +493,9 @@ object SparkEntry {
     // q143: the CURATED composed pipeline (q83 + winnow decon + LM
     // band) — the entire 11-stage chain replayed in one statement.
     "q143_pipeline_curated" -> TrainingData.q143Sql,
+    // q144: a REAL stream-static join (streamed doc grams vs the
+    // static benchmark gram table) + streaming per-doc leak counts;
+    // drained ≡ the exact batch gram-overlap counts (q68 fragments).
+    "q144_stream_decontaminate" -> StreamingQueries.q144Sql,
   )
 }

@@ -1140,13 +1140,18 @@ object Dedup {
     * |bench grams| / 2^64 — at 10^12 corpus grams × 10^6 bench grams
     * that is ~5×10^-5 expected docs; acceptable for a DROP-side gate
     * (it can only over-clean, never leak contamination through). */
+  /** The hashed n-gram array shared by every gram-decontamination
+    * path (batch, Bloom-pruned, and the streaming twin) — hash INSIDE
+    * the array, before the generator: the gram strings never outlive
+    * the transform (a generator cannot nest under an expression
+    * anyway), and ONE kernel means the stream and batch sides cannot
+    * drift on gram width/tokenization. */
+  def gramHashArray(text: Column, n: Int): Column =
+    transform(shingles(text, n), g => xxhash64(g))
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // hash INSIDE the array, before the generator: the gram strings
-    // never outlive the transform (a generator cannot nest under an
-    // expression anyway)
-    def gramHashes = explode(
-      transform(shingles(col(textCol), n), g => xxhash64(g)))
+    def gramHashes = explode(gramHashArray(col(textCol), n))
     val benchGrams = benchmark
       .select(gramHashes.as("gram_h"))
       .distinct()
@@ -1198,8 +1203,7 @@ object Dedup {
   def benchmarkGrams(benchmark: DataFrame, n: Int = 13,
       textCol: String = "text"): DataFrame =
     benchmark
-      .select(explode(transform(shingles(col(textCol), n),
-        g => xxhash64(g))).as("gram_h"))
+      .select(explode(gramHashArray(col(textCol), n)).as("gram_h"))
       .distinct()
 
   /** [[decontaminateBloom]] against a PREBUILT benchmark: `benchGrams`

@@ -445,6 +445,60 @@ object StreamingQueries {
     * — q127's oracle verbatim. */
   val q142Sql: String = Analytics.q127Sql
 
+  private val lastSink144 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q144: STREAMING decontamination monitor — a STREAM-STATIC join,
+    * the one streaming join class §2.9 had not yet exercised (q67 is
+    * stream-stream): incoming docs' hashed 8-grams
+    * ([[graft.operators.Dedup.gramHashArray]] — the SAME kernel the
+    * batch decontaminate uses, so the two sides cannot drift on gram
+    * width/tokenization) inner-join the STATIC benchmark gram table,
+    * then a per-doc streaming count of leaked grams (complete mode —
+    * the q62 unwatermarked-agg shape). This is the live form of the
+    * q68/q116 family: the ingestion-time dashboard that flags a
+    * contaminated feed BEFORE the nightly batch decon runs. Static
+    * side is benchmark-sized and broadcast; stream state is one count
+    * per flagged doc. Split mirrors q68 (doc_id % 20 picks the
+    * benchmark) so the oracle reuses its proven gram fragments. */
+  def q144StreamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id",
+        explode(graft.operators.Dedup.gramHashArray($"text", 8))
+          .as("gram_h"))
+    val bench = graft.operators.Dedup.benchmarkGrams(
+      graft.Tables.documents(s, dir).filter($"doc_id" % 20 === 0),
+      n = 8)
+    val hits = stream
+      .join(bench, Seq("gram_h")) // stream-static inner join
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_leaked"))
+    drain(s, hits, "q144_stream_out", lastSink144, "complete")
+      .orderBy($"doc_id")
+  }
+
+  /** Batch replay: per-doc count of distinct grams shared with the
+    * benchmark slice — q68's gram CTEs, aggregated instead of
+    * NOT-EXISTS-collapsed (per-doc grams are DISTINCT by the shingle
+    * contract, so count(*) counts distinct leaked grams). */
+  val q144Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 7, 1)),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |          WHERE doc_id % 20 = 0),
+      |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+      |         WHERE doc_id % 20 <> 0)
+      |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+      |FROM corp c JOIN bench b ON c.gram = b.gram
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The drained snapshot ≡ the exact per-key counts (exact regime:
     * capacity ≥ per-shard distinct keys ⇒ no evictions). */
   val q125Sql: String =

@@ -341,6 +341,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static decontamination join (q144's shape): multi-" +
+      "batch delivery accumulates per-doc leak counts in complete " +
+      "mode ≡ the batch gram overlap; clean docs emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // benchmark doc with 10 tokens → three distinct 8-gram shingles
+    val bench = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val benchGrams = graft.operators.Dedup.benchmarkGrams(bench, n = 8)
+    val input = MemoryStream[(Long, String)]
+    val hits = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(graft.operators.Dedup.gramHashArray($"text", 8))
+          .as("gram_h"))
+      .join(benchGrams, Seq("gram_h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_leaked"))
+    val q = hits.writeStream.format("memory").queryName("sdecon_out")
+      .outputMode("complete").start()
+    try {
+      // batch 1: doc 10 carries the benchmark's FIRST 8-gram verbatim
+      // (w1..w8 contiguous); doc 11 is clean
+      input.addData(
+        (10L, "x0 w1 w2 w3 w4 w5 w6 w7 w8 y0"),
+        (11L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+      q.processAllAvailable()
+      val after1 = spark.table("sdecon_out")
+        .as[(Long, Long)].collect().toMap
+      assert(after1 === Map(10L -> 1L), after1.toString)
+      // batch 2: doc 12 carries TWO benchmark grams (w1..w9 spans the
+      // w1..w8 and w2..w9 shingles); complete mode re-emits doc 10 too
+      input.addData((12L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 z9 z8"))
+      q.processAllAvailable()
+      val after2 = spark.table("sdecon_out")
+        .as[(Long, Long)].collect().toMap
+      assert(after2 === Map(10L -> 1L, 12L -> 2L), after2.toString)
+    } finally q.stop()
+  }
+
   test("raw archiver passthrough preserves the Kafka source schema") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
