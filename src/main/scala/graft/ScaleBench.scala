@@ -523,6 +523,19 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.LanguageModel
           .bigramSurprisal(d).count(),
         () => docs1, () => docsN),
+      // q138/q145: the held-out variant adds the vocabulary aggregate
+      // + LEFT-join smoothing to the self-scored row — the ratio
+      // should track lm_surprisal's (the model side is the smaller
+      // reference slice; the candidate scan dominates)
+      ("heldout_lm",
+        (d: DataFrame) => {
+          val cut = decontCuts.getOrElseUpdate(System.identityHashCode(d),
+            d.agg(max(col("doc_id"))).head().getLong(0) / 10 + 1)
+          graft.operators.LanguageModel.bigramSurprisalHeldOut(
+            d.filter(col("doc_id") < cut),
+            d.filter(col("doc_id") >= cut)).count()
+        },
+        () => docs1, () => docsN),
       // q131: LM + domain aggregate + apportion — the LM dominates, so
       // the ratio should track lm_surprisal's
       ("domain_reweight",

@@ -168,6 +168,7 @@ object SparkEntry {
     "q143_pipeline_curated" -> (TrainingData.q143PipelineCurated _),
     "q144_stream_decontaminate" ->
       (StreamingQueries.q144StreamDecontaminate _),
+    "q145_heldout_band"   -> (TrainingData.q145HeldoutBand _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,5 +498,8 @@ object SparkEntry {
     // static benchmark gram table) + streaming per-doc leak counts;
     // drained ≡ the exact batch gram-overlap counts (q68 fragments).
     "q144_stream_decontaminate" -> StreamingQueries.q144Sql,
+    // q145: held-out perplexity band — q138's smoothed model through
+    // q137's exact rank-band edges, the whole composition replayed.
+    "q145_heldout_band" -> TrainingData.q145Sql,
   )
 }

@@ -196,18 +196,43 @@ object LanguageModel {
     * [[Histogram]] estimates when groups stop fitting a sort). */
   def surprisalBandFilter(docs: DataFrame, groupCol: String = "lang",
       lowPct: Int = 5, highPct: Int = 95,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    rankBand(bigramSurprisal(docs, idCol, textCol), docs, groupCol,
+      lowPct, highPct, idCol)
+
+  /** [[surprisalBandFilter]] scored by the HELD-OUT model instead of
+    * the self-scored one — the full CCNet deployment shape: the band
+    * edges come from how the REFERENCE corpus's LM ranks the
+    * candidates, so corpus junk cannot shape the model that filters
+    * it ([[bigramSurprisalHeldOut]]'s argument, carried through to
+    * the selection step). Same exact integer band arithmetic; docs
+    * with < 2 tokens are not ranked (run a length filter first). */
+  def surprisalBandFilterHeldOut(train: DataFrame, docs: DataFrame,
+      groupCol: String = "lang", lowPct: Int = 5, highPct: Int = 95,
+      addK: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    rankBand(bigramSurprisalHeldOut(train, docs, addK, idCol, textCol),
+      docs, groupCol, lowPct, highPct, idCol)
+
+  /** The per-group rank-band tail shared by the self-scored and
+    * held-out band filters — ONE edge-arithmetic contract (`r >
+    * floor(low·n/100)`, `r ≤ floor(high·n/100)`, rank order
+    * `(q_avg, doc_id)`), so the two scoring modes cannot drift on
+    * selection semantics. `scored` needs (doc_id, q_avg). */
+  private def rankBand(scored: DataFrame, docs: DataFrame,
+      groupCol: String, lowPct: Int, highPct: Int,
+      idCol: String): DataFrame = {
     require(0 <= lowPct && lowPct < highPct && highPct <= 100,
       s"surprisalBandFilter: band ($lowPct, $highPct] must satisfy " +
         "0 <= low < high <= 100")
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramSurprisal(docs, idCol, textCol)
+    val grouped = scored.select(col("doc_id"), col("q_avg"))
       .join(docs.select(col(idCol).as("doc_id"),
         col(groupCol).as("grp")), "doc_id")
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("q_avg"), col("doc_id"))
     val n = Window.partitionBy(col("grp"))
-    scored
+    grouped
       .withColumn("__r", row_number().over(w).cast(LongType))
       .withColumn("__n", count(lit(1)).over(n))
       .filter(col("__r") > expr(s"(__n * $lowPct) div 100") &&

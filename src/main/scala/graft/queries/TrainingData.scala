@@ -1278,6 +1278,65 @@ object TrainingData {
     }
   }
 
+  /** q145: held-out perplexity band
+    * ([[graft.operators.LanguageModel.surprisalBandFilterHeldOut]]) —
+    * the full CCNet deployment: the band edges come from how the
+    * REFERENCE slice's LM (add-1 smoothed, q138's model) ranks the
+    * candidate corpus, per language. Composes the two round-14 LM
+    * pieces: held-out scoring (q138) through the shared rank-band
+    * tail (q137). The oracle replays model + smoothing + rank + exact
+    * integer edges in one statement. */
+  def q145HeldoutBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.operators.LanguageModel.surprisalBandFilterHeldOut(
+        docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut),
+        groupCol = "lang")
+      .orderBy($"doc_id")
+  }
+
+  val q145Sql: String =
+    """WITH cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |tr AS (SELECT t.* FROM toks t, cut WHERE doc_id < cut.c),
+      |sc AS (SELECT t.* FROM toks t, cut WHERE doc_id >= cut.c),
+      |tbg AS (SELECT l[i] AS a, l[i + 1] AS b
+      |        FROM (SELECT l, unnest(range(1, CAST(len(l) AS BIGINT)))
+      |                AS i FROM tr)),
+      |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      |        FROM tbg GROUP BY 1, 2),
+      |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+      |        FROM nab GROUP BY 1),
+      |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |        FROM (SELECT unnest(l) AS tok FROM tr)),
+      |sbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b
+      |        FROM (SELECT doc_id, l,
+      |                unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+      |              FROM sc)),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    CAST(length(bin(((COALESCE(c.n_a, 0) + voc.v) * 1024)
+      |      // (COALESCE(n.n_ab, 0) + 1))) - 1 AS BIGINT) AS q
+      |  FROM sbg g
+      |  LEFT JOIN nab n ON n.a = g.a AND n.b = g.b
+      |  LEFT JOIN ctx c ON c.a = g.a
+      |  CROSS JOIN voc),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+      |  FROM scored GROUP BY 1),
+      |ranked AS (
+      |  SELECT p.doc_id, d.lang, p.q_avg,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY p.q_avg, p.doc_id) AS r,
+      |    count(*) OVER (PARTITION BY d.lang) AS n
+      |  FROM per_doc p JOIN documents d USING (doc_id))
+      |SELECT doc_id, lang, q_avg FROM ranked
+      |WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100
+      |ORDER BY doc_id""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

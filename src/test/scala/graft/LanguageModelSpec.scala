@@ -158,6 +158,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(100L) < got(101L), got.toString)
   }
 
+  test("surprisalBandFilterHeldOut: band edges run on HELD-OUT " +
+      "scores — the out-of-domain doc is the high tail and drops, " +
+      "ties rank by doc_id through the shared tail") {
+    val train = (1L to 50L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = ((100L to 109L).map(i => (i, "the cat sat", "en")) :+
+        (110L, "quantum flux node", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.LanguageModel
+      .surprisalBandFilterHeldOut(train, docs, "lang",
+        lowPct = 0, highPct = 90)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    // 11 ranked docs: the ten identical in-domain docs tie on q_avg
+    // (ranks 1..10 by doc_id), the OOV-heavy doc ranks 11; band
+    // (0, floor(11·90/100) = 9] keeps docs 100..108
+    assert(got === (100L to 108L), got.toString)
+  }
+
   test("domainReweight: a domain summing scaled surprisal past int64 " +
       "dies loudly, not by wrapping") {
     val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
