@@ -1119,6 +1119,15 @@ object Dedup {
       .drop("__clean")
   }
 
+  /** The hashed n-gram array shared by every gram-decontamination
+    * path (batch, Bloom-pruned, and the streaming twin) — hash INSIDE
+    * the array, before the generator: the gram strings never outlive
+    * the transform (a generator cannot nest under an expression
+    * anyway), and ONE kernel means the stream and batch sides cannot
+    * drift on gram width/tokenization. */
+  def gramHashArray(text: Column, n: Int): Column =
+    transform(shingles(text, n), g => xxhash64(g))
+
   /** Benchmark DECONTAMINATION — drop training docs that collide with
     * an evaluation set on any word n-gram (the standard leakage gate:
     * GPT-3 used 13-gram collision; pick `n` per document length).
@@ -1140,15 +1149,6 @@ object Dedup {
     * |bench grams| / 2^64 — at 10^12 corpus grams × 10^6 bench grams
     * that is ~5×10^-5 expected docs; acceptable for a DROP-side gate
     * (it can only over-clean, never leak contamination through). */
-  /** The hashed n-gram array shared by every gram-decontamination
-    * path (batch, Bloom-pruned, and the streaming twin) — hash INSIDE
-    * the array, before the generator: the gram strings never outlive
-    * the transform (a generator cannot nest under an expression
-    * anyway), and ONE kernel means the stream and batch sides cannot
-    * drift on gram width/tokenization. */
-  def gramHashArray(text: Column, n: Int): Column =
-    transform(shingles(text, n), g => xxhash64(g))
-
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def gramHashes = explode(gramHashArray(col(textCol), n))

@@ -112,6 +112,20 @@ object MaterializedRollup {
     * would merge against a base that already contains 4) — that
     * fails loudly rather than corrupting history.
     *
+    * COMMIT-GRANULARITY CAVEAT (inherited from the storage commit
+    * protocol, not this fold): the replay argument needs each
+    * day-partition to hold EITHER its pre-batch rows OR the stamped
+    * new rows. Spark's dynamic partition overwrite commits per
+    * partition with a delete-then-swap, so a crash INSIDE one
+    * partition's commit window can leave that day empty — a replay
+    * would then merge the delta against a missing base. This is the
+    * same residual every dynamic-overwrite writer carries
+    * ([[graft.sources.Lake.upsertLatest]]'s atomic-swap note);
+    * deployments that cannot tolerate it put the rollup lake on a
+    * commit protocol with atomic rename semantics or a table format
+    * with transactional overwrite — the fold's stamps and contracts
+    * carry over unchanged.
+    *
     * Scale shape: delta aggregation scans only the batch; the
     * existing-slice read prunes to the delta's event_date partitions;
     * the merge shuffles rollup-sized rows; the upsert rewrites only
@@ -141,26 +155,32 @@ object MaterializedRollup {
           .join(broadcast(delta.select(col("event_type"), col("day"))),
             Seq("event_type", "day"), "left_semi")
           .localCheckpoint()
+        // ONE bounded probe, not a full count: any single ahead row
+        // proves the monotonicity violation
         val ahead = affected.filter(col("batch_id") > batchId)
-        if (!ahead.isEmpty) {
-          val r = ahead.select(col("rk"), col("batch_id")).head()
+          .select(col("rk"), col("batch_id")).limit(1).collect()
+        if (ahead.nonEmpty) {
           throw new IllegalStateException(
-            s"refreshLake: key ${r.getString(0)} already carries batch " +
-              s"${r.getLong(1)} > $batchId — batch ids must be applied " +
-              "in increasing order (replaying an OLD batch over a newer " +
-              "stamp would merge against a base that already contains " +
-              "later data)")
+            s"refreshLake: key ${ahead(0).getString(0)} already carries " +
+              s"batch ${ahead(0).getLong(1)} > $batchId — batch ids must " +
+              "be applied in increasing order (replaying an OLD batch " +
+              "over a newer stamp would merge against a base that " +
+              "already contains later data)")
         }
         val appliedKeys = affected.filter(col("batch_id") === batchId)
           .select(col("event_type"), col("day"))
+        // checkpointed: the anti-join otherwise re-evaluates for the
+        // isEmpty probe, base's semi-join build side, AND the merge —
+        // three evaluations per micro-batch on the q142 hot path
         val deltaToApply = delta.join(broadcast(appliedKeys),
           Seq("event_type", "day"), "left_anti")
+          .localCheckpoint()
+        if (deltaToApply.isEmpty) return // fully-replayed batch: no-op
         val base = affected.filter(col("batch_id") < batchId)
           .select(col("event_type"), col("day"), col("n"),
             col("sum_qv"), col("min_qv"), col("max_qv"))
           .join(broadcast(deltaToApply.select(col("event_type"),
             col("day"))), Seq("event_type", "day"), "left_semi")
-        if (deltaToApply.isEmpty) return // fully-replayed batch: no-op
         merge(Seq(base, deltaToApply))
       }
     graft.sources.Lake.upsertLatest(spark, path,

@@ -140,20 +140,29 @@ object Winnowing {
 
   /** Winnow `evalDocs` and persist the DISTINCT fingerprint set under
     * `path` (`fps/` + a 1-row `meta/` stamp). Single-writer overwrite
-    * (an artifact is derived state — the SketchStore stance); `meta/`
-    * is written LAST so a torn write leaves no valid stamp and every
-    * reader fails fast instead of probing half an index. */
+    * (an artifact is derived state — the SketchStore stance). The
+    * WHOLE artifact is staged and atomically swapped into place
+    * ([[graft.sources.Lake.swapInto]] — the one swap discipline):
+    * within the stage, `meta/` is written last, so no crash point
+    * leaves a valid stamp over torn fingerprints. Writing in place
+    * would: a REBUILD overwrites `fps/` while the previous build's
+    * valid stamp still sits in `meta/`, and a crash before the new
+    * stamp lands would let readers pass every check against
+    * mismatched fingerprints — silent false negatives, the exact
+    * failure the stamp exists to stop. */
   def writeFingerprintIndex(evalDocs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, w: Int = 4): Unit = {
     val spark = evalDocs.sparkSession
     import spark.implicits._
+    val tmp = path.stripSuffix("/") + "__building"
     fingerprints(evalDocs, idCol, textCol, k, w)
       .select(col("fp")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/fps")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/fps")
     Seq((IndexVersion, IndexKind, indexDomain(k, w)))
       .toDF("version", "kind", "domain")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    graft.sources.Lake.swapInto(spark, path, tmp)
   }
 
   /** Load a fingerprint index, failing fast unless version, kind, and

@@ -154,9 +154,7 @@ object Analytics {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val cutUs = 1706054400000000L // 2024-01-24T00:00:00Z, epoch µs
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_q127_rollup").toString
-    try {
+    graft.Scratch.withTempDir(s, "graft_q127_rollup") { base =>
       MaterializedRollup.refreshLake(s, s"$base/rollup",
         ev.filter(unix_micros($"ts") < cutUs), batchId = 1L)
       MaterializedRollup.refreshLake(s, s"$base/rollup",
@@ -165,9 +163,6 @@ object Analytics {
           MaterializedRollup.readLake(s, s"$base/rollup"))
         .orderBy($"event_type", $"day")
         .localCheckpoint()
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
@@ -305,9 +300,7 @@ object Analytics {
     * what a random layout decodes for the same predicate. */
   def q95ZorderSkipping(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_q95_zorder").toString
-    try {
+    graft.Scratch.withTempDir(s, "graft_q95_zorder") { base =>
       Lake.writeZOrdered(
         Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey",
           $"l_extendedprice", $"l_discount"),
@@ -321,9 +314,6 @@ object Analytics {
             .cast("long").as("revenue_cents"))
         .orderBy($"l_suppkey")
         .localCheckpoint()
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
@@ -348,9 +338,7 @@ object Analytics {
     * construction. */
   def q133BloomIndexLookup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_q133_bloomidx").toString
-    try {
+    graft.Scratch.withTempDir(s, "graft_q133_bloomidx") { base =>
       val ev = Tables.events(s, dir)
       val probe = ev.agg(min($"user_id")).head().getLong(0)
       // hash-partitioned 8-file layout: one user concentrates in one
@@ -370,9 +358,6 @@ object Analytics {
         .select($"event_id", $"event_type", $"value")
         .orderBy($"event_id")
         .localCheckpoint()
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 

@@ -415,9 +415,7 @@ object StreamingQueries {
   def q142StreamRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     withNanosFlag(s) {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q142_rollup").toString
-      try {
+      graft.Scratch.withTempDir(s, "graft_q142_rollup") { base =>
         val ev = eventsStream(s, dir)
           .select($"event_type", $"ts", $"value")
         val q = ev.writeStream
@@ -433,10 +431,6 @@ object StreamingQueries {
               .readLake(s, s"$base/rollup"))
           .orderBy($"event_type", $"day")
           .localCheckpoint()
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(base)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(p, true)
       }
     }
   }

@@ -1214,8 +1214,14 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
-  val q138Sql: String =
-    """WITH cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+  /** The held-out-scoring CTE block shared by the q138 and q145
+    * oracles (cut split, train counts, vocabulary, add-1 smoothed
+    * per-bigram `scored`) — ONE SQL rendering of the smoothing
+    * arithmetic, mirroring `bigramSurprisalHeldOut` being the one
+    * Spark-side rendering; a fix applied to one oracle cannot miss
+    * the other. */
+  private val heldoutScoredCtes: String =
+    """cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
       |toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
       |  FROM documents WHERE text IS NOT NULL),
@@ -1242,12 +1248,15 @@ object TrainingData {
       |  FROM sbg g
       |  LEFT JOIN nab n ON n.a = g.a AND n.b = g.b
       |  LEFT JOIN ctx c ON c.a = g.a
-      |  CROSS JOIN voc)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  CAST(sum(oov) AS BIGINT) AS n_oov,
-      |  CAST(sum(q) AS BIGINT) AS q_total,
-      |  CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
-      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+      |  CROSS JOIN voc)""".stripMargin
+
+  val q138Sql: String =
+    s"""WITH $heldoutScoredCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(sum(q) AS BIGINT) AS q_total,
+       |  CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q140: winnowing decontamination served from a PERSISTED
     * fingerprint index ([[graft.operators.Winnowing
@@ -1263,18 +1272,13 @@ object TrainingData {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_q140_winnowidx").toString
-    try {
+    graft.Scratch.withTempDir(s, "graft_q140_winnowidx") { base =>
       graft.operators.Winnowing.writeFingerprintIndex(
         docs.filter($"doc_id" < cut), s"$base/idx")
       graft.operators.Winnowing.evalOverlapFromIndex(
           docs.filter($"doc_id" >= cut), s"$base/idx", minShared = 2)
         .orderBy($"doc_id")
         .localCheckpoint()
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
@@ -1297,45 +1301,19 @@ object TrainingData {
   }
 
   val q145Sql: String =
-    """WITH cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
-      |toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
-      |  FROM documents WHERE text IS NOT NULL),
-      |tr AS (SELECT t.* FROM toks t, cut WHERE doc_id < cut.c),
-      |sc AS (SELECT t.* FROM toks t, cut WHERE doc_id >= cut.c),
-      |tbg AS (SELECT l[i] AS a, l[i + 1] AS b
-      |        FROM (SELECT l, unnest(range(1, CAST(len(l) AS BIGINT)))
-      |                AS i FROM tr)),
-      |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
-      |        FROM tbg GROUP BY 1, 2),
-      |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
-      |        FROM nab GROUP BY 1),
-      |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-      |        FROM (SELECT unnest(l) AS tok FROM tr)),
-      |sbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b
-      |        FROM (SELECT doc_id, l,
-      |                unnest(range(1, CAST(len(l) AS BIGINT))) AS i
-      |              FROM sc)),
-      |scored AS (
-      |  SELECT g.doc_id,
-      |    CAST(length(bin(((COALESCE(c.n_a, 0) + voc.v) * 1024)
-      |      // (COALESCE(n.n_ab, 0) + 1))) - 1 AS BIGINT) AS q
-      |  FROM sbg g
-      |  LEFT JOIN nab n ON n.a = g.a AND n.b = g.b
-      |  LEFT JOIN ctx c ON c.a = g.a
-      |  CROSS JOIN voc),
-      |per_doc AS (
-      |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
-      |  FROM scored GROUP BY 1),
-      |ranked AS (
-      |  SELECT p.doc_id, d.lang, p.q_avg,
-      |    row_number() OVER (PARTITION BY d.lang
-      |      ORDER BY p.q_avg, p.doc_id) AS r,
-      |    count(*) OVER (PARTITION BY d.lang) AS n
-      |  FROM per_doc p JOIN documents d USING (doc_id))
-      |SELECT doc_id, lang, q_avg FROM ranked
-      |WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $heldoutScoredCtes,
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT p.doc_id, d.lang, p.q_avg,
+       |    row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY p.q_avg, p.doc_id) AS r,
+       |    count(*) OVER (PARTITION BY d.lang) AS n
+       |  FROM per_doc p JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, q_avg FROM ranked
+       |WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100
+       |ORDER BY doc_id""".stripMargin
 
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars

@@ -135,6 +135,16 @@ class WinnowingSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Winnowing.evalOverlapFromIndex(train, s"$dir/idx", w = 5)
       }
+      // a REBUILD with different dials atomically replaces BOTH fps
+      // and stamp (staged + swapped): the new read works, the old
+      // dials now fail fast — no window where the old stamp covers
+      // new fingerprints
+      Winnowing.writeFingerprintIndex(ev, s"$dir/idx", k = 4)
+      assert(Winnowing.readFingerprintIndex(spark, s"$dir/idx", k = 4)
+        .count() > 0)
+      intercept[IllegalArgumentException] {
+        Winnowing.readFingerprintIndex(spark, s"$dir/idx") // k = 3
+      }
       // a wrong-kind artifact at the same layout fails on the stamp
       Winnowing.writeFingerprintIndex(ev, s"$dir/idx2")
       import org.apache.spark.sql.SaveMode
