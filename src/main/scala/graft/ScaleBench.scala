@@ -1105,6 +1105,73 @@ object ScaleBench {
       println(f"""{"pipeline":"sketch_artifact_lifecycle","batches":$nBatches,"rebuild_sec":$tRebuild%.2f,"build_once_sec":$tBuild%.2f,"probe_sec":$tProbe%.2f,"reuse_speedup":${tRebuild / (tBuild + tProbe)}%.2f,"marginal_speedup":${marginalRebuild / marginalProbe}%.2f,"breakeven_batches":$breakeven%.1f}""")
     }
 
+    // ---- winnowing fingerprint-index lifecycle: the q140 artifact's
+    // serve-many economics (the sketch-lifecycle stance, pointed at
+    // the winnowing decontamination family): N ingestion batches
+    // probing a persisted eval fingerprint index vs re-winnowing the
+    // eval set per batch. The eval side carries the HEAVY text (long
+    // docs — benchmarks are prompts+passages), the batches are small:
+    // exactly the regime where re-selecting eval fingerprints per
+    // batch dwarfs a parquet read of the selected set. Pass = the
+    // probe path flags the identical doc set (q140's invisibility
+    // contract) and beats rebuilds on marginal cost. ----
+    {
+      val wDir = s"$scratch/winnow_index_lifecycle"
+      val wPath = new org.apache.hadoop.fs.Path(wDir)
+      val wfs = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      wfs.delete(wPath, true)
+      // eval docs: 40k docs × 60 id-salted tokens (fingerprints are
+      // disjoint across ids); batch docs: 2k docs × 12 tokens, half
+      // of them REPLAYING an eval doc's first 12 tokens (≥ w+k−1 run
+      // → flagged by the detection guarantee)
+      def evalText(idc: org.apache.spark.sql.Column) = concat_ws(" ", (0 until 60).map(j =>
+        concat(lit(s"t$j"), idc * (2 * j + 1))): _*)
+      val evalDocs = spark.range(40000L)
+        .select($"id".as("doc_id"), evalText($"id").as("text"))
+      def cleanText(idc: org.apache.spark.sql.Column) = concat_ws(" ", (0 until 12).map(j =>
+        concat(lit(s"c$j"), idc * (2 * j + 3))): _*)
+      def contamText(idc: org.apache.spark.sql.Column) = concat_ws(" ", (0 until 12).map(j =>
+        concat(lit(s"t$j"), idc * (2 * j + 1))): _*)
+      val halfW = 1000L
+      val nBatchesW = 12
+      def batchW(b: Int) = spark.range(1000000L + b * halfW,
+          1000000L + (b + 1) * halfW)
+        .select($"id".as("doc_id"), cleanText($"id").as("text"))
+        .unionByName(spark.range(b * halfW, (b + 1) * halfW)
+          .select(($"id" + 2000000L).as("doc_id"),
+            contamText($"id").as("text")))
+      var rebuildFlagged = 0L
+      val tRebuildW = time {
+        (0 until nBatchesW).foreach { b =>
+          rebuildFlagged += graft.operators.Winnowing
+            .evalOverlap(batchW(b), evalDocs, minShared = 1).count()
+        }
+      }
+      val tBuildW = time {
+        graft.operators.Winnowing.writeFingerprintIndex(evalDocs,
+          s"$wDir/idx")
+      }
+      var probeFlagged = 0L
+      val tProbeW = time {
+        (0 until nBatchesW).foreach { b =>
+          probeFlagged += graft.operators.Winnowing
+            .evalOverlapFromIndex(batchW(b), s"$wDir/idx",
+              minShared = 1).count()
+        }
+      }
+      val expectedW = nBatchesW.toLong * halfW
+      require(rebuildFlagged == expectedW && probeFlagged == expectedW,
+        s"both paths must flag exactly the contaminated half per batch " +
+          s"($expectedW): rebuild=$rebuildFlagged, artifact=$probeFlagged")
+      val marginalRebuildW = tRebuildW / nBatchesW
+      val marginalProbeW = tProbeW / nBatchesW
+      require(tProbeW < tRebuildW,
+        "the index path must beat per-batch eval re-winnowing")
+      val breakevenW =
+        tBuildW / math.max(marginalRebuildW - marginalProbeW, 1e-9)
+      println(f"""{"pipeline":"winnow_index_lifecycle","batches":$nBatchesW,"rebuild_sec":$tRebuildW%.2f,"build_once_sec":$tBuildW%.2f,"probe_sec":$tProbeW%.2f,"reuse_speedup":${tRebuildW / (tBuildW + tProbeW)}%.2f,"marginal_speedup":${marginalRebuildW / marginalProbeW}%.2f,"breakeven_batches":$breakevenW%.1f}""")
+    }
+
     // ---- materialized rollup maintenance: a persisted daily rollup
     // refreshed by N ingestion batches (aggregate the delta, merge
     // with the COLD previous rollup) vs recomputing from the ever-
