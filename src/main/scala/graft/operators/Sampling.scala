@@ -404,10 +404,19 @@ object Sampling {
     * AQE partition statistics — are folded on the driver and broadcast
     * back. Any shard-boundary placement yields the identical result,
     * and each shard sorts independently, so this survives a 1000-way
-    * cluster where the old global window serialized onto one task. */
-  def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
+    * cluster where the old global window serialized onto one task.
+    *
+    * The input is hydration-pinned: this operator consumes `df` THREE
+    * times (the bounds/null-guard aggregate, the per-shard offsets
+    * collect, and the final pack plan) — unpinned, a caller feeding it
+    * an expensive chain re-executes that chain per consumer (measured
+    * on the composed pipeline: the quality→mask→span→LSH-dedup
+    * upstream ran 3×, ~2× the whole job's cost). Bit-identical under
+    * any [[Hydration.StorageLevelConf]] setting, including NONE. */
+  def packSequences(df0: DataFrame, tokenCol: String, orderCol: String,
       budget: Long, numShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val df = Hydration.persist(df0)
     val spark = df.sparkSession
     val shards =
       if (numShards > 0) numShards
