@@ -125,11 +125,13 @@ class PlanChecksSpec extends SparkSpec {
     // (one row per slice) — bounded by slice count, intended
     // q106's NLJ broadcasts a ONE-row corpus token total — linear,
     // intended (q79's shape)
-    // q138's NLJ broadcasts a ONE-row train-vocabulary total — linear,
-    // intended (q79's shape)
+    // q138's/q145's NLJ broadcasts a ONE-row train-vocabulary total —
+    // linear, intended (q79's shape; q145 inherits it through
+    // bigramSurprisalHeldOut)
     val intendedNlj =
       Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
-        "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal")
+        "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
+        "q145_heldout_band")
     for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
       val p = fn(spark, sf).queryExecution.optimizedPlan.toString
       assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")
