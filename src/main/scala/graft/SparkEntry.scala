@@ -169,6 +169,7 @@ object SparkEntry {
     "q144_stream_decontaminate" ->
       (StreamingQueries.q144StreamDecontaminate _),
     "q145_heldout_band"   -> (TrainingData.q145HeldoutBand _),
+    "q146_heldout_reweight" -> (TrainingData.q146HeldoutReweight _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,5 +502,8 @@ object SparkEntry {
     // q145: held-out perplexity band — q138's smoothed model through
     // q137's exact rank-band edges, the whole composition replayed.
     "q145_heldout_band" -> TrainingData.q145Sql,
+    // q146: held-out domain reweighting — q138's model + q131's
+    // integer weights + largest-remainder apportionment, one replay.
+    "q146_heldout_reweight" -> TrainingData.q146Sql,
   )
 }

@@ -266,9 +266,31 @@ object LanguageModel {
     * rescans the corpus. */
   def domainReweight(docs: DataFrame, groupCol: String = "source",
       budget: Long = 100000L, scale: Long = 10000L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    reweightFrom(bigramSurprisal(docs, idCol, textCol), docs, groupCol,
+      budget, scale, idCol)
+
+  /** [[domainReweight]] driven by the HELD-OUT model — the DoReMi
+    * deployment shape proper: domain difficulty is how hard each
+    * domain's text is for a model trained on the REFERENCE corpus,
+    * not on the mixture being weighted (self-scored difficulty is
+    * biased toward domains whose text dominates the training counts).
+    * Same integer weight/apportion contract through the shared tail. */
+  def domainReweightHeldOut(train: DataFrame, docs: DataFrame,
+      groupCol: String = "source", budget: Long = 100000L,
+      scale: Long = 10000L, addK: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    reweightFrom(bigramSurprisalHeldOut(train, docs, addK, idCol,
+      textCol), docs, groupCol, budget, scale, idCol)
+
+  /** The weight-and-apportion tail shared by the self-scored and
+    * held-out reweighters (ONE integer contract — the [[rankBand]]
+    * argument at the mixture level). `perDoc` needs
+    * (doc_id, n_bigrams, q_total). */
+  private def reweightFrom(perDoc: DataFrame, docs: DataFrame,
+      groupCol: String, budget: Long, scale: Long,
+      idCol: String): DataFrame = {
     require(scale > 0L, s"domainReweight: scale=$scale must be > 0")
-    val perDoc = bigramSurprisal(docs, idCol, textCol)
     val grouped = perDoc
       .join(docs.select(col(idCol).as("doc_id"),
         col(groupCol).as("key")), "doc_id")

@@ -1315,6 +1315,51 @@ object TrainingData {
        |WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100
        |ORDER BY doc_id""".stripMargin
 
+  /** q146: held-out domain reweighting
+    * ([[graft.operators.LanguageModel.domainReweightHeldOut]]) — the
+    * DoReMi deployment shape proper: per-source quotas from how hard
+    * each source's text is for the REFERENCE slice's add-1 model
+    * (self-scored difficulty is biased toward sources that dominate
+    * the training counts). Completes the held-out trio
+    * (q138 scoring → q145 band → q146 mixture); the oracle composes
+    * the q138 CTEs with q131's integer-weight + largest-remainder
+    * fragments in one statement. */
+  def q146HeldoutReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.operators.LanguageModel.domainReweightHeldOut(
+        docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut),
+        groupCol = "source", budget = 100000L, scale = 10000L)
+      .orderBy($"source")
+  }
+
+  val q146Sql: String =
+    s"""WITH $heldoutScoredCtes,
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(q) AS BIGINT) AS q_total
+       |  FROM scored GROUP BY 1),
+       |pk AS (SELECT d.source AS key,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         (CAST(sum(p.q_total) AS BIGINT) * 10000)
+       |           // CAST(sum(p.n_bigrams) AS BIGINT) AS w
+       |       FROM per_doc p JOIN documents d USING (doc_id)
+       |       GROUP BY 1),
+       |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM pk),
+       |a AS (SELECT key, n_docs, w,
+       |        (CAST(100000 AS HUGEINT) * w) // t.tw AS base,
+       |        (CAST(100000 AS HUGEINT) * w) % t.tw AS rem
+       |      FROM pk CROSS JOIN t),
+       |l AS (SELECT 100000 - sum(base) AS leftover FROM a),
+       |rk AS (SELECT key, n_docs, w, base, rem,
+       |         row_number() OVER (ORDER BY rem DESC, key) AS rnk
+       |       FROM a)
+       |SELECT key AS source, n_docs, CAST(w AS BIGINT) AS w,
+       |  CAST(base + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END
+       |    AS BIGINT) AS quota
+       |FROM rk CROSS JOIN l ORDER BY source""".stripMargin
+
   /** q130: maximal-marginal-relevance diverse selection
     * ([[graft.operators.Similarity.mmrSelect]]) — 8 exemplars
     * relevant to vec 0 but mutually dissimilar; round-4 cosines +

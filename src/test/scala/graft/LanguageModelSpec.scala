@@ -176,6 +176,27 @@ class LanguageModelSpec extends SparkSpec {
     assert(got === (100L to 108L), got.toString)
   }
 
+  test("domainReweightHeldOut: quotas follow held-out difficulty and " +
+      "sum to the budget exactly; the shared tail keeps the integer " +
+      "weight contract") {
+    val train = (1L to 50L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    // in-domain source: text the reference model predicts well;
+    // ood source: fully OOV — higher held-out surprisal per bigram
+    val docs = ((100L to 104L).map(i => (i, "the cat sat", "indomain"))
+        ++ (200L to 204L).map(i => (i, "zz yy xx", "ood")))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.LanguageModel
+      .domainReweightHeldOut(train, docs, "source", budget = 100L)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq("indomain", "ood"), got.toString)
+    assert(got.map(_._4).sum === 100L, got.toString)
+    val byKey = got.map(t => t._1 -> t._4).toMap
+    assert(byKey("ood") > byKey("indomain"),
+      s"held-out-harder domain must get the larger quota: $got")
+  }
+
   test("domainReweight: a domain summing scaled surprisal past int64 " +
       "dies loudly, not by wrapping") {
     val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")

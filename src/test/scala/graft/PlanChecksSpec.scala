@@ -131,7 +131,7 @@ class PlanChecksSpec extends SparkSpec {
     val intendedNlj =
       Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
         "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
-        "q145_heldout_band")
+        "q145_heldout_band", "q146_heldout_reweight")
     for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
       val p = fn(spark, sf).queryExecution.optimizedPlan.toString
       assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")

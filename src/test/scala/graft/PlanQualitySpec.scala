@@ -32,12 +32,12 @@ class PlanQualitySpec extends SparkSpec {
     // as q79's 1-row grand-total cross join
     // q106 broadcasts a ONE-row corpus token total against the
     // (pruned) bigram count table — q79's linear 1-row NLJ shape
-    // q138/q145 broadcast a ONE-row train-vocabulary total against
-    // the candidate bigram stream — the same linear 1-row class
-    // (q145 inherits it through bigramSurprisalHeldOut)
+    // q138/q145/q146 broadcast a ONE-row train-vocabulary total
+    // against the candidate bigram stream — the same linear 1-row
+    // class (q145/q146 inherit it through bigramSurprisalHeldOut)
     Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
       "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
-      "q145_heldout_band")
+      "q145_heldout_band", "q146_heldout_reweight")
 
   test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
     // the SimHash pair join deliberately does NOT cache its signature
