@@ -1022,6 +1022,22 @@ object ScaleBench {
     // both paths accept exactly the clean half of every batch (the
     // artifact path is bit-identical to the rebuild path, q121's
     // contract), and the reuse path is cheaper than rebuilds. ----
+    // the shared build-once/probe-many economics readout (sketch +
+    // winnow lifecycle rows): marginal = per-batch cost on each path,
+    // breakeven = batches amortizing the one-time build — ONE place
+    // for the arithmetic, so an epsilon/denominator fix cannot land
+    // in one row and miss the other
+    def printLifecycle(name: String, nBatches: Int, tRebuild: Double,
+        tBuild: Double, tProbe: Double): Unit = {
+      val marginalRebuild = tRebuild / nBatches
+      val marginalProbe = tProbe / nBatches
+      require(tProbe < tRebuild,
+        s"$name: the probe path must beat rebuilds on marginal cost alone")
+      val breakeven =
+        tBuild / math.max(marginalRebuild - marginalProbe, 1e-9)
+      println(f"""{"pipeline":"$name","batches":$nBatches,"rebuild_sec":$tRebuild%.2f,"build_once_sec":$tBuild%.2f,"probe_sec":$tProbe%.2f,"reuse_speedup":${tRebuild / (tBuild + tProbe)}%.2f,"marginal_speedup":${marginalRebuild / marginalProbe}%.2f,"breakeven_batches":$breakeven%.1f}""")
+    }
+
     {
       val artDir = s"$scratch/sketch_artifact_lifecycle"
       val artPath = new org.apache.hadoop.fs.Path(artDir)
@@ -1091,18 +1107,10 @@ object ScaleBench {
       require(rebuildSurvivors == expected && probeSurvivors == expected,
         s"both paths must accept exactly the clean half per batch " +
           s"($expected): rebuild=$rebuildSurvivors, artifact=$probeSurvivors")
-      // the economics that matter at fleet scale are MARGINAL: what
-      // each additional ingestion batch costs on each path, and how
-      // many batches amortize the one-time artifact build (grams
-      // parquet + stamped filter) — `breakeven_batches` is that
-      // crossover; past it every further batch banks the marginal
-      // delta
-      val marginalRebuild = tRebuild / nBatches
-      val marginalProbe = tProbe / nBatches
-      require(tProbe < tRebuild,
-        "the probe path must beat rebuilds on marginal cost alone")
-      val breakeven = tBuild / math.max(marginalRebuild - marginalProbe, 1e-9)
-      println(f"""{"pipeline":"sketch_artifact_lifecycle","batches":$nBatches,"rebuild_sec":$tRebuild%.2f,"build_once_sec":$tBuild%.2f,"probe_sec":$tProbe%.2f,"reuse_speedup":${tRebuild / (tBuild + tProbe)}%.2f,"marginal_speedup":${marginalRebuild / marginalProbe}%.2f,"breakeven_batches":$breakeven%.1f}""")
+      // the economics that matter at fleet scale are MARGINAL — see
+      // printLifecycle
+      printLifecycle("sketch_artifact_lifecycle", nBatches, tRebuild,
+        tBuild, tProbe)
     }
 
     // ---- winnowing fingerprint-index lifecycle: the q140 artifact's
@@ -1163,13 +1171,8 @@ object ScaleBench {
       require(rebuildFlagged == expectedW && probeFlagged == expectedW,
         s"both paths must flag exactly the contaminated half per batch " +
           s"($expectedW): rebuild=$rebuildFlagged, artifact=$probeFlagged")
-      val marginalRebuildW = tRebuildW / nBatchesW
-      val marginalProbeW = tProbeW / nBatchesW
-      require(tProbeW < tRebuildW,
-        "the index path must beat per-batch eval re-winnowing")
-      val breakevenW =
-        tBuildW / math.max(marginalRebuildW - marginalProbeW, 1e-9)
-      println(f"""{"pipeline":"winnow_index_lifecycle","batches":$nBatchesW,"rebuild_sec":$tRebuildW%.2f,"build_once_sec":$tBuildW%.2f,"probe_sec":$tProbeW%.2f,"reuse_speedup":${tRebuildW / (tBuildW + tProbeW)}%.2f,"marginal_speedup":${marginalRebuildW / marginalProbeW}%.2f,"breakeven_batches":$breakevenW%.1f}""")
+      printLifecycle("winnow_index_lifecycle", nBatchesW, tRebuildW,
+        tBuildW, tProbeW)
     }
 
     // ---- materialized rollup maintenance: a persisted daily rollup

@@ -237,8 +237,17 @@ object TrainingPipeline {
         marked(Sampling.weightedSamplePerKey(banded, key, "doc_id",
           weightCol, n), "domain_weighted")
     }
-    // 9. sequence packing into context windows (two-level prefix sum)
-    val packed = Sampling.packSequences(balanced, "n_tokens", "doc_id", budget)
+    // 9. sequence packing into context windows (two-level prefix sum).
+    //    packSequences consumes its input THREE times (bounds, shard
+    //    offsets, final plan — its documented cost contract); pinned
+    //    here because THIS caller's input is the whole expensive
+    //    quality→mask→span→dedup chain — unpinned it re-executed 3×
+    //    per job (measured: composed 16× 67.1 → 34.6 s, q83 floor
+    //    10.29 → 8.04 s). The pin joins prepare's other hydration
+    //    pins under the same LRU/conf discipline.
+    val packed = Sampling.packSequences(
+      graft.operators.Hydration.persist(balanced),
+      "n_tokens", "doc_id", budget)
     // 10. deterministic split — stable under repartitioning and retries
     marked(packed.withColumn("split",
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,

@@ -406,17 +406,20 @@ object Sampling {
     * and each shard sorts independently, so this survives a 1000-way
     * cluster where the old global window serialized onto one task.
     *
-    * The input is hydration-pinned: this operator consumes `df` THREE
-    * times (the bounds/null-guard aggregate, the per-shard offsets
-    * collect, and the final pack plan) — unpinned, a caller feeding it
-    * an expensive chain re-executes that chain per consumer (measured
-    * on the composed pipeline: the quality→mask→span→LSH-dedup
-    * upstream ran 3×, ~2× the whole job's cost). Bit-identical under
-    * any [[Hydration.StorageLevelConf]] setting, including NONE. */
-  def packSequences(df0: DataFrame, tokenCol: String, orderCol: String,
+    * COST CONTRACT: this operator consumes `df` THREE times — the
+    * bounds/null-guard aggregate, the per-shard offsets collect, and
+    * the final pack plan. Callers feeding it an EXPENSIVE chain must
+    * pin that chain themselves ([[graft.TrainingPipeline.prepare]]
+    * does — unpinned, its quality→mask→span→LSH-dedup upstream ran
+    * 3×, ~2× the whole job's cost; measured, see BASELINE.md). The
+    * operator deliberately does NOT pin for the caller: a pin taken
+    * here can never be released (the result is lazy), so every
+    * cheap-input caller in a long-lived session would accumulate
+    * dead full-width cache blocks for a re-scan that costs less than
+    * the pin. */
+  def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
       budget: Long, numShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val df = Hydration.persist(df0)
     val spark = df.sparkSession
     val shards =
       if (numShards > 0) numShards
