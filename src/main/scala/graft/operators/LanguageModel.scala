@@ -142,12 +142,23 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_ab"))
     val ctx = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
     // V over the full train TOKEN stream, not the bigram table —
-    // 1-token docs contribute vocabulary but no bigram
+    // 1-token docs contribute vocabulary but no bigram. V = 0 (an
+    // empty or all-null-text reference corpus) is guarded LOUDLY: with
+    // no vocabulary every smoothed numerator is k·0, every score comes
+    // out q = 0 — violating the documented q ≥ 10 invariant and
+    // ranking every candidate identically, the exact silent failure a
+    // misrouted empty train slice would otherwise produce (the addK = 0
+    // require's stance, applied to the data side).
     val voc = train
       .select(TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(col("toks").isNotNull)
       .select(explode(col("toks")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
+      .select(when(col("v") > 0, col("v"))
+        .otherwise(raise_error(lit("bigramSurprisalHeldOut: reference " +
+          "corpus has no tokens (V = 0) — every candidate would score " +
+          "q = 0 and rank identically; route a non-empty train slice"))
+          .cast(LongType)).as("v"))
     val num = coalesce(col("n_a"), lit(0L)) + lit(addK.toLong) * col("v")
     val den = coalesce(col("n_ab"), lit(0L)) + lit(addK.toLong)
     bigrams(score, idCol, textCol)

@@ -137,11 +137,12 @@ object MaterializedRollup {
     val delta = aggregate(deltaEvents, typeCol, tsCol, valueCol)
       .localCheckpoint() // one computation feeds key-join + merge
     if (delta.isEmpty) return
-    val targetPath = new org.apache.hadoop.fs.Path(path)
-    val fs = targetPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(targetPath) &&
-      fs.listStatus(targetPath).nonEmpty
+    // the ONE shared probe ([[graft.sources.Lake.probeHasData]]): its
+    // eventually-consistent-listing residual applies to this fold too
+    // — a false-empty listing routes to the fresh-lake branch and the
+    // upsert then prefers the newly-stamped delta partials over the
+    // accumulated rollup for the touched keys (see the helper's doc)
+    val exists = graft.sources.Lake.probeHasData(spark, path)
     val toApply =
       if (!exists) delta
       else {

@@ -66,6 +66,32 @@ object Lake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The ONE "does this lake already hold data?" probe, shared by
+    * [[upsertLatest]] and every incremental fold over a lake
+    * ([[graft.operators.MaterializedRollup.refreshLake]]) — only
+    * ABSENCE may take a writer's fresh-target branch, never a
+    * swallowed read failure.
+    *
+    * RESIDUAL, stated once for every caller: on a listing-
+    * inconsistent object store a FALSE-EMPTY listing (the path
+    * exists-but-lists-empty window some stores exhibit) presents as
+    * "no data" and routes the caller to its fresh-lake branch — an
+    * upsert then rewrites touched partitions from the batch alone and
+    * an incremental fold prefers the freshly-stamped delta partials
+    * over the accumulated history, silently REPLACING prior rows for
+    * the touched keys. Deployments on such stores front this probe
+    * with their store's consistency mechanism (listing barriers /
+    * strongly-consistent metadata); HDFS/local listings are
+    * consistent and carry no such window. Genuine read FAILURES
+    * (permissions, transient throttling) are not swallowed here —
+    * `exists`/`listStatus` exceptions propagate. */
+  private[graft] def probeHasData(spark: SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   /** Read a lake whose files span schema versions (columns added over
     * time, the normal fate of a long-lived archive): union the per-file
     * schemas, old files surface the new columns as null. Costs a footer
@@ -239,13 +265,11 @@ object Lake {
     // read failure (throttled object store, footer mid-compaction)
     // would present as "empty lake" and the dynamic overwrite below
     // would then rewrite every touched partition with batch rows
-    // alone, silently DELETING all pre-existing rows. Probe existence
-    // explicitly; any failure of an existing lake's read propagates.
-    val targetPath = new org.apache.hadoop.fs.Path(path)
-    val targetFs = targetPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = targetFs.exists(targetPath) &&
-      targetFs.listStatus(targetPath).nonEmpty
+    // alone, silently DELETING all pre-existing rows. The probe (and
+    // its eventually-consistent-listing residual) is [[probeHasData]]
+    // — ONE probe discipline for every lake writer; any failure of an
+    // existing lake's read propagates.
+    val hasData = probeHasData(spark, path)
     val existingSlice =
       if (hasData) readEvolving(spark, path)
         .filter(col("event_date").isin(dates: _*))

@@ -155,8 +155,32 @@ object HeavyHitterStream {
   def globalTopK(emitted: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"globalTopK: k=$k must be >= 1")
     import org.apache.spark.sql.functions._
+    // checkpointed: the snapshot is ≤ nShards × capacity rows by
+    // construction, and it feeds THREE consumers below (the partition
+    // guard, the rank kernel, the join-back)
     val snap = latestSnapshot(emitted)
       .select(col("key"), col("n"), col("err"))
+      .localCheckpoint()
+    // LOUD shards-partition-the-key-space guard: everything this
+    // readout promises (per-row one-sided bounds, no cross-shard
+    // summing, unique (key, rank) rows) rests on the caller-side
+    // invariant that a key is tracked by EXACTLY one shard. A
+    // mis-sharded feed (e.g. two producers hashing with different
+    // nShards) would otherwise yield a plausible-looking top-k with
+    // duplicated keys and un-summed counts — silently. One bounded
+    // probe over the snapshot (the refreshLake monotonicity-probe
+    // shape): any key with two snapshot rows proves the violation.
+    val dup = snap.groupBy(col("key"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) {
+      throw new IllegalStateException(
+        s"globalTopK: key ${dup(0).get(0)} appears in ${dup(0).getLong(1)} " +
+          "shard snapshots — shards must PARTITION the key space (one " +
+          "shard per key); a mis-sharded feed would emit duplicate " +
+          "(key, rank) rows with un-summed counts")
+    }
     // keys are unique across the union (shards partition the key
     // space), so (−n, key) ascending = (n desc, key asc) exactly
     val ranked = snap

@@ -145,6 +145,31 @@ class HeavyHitterStreamSpec extends SparkSpec {
     }
   }
 
+  test("globalTopK: a key tracked by TWO shards (mis-sharded feed) " +
+      "fails loudly instead of emitting duplicate ranks with " +
+      "un-summed counts") {
+    // hand-built emission table: key 7 appears in shard 0 AND shard 1
+    // snapshots — the exact invariant violation a feed hashing with
+    // two different nShards values produces
+    val emitted = Seq(
+      (0, 7L, 5L, 0L, 5L),
+      (1, 7L, 3L, 0L, 3L),
+      (1, 9L, 2L, 0L, 3L))
+      .toDF("shard", "key", "n", "err", "seen")
+    val e = intercept[IllegalStateException] {
+      HeavyHitterStream.globalTopK(emitted, k = 2).collect()
+    }
+    assert(e.getMessage.contains("PARTITION the key space"),
+      e.getMessage)
+    // the same keys correctly sharded pass
+    val ok = Seq((0, 7L, 5L, 0L, 5L), (1, 9L, 2L, 0L, 2L))
+      .toDF("shard", "key", "n", "err", "seen")
+    val got = HeavyHitterStream.globalTopK(ok, k = 2)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 5L, 0L, 1L), (9L, 2L, 0L, 2L)),
+      got.toString)
+  }
+
   test("globalTopK under eviction: evicted keys stay out (snapshot " +
       "semantics), survivors keep their one-sided bounds in the " +
       "readout") {

@@ -197,6 +197,22 @@ class LanguageModelSpec extends SparkSpec {
       s"held-out-harder domain must get the larger quota: $got")
   }
 
+  test("bigramSurprisalHeldOut: an empty (or all-null-text) reference " +
+      "corpus dies loudly (V = 0 would silently score every candidate " +
+      "q = 0, violating the q >= 10 invariant)") {
+    val score = Seq((10L, "a b")).toDF("doc_id", "text")
+    for (train <- Seq(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        Seq((1L, null: String)).toDF("doc_id", "text"))) {
+      val e = intercept[Throwable] {
+        LanguageModel.bigramSurprisalHeldOut(train, score).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("reference corpus has no tokens"), msgs)
+    }
+  }
+
   test("domainReweight: a domain summing scaled surprisal past int64 " +
       "dies loudly, not by wrapping") {
     val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")

@@ -175,6 +175,35 @@ class UtilitySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("overflows int64 nanoseconds")),
       s"unexpected error: ${msgs(e).mkString(" | ")}")
   }
+
+  test("Scratch.withTempDir: cleans up on success and on body " +
+      "failure (original exception propagates); a body that already " +
+      "deleted the dir doesn't trip cleanup (exists-gated delete)") {
+    var seen: String = null
+    Scratch.withTempDir(spark, "graft_scratch_spec") { dir =>
+      seen = dir
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "x.txt"), "hi".getBytes)
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(seen)),
+      s"scratch dir $seen must be deleted after the body returns")
+    val boom = intercept[RuntimeException] {
+      Scratch.withTempDir(spark, "graft_scratch_spec") { dir =>
+        seen = dir
+        throw new RuntimeException("body failed")
+      }
+    }
+    assert(boom.getMessage === "body failed",
+      "the BODY's exception must propagate, not a cleanup artifact")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(seen)))
+    // a body that removes its own dir: the exists-gate makes cleanup
+    // a no-op instead of a recursive delete of a never-created path
+    Scratch.withTempDir(spark, "graft_scratch_spec") { dir =>
+      val p = new org.apache.hadoop.fs.Path("file://" + dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
 }
 
 object UtilitySpec {
