@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * mins / samples / failures), then a ≤200-byte compact summary that
   * a tail-truncated capture can still parse whole. A jsonl consumer
   * must key on the LAST total line (or the presence of `queries`),
-  * not sum over all of them. A warm-up pass (table counts + one tiny query)
+  * not sum over all of them. The full line is ALSO written to
+  * `SPARK_GRAFT_BENCH_OUT` (default `BENCH_full_latest.json` in the
+  * working dir) so the complete per-query medians/mins/samples maps
+  * survive the capture's tail truncation. A warm-up pass (table counts + one tiny query)
   * runs first so per-query numbers measure steady-state execution,
   * not JVM/codegen/file-index warm-up — whichever query ran first was
   * otherwise charged ~4 s of session startup. Each query is then timed
@@ -129,12 +132,27 @@ object Bench {
     val failedPasses = failures.values.sum
     val totalJson = if (broken > 0) "null" else total.toString
     val totalMinJson = if (broken > 0) "null" else totalMin.toString
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"queries_failed":$broken,"failed_passes":$failedPasses,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"queries_failed":$broken,"failed_passes":$failedPasses,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}"""
+    println(fullLine)
     // compact (<200 byte) summary line AFTER the full line: the
     // driver's tail capture truncates the full line mid-array (every
     // BENCH_r*.json so far has parsed:null), so the structured totals
     // must also ride a line truncation can never eat — last and short
     println(s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"queries_run":${names.size},"queries_failed":$broken,"failed_passes":$failedPasses,"sf":"$sfDir"}""")
+    // the full line ALSO lands on disk: the stdout capture keeps only
+    // a ~2 KB tail, which through r14 dropped the alphabetical head of
+    // the per-query maps (q100-q146's mins survived only in BASELINE.md
+    // prose) — per-query regression diffing must not depend on log
+    // truncation, so every run persists the complete medians/mins/
+    // samples map where the next round can read it. Best-effort: a
+    // read-only working dir must not fail the bench itself.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cannot persist $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -453,7 +453,19 @@ object StreamingQueries {
     * contaminated feed BEFORE the nightly batch decon runs. Static
     * side is benchmark-sized and broadcast; stream state is one count
     * per flagged doc. Split mirrors q68 (doc_id % 20 picks the
-    * benchmark) so the oracle reuses its proven gram fragments. */
+    * benchmark) so the oracle reuses its proven gram fragments.
+    *
+    * HASH-COLLISION CONTRACT (the q116 discipline,
+    * [[graft.operators.Dedup.gramHashArray]]): the Spark side joins
+    * 64-bit gram hashes while the oracle joins exact gram strings, so
+    * a cross-gram xxhash64 collision would inflate `n_leaked` and
+    * diff the oracle. The direction is OVER-flagging — safe for
+    * decontamination (a monitor that over-counts leaks never lets one
+    * through) — and the expected collision count at tested scales,
+    * |corpus grams| × |bench grams| / 2^64 (~10^5 × ~10^4 at sf0.1 ≈
+    * 10^-10 expected extra hits), is why the exact-string oracle gate
+    * stays green; a deployment at 10^12 grams carries q116's stated
+    * bound instead of exactness. */
   def q144StreamDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
