@@ -112,19 +112,22 @@ object MaterializedRollup {
     * would merge against a base that already contains 4) — that
     * fails loudly rather than corrupting history.
     *
-    * COMMIT-GRANULARITY CAVEAT (inherited from the storage commit
-    * protocol, not this fold): the replay argument needs each
-    * day-partition to hold EITHER its pre-batch rows OR the stamped
-    * new rows. Spark's dynamic partition overwrite commits per
-    * partition with a delete-then-swap, so a crash INSIDE one
-    * partition's commit window can leave that day empty — a replay
-    * would then merge the delta against a missing base. This is the
-    * same residual every dynamic-overwrite writer carries
-    * ([[graft.sources.Lake.upsertLatest]]'s atomic-swap note);
-    * deployments that cannot tolerate it put the rollup lake on a
-    * commit protocol with atomic rename semantics or a table format
-    * with transactional overwrite — the fold's stamps and contracts
-    * carry over unchanged.
+    * COMMIT GRANULARITY — CLOSED (the r14 residual): the replay
+    * argument needs each day-partition to hold EITHER its pre-batch
+    * rows OR the stamped new rows; Spark's dynamic partition
+    * overwrite could crash inside one day's delete-then-swap window
+    * and leave that day EMPTY, so this fold commits through
+    * [[graft.sources.Lake.upsertLatest]]'s `atomicDays` mode instead:
+    * the merged slice stages fully partitioned, each day swaps in via
+    * two renames (the `swapInto` discipline at day granularity), and
+    * [[graft.sources.Lake.recoverUpsertDays]] — run here BEFORE the
+    * existing-slice read — heals the one rename-window state a crash
+    * can leave. A replay after ANY crash point therefore merges
+    * against an intact base (crash-injection-spec'd at every commit
+    * point). The rename-based commit assumes HDFS/local rename
+    * semantics; an object-store deployment puts the rollup lake on a
+    * rename-atomic layer or a transactional table format — the stamps
+    * and contracts carry over unchanged.
     *
     * Scale shape: delta aggregation scans only the batch; the
     * existing-slice read prunes to the delta's event_date partitions;
@@ -133,7 +136,21 @@ object MaterializedRollup {
   def refreshLake(spark: SparkSession, path: String,
       deltaEvents: DataFrame, batchId: Long,
       typeCol: String = "event_type", tsCol: String = "ts",
-      valueCol: String = "value"): Unit = {
+      valueCol: String = "value"): Unit =
+    refreshLakeSeamed(spark, path, deltaEvents, batchId, typeCol, tsCol,
+      valueCol, graft.sources.Lake.NoUpsertSeam)
+
+  /** [[refreshLake]] with the upsert's crash-injection seam threaded
+    * through (test hook — the `compactCorpusIndexStaged` pattern). */
+  private[graft] def refreshLakeSeamed(spark: SparkSession, path: String,
+      deltaEvents: DataFrame, batchId: Long,
+      typeCol: String, tsCol: String, valueCol: String,
+      seam: (String, String) => Unit): Unit = {
+    // heal a prior crashed atomic-day commit FIRST (even for an empty
+    // delta): a day sitting in the rename-window trash would read as
+    // missing — to this batch's base read AND to any readLake between
+    // batches
+    graft.sources.Lake.recoverUpsertDays(spark, path)
     val delta = aggregate(deltaEvents, typeCol, tsCol, valueCol)
       .localCheckpoint() // one computation feeds key-join + merge
     if (delta.isEmpty) return
@@ -184,9 +201,9 @@ object MaterializedRollup {
             col("day"))), Seq("event_type", "day"), "left_semi")
         merge(Seq(base, deltaToApply))
       }
-    graft.sources.Lake.upsertLatest(spark, path,
+    graft.sources.Lake.upsertLatestStaged(spark, path,
       stamp(toApply, batchId), keyCol = "rk", versionCol = "batch_id",
-      tsCol = "rts")
+      tsCol = "rts", atomicDays = true, seam = seam)
   }
 
   /** Read the persisted rollup back as partial-rollup rows (the

@@ -219,6 +219,24 @@ object Lake {
     * rows are rejected up front rather than silently skipping the
     * merge.
     *
+    * COMMIT GRANULARITY — the `atomicDays` dial: the default commit is
+    * Spark's dynamic partition overwrite, which commits each touched
+    * day with a delete-then-swap — a crash INSIDE one day's commit
+    * window can leave that day EMPTY, and a replay then merges against
+    * a missing base (the residual the r14 round documented on the
+    * rollup fold). `atomicDays = true` closes it: the merged slice is
+    * staged fully PARTITIONED, then each day commits via two RENAMES
+    * (old day → trash, staged day → in place — the [[swapInto]]
+    * discipline at day granularity), so every crash point leaves each
+    * affected day either whole-old or whole-new, and
+    * [[recoverUpsertDays]] (run automatically at the next upsert, or
+    * explicitly by readers that must heal first) restores the one
+    * in-between state. Cost is O(affected days) renames — same
+    * asymptotics as the dynamic overwrite; kept opt-in because
+    * rename-based commit assumes HDFS/local rename semantics, while
+    * the default rides whatever committer the session configured
+    * (object-store deployments often configure exactly that).
+    *
     * CONTRACT — partition-scoped MERGE: a key's `event_date` is
     * assumed stable across updates (the usual case: it derives from
     * the event's own timestamp, and corrections revise payload/version,
@@ -244,9 +262,32 @@ object Lake {
     * untrusted timestamps should validate/clamp `tsCol` to a sane date
     * range first — this method intentionally does not guess a cutoff. */
   def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, versionCol: String, tsCol: String): Unit = {
+      keyCol: String, versionCol: String, tsCol: String,
+      atomicDays: Boolean = false): Unit =
+    upsertLatestStaged(spark, path, updates, keyCol, versionCol, tsCol,
+      atomicDays, NoUpsertSeam)
+
+  /** No-op crash seam — the production value of the
+    * [[upsertLatestStaged]] test hook. */
+  private[graft] val NoUpsertSeam: (String, String) => Unit = (_, _) => ()
+
+  /** [[upsertLatest]] with a crash-injection seam (the
+    * `compactCorpusIndexStaged` pattern): `seam(phase, day)` fires at
+    * every named commit point of the `atomicDays` protocol —
+    * `"staged"` (stage fully written, no lake mutation yet),
+    * `"aside"`/`"installed"` per day (old day moved to trash / new day
+    * renamed in), `"committed"` (all days in place, cleanup pending) —
+    * so a spec can throw at ANY point and prove the replay converges. */
+  private[graft] def upsertLatestStaged(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, versionCol: String,
+      tsCol: String, atomicDays: Boolean,
+      seam: (String, String) => Unit): Unit = {
     require(updates.filter(col(tsCol).isNull).isEmpty,
       s"upsertLatest: null $tsCol rows cannot be partition-merged")
+    // a previous atomic-day writer may have crashed mid-commit: heal
+    // BEFORE reading the existing slice, or a day sitting in trash
+    // reads as missing and this batch merges against a torn base
+    if (atomicDays) recoverUpsertDays(spark, path)
     import org.apache.spark.sql.expressions.Window
     val updDated = updates.withColumn("event_date", to_date(col(tsCol)))
     val dates = updDated.select("event_date").distinct().collect()
@@ -302,19 +343,105 @@ object Lake {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
-    val scratch = path.stripSuffix("/") + "__upsert_stage"
-    merged.write.mode("overwrite").parquet(scratch)
-    spark.read.parquet(scratch)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_date")
-      .parquet(path)
-    // resolve the filesystem FROM the scratch path (not the default
-    // FS): with an s3a:///hdfs:// lake the default-FS delete would
-    // throw 'Wrong FS' or aim at the wrong store
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(scratchPath, true)
+    if (!atomicDays) {
+      val scratch = path.stripSuffix("/") + "__upsert_stage"
+      merged.write.mode("overwrite").parquet(scratch)
+      spark.read.parquet(scratch)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+      // resolve the filesystem FROM the scratch path (not the default
+      // FS): with an s3a:///hdfs:// lake the default-FS delete would
+      // throw 'Wrong FS' or aim at the wrong store
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(scratchPath, true)
+    } else {
+      // ATOMIC-DAY COMMIT: the closed form of the dynamic-overwrite
+      // residual above. The merged slice is staged PARTITIONED (one
+      // event_date=D dir per affected day) before the lake is touched,
+      // then each day commits via the swapInto rename discipline: old
+      // day → per-day trash, staged day → lake, trash deleted. No
+      // crash point leaves a day EMPTY — at every instant each
+      // affected day is either its pre-batch rows (lake or trash) or
+      // the fully-written new rows, so a replay always merges against
+      // an intact base ([[recoverUpsertDays]] heals the one
+      // in-between state — day in trash, not yet in lake — before
+      // any later writer reads). Renames are metadata ops on
+      // HDFS/local; object-store deployments need a rename-atomic
+      // commit layer, the same note as [[swapInto]].
+      import org.apache.hadoop.fs.Path
+      val stage = new Path(upsertDayStageDir(path))
+      val trash = new Path(upsertDayTrashDir(path))
+      val target = new Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      merged.write.mode("overwrite").partitionBy("event_date")
+        .parquet(stage.toString)
+      seam("staged", "")
+      // days from the STAGE listing (authoritative: what got written)
+      val days = fs.listStatus(stage).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("event_date=")).sorted
+      fs.mkdirs(target)
+      fs.mkdirs(trash)
+      for (d <- days) {
+        val lakeDay = new Path(target, d)
+        val trashDay = new Path(trash, d)
+        if (fs.exists(lakeDay)) {
+          if (!fs.rename(lakeDay, trashDay))
+            throw new java.io.IOException(
+              s"upsertLatest: cannot move $lakeDay aside")
+          seam("aside", d)
+        }
+        if (!fs.rename(new Path(stage, d), lakeDay))
+          throw new java.io.IOException(
+            s"upsertLatest: cannot install $d from stage")
+        seam("installed", d)
+        fs.delete(trashDay, true)
+      }
+      seam("committed", "")
+      fs.delete(stage, true)
+      fs.delete(trash, true)
+    }
+  }
+
+  private def upsertDayStageDir(path: String): String =
+    path.stripSuffix("/") + "__upsert_day_stage"
+  private def upsertDayTrashDir(path: String): String =
+    path.stripSuffix("/") + "__upsert_day_old"
+
+  /** Heal a lake whose last `atomicDays` upsert crashed mid-commit:
+    * any day sitting in the per-day trash WITHOUT a lake counterpart
+    * is restored (the only state where the lake is missing a day —
+    * the window between the two renames), trash days whose lake day
+    * exists are dropped (the new day already committed), and a
+    * leftover stage is deleted whole (possibly torn; the crashed
+    * batch will be replayed and re-staged). Idempotent and cheap (two
+    * existence probes when there is nothing to heal). Runs
+    * automatically at the head of every `atomicDays` upsert;
+    * incremental folds that READ the lake before upserting
+    * ([[graft.operators.MaterializedRollup.refreshLake]]) call it
+    * before that read for the same reason. */
+  private[graft] def recoverUpsertDays(spark: SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(upsertDayTrashDir(path))
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).filter(_.isDirectory).foreach { st =>
+        val lakeDay = new Path(target, st.getPath.getName)
+        if (!fs.exists(lakeDay)) {
+          fs.mkdirs(target)
+          if (!fs.rename(st.getPath, lakeDay))
+            throw new java.io.IOException(
+              s"recoverUpsertDays: cannot restore ${st.getPath}")
+        }
+      }
+      fs.delete(trash, true)
+    }
+    fs.delete(new Path(upsertDayStageDir(path)), true)
   }
 
   /** Maintenance pass for lakes that DO receive cross-date key

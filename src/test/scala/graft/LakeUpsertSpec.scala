@@ -45,6 +45,41 @@ class LakeUpsertSpec extends SparkSpec {
       3L -> (1L, "c-v1"), 4L -> (1L, "d-v1")))
   }
 
+  test("atomicDays commit mode is result-identical to the dynamic " +
+      "overwrite (same merge, different commit protocol), across " +
+      "update + insert + a fresh-day batch") {
+    val path1 = tmp(); val path2 = tmp()
+    def run(p: String, atomic: Boolean): Unit = {
+      Lake.upsertLatest(spark, p,
+        Seq(
+          (1L, 1L, "2024-01-01 10:00:00", "a-v1"),
+          (3L, 1L, "2024-01-02 09:00:00", "c-v1"))
+          .toDF("id", "version", "ts", "payload")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "id", "version", "ts", atomicDays = atomic)
+      Lake.upsertLatest(spark, p,
+        Seq(
+          (1L, 2L, "2024-01-01 10:00:00", "a-v2"), // same-day update
+          (4L, 1L, "2024-01-03 12:00:00", "d-v1")) // fresh day
+          .toDF("id", "version", "ts", "payload")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "id", "version", "ts", atomicDays = atomic)
+    }
+    run(path1, atomic = false)
+    run(path2, atomic = true)
+    assert(state(path2) === state(path1))
+    // partition layout is equivalent too (same event_date dirs)
+    def dates(p: String) = spark.read.parquet(p)
+      .select($"event_date".cast("string")).as[String].collect().toSet
+    assert(dates(path2) === dates(path1))
+    // no commit-machinery residue next to the atomic lake
+    val fs = new org.apache.hadoop.fs.Path(path2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (suffix <- Seq("__upsert_day_stage", "__upsert_day_old"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path2 + suffix)),
+        s"leftover $suffix")
+  }
+
   test("stale update loses; same-version collision prefers the update") {
     val path = tmp()
     seed(path)

@@ -150,6 +150,75 @@ class MaterializedRollupSpec extends SparkSpec {
     }
   }
 
+  test("refreshLake atomic-day commit: a crash injected at EVERY " +
+      "commit point (staged / day-moved-aside / day-installed / " +
+      "committed, across a multi-day batch) leaves no pre-batch day " +
+      "lost after recovery, and the replay converges to the exact " +
+      "recompute") {
+    // batch 2 touches THREE days: late events for existing days 100
+    // and 101 (each walks the full aside→install→drop-trash sequence)
+    // plus fresh day 102 (install-only) — so the seam enumerates every
+    // phase the protocol has
+    val b1 = events
+    val b2 = Seq(
+      ("a", ts(100, 8), 2.0),
+      ("b", ts(101, 3), 1.0),
+      ("c", ts(102, 1), 7.0)
+    ).toDF("event_type", "ts", "value")
+    val expect = MaterializedRollup.readout(
+        MaterializedRollup.aggregate(events.unionByName(b2)))
+      .orderBy($"event_type", $"day")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    var crashPoint = 1
+    var exhausted = false
+    val phasesHit = scala.collection.mutable.Set[String]()
+    while (!exhausted) {
+      withLake { path =>
+        MaterializedRollup.refreshLake(spark, path, b1, batchId = 1L)
+        var fired = 0
+        val n = crashPoint
+        val seam: (String, String) => Unit = (phase, day) => {
+          fired += 1
+          if (fired == n) {
+            phasesHit += phase
+            throw new RuntimeException(s"injected crash at $phase $day")
+          }
+        }
+        val crashed =
+          try {
+            MaterializedRollup.refreshLakeSeamed(spark, path, b2, 2L,
+              "event_type", "ts", "value", seam)
+            false
+          } catch {
+            case e: RuntimeException
+                if e.getMessage.startsWith("injected crash") => true
+          }
+        if (!crashed) exhausted = true
+        else {
+          // the closed window, directly: after healing, NO pre-batch
+          // day is missing (the dynamic-overwrite residual was exactly
+          // a day readable as empty)
+          graft.sources.Lake.recoverUpsertDays(spark, path)
+          val days = MaterializedRollup.readLake(spark, path)
+            .select($"day").distinct().as[Long].collect().toSet
+          assert(Set(100L, 101L).subsetOf(days),
+            s"crash point $n lost a pre-batch day: $days")
+        }
+        // foreachBatch retry: same batch, same id — must converge to
+        // the recompute from ANY crash state
+        MaterializedRollup.refreshLake(spark, path, b2, batchId = 2L)
+        assert(lakeReadout(path) === expect,
+          s"replay after crash point $n diverged")
+      }
+      crashPoint += 1
+    }
+    assert(crashPoint >= 7,
+      s"expected >= 6 injected crash points, walked ${crashPoint - 1}")
+    assert(phasesHit === Set("staged", "aside", "installed", "committed"),
+      s"seam must cover every protocol phase, hit: $phasesHit")
+  }
+
   test("refreshLake: an OLD batch id over a newer stamp fails " +
       "loudly; an empty delta is a no-op; the rollup survives lake " +
       "compaction between batches") {
