@@ -1173,6 +1173,33 @@ object ScaleBench {
           s"($expectedW): rebuild=$rebuildFlagged, artifact=$probeFlagged")
       printLifecycle("winnow_index_lifecycle", nBatchesW, tRebuildW,
         tBuildW, tProbeW)
+
+      // ---- index APPEND vs full rebuild: a new eval suite lands (5%
+      // of the accumulated eval corpus — the realistic ratio: suites
+      // arrive one at a time against years of accumulated benchmarks).
+      // The append pays winnowing the NEW suite + one parquet scan of
+      // the existing fingerprint set; the rebuild re-winnows all 42k
+      // docs. Pass = the two indexes hold the IDENTICAL fingerprint
+      // set (append ≡ rebuild-on-union, the WinnowingSpec contract, at
+      // scale) and the append wins on wall-clock. ----
+      val newSuite = spark.range(40000L, 42000L)
+        .select($"id".as("doc_id"), evalText($"id").as("text"))
+      val tAppend = time {
+        graft.operators.Winnowing
+          .appendToFingerprintIndex(newSuite, s"$wDir/idx")
+      }
+      val tFullRebuild = time {
+        graft.operators.Winnowing.writeFingerprintIndex(
+          evalDocs.unionByName(newSuite), s"$wDir/idx_rebuilt")
+      }
+      val appFps = graft.operators.Winnowing
+        .readFingerprintIndex(spark, s"$wDir/idx")
+      val rebFps = graft.operators.Winnowing
+        .readFingerprintIndex(spark, s"$wDir/idx_rebuilt")
+      require(appFps.exceptAll(rebFps).isEmpty &&
+        rebFps.exceptAll(appFps).isEmpty,
+        "appended index must hold the rebuild's exact fingerprint set")
+      println(f"""{"pipeline":"winnow_index_append","new_docs":2000,"eval_docs":40000,"append_sec":$tAppend%.2f,"rebuild_sec":$tFullRebuild%.2f,"speedup":${tFullRebuild / tAppend}%.2f}""")
     }
 
     // ---- materialized rollup maintenance: a persisted daily rollup

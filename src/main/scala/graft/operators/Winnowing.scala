@@ -165,6 +165,42 @@ object Winnowing {
     graft.sources.Lake.swapInto(spark, path, tmp)
   }
 
+  /** Append a NEW eval suite's fingerprints to an EXISTING index —
+    * the day-2 operation a full rebuild wastes: benchmarks change
+    * rarely but they DO change (a new eval suite lands), and
+    * re-winnowing the whole accumulated eval corpus to add one suite
+    * pays O(all eval docs) where the append pays O(new docs) of
+    * winnowing plus ONE parquet scan of the existing fingerprint set
+    * (the distinct union). The existing stamp is re-validated against
+    * this caller's (k, w) FIRST — appending k=4 fingerprints into a
+    * k=3 index would poison it into confident silent false negatives,
+    * the exact failure [[readFingerprintIndex]] exists to stop — and
+    * the result is staged + atomically swapped with meta written
+    * last, exactly the [[writeFingerprintIndex]] crash discipline
+    * (the old index serves readers until the swap; a crash leaves it
+    * untouched).
+    *
+    * Equivalence contract (spec-gated): append(new) on index(old) ≡
+    * writeFingerprintIndex(old ∪ new) — the fingerprint set is a
+    * per-doc selection, so doc-set union commutes with selection. */
+  def appendToFingerprintIndex(newEvalDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, w: Int = 4): Unit = {
+    val spark = newEvalDocs.sparkSession
+    import spark.implicits._
+    val existing = readFingerprintIndex(spark, path, k, w)
+    val tmp = path.stripSuffix("/") + "__building"
+    existing
+      .unionByName(fingerprints(newEvalDocs, idCol, textCol, k, w)
+        .select(col("fp")))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/fps")
+    Seq((IndexVersion, IndexKind, indexDomain(k, w)))
+      .toDF("version", "kind", "domain")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    graft.sources.Lake.swapInto(spark, path, tmp)
+  }
+
   /** Load a fingerprint index, failing fast unless version, kind, and
     * the full (k, w, hash, tie-rule) domain stamp match what the
     * caller is about to probe with. */

@@ -164,6 +164,57 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("appendToFingerprintIndex ≡ rebuild on the doc-set union; the " +
+      "appended index flags what only the NEW suite can flag; a " +
+      "cross-domain append fails fast before touching the artifact") {
+    val rnd = new scala.util.Random(47)
+    def words(n: Int) = Seq.fill(n)("a" + rnd.nextInt(1000000))
+    val secOld = words(12); val secNew = words(12)
+    val evalOld = Seq((1L, (words(5) ++ secOld).mkString(" ")),
+      (2L, words(20).mkString(" "))).toDF("doc_id", "text")
+    val evalNew = Seq((3L, (secNew ++ words(5)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, (words(8) ++ secOld ++ words(8)).mkString(" ")),
+      (11L, (words(8) ++ secNew ++ words(8)).mkString(" ")),
+      (12L, words(30).mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_append").toString
+    try {
+      Winnowing.writeFingerprintIndex(evalOld, s"$dir/idx")
+      // before the append: only the old suite's copy is flagged
+      assert(Winnowing
+        .evalOverlapFromIndex(train, s"$dir/idx", minShared = 1)
+        .as[(Long, Long)].collect().toMap.keySet === Set(10L))
+      Winnowing.appendToFingerprintIndex(evalNew, s"$dir/idx")
+      // append ≡ rebuild on the union, fingerprint-set-exact
+      Winnowing.writeFingerprintIndex(evalOld.unionByName(evalNew),
+        s"$dir/rebuilt")
+      val appended = Winnowing.readFingerprintIndex(spark, s"$dir/idx")
+        .as[Long].collect().toSet
+      val rebuilt = Winnowing.readFingerprintIndex(spark, s"$dir/rebuilt")
+        .as[Long].collect().toSet
+      assert(appended === rebuilt)
+      // and behavior-exact: the new suite's copy is now flagged too
+      assert(Winnowing
+        .evalOverlapFromIndex(train, s"$dir/idx", minShared = 1)
+        .as[(Long, Long)].collect().toMap.keySet === Set(10L, 11L))
+      // appending with the WRONG dials dies on the stamp check and
+      // leaves the artifact untouched (k=4 fps unioned into a k=3 set
+      // would be silent false negatives)
+      intercept[IllegalArgumentException] {
+        Winnowing.appendToFingerprintIndex(evalNew, s"$dir/idx", k = 4)
+      }
+      assert(Winnowing.readFingerprintIndex(spark, s"$dir/idx")
+        .as[Long].collect().toSet === rebuilt,
+        "a rejected append must not mutate the index")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("pair join degrades oversized fingerprint buckets to star " +
       "pairs instead of enumerating them") {
     // 5 identical docs: every selected fingerprint is shared 5 ways
