@@ -170,6 +170,8 @@ object SparkEntry {
       (StreamingQueries.q144StreamDecontaminate _),
     "q145_heldout_band"   -> (TrainingData.q145HeldoutBand _),
     "q146_heldout_reweight" -> (TrainingData.q146HeldoutReweight _),
+    "q147_pipeline_heldout_band" ->
+      (TrainingData.q147PipelineHeldoutBand _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -505,5 +507,9 @@ object SparkEntry {
     // q146: held-out domain reweighting — q138's model + q131's
     // integer weights + largest-remainder apportionment, one replay.
     "q146_heldout_reweight" -> TrainingData.q146Sql,
+    // q147: the curated pipeline with the held-out band (bandTrain) —
+    // q143's chain CTEs verbatim + q138's smoothed LM block; the whole
+    // 11-stage composition replays in one statement.
+    "q147_pipeline_heldout_band" -> TrainingData.q147Sql,
   )
 }

@@ -65,8 +65,12 @@ object TrainingPipeline {
     * (fingerprint overlap ≥ `winnowMinShared` → drop — catches
     * reordered/partial eval copies the exact-gram stage misses);
     * `surprisalBand = Some((lo, hi))` adds the per-lang_pred
-    * perplexity band filter (keep the (lo, hi] band of the
-    * self-scored bigram-LM rank distribution). Both run on the
+    * perplexity band filter (keep the (lo, hi] band of the bigram-LM
+    * rank distribution), self-scored on the clean corpus by default;
+    * `bandTrain = Some(reference)` switches the band's scorer to the
+    * HELD-OUT model trained on `reference` (the CCNet deployment
+    * shape — junk in the corpus cannot shape the model that filters
+    * it; requires `surprisalBand`). Both run on the
     * clean corpus, before balancing — see the stage comments.
     *
     * Guard dials (the composed form of the per-operator ones, so a
@@ -99,9 +103,13 @@ object TrainingPipeline {
       winnowEval: Option[DataFrame] = None,
       winnowMinShared: Int = 2,
       surprisalBand: Option[(Int, Int)] = None,
+      bandTrain: Option[DataFrame] = None,
       maxBucket: Int = HotBuckets.DefaultCap,
       strictBuckets: Boolean = false,
       instrument: Boolean = false): DataFrame = {
+    require(bandTrain.isEmpty || surprisalBand.nonEmpty,
+      "bandTrain supplies the band stage's reference corpus — passing " +
+        "it without surprisalBand would silently score nothing")
     def marked(df: DataFrame, stage: String): DataFrame =
       if (instrument) mark(df, stage) else df
     // 1. quality gate: drop empty/degenerate docs before paying for
@@ -199,17 +207,33 @@ object TrainingPipeline {
         "winnow_decontaminate")
     }
     // 7c. perplexity band filter (when `surprisalBand` is set): the
-    //     LM-based quality gate, per lang_pred group, SELF-SCORED on
-    //     the clean corpus — after decontamination so eval leakage
-    //     cannot shape the model, before balancing so quotas count
-    //     docs that will actually train. Every doc here carries ≥
-    //     MinTokens tokens (the stage-1/3 floor), so every doc has
-    //     bigrams and is ranked — the band can only cut tails, never
-    //     silently drop short docs.
+    //     LM-based quality gate, per lang_pred group — after
+    //     decontamination so eval leakage cannot shape the model,
+    //     before balancing so quotas count docs that will actually
+    //     train. Every doc here carries ≥ MinTokens tokens (the
+    //     stage-1/3 floor), so every doc has bigrams and is ranked —
+    //     the band can only cut tails, never silently drop short docs.
+    //     SCORING MODE: self-scored on the clean corpus by default;
+    //     `bandTrain = Some(reference)` switches to the HELD-OUT model
+    //     (the full CCNet deployment — [[graft.operators.LanguageModel
+    //     .surprisalBandFilterHeldOut]]): band edges then come from how
+    //     the REFERENCE corpus's LM ranks the candidates, so corpus
+    //     junk cannot make itself predictable to the model that
+    //     filters it (a mass of self-consistent gibberish scores LOW
+    //     self-scored — its own bigrams train the model — but lands in
+    //     the OOV tail held-out; TrainingPipelineSpec plants exactly
+    //     that). The reference passes through UNTOUCHED by the
+    //     pipeline's mutations (mask/span-cut run on the candidates
+    //     only): the reference is curated ground truth, not cleanup
+    //     input.
     val banded = surprisalBand.fold(winnowed) { case (lo, hi) =>
       val pinned = graft.operators.Hydration.persist(winnowed)
-      val kept = graft.operators.LanguageModel.surprisalBandFilter(
-          pinned, groupCol = "lang_pred", lowPct = lo, highPct = hi)
+      val kept = bandTrain.fold(
+          graft.operators.LanguageModel.surprisalBandFilter(
+            pinned, groupCol = "lang_pred", lowPct = lo, highPct = hi))(
+          train => graft.operators.LanguageModel
+            .surprisalBandFilterHeldOut(train, pinned,
+              groupCol = "lang_pred", lowPct = lo, highPct = hi))
         .select(col("doc_id"))
       marked(pinned.join(kept, Seq("doc_id"), "left_semi"),
         "surprisal_band")

@@ -915,11 +915,16 @@ object TrainingData {
     * REBUILT text — the order the pipeline mutates text in is part of
     * what this gates) and the q137 band fragments (LM self-scored on
     * the post-decon corpus, ranked per lang_pred). */
-  val q143Sql: String = {
-    val h = graft.operators.Sampling.portableHash48Sql(
-      "CAST(doc_id AS VARCHAR)")
-    s"""WITH RECURSIVE
-       |cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+  /** The curated-pipeline CTE chain shared VERBATIM by the q143
+    * (self-scored band) and q147 (held-out band) oracles — everything
+    * from the corpus split through `wclean` (quality → mask → span
+    * dedup → floor → langID → exact+near dedup → winnow decon). ONE
+    * rendering of the 9 shared stages, so a stage fix cannot land in
+    * one oracle and miss the other; the two differ ONLY in the LM
+    * block that produces `lmdoc` (per-doc q_avg) and share the
+    * rank-band/quota/pack tail below. */
+  private val curatedChainCtes: String =
+    s"""cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
        |toks0 AS (
        |  SELECT doc_id, source, text,
        |    string_split_regex(trim(text), '\\s+') AS toks
@@ -1058,28 +1063,15 @@ object TrainingData {
        |  GROUP BY 1 HAVING count(*) >= 2),
        |wclean AS (
        |  SELECT * FROM survivors
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
-       |lmtoks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-       |  FROM wclean),
-       |lmidx AS (SELECT doc_id, l,
-       |            unnest(range(1, CAST(len(l) AS BIGINT))) AS i
-       |          FROM lmtoks),
-       |lmbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM lmidx),
-       |lmnab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
-       |          FROM lmbg GROUP BY 1, 2),
-       |lmctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
-       |          FROM lmnab GROUP BY 1),
-       |lmscored AS (
-       |  SELECT g.doc_id,
-       |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
-       |  FROM lmbg g
-       |  JOIN lmnab n ON n.a = g.a AND n.b = g.b
-       |  JOIN lmctx c ON c.a = g.a),
-       |lmdoc AS (
-       |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
-       |  FROM lmscored GROUP BY 1),
-       |ranked AS (
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged))""".stripMargin
+
+  /** The rank-band → quota → pack → split tail shared by the q143 and
+    * q147 oracles — consumes whichever `lmdoc` (per-doc q_avg) the
+    * variant's LM block produced. */
+  private val curatedBandTail: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""ranked AS (
        |  SELECT w.doc_id, w.source, w.n_tokens, w.lang_pred,
        |    row_number() OVER (PARTITION BY w.lang_pred
        |      ORDER BY p.q_avg, w.doc_id) AS r,
@@ -1104,6 +1096,98 @@ object TrainingData {
        |FROM packed
        |ORDER BY doc_id""".stripMargin
   }
+
+  val q143Sql: String =
+    s"""WITH RECURSIVE
+       |$curatedChainCtes,
+       |lmtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM wclean),
+       |lmidx AS (SELECT doc_id, l,
+       |            unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+       |          FROM lmtoks),
+       |lmbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM lmidx),
+       |lmnab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+       |          FROM lmbg GROUP BY 1, 2),
+       |lmctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+       |          FROM lmnab GROUP BY 1),
+       |lmscored AS (
+       |  SELECT g.doc_id,
+       |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
+       |  FROM lmbg g
+       |  JOIN lmnab n ON n.a = g.a AND n.b = g.b
+       |  JOIN lmctx c ON c.a = g.a),
+       |lmdoc AS (
+       |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+       |  FROM lmscored GROUP BY 1),
+       |$curatedBandTail""".stripMargin
+
+  /** q147: the curated pipeline with the HELD-OUT band mode
+    * (`bandTrain` — [[graft.TrainingPipeline.prepare]]'s CCNet
+    * deployment shape): q143's 11-stage chain, but the perplexity
+    * band is scored by the add-1-smoothed LM trained on the RESERVED
+    * reference slice (doc_id < cut — the same slice winnowing
+    * decontaminates against), not on the corpus being filtered, so
+    * corpus junk cannot make itself predictable to the model that
+    * cuts it (TrainingPipelineSpec plants exactly that junk). The
+    * oracle shares q143's chain CTEs VERBATIM and swaps only the LM
+    * block for q138's smoothed held-out scoring — train counts over
+    * the reference's RAW text, candidates scored on their REBUILT
+    * (masked, span-cut) text, OOV ceiling included. Same all-pairs
+    * stance as q83/q143: the driver gates at sf0.001/0.01. */
+  def q147PipelineHeldoutBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.TrainingPipeline.prepare(
+        docs.filter($"doc_id" >= cut),
+        budget = 2048L,
+        jaccardThreshold = 0.5,
+        trainPct = 95,
+        spanWords = 10,
+        domainQuota = Some(("source", 15)),
+        winnowEval = Some(docs.filter($"doc_id" < cut)),
+        surprisalBand = Some((5, 95)),
+        bandTrain = Some(docs.filter($"doc_id" < cut)))
+      .select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens"),
+        $"lang_pred", $"pack_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val q147Sql: String =
+    s"""WITH RECURSIVE
+       |$curatedChainCtes,
+       |hbt AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents, cut WHERE doc_id < cut.c AND text IS NOT NULL),
+       |hbg AS (SELECT l[i] AS a, l[i + 1] AS b
+       |        FROM (SELECT l, unnest(range(1, CAST(len(l) AS BIGINT)))
+       |                AS i FROM hbt)),
+       |hnab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+       |         FROM hbg GROUP BY 1, 2),
+       |hctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+       |         FROM hnab GROUP BY 1),
+       |hvoc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |         FROM (SELECT unnest(l) AS tok FROM hbt)),
+       |lmtoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM wclean),
+       |lmidx AS (SELECT doc_id, l,
+       |            unnest(range(1, CAST(len(l) AS BIGINT))) AS i
+       |          FROM lmtoks),
+       |lmbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM lmidx),
+       |lmscored AS (
+       |  SELECT g.doc_id,
+       |    CAST(length(bin(((COALESCE(c.n_a, 0) + hvoc.v) * 1024)
+       |      // (COALESCE(n.n_ab, 0) + 1))) - 1 AS BIGINT) AS q
+       |  FROM lmbg g
+       |  LEFT JOIN hnab n ON n.a = g.a AND n.b = g.b
+       |  LEFT JOIN hctx c ON c.a = g.a
+       |  CROSS JOIN hvoc),
+       |lmdoc AS (
+       |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
+       |  FROM lmscored GROUP BY 1),
+       |$curatedBandTail""".stripMargin
 
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below

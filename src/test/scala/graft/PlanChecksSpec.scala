@@ -125,20 +125,34 @@ class PlanChecksSpec extends SparkSpec {
     // (one row per slice) — bounded by slice count, intended
     // q106's NLJ broadcasts a ONE-row corpus token total — linear,
     // intended (q79's shape)
-    // q138's/q145's NLJ broadcasts a ONE-row train-vocabulary total —
-    // linear, intended (q79's shape; q145 inherits it through
-    // bigramSurprisalHeldOut)
+    // q138/q145/q146/q147's NLJ broadcasts a ONE-row train-vocabulary
+    // total — linear, intended (q79's shape; inherited through
+    // bigramSurprisalHeldOut, q147 via the pipeline's bandTrain stage)
     val intendedNlj =
       Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
         "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
-        "q145_heldout_band", "q146_heldout_reweight")
-    for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
-      val p = fn(spark, sf).queryExecution.optimizedPlan.toString
-      assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")
-      val phys = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!phys.contains("CartesianProduct") &&
-        !phys.contains("BroadcastNestedLoopJoin"),
-        s"$name physical plan is nested-loop:\n$phys")
+        "q145_heldout_band", "q146_heldout_reweight",
+        "q147_pipeline_heldout_band")
+    try {
+      for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
+        val p = fn(spark, sf).queryExecution.optimizedPlan.toString
+        assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")
+        val phys = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!phys.contains("CartesianProduct") &&
+          !phys.contains("BroadcastNestedLoopJoin"),
+          s"$name physical plan is nested-loop:\n$phys")
+      }
+    } finally {
+      // session hygiene (the Bench pattern): building 140+ query plans
+      // REGISTERS every Hydration pin those queries declare (a
+      // `.persist()` call re-plans matching subtrees in EVERY later
+      // query of the shared session, materialized or not) — without
+      // the clear, a later suite's plan gate sees InMemoryRelations
+      // this sweep leaked and asserts against a plan no fresh session
+      // would produce (the q28 exchange-reuse gate caught exactly
+      // that: a leaked shingle-projection pin flipped its band join
+      // to broadcast)
+      spark.catalog.clearCache()
     }
   }
 

@@ -32,12 +32,14 @@ class PlanQualitySpec extends SparkSpec {
     // as q79's 1-row grand-total cross join
     // q106 broadcasts a ONE-row corpus token total against the
     // (pruned) bigram count table — q79's linear 1-row NLJ shape
-    // q138/q145/q146 broadcast a ONE-row train-vocabulary total
+    // q138/q145/q146/q147 broadcast a ONE-row train-vocabulary total
     // against the candidate bigram stream — the same linear 1-row
-    // class (q145/q146 inherit it through bigramSurprisalHeldOut)
+    // class (all inherit it through bigramSurprisalHeldOut; q147
+    // through the pipeline's bandTrain stage)
     Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
       "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
-      "q145_heldout_band", "q146_heldout_reweight")
+      "q145_heldout_band", "q146_heldout_reweight",
+      "q147_pipeline_heldout_band")
 
   test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
     // the SimHash pair join deliberately does NOT cache its signature
@@ -45,6 +47,12 @@ class PlanQualitySpec extends SparkSpec {
     // child, so AQE's exchange reuse must compute the md5 kernel once.
     // If a plan change ever breaks that canonical equality, this gate
     // fails before the 2× kernel cost ships.
+    // hermetic: a cache pin leaked by ANOTHER suite's plan sweep
+    // rewrites matching subtrees into InMemoryRelations whose stats
+    // flip this band join to broadcast — then there is no exchange to
+    // reuse and the gate fails against a plan no fresh session (or
+    // production run) would produce
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("q28_simhash_dedup")(spark, sf)
     df.collect() // finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString
@@ -59,6 +67,7 @@ class PlanQualitySpec extends SparkSpec {
     // hang off the SAME canonical shuffle, so AQE must reuse the
     // exchange — otherwise the 100 TB corpus is scanned and shuffled
     // four times instead of once
+    spark.catalog.clearCache() // hermetic — the q28 gate's argument
     val df = SparkEntry.queries("q79_corpus_divergence")(spark, sf)
     df.collect() // finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString

@@ -265,6 +265,58 @@ class TrainingPipelineSpec extends SparkSpec {
       .contains(100L)) // no eval set → the copy survives by design
   }
 
+  test("held-out band mode (bandTrain): planted self-consistent junk " +
+      "that the SELF-SCORED band keeps is cut by the held-out band — " +
+      "corpus junk cannot make itself predictable to the model that " +
+      "filters it") {
+    // junk doc i: "the" + a doc-UNIQUE 16-token gibberish ring repeated
+    // twice (33 tokens) — passes every intake gate (uniq 17/33, rep3
+    // 0.45, has an en stopword), survives dedup (rings are disjoint
+    // across docs), and is maximally SELF-predictable: each ring token
+    // is always followed by the same successor, so self-scored q = 10
+    // per ring bigram (the LM minimum) and the doc lands in the LOW
+    // band. Held-out, every junk bigram is OOV → the finite ceiling.
+    def ring(i: Int): String = {
+      val toks = (0 until 16).map(t => s"r${i}x$t")
+      ("the" +: (toks ++ toks)).mkString(" ")
+    }
+    // normal doc j: English function words with doc-unique content
+    // words — self-scored q_avg ≈ 12 (varied continuations), held-out
+    // against a reference carrying these exact texts q_avg = 15 < the
+    // junk's 16 (every bigram seen)
+    def normal(j: Int): String =
+      s"the n${j}a of n${j}b and n${j}c is n${j}d " +
+        s"the n${j}e a n${j}f of n${j}g and n${j}h"
+    val junkIds = (1L to 10L).toSet
+    val docs = (
+      (1L to 10L).map(i => (i, ring(i.toInt), "en", "web", 1L)) ++
+      (11L to 20L).map(j => (j, normal(j.toInt), "en", "web", 1L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val reference = (11L to 20L)
+      .map(j => (j + 1000L, normal(j.toInt)))
+      .toDF("doc_id", "text")
+    // keep the LOWER half of the rank distribution: exactly where
+    // self-consistent junk sits when it scored its own model
+    def run(train: Option[org.apache.spark.sql.DataFrame]) =
+      TrainingPipeline.prepare(docs, spanWords = 0,
+        surprisalBand = Some((0, 50)), bandTrain = train)
+        .select($"doc_id").as[Long].collect().toSet
+    val selfScored = run(None)
+    val heldOut = run(Some(reference))
+    assert(junkIds.subsetOf(selfScored),
+      s"self-scoring must KEEP the junk (that is the failure mode the " +
+        s"held-out mode exists for): $selfScored")
+    assert(heldOut.intersect(junkIds).isEmpty,
+      s"held-out band must cut every junk doc: $heldOut")
+    assert(heldOut.nonEmpty && heldOut.forall(_ >= 11L),
+      s"held-out band keeps the normal docs: $heldOut")
+    // bandTrain without surprisalBand is a contract error, not a no-op
+    val e = intercept[IllegalArgumentException] {
+      TrainingPipeline.prepare(docs, bandTrain = Some(reference))
+    }
+    assert(e.getMessage.contains("surprisalBand"), e.getMessage)
+  }
+
   test("packs are contiguous in doc order and near-budget") {
     val stats = out.groupBy($"pack_id")
       .agg(sum($"n_tokens").as("tok"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
