@@ -169,6 +169,11 @@ object ScaleBench {
     // two-pass min discipline then times the operator alone (pass 1
     // pays the one-time max scan, pass 2 is clean and wins the min)
     val decontCuts = scala.collection.mutable.Map.empty[Int, Long]
+    // per-table memo for projected_ivf_trained's codebook: training is
+    // build-once (the SketchStore stance) — the timed passes measure
+    // the SEARCH, the same boundary q141's hash-cell row measures
+    val trainedCells =
+      scala.collection.mutable.Map.empty[Int, Seq[Seq[Double]]]
 
     val pipelines: Seq[(String, DataFrame => Long, () => DataFrame, () => DataFrame)] = Seq(
       ("agg_q01_shape",
@@ -596,6 +601,41 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Similarity.projectedIvfTopK(
           d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
           outDim = 16, nCells = 16, nProbe = 4, pool = 200).count(),
+        () => emb1, () => embN),
+      // q148's trained variant at the SAME dials as projected_ivf_ann
+      // (nProbe 4/16): the row isolates what Lloyd-trained cells buy
+      // over the seeded hash stand-ins. Training is BUILD-ONCE (the
+      // artifact stance) — memoized per table so the two-pass min
+      // times the search alone; the one-time cost is per-run visible
+      // in pass 1 of the raw samples
+      ("projected_ivf_trained",
+        (d: DataFrame) => {
+          val cents = trainedCells.getOrElseUpdate(
+            System.identityHashCode(d), {
+              val proj = graft.operators.Similarity
+                .randomProjection(d, dim = 64, outDim = 16)
+              val trained = graft.operators.Similarity.kmeansCentroids(
+                proj, nCells = 16, iters = 2, dim = 16, vecCol = "proj")
+              // occupancy diagnostic — the mechanism behind this row's
+              // ratio: candidate volume per probe ∝ probed-cell MASS,
+              // so a codebook that concentrates corpus mass into few
+              // cells inflates the scan even at the same nProbe
+              def maxFrac(cs: Seq[Seq[Double]]): Double = {
+                val occ = graft.operators.Similarity.ivfAssign(proj,
+                    dim = 16, nCells = 16, idCol = "vec_id",
+                    vecCol = "proj", centroids = Some(cs))
+                  .groupBy(col("cell")).count()
+                  .agg(max(col("count")), sum(col("count"))).head()
+                occ.getLong(0).toDouble / occ.getLong(1)
+              }
+              println(f"""{"pipeline":"projected_ivf_trained_cells","rows":${d.count()},"trained_max_cell_frac":${maxFrac(trained)}%.3f,"hash_max_cell_frac":${maxFrac(graft.operators.Similarity.hashCentroids(16, 16))}%.3f}""")
+              trained
+            })
+          graft.operators.Similarity.projectedIvfTopK(
+            d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
+            outDim = 16, nCells = 16, nProbe = 4, pool = 200,
+            centroids = Some(cents)).count()
+        },
         () => emb1, () => embN))
 
     nameFilter.foreach { f =>

@@ -172,6 +172,8 @@ object SparkEntry {
     "q146_heldout_reweight" -> (TrainingData.q146HeldoutReweight _),
     "q147_pipeline_heldout_band" ->
       (TrainingData.q147PipelineHeldoutBand _),
+    "q148_projected_ivf_trained" ->
+      (TrainingData.q148ProjectedIvfTrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -511,5 +513,11 @@ object SparkEntry {
     // q143's chain CTEs verbatim + q138's smoothed LM block; the whole
     // 11-stage composition replays in one statement.
     "q147_pipeline_heldout_band" -> TrainingData.q147Sql,
+    // q148: trained-centroid projected IVF at FULL probe — the cell
+    // partition must be result-invisible, so the oracle is q135's
+    // projected-pool replay verbatim (the q65/q140 stance; training
+    // determinism pinned by KMeansSpec, partial-probe gains measured
+    // in ScaleBench).
+    "q148_projected_ivf_trained" -> TrainingData.q135Sql,
   )
 }

@@ -254,14 +254,30 @@ object Similarity {
   def projectedIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, outDim: Int, nCells: Int, nProbe: Int, pool: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
+      broadcastLimit: Int = DefaultBroadcastLimit,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(pool >= k, s"pool=$pool must cover k=$k")
     require(outDim >= 1 && outDim <= dim,
       s"projectedIvfTopK: outDim=$outDim must be in [1, dim=$dim]")
     require(nProbe >= 1 && nProbe <= nCells,
       s"projectedIvfTopK: nProbe=$nProbe must be in [1, nCells=$nCells]")
-    val cents = hashCentroids(outDim, nCells)
+    // TRAINED cells (the q65 precedent, in the projected space): pass
+    // [[kmeansCentroids]] run over [[randomProjection]]'s output —
+    // centroids must live in the PROJECTED space (outDim dims), where
+    // the cell scan happens; Lloyd-trained cells on clustered
+    // embeddings cut the candidate count harder than the seeded hash
+    // stand-ins for the same nProbe (measured in ScaleBench). The
+    // geometry is validated loudly — a raw-space (dim-wide) codebook
+    // would silently prefix-truncate in the dot product.
+    centroids.foreach { cs =>
+      require(cs.size == nCells,
+        s"projectedIvfTopK: ${cs.size} centroids for nCells=$nCells")
+      require(cs.forall(_.size == outDim),
+        s"projectedIvfTopK: centroid dims ${cs.map(_.size).distinct} " +
+          s"!= projected outDim=$outDim — train on the PROJECTED vectors")
+    }
+    val cents = centroids.getOrElse(hashCentroids(outDim, nCells))
     def side(df: DataFrame, p: String) =
       Hydration.persist(
         assertDim(finiteRows(df, idCol, vecCol, s"${p}_id", s"${p}_raw"),
@@ -451,8 +467,15 @@ object Similarity {
     * driver-side state is the k×dim centroid table itself (same
     * O(small) class as `packSequences`' shard offsets — this is how
     * distributed k-means works everywhere). Deterministic: seeds are
-    * the `k` lowest-id vectors, ties impossible. Empty cells keep
-    * their previous centroid. */
+    * the `k` lowest-min-id DISTINCT (normalized) vectors — distinct
+    * by VALUE, not by id, because a duplicated corpus (the normal
+    * state of pre-dedup training data) otherwise seeds several cells
+    * with the same vector: identical seeds tie every assignment to
+    * the lowest cell, the mean update cannot separate them, and the
+    * "trained" codebook degenerates to a few live cells carrying all
+    * the mass (observed: 16× replicated embeddings put 43% of the
+    * corpus in ONE cell — ScaleBench's projected_ivf_trained_cells
+    * readout). Empty cells keep their previous centroid. */
   def kmeansCentroids(vectors: DataFrame, nCells: Int, iters: Int,
       dim: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Double]] = {
@@ -460,10 +483,12 @@ object Similarity {
     // NaN component would otherwise crash the ANSI decimal cast in the
     // mean aggregate below)
     val v = unitVectors(vectors, idCol, vecCol).select(col("id"), col("vec"))
-    var centroids: Seq[Seq[Double]] = v.orderBy(col("id")).limit(nCells)
+    var centroids: Seq[Seq[Double]] = v
+      .groupBy(col("vec")).agg(min(col("id")).as("sid"))
+      .orderBy(col("sid")).limit(nCells)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     require(centroids.size == nCells,
-      s"kmeans: need >= $nCells non-zero vectors to seed")
+      s"kmeans: need >= $nCells DISTINCT non-zero vectors to seed")
     for (_ <- 1 to iters) {
       val assigned = v.withColumn("cell", element_at(
         array_sort(array(cellScores(col("vec"), centroids): _*),

@@ -875,6 +875,37 @@ object TrainingData {
        |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q148: projected IVF with TRAINED centroids — q141's composition
+    * with the hash-centroid stand-ins replaced by spherical k-means
+    * run IN the projected space ([[graft.operators.Similarity
+    * .kmeansCentroids]] over [[graft.operators.Similarity
+    * .randomProjection]]'s output — the training pass a real
+    * billion-vector deployment runs, since Lloyd-trained cells on
+    * clustered embeddings cut candidates harder than seeded hashes at
+    * the same nProbe). Gated at FULL probe with q135's exact dials
+    * (slice/k/outDim/pool), where the trained cell partition must be
+    * RESULT-INVISIBLE — every (query, corpus) pair survives the cell
+    * join exactly once iff the assignment partitions the corpus, so a
+    * dropped/duplicated assignment diffs the oracle — the q65
+    * full-probe stance; training determinism itself is pinned by
+    * KMeansSpec, and the partial-probe speedup is measured in
+    * ScaleBench (projected_ivf_trained vs q141's hash-cell row). The
+    * oracle is q135's projected-pool replay VERBATIM (the q140←q136
+    * round-trip-invisible pattern). */
+  def q148ProjectedIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val trained = graft.operators.Similarity.kmeansCentroids(
+      graft.operators.Similarity.randomProjection(emb, dim = 64,
+        outDim = 16),
+      nCells = 16, iters = 2, dim = 16, vecCol = "proj")
+    graft.operators.Similarity.projectedIvfTopK(
+        emb.filter($"vec_id" >= 5 && $"vec_id" < 15), emb,
+        k = 8, dim = 64, outDim = 16, nCells = 16, nProbe = 16,
+        pool = 200, centroids = Some(trained))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** q143: the CURATED pipeline — q83's composed chain with the two
     * round-13 curation stages folded into
     * [[graft.TrainingPipeline.prepare]] itself: winnowing

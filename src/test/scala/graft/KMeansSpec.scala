@@ -110,4 +110,39 @@ class KMeansSpec extends SparkSpec {
       .orderBy($"q_id", $"rank").collect().toSeq
     assert(trained === exact)
   }
+
+  test("trained PROJECTED IVF at full probe ≡ projectedTopK (the cell " +
+      "partition is result-invisible — q148's gate); wrong-geometry " +
+      "codebooks are rejected loudly") {
+    val emb = Tables.embeddings(spark, sf)
+    // centroids trained IN the projected space — the deployment shape
+    val cents = Similarity.kmeansCentroids(
+      Similarity.randomProjection(emb, dim = 64, outDim = 8),
+      nCells = 4, iters = 1, dim = 8, vecCol = "proj")
+    val ivf = Similarity.projectedIvfTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,
+        nCells = 4, nProbe = 4, pool = 50, centroids = Some(cents))
+      .orderBy($"q_id", $"rank").collect().toSeq
+    val flat = Similarity.projectedTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,
+        pool = 50)
+      .orderBy($"q_id", $"rank").collect().toSeq
+    assert(ivf === flat)
+    // a RAW-space (64-dim) codebook must die on the geometry check,
+    // not prefix-truncate into a plausible wrong assignment
+    val rawSpace = Similarity.kmeansCentroids(emb, nCells = 4,
+      iters = 0, dim = 64)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.projectedIvfTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,
+        nCells = 4, nProbe = 4, pool = 50, centroids = Some(rawSpace))
+    }
+    assert(e.getMessage.contains("PROJECTED"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Similarity.projectedIvfTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,
+        nCells = 4, nProbe = 4, pool = 50,
+        centroids = Some(cents.take(3)))
+    }
+  }
 }
