@@ -174,6 +174,8 @@ object SparkEntry {
       (TrainingData.q147PipelineHeldoutBand _),
     "q148_projected_ivf_trained" ->
       (TrainingData.q148ProjectedIvfTrained _),
+    "q149_stream_decon_ttl" ->
+      (StreamingQueries.q149StreamDeconTtl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -519,5 +521,10 @@ object SparkEntry {
     // determinism pinned by KMeansSpec, partial-probe gains measured
     // in ScaleBench).
     "q148_projected_ivf_trained" -> TrainingData.q135Sql,
+    // q149: q144's bounded-state twin — watermarked day-window leak
+    // counts in append mode (closed windows emit once then EVICT);
+    // drained ≡ q144's batch counts restricted to closed windows by
+    // the same integer window arithmetic.
+    "q149_stream_decon_ttl" -> StreamingQueries.q149Sql,
   )
 }

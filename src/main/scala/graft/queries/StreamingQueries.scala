@@ -486,6 +486,83 @@ object StreamingQueries {
       .orderBy($"doc_id")
   }
 
+  private val lastSink149 = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** q149: the BOUNDED-STATE twin of q144 (the TTL-twin discipline,
+    * q97/q112/q118, pointed at the decon monitor): q144's complete-
+    * mode leak counter holds one state row per flagged doc FOREVER —
+    * fine over a benchmark, unbounded on a live feed. This twin gives
+    * each doc an ingestion timestamp, counts leaks per (1-day window,
+    * doc) under a watermark in APPEND mode, and lets the ENGINE evict
+    * each day's groups when the watermark passes — state is O(docs in
+    * open windows), not O(flagged docs ever).
+    *
+    * SHAPE CHOICE, stated: the fMGWS tombstone contract
+    * ([[graft.streaming.AnomalyStreamTtl]]) exists for entities a
+    * stream REVISITS across batches (a funnel user, a rate key) —
+    * a document is one-shot (its grams explode from one row), so the
+    * idiomatic bounded form is the built-in watermarked window
+    * aggregation: closed windows EMIT exactly once then EVICT (engine
+    * removal, gated through `numRowsRemoved` in TtlStateMetricsSpec),
+    * and a straggler gram below the watermark DROPS — the documented
+    * under-report direction, never a double-emit. Same ONE
+    * gram kernel as q144/batch ([[graft.operators.Dedup
+    * .gramHashArray]]); q144's hash-collision contract applies
+    * verbatim.
+    *
+    * HORIZON ≡ ORACLE: event time is synthetic-deterministic (one
+    * hour per doc_id), the watermark delay is 0, so after the drain
+    * the watermark sits at the max streamed timestamp and EXACTLY the
+    * day-windows ending at or before it have emitted — the oracle is
+    * q144's per-doc counts restricted by that same integer window
+    * arithmetic (docs of the final, still-open day are excluded on
+    * both sides). */
+  def q149StreamDeconTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter($"doc_id" % 20 =!= 0)
+      .withColumn("ts", timestamp_micros($"doc_id" * 3600000000L))
+      .withWatermark("ts", "0 seconds")
+      .select($"doc_id", $"ts",
+        explode(graft.operators.Dedup.gramHashArray($"text", 8))
+          .as("gram_h"))
+    val bench = graft.operators.Dedup.benchmarkGrams(
+      graft.Tables.documents(s, dir).filter($"doc_id" % 20 === 0),
+      n = 8)
+    val hits = stream
+      .join(bench, Seq("gram_h")) // stream-static inner join
+      .groupBy(window($"ts", "1 day"), $"doc_id")
+      .agg(count(lit(1)).as("n_leaked"))
+      .select($"doc_id", $"n_leaked")
+    drain(s, hits, "q149_stream_out", lastSink149, "append")
+      .orderBy($"doc_id")
+  }
+
+  /** q144's counts restricted to CLOSED day-windows: doc d lives in
+    * the day `(d·3600) div 86400`; that window closed iff its end is
+    * ≤ the final watermark (= the max streamed doc's hour, delay 0). */
+  val q149Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 7, 1)),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |          WHERE doc_id % 20 = 0),
+      |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+      |         WHERE doc_id % 20 <> 0),
+      |counts AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+      |           FROM corp c JOIN bench b ON c.gram = b.gram
+      |           GROUP BY 1),
+      |horizon AS (SELECT max(doc_id) AS m FROM documents
+      |            WHERE doc_id % 20 <> 0)
+      |SELECT doc_id, n_leaked FROM counts, horizon
+      |WHERE ((doc_id * 3600) // 86400 + 1) * 86400 <= m * 3600
+      |ORDER BY doc_id""".stripMargin
+
   /** Batch replay: per-doc count of distinct grams shared with the
     * benchmark slice — q68's gram CTEs, aggregated instead of
     * NOT-EXISTS-collapsed (per-doc grams are DISTINCT by the shingle

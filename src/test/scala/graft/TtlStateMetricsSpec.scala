@@ -4,7 +4,8 @@ import graft.streaming.{AnomalyStreamTtl, FunnelStreamTtl, QuantileStreamTtl}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** State-store METRICS gate for the three TTL twins: the boundedness
+/** State-store METRICS gate for the bounded-state twins (the three
+  * fMGWS TTL twins + the windowed decon monitor): the boundedness
   * contracts ("an open key costs one state row; a closed key costs
   * EXACTLY one tombstone row, forever") asserted through the engine's
   * own `lastProgress.stateOperators` accounting, not just through
@@ -157,6 +158,61 @@ class TtlStateMetricsSpec extends SparkSpec {
       // a genuinely new key re-warms on top of the tombstones
       addAndAwait(("k3", 300L))
       awaitRows(3L)
+    } finally q.stop()
+  }
+
+  test("windowed decon monitor (q149's shape): state holds ONLY " +
+      "open-window groups — closed day-windows emit exactly once then " +
+      "EVICT (engine removal, the built-in-watermark contract, unlike " +
+      "the fMGWS tombstones above), and a straggler below the " +
+      "watermark re-creates nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    // every synthetic gram hits the 1-row static benchmark side, so
+    // each (doc, sec) event is one leaked-gram hit — the q149 plan
+    // shape (stream-static join → watermarked windowed count) with
+    // the gram arithmetic held constant
+    val bench = Seq(1L).toDF("gram_h")
+    val ev = input.toDF().toDF("doc_id", "sec")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"),
+        org.apache.spark.sql.functions.lit(1L).as("gram_h"))
+      .withWatermark("ts", "0 seconds")
+    val agg = ev.join(bench, Seq("gram_h"))
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 day"),
+        $"doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_leaked"))
+      .select($"doc_id", $"n_leaked")
+    val q = agg.writeStream.format("memory")
+      .queryName("decon_ttl_metrics_out").outputMode("append").start()
+    try {
+      // batch 1: docs 1 (two grams) and 2, both day 0 — windows open,
+      // nothing emits, one state row per (window, doc) group
+      input.addData((1L, 100L), (1L, 200L), (2L, 300L))
+      q.processAllAvailable()
+      assert(spark.table("decon_ttl_metrics_out").count() === 0L)
+      assert(stateRows(q) === 2L)
+      // batch 2: doc 3 lands on day 2 → watermark passes day 0's end:
+      // day-0 groups EMIT once with their full counts and EVICT
+      input.addData((3L, 2L * 86400L + 10L))
+      q.processAllAvailable()
+      val emitted = spark.table("decon_ttl_metrics_out")
+        .as[(Long, Long)].collect().toSet
+      assert(emitted === Set((1L, 2L), (2L, 1L)), emitted.toString)
+      assert(stateRows(q) === 1L,
+        "closed windows must leave the store — state is open groups only")
+      assert(totalRemoved(q) >= 2L,
+        "eviction must be visible as engine removals (NOT a silent " +
+          "retention) — this twin's boundedness is the engine's, " +
+          "not a tombstone's")
+      // batch 3: a straggler for the CLOSED day 0 drops (the
+      // documented under-report direction): no new emission, no
+      // resurrected state
+      input.addData((9L, 400L))
+      q.processAllAvailable()
+      assert(spark.table("decon_ttl_metrics_out").count() === 2L)
+      assert(stateRows(q) === 1L)
     } finally q.stop()
   }
 }
