@@ -482,7 +482,16 @@ object Similarity {
     // zero-norm/non-finite vectors excluded — see [[unitVectors]] (a
     // NaN component would otherwise crash the ANSI decimal cast in the
     // mean aggregate below)
-    val v = unitVectors(vectors, idCol, vecCol).select(col("id"), col("vec"))
+    // HYDRATION-PINNED (the pqCodebooks discipline — this operator IS
+    // the multi-consumer, so the pin is operator-owned and released in
+    // the finally): the seed scan + every Lloyd iteration otherwise
+    // re-executes the ENTIRE upstream chain — for a trained
+    // projected-IVF caller that chain is the full JL projection, paid
+    // iters+1 times per training run (measured: q148 isolated floor
+    // 6.81 → see BASELINE for the post-pin number)
+    val v = Hydration.persist(
+      unitVectors(vectors, idCol, vecCol).select(col("id"), col("vec")))
+    try {
     var centroids: Seq[Seq[Double]] = v
       .groupBy(col("vec")).agg(min(col("id")).as("sid"))
       .orderBy(col("sid")).limit(nCells)
@@ -525,6 +534,7 @@ object Similarity {
       }
     }
     centroids
+    } finally v.unpersist()
   }
 
   /** Hashing-trick TF vectors from raw text — the stub-free
