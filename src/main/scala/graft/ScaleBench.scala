@@ -203,6 +203,19 @@ object ScaleBench {
             winnowEval = Some(docs1.limit(500)),
             surprisalBand = Some((5, 95))).count(),
         () => docs1, () => docsN),
+      // q147's shape: the curated chain with the band scored by the
+      // HELD-OUT model (bandTrain = the same 500-doc reference slice).
+      // vs training_pipeline_curated this swaps the self-scored LM for
+      // the smoothed held-out one — the delta should track
+      // heldout_lm's ratio over lm_surprisal's, since the reference
+      // side is fixed-size and only the candidate scan scales
+      ("training_pipeline_heldout",
+        (d: DataFrame) => graft.TrainingPipeline
+          .prepare(d, jaccardThreshold = 0.5,
+            winnowEval = Some(docs1.limit(500)),
+            surprisalBand = Some((5, 95)),
+            bandTrain = Some(docs1.limit(500))).count(),
+        () => docs1, () => docsN),
       ("training_pipeline_composed",
         (d: DataFrame) => TrainingPipeline
           .prepare(d, jaccardThreshold = 0.5).count(),

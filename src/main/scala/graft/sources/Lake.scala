@@ -235,7 +235,12 @@ object Lake {
     * asymptotics as the dynamic overwrite; kept opt-in because
     * rename-based commit assumes HDFS/local rename semantics, while
     * the default rides whatever committer the session configured
-    * (object-store deployments often configure exactly that).
+    * (object-store deployments often configure exactly that). This is
+    * crash-DURABILITY, not reader isolation: a reader racing the swap
+    * can observe a day absent for one rename window — the same
+    * single-writer / maintenance-window stance as [[swapInto]]; the
+    * rollup's own readers read between batches, and `refreshLake`
+    * heals before every base read.
     *
     * CONTRACT — partition-scoped MERGE: a key's `event_date` is
     * assumed stable across updates (the usual case: it derives from
