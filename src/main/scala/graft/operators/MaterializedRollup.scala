@@ -149,7 +149,11 @@ object MaterializedRollup {
     // heal a prior crashed atomic-day commit FIRST (even for an empty
     // delta): a day sitting in the rename-window trash would read as
     // missing — to this batch's base read AND to any readLake between
-    // batches
+    // batches. upsertLatest heals again at commit time; that second
+    // pass is two existence probes and can never find work under the
+    // single-writer contract (nothing commits between the two calls)
+    // — kept deliberately, because correctness there must not depend
+    // on every caller remembering this pre-read heal
     graft.sources.Lake.recoverUpsertDays(spark, path)
     val delta = aggregate(deltaEvents, typeCol, tsCol, valueCol)
       .localCheckpoint() // one computation feeds key-join + merge

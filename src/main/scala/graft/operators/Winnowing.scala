@@ -152,13 +152,24 @@ object Winnowing {
     * failure the stamp exists to stop. */
   def writeFingerprintIndex(evalDocs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 3, w: Int = 4): Unit = {
-    val spark = evalDocs.sparkSession
+      k: Int = 3, w: Int = 4): Unit =
+    stageAndSwapIndex(
+      fingerprints(evalDocs, idCol, textCol, k, w)
+        .select(col("fp")).distinct(),
+      path, k, w)
+
+  /** The artifact-commit tail shared by [[writeFingerprintIndex]] and
+    * [[appendToFingerprintIndex]] — ONE rendering of the crash
+    * discipline (stage under `__building`, fps first, the 1-row meta
+    * stamp LAST, atomic [[graft.sources.Lake.swapInto]]), so a stamp-
+    * schema or ordering change cannot land in one writer and miss the
+    * other. */
+  private def stageAndSwapIndex(fps: DataFrame, path: String,
+      k: Int, w: Int): Unit = {
+    val spark = fps.sparkSession
     import spark.implicits._
     val tmp = path.stripSuffix("/") + "__building"
-    fingerprints(evalDocs, idCol, textCol, k, w)
-      .select(col("fp")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/fps")
+    fps.write.mode(SaveMode.Overwrite).parquet(s"$tmp/fps")
     Seq((IndexVersion, IndexKind, indexDomain(k, w)))
       .toDF("version", "kind", "domain")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
@@ -186,19 +197,14 @@ object Winnowing {
   def appendToFingerprintIndex(newEvalDocs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, w: Int = 4): Unit = {
-    val spark = newEvalDocs.sparkSession
-    import spark.implicits._
-    val existing = readFingerprintIndex(spark, path, k, w)
-    val tmp = path.stripSuffix("/") + "__building"
-    existing
-      .unionByName(fingerprints(newEvalDocs, idCol, textCol, k, w)
-        .select(col("fp")))
-      .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/fps")
-    Seq((IndexVersion, IndexKind, indexDomain(k, w)))
-      .toDF("version", "kind", "domain")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
-    graft.sources.Lake.swapInto(spark, path, tmp)
+    val existing = readFingerprintIndex(newEvalDocs.sparkSession,
+      path, k, w)
+    stageAndSwapIndex(
+      existing
+        .unionByName(fingerprints(newEvalDocs, idCol, textCol, k, w)
+          .select(col("fp")))
+        .distinct(),
+      path, k, w)
   }
 
   /** Load a fingerprint index, failing fast unless version, kind, and

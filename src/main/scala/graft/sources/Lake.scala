@@ -291,8 +291,15 @@ object Lake {
       s"upsertLatest: null $tsCol rows cannot be partition-merged")
     // a previous atomic-day writer may have crashed mid-commit: heal
     // BEFORE reading the existing slice, or a day sitting in trash
-    // reads as missing and this batch merges against a torn base
-    if (atomicDays) recoverUpsertDays(spark, path)
+    // reads as missing and this batch merges against a torn base.
+    // UNCONDITIONAL — including for atomicDays = false: nothing pins a
+    // lake to one commit mode, and a non-atomic upsert landing after a
+    // crashed atomic commit would otherwise merge against the torn
+    // base, dynamic-overwrite the day with batch-only rows, and let
+    // the NEXT heal discard the trashed pre-crash rows (lakeDay exists
+    // by then) — permanent loss. Healing an untouched lake is two
+    // existence probes.
+    recoverUpsertDays(spark, path)
     import org.apache.spark.sql.expressions.Window
     val updDated = updates.withColumn("event_date", to_date(col(tsCol)))
     val dates = updDated.select("event_date").distinct().collect()

@@ -157,9 +157,16 @@ object HeavyHitterStream {
     import org.apache.spark.sql.functions._
     // checkpointed: the snapshot is ≤ nShards × capacity rows by
     // construction, and it feeds THREE consumers below (the partition
-    // guard, the rank kernel, the join-back)
-    val snap = latestSnapshot(emitted)
-      .select(col("key"), col("n"), col("err"))
+    // guard, the rank kernel, the join-back). The DISTINCT keeps
+    // `shard`: an at-least-once sink can hold a shard's max-seen
+    // emission twice as byte-identical rows — a replayed duplicate
+    // (same shard) must neither trip the partition guard nor fan out
+    // the join-back, while GENUINE cross-shard tracking of one key
+    // still presents as two rows (shards differ) even when the
+    // duplicated counts happen to match.
+    val snapRows = latestSnapshot(emitted)
+      .select(col("shard"), col("key"), col("n"), col("err"))
+      .distinct()
       .localCheckpoint()
     // LOUD shards-partition-the-key-space guard: everything this
     // readout promises (per-row one-sided bounds, no cross-shard
@@ -170,7 +177,7 @@ object HeavyHitterStream {
     // duplicated keys and un-summed counts — silently. One bounded
     // probe over the snapshot (the refreshLake monotonicity-probe
     // shape): any key with two snapshot rows proves the violation.
-    val dup = snap.groupBy(col("key"))
+    val dup = snapRows.groupBy(col("key"))
       .agg(count(lit(1)).as("m"))
       .filter(col("m") > 1)
       .limit(1).collect()
@@ -182,7 +189,9 @@ object HeavyHitterStream {
           "(key, rank) rows with un-summed counts")
     }
     // keys are unique across the union (shards partition the key
-    // space), so (−n, key) ascending = (n desc, key asc) exactly
+    // space — guarded above), so (−n, key) ascending = (n desc,
+    // key asc) exactly
+    val snap = snapRows.select(col("key"), col("n"), col("err"))
     val ranked = snap
       .agg(graft.functions.BoundedMinIds
         .boundedMinIds(-col("n"), col("key"), k).as("__ids"))

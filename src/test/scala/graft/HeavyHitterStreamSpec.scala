@@ -168,6 +168,23 @@ class HeavyHitterStreamSpec extends SparkSpec {
       .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((7L, 5L, 0L, 1L), (9L, 2L, 0L, 2L)),
       got.toString)
+    // at-least-once sink replay: a shard's max-seen emission duplicated
+    // as BYTE-IDENTICAL rows must neither trip the guard nor fan out
+    // the join-back (the guard distinguishes replay from mis-sharding
+    // by keeping `shard` through the distinct)
+    val replayed = Seq((0, 7L, 5L, 0L, 5L), (0, 7L, 5L, 0L, 5L),
+      (1, 9L, 2L, 0L, 2L))
+      .toDF("shard", "key", "n", "err", "seen")
+    val gotR = HeavyHitterStream.globalTopK(replayed, k = 2)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotR === got, gotR.toString)
+    // …while the same key in TWO shards still trips even when the
+    // duplicated counts happen to be identical
+    val crossSame = Seq((0, 7L, 5L, 0L, 5L), (1, 7L, 5L, 0L, 5L))
+      .toDF("shard", "key", "n", "err", "seen")
+    intercept[IllegalStateException] {
+      HeavyHitterStream.globalTopK(crossSame, k = 2).collect()
+    }
   }
 
   test("globalTopK under eviction: evicted keys stay out (snapshot " +

@@ -135,9 +135,14 @@ class PlanChecksSpec extends SparkSpec {
         "q147_pipeline_heldout_band")
     try {
       for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
-        val p = fn(spark, sf).queryExecution.optimizedPlan.toString
+        // ONE build per query: fn is not free — pipeline queries run
+        // eager driver actions and the streaming queries DRAIN a full
+        // run just to hand back their sink table — and both plan
+        // views hang off the same QueryExecution anyway
+        val qe = fn(spark, sf).queryExecution
+        val p = qe.optimizedPlan.toString
         assert(!p.contains("Cartesian"), s"$name plans a cartesian:\n$p")
-        val phys = fn(spark, sf).queryExecution.executedPlan.toString
+        val phys = qe.executedPlan.toString
         assert(!phys.contains("CartesianProduct") &&
           !phys.contains("BroadcastNestedLoopJoin"),
           s"$name physical plan is nested-loop:\n$phys")
