@@ -676,10 +676,19 @@ object Similarity {
       s"iters must be >= 0 (0 = seed-only codebooks), got $iters")
     val subDim = dim / m
     val v = unitVectors(vectors, idCol, vecCol)
-    val seeds = v.orderBy(col("id")).limit(nCent)
+    // DISTINCT-vector seeding — the same duplicated-corpus hazard
+    // [[kmeansCentroids]] closed: lowest-id seeds on a pre-dedup
+    // corpus can all be the SAME vector, and identical seeds collapse
+    // every subspace's Lloyd onto a few live cells. Distinct full
+    // vectors don't guarantee distinct SUBvectors (two distinct
+    // vectors can share a slice), but they remove the systematic
+    // all-seeds-identical degeneracy; a residual subvector tie is
+    // data, and empty cells keep their previous centroid as before.
+    val seeds = v.groupBy(col("vec")).agg(min(col("id")).as("sid"))
+      .orderBy(col("sid")).limit(nCent)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     require(seeds.size == nCent,
-      s"pqCodebooks: need >= $nCent non-zero vectors to seed")
+      s"pqCodebooks: need >= $nCent DISTINCT non-zero vectors to seed")
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
       seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
     // hydrated: every Lloyd iteration re-references this projection —
