@@ -176,6 +176,7 @@ object SparkEntry {
       (TrainingData.q148ProjectedIvfTrained _),
     "q149_stream_decon_ttl" ->
       (StreamingQueries.q149StreamDeconTtl _),
+    "q150_ivf_pq_ann"     -> (Analytics.q150IvfPqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -526,5 +527,10 @@ object SparkEntry {
     // drained ≡ q144's batch counts restricted to closed windows by
     // the same integer window arithmetic.
     "q149_stream_decon_ttl" -> StreamingQueries.q149Sql,
+    // q150: IVF-PQ composition at full probe + pool = corpus — trained
+    // cells AND code quantization must both be result-invisible, so
+    // the oracle is q94's brute-force replay verbatim (the q148←q135
+    // reuse pattern; partial-probe gains measured in ScaleBench).
+    "q150_ivf_pq_ann"     -> Analytics.q94Sql,
   )
 }

@@ -466,7 +466,13 @@ object Similarity {
     * iteration is one assignment projection + one aggregate; the only
     * driver-side state is the k×dim centroid table itself (same
     * O(small) class as `packSequences`' shard offsets — this is how
-    * distributed k-means works everywhere). Deterministic: seeds are
+    * distributed k-means works everywhere). SEED-SCAN WIDTH: the
+    * distinct-vector seed scan below groups by the FULL vector, so the
+    * shuffle key is dim doubles wide — negligible at projected widths
+    * (q148 trains on 16 dims) but the dominant shuffle bytes on raw
+    * 1024-dim embeddings; train in a projected space
+    * ([[randomProjection]] → this, q148's composition) when dim is
+    * large. Deterministic: seeds are
     * the `k` lowest-min-id DISTINCT (normalized) vectors — distinct
     * by VALUE, not by id, because a duplicated corpus (the normal
     * state of pre-dedup training data) otherwise seeds several cells
@@ -787,6 +793,101 @@ object Similarity {
         zip_with(col("codes"), col("tbl"),
           (code, t) => element_at(t, code + 1)),
         lit(0.0), (acc, x) => acc + x))
+    val out = rerankTopK(approx, "adc", c, qSide, k, pool)
+    c.unpersist()
+    q.unpersist()
+    out
+  }
+
+  /** IVF-PQ top-k — the faiss-lineage composition of [[ivfTopK]]'s
+    * coarse cells and [[pqTopK]]'s code scoring, i.e. the shape a
+    * billion-vector deployment actually serves: corpus vectors are
+    * assigned to their best cell ONCE and quantized to `m` one-byte
+    * codes ONCE (both pure projections — the index build); each query
+    * probes only its `nProbe` best cells and scores those cells' rows
+    * by ADC table LOOKUP (m element_at's per row instead of a
+    * dim-wide dot product); the `pool` best per query are re-ranked
+    * with the EXACT raw-vector cosine through the shared
+    * [[rerankTopK]] tail. vs [[pqTopK]] (q94) the cell equi-join cuts
+    * the scanned row count by ~nCells/nProbe — q94 ADC-scans the
+    * whole code table per query; vs [[projectedIvfTopK]] (q148) the
+    * per-candidate score is m lookups instead of an outDim-wide dot
+    * and the scan reads m bytes of codes per row instead of
+    * outDim×8-byte projections — memory bandwidth is the 100 TB
+    * bottleneck the codes compress away.
+    *
+    * Exactness contract (the q65/q94/q148 stance): at `nProbe =
+    * nCells` and `pool` ≥ corpus the cell partition passes every row
+    * and the candidate stage passes everything — the result is
+    * EXACTLY brute force ([[bruteForceTopK]]'s scoring + tie-break),
+    * which is what the oracle gates; at realistic dials recall is
+    * bought by the (nProbe, pool) dials, measured in ScaleBench.
+    * Cells live in the RAW space (`dim`-wide, unit-normalized — train
+    * with [[kmeansCentroids]] on the same vectors); spherical argmax
+    * assignment with ties to the lowest cell index, deterministic and
+    * replayable. Degenerate (zero-norm/NaN) vectors are excluded on
+    * both sides ([[unitVectors]]' contract). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      nProbe: Int, pool: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastLimit: Int = DefaultBroadcastLimit): DataFrame = {
+    val m = books.size
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pool >= k, s"pool=$pool must cover k=$k")
+    val nCells = centroids.size
+    require(nCells >= 1, "ivfPqTopK: need at least one centroid")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"ivfPqTopK: nProbe=$nProbe must be in [1, nCells=$nCells]")
+    // loud geometry contract: the native dot silently truncates to the
+    // shorter operand, so a projected-space (narrow) codebook here
+    // would produce a plausible prefix assignment with no signal
+    require(centroids.forall(_.size == dim),
+      s"ivfPqTopK: centroid dims ${centroids.map(_.size).distinct} != " +
+        s"dim=$dim — coarse cells live in the RAW (unit-normalized) " +
+        "space; train kmeansCentroids on the same vectors")
+    val subDim = dim / m
+    // corpus index build: unit-normalize once, cell + codes as narrow
+    // in-row projections; persisted because it feeds the cell join AND
+    // the re-rank hydration join (the pqTopK discipline)
+    val c = Hydration.persist(unitVectors(corpus, idCol, vecCol)
+      .withColumn("cell", element_at(array_sort(
+        array(cellScores(col("vec"), centroids): _*), cellCmp), 1)("cell"))
+      .withColumn("codes", pqCodes(col("vec"), books, subDim))
+      .select(col("id").as("n_id"), col("raw").as("n_raw"),
+        col("cell"), col("codes")))
+    // query side: ADC tables (m×nCent subspace dots) + the sorted cell
+    // list, one row each — feeds the broadcast-fit probe, the cell
+    // join, and the re-rank join (persisted like pqTopK's query side)
+    val q = Hydration.persist(unitVectors(queries, idCol, vecCol)
+      .withColumn("tbl", array(books.zipWithIndex.map { case (cents, s) =>
+        array(cents.map(cent =>
+          dot(slice(col("vec"), s * subDim + 1, subDim), constVec(cent))): _*)
+      }: _*))
+      .withColumn("__sorted", array_sort(
+        array(cellScores(col("vec"), centroids): _*), cellCmp))
+      .select(col("id").as("q_id"), col("raw").as("q_raw"),
+        col("tbl"), col("__sorted")))
+    val qProbes = q
+      .withColumn("__probe", explode(slice(col("__sorted"), 1, nProbe)))
+      .select(col("q_id"), col("tbl"), col("__probe")("cell").as("cell"))
+    val broadcastQ = fitsBroadcast(q, broadcastLimit)
+    // the cell equi-join works shuffled too — an oversized query set
+    // degrades to a shuffle hash join instead of OOMing the broadcast
+    val cellJoined =
+      if (broadcastQ)
+        c.select(col("n_id"), col("cell"), col("codes"))
+          .join(broadcast(qProbes), Seq("cell"))
+      else c.select(col("n_id"), col("cell"), col("codes"))
+        .join(qProbes.hint("shuffle_hash"), Seq("cell"))
+    val approx = cellJoined
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("tbl"),
+          (code, t) => element_at(t, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val qSide = if (broadcastQ) broadcast(q) else q.hint("shuffle_hash")
     val out = rerankTopK(approx, "adc", c, qSide, k, pool)
     c.unpersist()
     q.unpersist()

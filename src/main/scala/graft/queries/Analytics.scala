@@ -291,6 +291,39 @@ object Analytics {
       |  JOIN fin c ON q.vec_id <> c.vec_id
       |) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-PQ ANN (q150): the faiss-lineage composition of the three
+    * index pieces that each shipped alone — q65's trained coarse
+    * cells ([[graft.operators.Similarity.kmeansCentroids]]), q94's PQ
+    * codes + ADC scoring ([[graft.operators.Similarity.pqCodebooks]]),
+    * and the shared exact re-rank tail — via
+    * [[graft.operators.Similarity.ivfPqTopK]]: trained cells prune
+    * the candidate rows, PQ codes score the survivors by table
+    * lookup, exact cosine re-ranks the pool. Gated at FULL probe +
+    * pool = corpus, where BOTH the cell partition and the code
+    * quantization must be RESULT-INVISIBLE (every (query, corpus)
+    * pair survives the cell join exactly once iff the assignment
+    * partitions the corpus; the ADC ordering is passed whole at full
+    * pool) — the result is exactly brute force, so the oracle is
+    * q94's brute-force replay VERBATIM (the q148←q135 pattern).
+    * Partial-probe/realistic-pool gains are measured in ScaleBench
+    * (ivf_pq_ann vs pq_ann_pool100 vs projected_ivf_trained). */
+  def q150IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    // one Lloyd step each from the deterministic distinct-vector
+    // seeds (the q94/q148 convention: the train+search composition IS
+    // the query; more iterations sharpen candidate quality but cannot
+    // change the full-probe/full-pool result the oracle gates)
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      emb, nCells = 16, iters = 1, dim = 64)
+    val books = graft.operators.Similarity
+      .pqCodebooks(emb, dim = 64, m = 8, nCent = 16, iters = 1)
+    graft.operators.Similarity.ivfPqTopK(
+        emb.filter($"vec_id" < 5), emb, k = 10, dim = 64,
+        cents, books, nProbe = 16, pool = emb.count().toInt)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Z-order data skipping (q95): lineitem rewritten z-ordered on
     * (l_partkey, l_suppkey), then a two-column box predicate over the
     * clustered copy. The ORACLE runs the same filter on the plain

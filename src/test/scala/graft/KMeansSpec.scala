@@ -111,6 +111,48 @@ class KMeansSpec extends SparkSpec {
     assert(trained === exact)
   }
 
+  test("IVF-PQ composition: full probe + full pool ≡ exact brute " +
+      "force; partial dials stay well-formed; raw-space geometry " +
+      "enforced") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.kmeansCentroids(emb, nCells = 4, iters = 1,
+      dim = 64)
+    val books = Similarity.pqCodebooks(emb, dim = 64, m = 8, nCent = 8,
+      iters = 1)
+    val n = emb.count().toInt
+    val full = Similarity.ivfPqTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, cents, books,
+        nProbe = 4, pool = n)
+      .orderBy($"q_id", $"rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3)
+      .orderBy($"q_id", $"rank").collect().toSeq
+    assert(full === exact)
+    // partial dials: still k rows per query (cells are not degenerate
+    // at these dials), and a pruned/quantized candidate stage can only
+    // surface equal-or-worse exact scores at each rank — a BETTER
+    // score would mean the re-rank invented a neighbor
+    val part = Similarity.ivfPqTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, cents, books,
+        nProbe = 2, pool = 50)
+      .orderBy($"q_id", $"rank").collect().toSeq
+    assert(part.size === exact.size)
+    val exactScore = exact.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    part.foreach { r =>
+      assert(r.getDouble(3) <=
+        exactScore((r.getLong(0), r.getLong(1))) + 1e-9,
+        s"partial-dial score beat exact at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // a projected-space (narrow) codebook must die on the geometry
+    // check, not prefix-truncate into a plausible wrong assignment
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb.filter($"vec_id" < 5), emb, k = 3,
+        dim = 64, cents.map(_.take(8)), books, nProbe = 2, pool = 50)
+    }
+    assert(e.getMessage.contains("RAW"), e.getMessage)
+  }
+
   test("trained PROJECTED IVF at full probe ≡ projectedTopK (the cell " +
       "partition is result-invisible — q148's gate); wrong-geometry " +
       "codebooks are rejected loudly") {
