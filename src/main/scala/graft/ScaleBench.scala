@@ -165,15 +165,28 @@ object ScaleBench {
         .count()
     }
 
+    // Build-once memos are keyed on the bench SIDE LABEL ("x1"/"xN",
+    // set by the harness right before each side's timed passes) — an
+    // explicit stable key. The previous System.identityHashCode(d) key
+    // was two silent hazards (r15 ADVICE): identity hashes are not
+    // unique, so an x1/xN collision would reuse the WRONG table's
+    // artifact (same dims — no guard fires, just a skewed ratio), and
+    // a table thunk that stopped returning a stable lazy val would
+    // quietly degrade to retrain-per-pass.
+    var sideLabel = "x1"
     // per-table memo for winnow_decontaminate's split point: the
     // two-pass min discipline then times the operator alone (pass 1
     // pays the one-time max scan, pass 2 is clean and wins the min)
-    val decontCuts = scala.collection.mutable.Map.empty[Int, Long]
+    val decontCuts = scala.collection.mutable.Map.empty[String, Long]
     // per-table memo for projected_ivf_trained's codebook: training is
     // build-once (the SketchStore stance) — the timed passes measure
     // the SEARCH, the same boundary q141's hash-cell row measures
     val trainedCells =
-      scala.collection.mutable.Map.empty[Int, Seq[Seq[Double]]]
+      scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
+    // per-table memo for ivf_pq_ann's index artifacts (coarse cells +
+    // PQ codebooks — the same build-once boundary)
+    val pqIndex = scala.collection.mutable.Map
+      .empty[String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])]
 
     val pipelines: Seq[(String, DataFrame => Long, () => DataFrame, () => DataFrame)] = Seq(
       ("agg_q01_shape",
@@ -547,7 +560,7 @@ object ScaleBench {
       // reference slice; the candidate scan dominates)
       ("heldout_lm",
         (d: DataFrame) => {
-          val cut = decontCuts.getOrElseUpdate(System.identityHashCode(d),
+          val cut = decontCuts.getOrElseUpdate(sideLabel,
             d.agg(max(col("doc_id"))).head().getLong(0) / 10 + 1)
           graft.operators.LanguageModel.bigramSurprisalHeldOut(
             d.filter(col("doc_id") < cut),
@@ -583,7 +596,7 @@ object ScaleBench {
           // the timed region pays ONLY the operator (the max(doc_id)
           // scan would otherwise inflate both sides of the very ratio
           // this row exists to compare against winnow_fingerprints)
-          val cut = decontCuts.getOrElseUpdate(System.identityHashCode(d),
+          val cut = decontCuts.getOrElseUpdate(sideLabel,
             d.agg(max(col("doc_id"))).head().getLong(0) / 10 + 1)
           graft.operators.Winnowing.evalOverlap(
             d.filter(col("doc_id") >= cut),
@@ -623,8 +636,7 @@ object ScaleBench {
       // in pass 1 of the raw samples
       ("projected_ivf_trained",
         (d: DataFrame) => {
-          val cents = trainedCells.getOrElseUpdate(
-            System.identityHashCode(d), {
+          val cents = trainedCells.getOrElseUpdate(sideLabel, {
               val proj = graft.operators.Similarity
                 .randomProjection(d, dim = 64, outDim = 16)
               val trained = graft.operators.Similarity.kmeansCentroids(
@@ -648,6 +660,30 @@ object ScaleBench {
             d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
             outDim = 16, nCells = 16, nProbe = 4, pool = 200,
             centroids = Some(cents)).count()
+        },
+        () => emb1, () => embN),
+      // q150's composition at REALISTIC dials (the projected_ivf rows'
+      // nProbe 4/16, pool 200): trained coarse cells prune to ~1/4 of
+      // the corpus AND the survivors cross the cell join as m = 8
+      // one-byte codes scored by ADC table lookup, vs
+      // projected_ivf_trained's 16-double projections scored by a
+      // 16-wide dot. Train (cells + codebooks, one artifact pair) is
+      // BUILD-ONCE (memoized per side — the q148 stance); the timed
+      // search still quantizes the corpus per invocation (the
+      // operator's inline index build). Read the three-way ladder:
+      // pq_ann_pool100 (codes, no cells) → projected_ivf_trained
+      // (cells, no codes) → this row (both).
+      ("ivf_pq_ann",
+        (d: DataFrame) => {
+          val (cents, books) = pqIndex.getOrElseUpdate(sideLabel, {
+            (graft.operators.Similarity.kmeansCentroids(
+                d, nCells = 16, iters = 2, dim = 64),
+              graft.operators.Similarity.pqCodebooks(
+                d, dim = 64, m = 8, nCent = 16, iters = 1))
+          })
+          graft.operators.Similarity.ivfPqTopK(
+            d.filter(col("vec_id") % 37L === 0L), d, k = 8, dim = 64,
+            cents, books, nProbe = 4, pool = 200).count()
         },
         () => emb1, () => embN))
 
@@ -679,7 +715,9 @@ object ScaleBench {
         val bb = time(body); spark.catalog.clearCache()
         math.min(a, bb)
       }
+      sideLabel = "x1"
       val t1 = minOf2(run(b))
+      sideLabel = "xN"
       val tN = minOf2(run(aN))
       println(f"""{"pipeline":"$name","x1_sec":$t1%.2f,"xN_sec":$tN%.2f,"factor":$factor,"ratio":${tN / t1}%.2f}""")
     }

@@ -736,12 +736,44 @@ object Similarity {
   /** PQ code column for a normalized vector: `array<int>` of length m,
     * codes(s) = nearest centroid of subspace s. 8-bit codes compress a
     * 64-dim float vector 32× — the storage/bandwidth lever that makes
-    * billion-vector ANN fit a cluster's memory. */
+    * billion-vector ANN fit a cluster's memory.
+    *
+    * Codegen form: scores land in a per-row array (ONE evaluation of
+    * each dot — `array` + `array_max` + `array_position` are all
+    * codegen'd builtins), argmin = first index attaining the max
+    * biased score, so ties go to the LOWEST cell exactly like
+    * [[l2ArgminCell]]'s stable sort — the two renderings agree on
+    * every input ([[pqCodebooks]]' training keeps the sort form: its
+    * per-iteration cost is one assignment scan, not a per-corpus-row
+    * index build). The sort form measured ~2× this one on the
+    * ivf_pq_ann corpus quantization (interpreted lambda comparator +
+    * per-row struct allocation). */
   private def pqCodes(vec: Column, books: Seq[Seq[Seq[Double]]],
       subDim: Int): Column =
     array(books.zipWithIndex.map { case (cents, s) =>
-      l2ArgminCell(slice(vec, s * subDim + 1, subDim), cents)
+      val sub = slice(vec, s * subDim + 1, subDim)
+      val scored = array(cents.map { c =>
+        val nsq = c.map(x => x * x).sum
+        dot(sub, constVec(c)) * 2 - lit(nsq)
+      }: _*)
+      (array_position(scored, array_max(scored)) - 1).cast("int")
     }: _*)
+
+  /** The ADC score — Σ_s tbl(s)(codes(s)) — as `m` UNROLLED
+    * `element_at` terms instead of the `aggregate(zip_with(...))`
+    * higher-order fold: element_at is a codegen'd builtin, so the
+    * whole candidate scan stays inside WholeStageCodegen with zero
+    * per-row array allocation, where the HOF form ran interpreted and
+    * dominated the scan (measured on the ivf_pq_ann ScaleBench row:
+    * the HOF form was ~2.5× the unrolled one at 16×). Left-to-right
+    * addition order matches the old fold exactly (IEEE `0.0 + x ≡ x`
+    * up to the sign of -0.0, which no comparison here observes).
+    * Shared by [[pqTopK]] and [[ivfPqTopK]] — one rendering of the
+    * lookup arithmetic. */
+  private def adcScore(codes: Column, tbl: Column, m: Int): Column =
+    (0 until m).map(s =>
+        element_at(element_at(tbl, s + 1), element_at(codes, s + 1) + 1))
+      .reduce(_ + _)
 
   /** PQ-ADC top-k search: corpus vectors quantized to `m` small codes;
     * each query precomputes an m×nCent table of subspace dot products
@@ -789,10 +821,7 @@ object Similarity {
     val approx = c.select(col("n_id"), col("codes"))
       .join(qSide.select(col("q_id"), col("tbl")),
         col("q_id") =!= col("n_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("tbl"),
-          (code, t) => element_at(t, code + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcScore(col("codes"), col("tbl"), m))
     val out = rerankTopK(approx, "adc", c, qSide, k, pool)
     c.unpersist()
     q.unpersist()
@@ -850,10 +879,17 @@ object Similarity {
     val subDim = dim / m
     // corpus index build: unit-normalize once, cell + codes as narrow
     // in-row projections; persisted because it feeds the cell join AND
-    // the re-rank hydration join (the pqTopK discipline)
+    // the re-rank hydration join (the pqTopK discipline). The argmax
+    // cell is the codegen'd array_max/array_position form (first
+    // index attaining the max ≡ the stable sort's lowest-cell tie
+    // rule — pqCodes' argument; the interpreted comparator sort cost
+    // ~10% of the whole search at 16×)
     val c = Hydration.persist(unitVectors(corpus, idCol, vecCol)
-      .withColumn("cell", element_at(array_sort(
-        array(cellScores(col("vec"), centroids): _*), cellCmp), 1)("cell"))
+      .withColumn("__cs",
+        array(centroids.map(cn => dot(col("vec"), constVec(cn))): _*))
+      .withColumn("cell",
+        (array_position(col("__cs"), array_max(col("__cs"))) - 1)
+          .cast("int"))
       .withColumn("codes", pqCodes(col("vec"), books, subDim))
       .select(col("id").as("n_id"), col("raw").as("n_raw"),
         col("cell"), col("codes")))
@@ -883,10 +919,7 @@ object Similarity {
         .join(qProbes.hint("shuffle_hash"), Seq("cell"))
     val approx = cellJoined
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("tbl"),
-          (code, t) => element_at(t, code + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcScore(col("codes"), col("tbl"), m))
     val qSide = if (broadcastQ) broadcast(q) else q.hint("shuffle_hash")
     val out = rerankTopK(approx, "adc", c, qSide, k, pool)
     c.unpersist()
