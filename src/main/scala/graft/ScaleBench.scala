@@ -1410,6 +1410,40 @@ object ScaleBench {
       val breakeven = (tBuild + tLoad) /
         math.max(perFull - perPruned, 1e-9)
       println(f"""{"pipeline":"bloom_index_lookup","rows":$n,"files":64,"lookups":${probes.size},"full_per_lookup_sec":$perFull%.3f,"pruned_per_lookup_sec":$perPruned%.3f,"build_sec":$tBuild%.2f,"load_sec":$tLoad%.2f,"speedup":${perFull / perPruned}%.2f,"breakeven_lookups":$breakeven%.1f}""")
+
+      // ---- index APPEND vs full rebuild: one ingestion batch lands
+      // (~3% of the lake — the realistic per-batch ratio), making the
+      // index stale. The day-2 choice: appendBloomIndex scans ONLY the
+      // new files + the existing (tiny) words table; the rebuild
+      // re-scans the whole lake. Pass = the appended index is
+      // WORD-IDENTICAL to a rebuild on the union (per-file words are
+      // independent — the LakeBloomIndexSpec contract, at scale) and
+      // lookups stay exact across old and new keys. ----
+      val newN = n / 32 // ~3% of rows, landing as 2 new files
+      spark.range(n, n + newN)
+        .select($"id", (lit(100000L) + $"id" % 1000L).as("key"),
+          ($"id" * 31L % 997L).as("payload"))
+        .repartition(2, $"key")
+        .write.mode("append").parquet(s"$dir/data")
+      val tAppendB = time(graft.sources.Lake.appendBloomIndex(
+        spark, s"$dir/data", "key", s"$dir/idx"))
+      val tRebuildB = time(graft.sources.Lake.buildBloomIndex(
+        spark, s"$dir/data", "key", s"$dir/idx_rebuilt",
+        numBits = 1 << 20))
+      val wA = spark.read.parquet(s"$dir/idx/words")
+      val wR = spark.read.parquet(s"$dir/idx_rebuilt/words")
+      require(wA.exceptAll(wR).isEmpty && wR.exceptAll(wA).isEmpty,
+        "appended bloom index must hold the rebuild's exact words")
+      val idx2 = graft.sources.Lake.loadBloomIndex(
+        spark, s"$dir/data", s"$dir/idx", "key")
+      // one old key (now spans old+new files? no — new keys are
+      // disjoint at +100000) and one new-file-only key, both exact
+      require(idx2.read(4242L).count() == fullLookup(4242L),
+        "old key lookup diverged after append")
+      require(idx2.read(100007L).count() == fullLookup(100007L) &&
+        idx2.read(100007L).count() > 0L,
+        "new-file key lookup diverged after append")
+      println(f"""{"pipeline":"bloom_index_append","new_rows":$newN,"lake_rows":${n + newN},"append_sec":$tAppendB%.2f,"rebuild_sec":$tRebuildB%.2f,"speedup":${tRebuildB / tAppendB}%.2f}""")
     }
     }
     spark.stop()

@@ -569,6 +569,19 @@ object Lake {
     val df = spark.read.parquet(dataPath)
     val files = df.inputFiles.sorted
     require(files.nonEmpty, s"bloom index: no data files under $dataPath")
+    stageBloomIndex(spark, indexPath,
+      bloomWordsFor(df, keyCol, numBits, numHashes),
+      files, keyCol, numBits, numHashes)
+  }
+
+  /** The sparse `(file, word_idx, bits)` word rows for `data` — ONE
+    * rendering of the probe-position arithmetic, shared by
+    * [[buildBloomIndex]] and [[appendBloomIndex]] (a probe-bit change
+    * landing in one writer and not the other would make appended
+    * files silently unfindable). Built with map-side `bit_or`
+    * combine; the driver never sees key counts. */
+  private def bloomWordsFor(data: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): DataFrame = {
     val bits = graft.operators.Bloom
       .probeBits(indexKeyHash(col("k")), numBits, numHashes)
       .map { pos =>
@@ -576,19 +589,32 @@ object Lake {
           call_function("shiftleft", lit(1L),
             pos.bitwiseAND(lit(63L)).cast("int")).as("mask"))
       }
-    val tmp = indexPath.stripSuffix("/") + "__building"
-    df.select(input_file_name().as("file"), col(keyCol).as("k"))
+    data.select(input_file_name().as("file"), col(keyCol).as("k"))
       .where(col("k").isNotNull)
       .select(col("file"), explode(array(bits: _*)).as("b"))
       .groupBy(col("file"), col("b.word_idx"))
       .agg(expr("bit_or(b.mask)").as("bits"))
-      .write.mode("overwrite").parquet(s"$tmp/words")
+  }
+
+  /** The artifact-commit tail shared by [[buildBloomIndex]] and
+    * [[appendBloomIndex]] — ONE rendering of the crash discipline
+    * (stage under `__building`, words first, meta LAST, atomic
+    * [[swapInto]]): no crash point leaves a valid stamp over torn
+    * words, and the old index serves readers until the swap. The
+    * words plan is EXECUTED by the staged write before the swap
+    * touches the old index, so an append's read-from-the-old-index
+    * lineage is safe. */
+  private def stageBloomIndex(spark: SparkSession, indexPath: String,
+      words: DataFrame, files: Seq[String], keyCol: String,
+      numBits: Int, numHashes: Int): Unit = {
+    val tmp = indexPath.stripSuffix("/") + "__building"
+    words.write.mode("overwrite").parquet(s"$tmp/words")
     // one meta row per indexed file: the reader's staleness check is a
     // set compare against the CURRENT listing — a file added after the
     // build (absent here) or removed (present here, gone there) fails
     // loudly instead of silently missing rows / probing ghosts
     import spark.implicits._
-    files.toSeq.toDF("file")
+    files.toDF("file")
       .withColumn("version", lit(1))
       .withColumn("key_col", lit(keyCol))
       .withColumn("hash_domain", lit("xxhash64:cast-string"))
@@ -596,6 +622,62 @@ object Lake {
       .withColumn("num_hashes", lit(numHashes))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     swapInto(spark, indexPath, tmp)
+  }
+
+  /** Index the data files that landed at `dataPath` AFTER the existing
+    * index was built — the day-2 operation the staleness contract
+    * otherwise forces a FULL rebuild for (one ingested file → the
+    * loud `STALE` failure at load → re-scan the whole lake). The
+    * append scans ONLY the new files (per-file Bloom words are
+    * independent, so file-set union commutes with the build — append
+    * ≡ rebuild-on-union, spec-`require`d) plus one parquet scan of
+    * the existing words table; cost is O(new data) + O(index size),
+    * vs the rebuild's O(all data). The
+    * [[graft.operators.Winnowing.appendToFingerprintIndex]]
+    * discipline end-to-end: the existing stamp is re-validated FIRST
+    * (wrong key column / hash domain / geometry would poison the
+    * index into silent false negatives — append refuses), ghosts
+    * (indexed files no longer in the data) still fail loudly (the
+    * data shrank under the index; an append cannot repair that —
+    * rebuild), and the result is staged + atomically swapped with
+    * meta written last. A no-op append (index already current) is an
+    * error: the caller thought new data existed. */
+  def appendBloomIndex(spark: SparkSession, dataPath: String,
+      keyCol: String, indexPath: String): Unit = {
+    val meta = spark.read.parquet(s"$indexPath/meta")
+    val head = meta.select("version", "key_col", "hash_domain",
+      "num_bits", "num_hashes").distinct().collect()
+    require(head.length == 1,
+      s"bloom index: inconsistent meta stamps at $indexPath")
+    val m = head.head
+    require(m.getInt(0) == 1,
+      s"bloom index: version ${m.getInt(0)} unsupported (want 1)")
+    require(m.getString(1) == keyCol,
+      s"bloom index at $indexPath indexes '${m.getString(1)}', " +
+        s"appending '$keyCol' keys would poison it — wrong index")
+    require(m.getString(2) == "xxhash64:cast-string",
+      s"bloom index: hash domain '${m.getString(2)}' is not this " +
+        "writer's — appended words would be silent false negatives")
+    val (numBits, numHashes) = (m.getInt(3), m.getInt(4))
+    graft.operators.Bloom.checkGeometry(numBits, numHashes)
+    val indexed = meta.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val current = spark.read.parquet(dataPath).inputFiles.toSet
+    val ghosts = indexed -- current
+    require(ghosts.isEmpty,
+      s"bloom index at $indexPath has ${ghosts.size} indexed ghost " +
+        "file(s) — the data shrank under the index; an append cannot " +
+        "repair that, rebuild")
+    val newFiles = (current -- indexed).toSeq.sorted
+    require(newFiles.nonEmpty,
+      s"bloom index at $indexPath is already current with $dataPath — " +
+        "nothing to append (the caller expected new data files)")
+    val newWords = bloomWordsFor(
+      spark.read.option("basePath", dataPath).parquet(newFiles: _*),
+      keyCol, numBits, numHashes)
+    stageBloomIndex(spark, indexPath,
+      spark.read.parquet(s"$indexPath/words").unionByName(newWords),
+      (indexed ++ newFiles).toSeq.sorted, keyCol, numBits, numHashes)
   }
 
   /** A loaded index: stamp validated, staleness checked, and the

@@ -93,6 +93,69 @@ class LakeBloomIndexSpec extends SparkSpec {
     } finally cleanup(base)
   }
 
+  test("append: new files indexed ≡ full rebuild (word-for-word); " +
+      "lookups stay exact across old and new keys; no-op, wrong-key, " +
+      "and ghost appends are refused loudly") {
+    val base = scratch("blidx_append")
+    try {
+      val rows1 = (1L to 1000L).map(i => (i, i % 40))
+      rows1.toDF("id", "key").repartition(4, $"key")
+        .write.parquet(s"$base/data")
+      Lake.buildBloomIndex(spark, s"$base/data", "key", s"$base/idx",
+        numBits = 1 << 12, numHashes = 5)
+      // a no-op append means the caller's premise (new data landed)
+      // is wrong — refused, not silently succeeded
+      val noop = intercept[IllegalArgumentException] {
+        Lake.appendBloomIndex(spark, s"$base/data", "key", s"$base/idx")
+      }
+      assert(noop.getMessage.contains("already current"), noop.getMessage)
+      // a new batch lands: keys 40..49 exist ONLY in the new files
+      val rows2 = (2001L to 2500L).map(i => (i, 40 + i % 10))
+      rows2.toDF("id", "key").repartition(2, $"key")
+        .write.mode("append").parquet(s"$base/data")
+      intercept[IllegalArgumentException] { // plain reader: stale
+        Lake.readWithBloomIndex(spark, s"$base/data", s"$base/idx",
+          "key", 5L)
+      }
+      Lake.appendBloomIndex(spark, s"$base/data", "key", s"$base/idx")
+      // append ≡ rebuild-on-union: the WORDS TABLES are identical
+      // row-for-row (per-file words are independent, bit_or is
+      // order-free), not just lookup-equivalent
+      Lake.buildBloomIndex(spark, s"$base/data", "key", s"$base/idx2",
+        numBits = 1 << 12, numHashes = 5)
+      val a = spark.read.parquet(s"$base/idx/words")
+        .as[(String, Int, Long)].collect().toSet
+      val b = spark.read.parquet(s"$base/idx2/words")
+        .as[(String, Int, Long)].collect().toSet
+      assert(a === b)
+      val all = rows1 ++ rows2
+      for (k <- Seq(5L, 39L, 45L)) {
+        val got = Lake.readWithBloomIndex(spark, s"$base/data",
+            s"$base/idx", "key", k)
+          .select($"id", $"key").as[(Long, Long)].collect().toSet
+        assert(got === all.filter(_._2 == k).toSet, s"key $k")
+      }
+      // appending under the wrong key column would poison the index
+      val wrong = intercept[IllegalArgumentException] {
+        Lake.appendBloomIndex(spark, s"$base/data", "id", s"$base/idx")
+      }
+      assert(wrong.getMessage.contains("wrong index"), wrong.getMessage)
+      // a ghost (data shrank under the index) is rebuild territory —
+      // a fresh new file must not mask it
+      val fs = new org.apache.hadoop.fs.Path(s"$base/data")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val one = spark.read.parquet(s"$base/data").inputFiles.head
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new java.net.URI(one).getPath), false)
+      Seq((9999L, 7L)).toDF("id", "key").coalesce(1)
+        .write.mode("append").parquet(s"$base/data")
+      val ghost = intercept[IllegalArgumentException] {
+        Lake.appendBloomIndex(spark, s"$base/data", "key", s"$base/idx")
+      }
+      assert(ghost.getMessage.contains("ghost"), ghost.getMessage)
+    } finally cleanup(base)
+  }
+
   test("staleness and stamp mismatches fail loudly: appended file, " +
       "removed file, wrong key column") {
     val base = scratch("blidx_stale")
