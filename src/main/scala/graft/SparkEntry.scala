@@ -177,6 +177,8 @@ object SparkEntry {
     "q149_stream_decon_ttl" ->
       (StreamingQueries.q149StreamDeconTtl _),
     "q150_ivf_pq_ann"     -> (Analytics.q150IvfPqAnn _),
+    "q151_pipeline_heldout_reweight" ->
+      (TrainingData.q151PipelineHeldoutReweight _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -532,5 +534,10 @@ object SparkEntry {
     // the oracle is q94's brute-force replay verbatim (the q148←q135
     // reuse pattern; partial-probe gains measured in ScaleBench).
     "q150_ivf_pq_ann"     -> Analytics.q94Sql,
+    // q151: the curated pipeline with held-out domain REWEIGHTING as
+    // the balancing stage — q147's chain + LM CTEs verbatim, the
+    // fixed quota swapped for q146's weight/apportion fragments over
+    // the band survivors + the per-source quota-prefix selection.
+    "q151_pipeline_heldout_reweight" -> TrainingData.q151Sql,
   )
 }

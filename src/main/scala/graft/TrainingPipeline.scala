@@ -43,6 +43,19 @@ object Balance {
     * ([[graft.operators.Sampling.weightedSamplePerKey]]). */
   final case class Weighted(keyCol: String, weightCol: String, n: Int)
     extends Balance
+  /** PER-KEY quotas computed IN the pipeline by the held-out domain
+    * reweighter ([[graft.operators.LanguageModel
+    * .domainReweightHeldOut]] — DoReMi's deployment shape): each
+    * domain's share of `budget` docs ∝ how hard its surviving text is
+    * for the model trained on the reference corpus
+    * (`TrainingPipeline.prepare`'s `reweightTrain`, REQUIRED with
+    * this mode), applied by [[graft.operators.Sampling
+    * .quotaPerKeyFrom]]'s hash-ordered prefix selection. `maxQuota`
+    * bounds the per-key selection state (any apportioned quota above
+    * it fails loudly); `scale` is the reweighter's integer surprisal
+    * scale. */
+  final case class Reweighted(keyCol: String, budget: Long,
+    maxQuota: Int, scale: Long = 10000L) extends Balance
 }
 
 object TrainingPipeline {
@@ -72,6 +85,12 @@ object TrainingPipeline {
     * shape — junk in the corpus cannot shape the model that filters
     * it; requires `surprisalBand`). Both run on the
     * clean corpus, before balancing — see the stage comments.
+    * `balance = Some(Balance.Reweighted(...))` + `reweightTrain =
+    * Some(reference)` makes the balancing stage compute its per-domain
+    * quotas IN the pipeline from the held-out reweighter (DoReMi's
+    * shape — each domain's doc budget ∝ its difficulty for the
+    * reference-trained model), applied as hash-ordered prefix
+    * selection; the two arguments are required together.
     *
     * Guard dials (the composed form of the per-operator ones, so a
     * 100 TB caller controls recall loss without unrolling the
@@ -104,12 +123,23 @@ object TrainingPipeline {
       winnowMinShared: Int = 2,
       surprisalBand: Option[(Int, Int)] = None,
       bandTrain: Option[DataFrame] = None,
+      reweightTrain: Option[DataFrame] = None,
       maxBucket: Int = HotBuckets.DefaultCap,
       strictBuckets: Boolean = false,
       instrument: Boolean = false): DataFrame = {
     require(bandTrain.isEmpty || surprisalBand.nonEmpty,
       "bandTrain supplies the band stage's reference corpus — passing " +
         "it without surprisalBand would silently score nothing")
+    val wantsReweight =
+      balance.exists(_.isInstanceOf[Balance.Reweighted])
+    require(reweightTrain.isEmpty || wantsReweight,
+      "reweightTrain supplies Balance.Reweighted's reference corpus — " +
+        "passing it with any other balance mode would silently weight " +
+        "nothing")
+    require(!wantsReweight || reweightTrain.nonEmpty,
+      "Balance.Reweighted computes quotas from a HELD-OUT model — pass " +
+        "the reference corpus as reweightTrain (self-scored difficulty " +
+        "is biased toward dominant domains; see domainReweight)")
     def marked(df: DataFrame, stage: String): DataFrame =
       if (instrument) mark(df, stage) else df
     // 1. quality gate: drop empty/degenerate docs before paying for
@@ -260,6 +290,25 @@ object TrainingPipeline {
       case Balance.Weighted(key, weightCol, n) =>
         marked(Sampling.weightedSamplePerKey(banded, key, "doc_id",
           weightCol, n), "domain_weighted")
+      // 8b. held-out reweighted quotas (Balance.Reweighted +
+      //     reweightTrain): per-domain quotas come from how hard each
+      //     domain's SURVIVING text (masked, span-cut, deduped,
+      //     decontaminated, banded) is for the reference-trained
+      //     model — DoReMi's shape composed into the chain. Scoring
+      //     the banded corpus (not the raw intake) is deliberate:
+      //     quotas must weight the docs that will actually train.
+      //     The reweighter + the selection + the semi-join all fan
+      //     out over the banded chain, and apportion's shard folds
+      //     are EAGER at plan-build time — pinned like the band
+      //     stage's input (same LRU/conf discipline).
+      case Balance.Reweighted(key, budget, maxQ, scale) =>
+        val pinned = graft.operators.Hydration.persist(banded)
+        val quotas = graft.operators.LanguageModel
+          .domainReweightHeldOut(reweightTrain.get, pinned,
+            groupCol = key, budget = budget, scale = scale)
+          .select(col(key), col("quota"))
+        marked(Sampling.quotaPerKeyFrom(pinned, key, "doc_id", quotas,
+          maxQ), "domain_reweighted")
     }
     // 9. sequence packing into context windows (two-level prefix sum).
     //    packSequences consumes its input THREE times (bounds, shard
@@ -292,7 +341,7 @@ object TrainingPipeline {
   val Stages: Seq[String] = Seq("intake", "quality", "span_floor",
     "corpus_dedup", "semantic_collapse", "decontaminate",
     "winnow_decontaminate", "surprisal_band", "domain_quota",
-    "domain_topk", "domain_weighted", "output")
+    "domain_topk", "domain_weighted", "domain_reweighted", "output")
 
   // ---- per-stage row accounting (instrument = true) ----------------
   // Dataset.observe metrics harvested by a QueryExecutionListener into

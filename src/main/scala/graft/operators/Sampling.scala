@@ -120,6 +120,61 @@ object Sampling {
           col(idCol).cast("long"), n).as("__ids")))
   }
 
+  /** [[quotaPerKey]] with PER-KEY quotas — the selection half of a
+    * mixture plan: `quotas` (one row per key: `keyCol`, `quota`) says
+    * how many docs each domain may keep (the
+    * [[graft.operators.Mixture.apportion]] /
+    * [[graft.operators.LanguageModel.domainReweight]] output shape),
+    * and each key keeps its FIRST `quota(key)` rows of the same
+    * deterministic hash order [[quotaPerKey]] uses — selection under
+    * quota q is exactly the q-prefix of the uniform quota's order, so
+    * `quotaPerKeyFrom` with every quota = n ≡ `quotaPerKey(n)`
+    * (spec-pinned), and raising one domain's quota only ADDS rows.
+    *
+    * Scale shape: the same bounded-aggregate no-window plan as
+    * [[quotaPerKey]] with `maxQuota` pairs of state (map-side partial
+    * combine — a billion-row dominant key never sorts in one task),
+    * then one broadcast join against the keys-scale quota frame and a
+    * per-key array slice. `maxQuota` is the CALLER's state bound: any
+    * quota above it fails LOUDLY row-side (a silent truncation would
+    * under-fill exactly the domains the mixture weighted up). A
+    * quota of 0 keeps nothing for that key; a key ABSENT from
+    * `quotas` keeps nothing either (the apportion output enumerates
+    * every weighted key — an absent key has no quota, and silently
+    * passing it through would overshoot the budget); quotas larger
+    * than a key's row count keep every row (quota is a cap, not a
+    * fill target). `idCol` integral + unique per key, as in
+    * [[quotaPerKey]]. */
+  def quotaPerKeyFrom(df: DataFrame, keyCol: String, idCol: String,
+      quotas: DataFrame, maxQuota: Int): DataFrame = {
+    require(maxQuota > 0,
+      s"quotaPerKeyFrom needs a positive state bound, got $maxQuota")
+    requireIntegralId(df, idCol, "quotaPerKeyFrom")
+    val q = quotas.select(col(keyCol).as("__qk"),
+      col("quota").cast("long").as("__quota"))
+    val capped = when(col("__quota").isNull || col("__quota") < 0L,
+        raise_error(concat(lit("quotaPerKeyFrom: key "),
+          col(keyCol).cast("string"),
+          lit(" has a null/negative quota "),
+          col("__quota").cast("string"))).cast("long"))
+      .when(col("__quota") > maxQuota,
+        raise_error(concat(lit("quotaPerKeyFrom: key "),
+          col(keyCol).cast("string"), lit(" quota "),
+          col("__quota").cast("string"),
+          lit(s" exceeds the maxQuota=$maxQuota state bound — raise " +
+            "maxQuota (selection state is O(maxQuota) per key)")))
+          .cast("long"))
+      .otherwise(col("__quota"))
+    val sel = df.groupBy(col(keyCol))
+      .agg(graft.functions.BoundedMinIds.boundedMinIds(
+        portableHash48(col(idCol).cast("string")),
+        col(idCol).cast("long"), maxQuota).as("__all"))
+      .join(broadcast(q), col(keyCol) <=> col("__qk"), "inner")
+      .select(col(keyCol),
+        slice(col("__all"), lit(1), capped.cast("int")).as("__ids"))
+    semiJoinSelected(df, keyCol, idCol, sel)
+  }
+
   /** Deterministic per-key TOP-K by score — the quality-curation twin
     * of [[quotaPerKey]]: keep the `n` BEST rows of each `keyCol` group
     * ranked by `scoreCol` descending (ties broken by ascending id), in

@@ -1096,10 +1096,15 @@ object TrainingData {
        |  SELECT * FROM survivors
        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged))""".stripMargin
 
-  /** The rank-band → quota → pack → split tail shared by the q143 and
-    * q147 oracles — consumes whichever `lmdoc` (per-doc q_avg) the
-    * variant's LM block produced. */
-  private val curatedBandTail: String = {
+  /** The rank-band → quota → pack → split tail shared by the q143,
+    * q147, and q151 oracles — consumes whichever `lmdoc` (per-doc
+    * q_avg) the variant's LM block produced; `quotaCtes` is the
+    * variant's balancing block (must end in a CTE named `quota` with
+    * (doc_id, source, n_tokens, lang_pred) — the fixed-15 default for
+    * q143/q147, the held-out reweighter for q151), so the band/pack/
+    * split arithmetic has exactly ONE rendering across the pipeline
+    * family. */
+  private def curatedTail(quotaCtes: String): String = {
     val h = graft.operators.Sampling.portableHash48Sql(
       "CAST(doc_id AS VARCHAR)")
     s"""ranked AS (
@@ -1111,12 +1116,7 @@ object TrainingData {
        |banded AS (
        |  SELECT doc_id, source, n_tokens, lang_pred FROM ranked
        |  WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100),
-       |quota AS (
-       |  SELECT doc_id, source, n_tokens, lang_pred FROM (
-       |    SELECT doc_id, source, n_tokens, lang_pred, row_number() OVER (
-       |      PARTITION BY source ORDER BY $h, doc_id) AS rn
-       |    FROM banded)
-       |  WHERE rn <= 15),
+       |$quotaCtes,
        |packed AS (
        |  SELECT doc_id, source, n_tokens, lang_pred,
        |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1126,6 +1126,18 @@ object TrainingData {
        |  CASE WHEN $h % 100 < 95 THEN 'train' ELSE 'test' END AS split
        |FROM packed
        |ORDER BY doc_id""".stripMargin
+  }
+
+  private val curatedBandTail: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    curatedTail(
+      s"""quota AS (
+         |  SELECT doc_id, source, n_tokens, lang_pred FROM (
+         |    SELECT doc_id, source, n_tokens, lang_pred, row_number() OVER (
+         |      PARTITION BY source ORDER BY $h, doc_id) AS rn
+         |    FROM banded)
+         |  WHERE rn <= 15)""".stripMargin)
   }
 
   val q143Sql: String =
@@ -1185,10 +1197,13 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
-  val q147Sql: String =
-    s"""WITH RECURSIVE
-       |$curatedChainCtes,
-       |hbt AS (
+  /** The held-out LM block shared VERBATIM by the q147 and q151
+    * oracles (reference-trained smoothed bigram model scoring the
+    * winnow-clean corpus's rebuilt text — per-bigram `lmscored`,
+    * per-doc `lmdoc`): one rendering, so a smoothing fix cannot land
+    * in the band oracle and miss the reweight one. */
+  private val heldoutPipelineLmCtes: String =
+    s"""hbt AS (
        |  SELECT string_split_regex(trim(text), '\\s+') AS l
        |  FROM documents, cut WHERE doc_id < cut.c AND text IS NOT NULL),
        |hbg AS (SELECT l[i] AS a, l[i + 1] AS b
@@ -1217,8 +1232,87 @@ object TrainingData {
        |  CROSS JOIN hvoc),
        |lmdoc AS (
        |  SELECT doc_id, CAST(sum(q) AS DOUBLE) / count(*) AS q_avg
-       |  FROM lmscored GROUP BY 1),
+       |  FROM lmscored GROUP BY 1)""".stripMargin
+
+  val q147Sql: String =
+    s"""WITH RECURSIVE
+       |$curatedChainCtes,
+       |$heldoutPipelineLmCtes,
        |$curatedBandTail""".stripMargin
+
+  /** q151: the curated pipeline with HELD-OUT domain reweighting as
+    * the balancing stage ([[graft.Balance.Reweighted]] +
+    * `reweightTrain` — DoReMi's shape composed into the chain): q147's
+    * 11 stages verbatim, but the fixed per-source quota (15) is
+    * replaced by quotas APPORTIONED from how hard each source's
+    * SURVIVING text is for the reference-trained model
+    * ([[graft.operators.LanguageModel.domainReweightHeldOut]] over the
+    * banded corpus → [[graft.operators.Sampling.quotaPerKeyFrom]]'s
+    * hash-ordered prefix selection). The oracle shares q147's chain
+    * CTEs and LM block VERBATIM and swaps only the quota block:
+    * q146's integer weight/largest-remainder fragments computed from
+    * `lmscored` restricted to the band survivors, then the per-source
+    * rn ≤ quota(source) prefix — the whole 11-stage composition plus
+    * the in-pipeline mixture replays in one statement. Same all-pairs
+    * stance as q83/q143/q147 (driver gates at sf0.01). */
+  def q151PipelineHeldoutReweight(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.TrainingPipeline.prepare(
+        docs.filter($"doc_id" >= cut),
+        budget = 2048L,
+        jaccardThreshold = 0.5,
+        trainPct = 95,
+        spanWords = 10,
+        balance = Some(graft.Balance.Reweighted("source",
+          budget = 150L, maxQuota = 150)),
+        winnowEval = Some(docs.filter($"doc_id" < cut)),
+        surprisalBand = Some((5, 95)),
+        bandTrain = Some(docs.filter($"doc_id" < cut)),
+        reweightTrain = Some(docs.filter($"doc_id" < cut)))
+      .select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens"),
+        $"lang_pred", $"pack_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val q151Sql: String = {
+    val h = graft.operators.Sampling.portableHash48Sql(
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE
+       |$curatedChainCtes,
+       |$heldoutPipelineLmCtes,
+       |${curatedTail(
+      s"""rwdoc AS (
+         |  SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(l.q) AS BIGINT) AS q_total
+         |  FROM lmscored l JOIN banded b USING (doc_id) GROUP BY 1),
+         |rwpk AS (SELECT b.source AS key,
+         |         (CAST(sum(p.q_total) AS BIGINT) * 10000)
+         |           // CAST(sum(p.n_bigrams) AS BIGINT) AS w
+         |       FROM rwdoc p JOIN banded b USING (doc_id) GROUP BY 1),
+         |rwt AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM rwpk),
+         |rwa AS (SELECT key, w,
+         |        (CAST(150 AS HUGEINT) * w) // rwt.tw AS base,
+         |        (CAST(150 AS HUGEINT) * w) % rwt.tw AS rem
+         |      FROM rwpk CROSS JOIN rwt),
+         |rwl AS (SELECT 150 - sum(base) AS leftover FROM rwa),
+         |rwrk AS (SELECT key, base, rem,
+         |         row_number() OVER (ORDER BY rem DESC, key) AS rnk
+         |       FROM rwa),
+         |rwq AS (SELECT key AS source,
+         |        CAST(base + CASE WHEN rnk <= rwl.leftover THEN 1 ELSE 0
+         |          END AS BIGINT) AS quota
+         |      FROM rwrk CROSS JOIN rwl),
+         |quota AS (
+         |  SELECT doc_id, source, n_tokens, lang_pred FROM (
+         |    SELECT b.doc_id, b.source, b.n_tokens, b.lang_pred, q.quota,
+         |      row_number() OVER (PARTITION BY b.source
+         |        ORDER BY $h, b.doc_id) AS rn
+         |    FROM banded b JOIN rwq q USING (source))
+         |  WHERE rn <= quota)""".stripMargin)}""".stripMargin
+  }
 
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below

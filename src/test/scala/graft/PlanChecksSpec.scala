@@ -125,14 +125,15 @@ class PlanChecksSpec extends SparkSpec {
     // (one row per slice) — bounded by slice count, intended
     // q106's NLJ broadcasts a ONE-row corpus token total — linear,
     // intended (q79's shape)
-    // q138/q145/q146/q147's NLJ broadcasts a ONE-row train-vocabulary
-    // total — linear, intended (q79's shape; inherited through
-    // bigramSurprisalHeldOut, q147 via the pipeline's bandTrain stage)
+    // q138/q145/q146/q147/q151's NLJ broadcasts a ONE-row train-
+    // vocabulary total — linear, intended (q79's shape; inherited
+    // through bigramSurprisalHeldOut, q147 via the pipeline's
+    // bandTrain stage, q151 via bandTrain + Balance.Reweighted)
     val intendedNlj =
       Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
         "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
         "q145_heldout_band", "q146_heldout_reweight",
-        "q147_pipeline_heldout_band")
+        "q147_pipeline_heldout_band", "q151_pipeline_heldout_reweight")
     try {
       for ((name, fn) <- SparkEntry.queries if !intendedNlj(name)) {
         // ONE build per query: fn is not free — pipeline queries run

@@ -35,11 +35,12 @@ class PlanQualitySpec extends SparkSpec {
     // q138/q145/q146/q147 broadcast a ONE-row train-vocabulary total
     // against the candidate bigram stream — the same linear 1-row
     // class (all inherit it through bigramSurprisalHeldOut; q147
-    // through the pipeline's bandTrain stage)
+    // through the pipeline's bandTrain stage, q151 through bandTrain
+    // AND the reweighted balancing stage)
     Set("q24_ann_topk", "q60_multimodal_ann", "q79_corpus_divergence",
       "q85_kmv_overlap", "q106_collocations", "q138_heldout_surprisal",
       "q145_heldout_band", "q146_heldout_reweight",
-      "q147_pipeline_heldout_band")
+      "q147_pipeline_heldout_band", "q151_pipeline_heldout_reweight")
 
   test("q28 band self-join reuses the signature shuffle stage (the no-cache contract)") {
     // the SimHash pair join deliberately does NOT cache its signature

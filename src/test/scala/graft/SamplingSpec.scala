@@ -53,6 +53,40 @@ class SamplingSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("quotaPerKeyFrom: uniform quotas ≡ quotaPerKey; per-key quotas " +
+      "are prefixes of the same hash order (0 / absent keep nothing, " +
+      "over-availability keeps all); an over-bound quota fails loudly") {
+    val df = (1L to 300L).map(i => (i, s"d${i % 3}")).toDF("id", "key")
+    val uni = Seq(("d0", 7L), ("d1", 7L), ("d2", 7L)).toDF("key", "quota")
+    val a = Sampling.quotaPerKeyFrom(df, "key", "id", uni, maxQuota = 7)
+      .select($"id").as[Long].collect().toSet
+    val b = Sampling.quotaPerKey(df, "key", "id", 7)
+      .select($"id").as[Long].collect().toSet
+    assert(a === b)
+    // varying quotas: d0 capped at 2, d1 zeroed, d2 ABSENT (no quota
+    // → keeps nothing — the apportion-output contract), and the kept
+    // set is a PREFIX of the uniform selection's per-key order
+    val vary = Seq(("d0", 2L), ("d1", 0L)).toDF("key", "quota")
+    val v = Sampling.quotaPerKeyFrom(df, "key", "id", vary, maxQuota = 7)
+    assert(v.groupBy($"key").count().as[(String, Long)].collect().toMap
+      === Map("d0" -> 2L))
+    assert(v.select($"id").as[Long].collect().toSet.subsetOf(a))
+    // a quota above availability keeps the whole group (cap, not fill)
+    val over = Sampling.quotaPerKeyFrom(df, "key", "id",
+      Seq(("d0", 500L)).toDF("key", "quota"), maxQuota = 500)
+    assert(over.count() === 100L)
+    // a quota past the declared state bound fails LOUDLY (silent
+    // truncation would under-fill the very keys the mixture raised)
+    val e = intercept[Exception] {
+      Sampling.quotaPerKeyFrom(df, "key", "id",
+        Seq(("d0", 8L)).toDF("key", "quota"), maxQuota = 7).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxQuota")), msgs(e).mkString("; "))
+  }
+
   test("quotaPerKey: a quota at or above the group size keeps the whole group") {
     assert(Sampling.quotaPerKey(docs, "source", "doc_id", 1000000).count()
       === docs.count())

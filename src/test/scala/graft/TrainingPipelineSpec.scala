@@ -106,8 +106,8 @@ class TrainingPipelineSpec extends SparkSpec {
     // "ran"); everything else reports
     val expected = TrainingPipeline.Stages
       .filterNot(Set("semantic_collapse", "domain_quota",
-        "domain_topk", "domain_weighted", "winnow_decontaminate",
-        "surprisal_band"))
+        "domain_topk", "domain_weighted", "domain_reweighted",
+        "winnow_decontaminate", "surprisal_band"))
     val deadline = System.currentTimeMillis + 10000
     def counts = TrainingPipeline.stageCounts(spark).toMap
     while (counts.size < expected.size &&
@@ -315,6 +315,53 @@ class TrainingPipelineSpec extends SparkSpec {
       TrainingPipeline.prepare(docs, bandTrain = Some(reference))
     }
     assert(e.getMessage.contains("surprisalBand"), e.getMessage)
+  }
+
+  test("held-out reweighted balancing (Balance.Reweighted + " +
+      "reweightTrain): the held-out-HARDER domain gets the larger " +
+      "in-pipeline quota, the kept total hits the budget exactly, and " +
+      "the mode's contract guards fire") {
+    // easy domain: English-function-word scaffolding with doc-unique
+    // content words, and the REFERENCE carries these exact texts 50×
+    // — every easy bigram is train-seen with high counts, so the
+    // reference-trained model finds the domain cheap
+    def easy(j: Int): String =
+      s"the n${j}a of n${j}b and n${j}c is n${j}d " +
+        s"the n${j}e a n${j}f of n${j}g and n${j}h"
+    // hard domain: 16 doc-unique tokens — every bigram AND context is
+    // reference-OOV, the held-out ceiling
+    def hard(j: Int): String =
+      (0 until 16).map(t => s"zq${j}x$t").mkString(" ")
+    val docs = (
+      (1L to 20L).map(j => (j, easy(j.toInt), "en", "easy", 1L)) ++
+      (21L to 40L).map(j => (j, hard(j.toInt), "und", "hard", 1L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val reference = (1L to 20L).flatMap(j => (0 until 50).map(c =>
+        (10000L + j * 50 + c, easy(j.toInt))))
+      .toDF("doc_id", "text")
+    val kept = TrainingPipeline.prepare(docs, spanWords = 0,
+        balance = Some(Balance.Reweighted("source", budget = 10L,
+          maxQuota = 10)),
+        reweightTrain = Some(reference))
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    // both domains offer 20 docs and both quotas are < 20, so the
+    // apportioned quotas BIND and the kept total is the budget exactly
+    assert(kept.length === 10, kept.mkString(","))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("hard", 0) > bySrc.getOrElse("easy", 0),
+      s"the held-out-harder domain must out-quota the easy one: $bySrc")
+    // contract guards: the mode and its reference are required TOGETHER
+    val e1 = intercept[IllegalArgumentException] {
+      TrainingPipeline.prepare(docs, spanWords = 0,
+        balance = Some(Balance.Reweighted("source", 10L, 10)))
+    }
+    assert(e1.getMessage.contains("reweightTrain"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingPipeline.prepare(docs, spanWords = 0,
+        domainQuota = Some(("source", 5)),
+        reweightTrain = Some(reference))
+    }
+    assert(e2.getMessage.contains("Reweighted"), e2.getMessage)
   }
 
   test("packs are contiguous in doc order and near-budget") {
