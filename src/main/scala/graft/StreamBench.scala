@@ -24,6 +24,13 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional state-store provider override (set
+    // SPARK_GRAFT_STATE_PROVIDER to the RocksDBStateStoreProvider
+    // class name) so the ev/s row can be measured under the 100 TB
+    // deployment's state backend, not just the on-heap default —
+    // RocksDbStateStoreSpec gates correctness under the same dial
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
