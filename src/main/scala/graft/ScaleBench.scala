@@ -49,15 +49,33 @@ object ScaleBench {
     require(sections.nonEmpty && sections.subsetOf(ValidSections),
       s"unknown section(s) ${sections -- ValidSections}: valid are " +
         ValidSections.mkString(", ") + " — a typo would silently bench nothing")
-    // optional third arg: comma-separated pipeline-NAME filter (only
-    // rows whose name is listed run) — iterate on one new row without
-    // paying the whole sweep; unknown names fail loudly below
+    // optional third arg: comma-separated NAME filter — selects
+    // pipeline rows (pipelines section) and/or guard blocks (guards
+    // section). Iterate on one new row without paying the whole sweep
+    // (the 64× octave runs need winnow_index_lifecycle WITHOUT the
+    // factor-scaled 1B-row bloom_index build); unknown names fail
+    // loudly below.
     val nameFilter = args.lift(2).map(_.split(',').toSet)
-    // a name filter only selects PIPELINE rows — passing one to a
-    // guards-only run would silently bench nothing of what was asked,
-    // the exact failure mode the sections guard above rejects
-    require(nameFilter.isEmpty || sections("pipelines"),
-      "a pipeline-name filter requires the 'pipelines' section")
+    // guard BLOCK names (each may print several pipeline lines — the
+    // block is the unit of selection); kept in main so the unknown-name
+    // check can validate against the union of both sections' names
+    val guardNames = Set(
+      "hot_bucket_guard_degenerate", "span_dedup_mega_span",
+      "apportion_1m_keys", "triangles_megastar", "pagerank_rank_join",
+      "quota_hot_domain", "topk_hot_domain", "weighted_hot_domain",
+      "bm25_stopword_query", "stream_neardup_capped_hot_bucket",
+      "containment_guard_recall", "index_lifecycle_4_batches",
+      "windowed_quantiles_preflight", "sketch_artifact_lifecycle",
+      "winnow_index_lifecycle", "rollup_maintenance", "bloom_index")
+    // a guards-only run validates its filter here (the pipelines
+    // section validates against the union when it runs)
+    if (!sections("pipelines")) nameFilter.foreach { f =>
+      require((f -- guardNames).isEmpty,
+        s"unknown guard name(s) ${f -- guardNames}: valid are " +
+          guardNames.toSeq.sorted.mkString(", "))
+    }
+    // a filtered run selects a guard block iff its name is listed
+    def guardOn(name: String): Boolean = nameFilter.forall(_(name))
 
     // ---- tables (materialized to parquet so both runs read from disk
     // with the same access path). The 1× documents baseline is shared
@@ -688,10 +706,10 @@ object ScaleBench {
         () => emb1, () => embN))
 
     nameFilter.foreach { f =>
-      val unknown = f -- pipelines.map(_._1).toSet
+      val unknown = f -- pipelines.map(_._1).toSet -- guardNames
       require(unknown.isEmpty,
-        s"unknown pipeline name(s) $unknown — a typo would silently " +
-          "bench nothing")
+        s"unknown pipeline/guard name(s) $unknown — a typo would " +
+          "silently bench nothing")
     }
     val selected = nameFilter
       .map(f => pipelines.filter(p => f(p._1))).getOrElse(pipelines)
@@ -733,6 +751,7 @@ object ScaleBench {
     // in normal time, emit the cluster's 9 999 verified star pairs
     // (NOT zero: a drop would let the whole cluster through a dedup),
     // and warn-log the mass (graft_hot_buckets_star above). ----
+    if (guardOn("hot_bucket_guard_degenerate")) {
     val degen = spark.range(10000)
       .select($"id".as("doc_id"),
         lit("the same degenerate boilerplate text repeated across " +
@@ -741,6 +760,7 @@ object ScaleBench {
     val tGuard = time(graft.operators.Dedup
       .minHashDupPairs(degen, 0.5, maxBucket = 1000).count())
     println(f"""{"pipeline":"hot_bucket_guard_degenerate","sec":$tGuard%.2f,"planted":10000,"cap":1000}""")
+    }
 
     // ---- span dedup under a PLANTED corpus-wide mega-span: 1M docs
     // all opening with the SAME 10-token boilerplate chunk (plus a
@@ -753,6 +773,7 @@ object ScaleBench {
     // aggregate-shaped time, and doc 0 alone keeping the boilerplate. ----
     // EXACTLY spanWords (10) tokens, so every doc's chunk 0 is this
     // span verbatim and chunk 1 is its unique tail
+    if (guardOn("span_dedup_mega_span")) {
     val boiler = "all rights reserved legal copyright notice template " +
       "header boilerplate words"
     val megaSpan = spark.range(1000000L).select($"id".as("doc_id"),
@@ -766,12 +787,14 @@ object ScaleBench {
       require(keepers == 1L, s"mega-span must keep exactly 1 owner, got $keepers")
     }
     println(f"""{"pipeline":"span_dedup_mega_span","sec":$tSpan%.2f,"planted":1000000,"span_copies":1000000}""")
+    }
 
     // ---- largest-remainder apportionment at 1M KEYS: the remainder
     // rank is the two-level sharded pattern, so a keys-scale weights
     // frame must apportion in aggregate+window-shaped time with the
     // exact-sum contract intact (a global row_number window would
     // sort all 1M remainders in one task). ----
+    if (guardOn("apportion_1m_keys")) {
     val tApp = time {
       val ws = spark.range(1000000L)
         .select($"id".cast("string").as("k"), ($"id" % 1000L + 1L).as("w"))
@@ -782,6 +805,7 @@ object ScaleBench {
         s"apportion must hit the budget exactly, got $total")
     }
     println(f"""{"pipeline":"apportion_1m_keys","sec":$tApp%.2f,"keys":1000000,"budget":1000000000000}""")
+    }
 
     // ---- quota sampling under a PLANTED mega-domain: 1M rows all in
     // ONE source key (the web-crawl shape: a single dominant domain).
@@ -799,6 +823,7 @@ object ScaleBench {
     // ranks the hub HIGHEST, so it receives every spoke edge and emits
     // ZERO wedges — pass = join-shaped time and exactly the planted
     // triangle's three corners. ----
+    if (guardOn("triangles_megastar")) {
     val tTri = time {
       val spokes = spark.range(2L, 1000002L)
         .select(lit(1L).as("src"), $"id".as("dst"))
@@ -810,6 +835,7 @@ object ScaleBench {
         s"mega-star must yield exactly the planted triangle: $corners")
     }
     println(f"""{"pipeline":"triangles_megastar","sec":$tTri%.2f,"planted":1000000,"triangles":1}""")
+    }
 
     // ---- PageRank broadcast-rank fallback probe (the Graph.scala
     // revisit note, quantified): the iteration join broadcasts the
@@ -820,6 +846,7 @@ object ScaleBench {
     // join against the returned (localCheckpointed, so size-accurate)
     // rank table — the 100× story as a measured number, not a code
     // comment. ----
+    if (guardOn("pagerank_rank_join"))
     for ((label, nNodes) <- Seq(("under_10mb", 200000L),
         ("over_10mb", 3000000L))) {
       val chain = spark.range(nNodes - 1L)
@@ -843,6 +870,7 @@ object ScaleBench {
       println(f"""{"pipeline":"pagerank_rank_join_$label","sec":$tPr%.2f,"nodes":$nNodes,"edges":${nNodes - 1},"iters":3,"rank_join":"$mode"}""")
     }
 
+    if (guardOn("quota_hot_domain")) {
     val tQuota = time {
       val kept = graft.operators.Sampling
         .quotaPerKey(megaDomain, "source", "doc_id", 100)
@@ -853,6 +881,7 @@ object ScaleBench {
       require(kept("tail.example") == 100L, s"tail domain off-quota: $kept")
     }
     println(f"""{"pipeline":"quota_hot_domain","sec":$tQuota%.2f,"planted":1000000,"quota":100}""")
+    }
 
     // ---- top-k-by-score under the SAME planted mega-domain: the
     // score-ordered twin must show the same aggregate shape (a
@@ -861,6 +890,7 @@ object ScaleBench {
     // scores and the ascending-id tiebreak is load-bearing: pass =
     // exactly k survivors AND exactly the k smallest ids of the top
     // score band (score 96 → ids ≡ 96 mod 97, ascending). ----
+    if (guardOn("topk_hot_domain")) {
     val tTopK = time {
       val kept = graft.operators.Sampling
         .topKPerKey(megaDomain
@@ -874,6 +904,7 @@ object ScaleBench {
           s"got ${kept.take(5)}... (${kept.size} rows)")
     }
     println(f"""{"pipeline":"topk_hot_domain","sec":$tTopK%.2f,"planted":1000000,"k":100}""")
+    }
 
     // ---- weighted sample under the SAME planted mega-domain: the
     // soft-preference member of the family must show the same
@@ -883,6 +914,7 @@ object ScaleBench {
     // reference computed on the same frame (a one-off global
     // sort+limit here in the harness; the OPERATOR is what must never
     // sort the hot key in one task). ----
+    if (guardOn("weighted_hot_domain")) {
     val tWeighted = time {
       val weighted = megaDomain
         .withColumn("w", ($"doc_id" % 5 + 1).cast("double"))
@@ -901,6 +933,7 @@ object ScaleBench {
           s"${kept.take(5)}... vs ${expect.take(5)}...")
     }
     println(f"""{"pipeline":"weighted_hot_domain","sec":$tWeighted%.2f,"planted":1000000,"k":100}""")
+    }
 
     // ---- BM25 under a PLANTED stopword query: a term present in
     // EVERY one of 200k docs makes the candidate set the entire
@@ -911,6 +944,7 @@ object ScaleBench {
     // results, and the deterministic winners: every doc matches ONLY
     // the stopword with tf=1 and identical dl, so scores tie
     // corpus-wide and the doc_id tiebreak must select ids 0..k−1. ----
+    if (guardOn("bm25_stopword_query")) {
     val tBm25 = time {
       val stopCorpus = spark.range(200000L)
         .select($"id".as("doc_id"),
@@ -923,6 +957,7 @@ object ScaleBench {
         s"stopword top-k must be ids 0..9 by the tiebreak, got $got")
     }
     println(f"""{"pipeline":"bm25_stopword_query","sec":$tBm25%.2f,"planted":200000,"k":10}""")
+    }
 
     // ---- streaming near-dup under a PLANTED over-cap bucket: 20k
     // byte-identical docs stream into the SAME 7 band buckets. Unbound,
@@ -933,7 +968,7 @@ object ScaleBench {
     // drain is linear in the stream. Pass = bounded pair count
     // (20·19/2 + 19 980·20 per band, deduped across bands) and
     // completing in stream-floor time. ----
-    {
+    if (guardOn("stream_neardup_capped_hot_bucket")) {
       implicit val sqlCtx = spark.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
@@ -975,7 +1010,7 @@ object ScaleBench {
     // conservative loss, now MEASURED instead of asserted. Overall
     // recall = capped pairs / uncapped pairs quantifies how much of
     // the uncapped answer was boilerplate-driven. ----
-    {
+    if (guardOn("containment_guard_recall")) {
       val nPairs = 1000
       val boiler = (0 until 32).map(i => s"b$i").mkString(" ")
       val content = spark.range(nPairs.toLong).select(
@@ -1030,7 +1065,7 @@ object ScaleBench {
     // count per batch (replayed half dropped, new half kept), index
     // growth exactly Σ accepted, and the pre-lifecycle file listing
     // (name → (bytes, mtime)) unchanged after all four ingestions. ----
-    {
+    if (guardOn("index_lifecycle_4_batches")) {
       val idxDir = s"$scratch/corpus_index_lifecycle"
       val idxPath = new org.apache.hadoop.fs.Path(idxDir)
       val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1088,7 +1123,7 @@ object ScaleBench {
     // is a recorded number, not a guess. Pass = identical row counts
     // with and without preflight (the dial is result-invisible on an
     // in-bounds domain). ----
-    {
+    if (guardOn("windowed_quantiles_preflight")) {
       val ev = Tables.events(spark, sf)
       ev.count() // warm the scan path so the delta is the extra pass
       val tOff = time(graft.operators.WindowedQuantiles.quantiles(
@@ -1129,7 +1164,7 @@ object ScaleBench {
       println(f"""{"pipeline":"$name","batches":$nBatches,"rebuild_sec":$tRebuild%.2f,"build_once_sec":$tBuild%.2f,"probe_sec":$tProbe%.2f,"reuse_speedup":${tRebuild / (tBuild + tProbe)}%.2f,"marginal_speedup":${marginalRebuild / marginalProbe}%.2f,"breakeven_batches":$breakeven%.1f}""")
     }
 
-    {
+    if (guardOn("sketch_artifact_lifecycle")) {
       val artDir = s"$scratch/sketch_artifact_lifecycle"
       val artPath = new org.apache.hadoop.fs.Path(artDir)
       val afs = artPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1214,18 +1249,23 @@ object ScaleBench {
     // batch dwarfs a parquet read of the selected set. Pass = the
     // probe path flags the identical doc set (q140's invisibility
     // contract) and beats rebuilds on marginal cost. ----
-    {
+    if (guardOn("winnow_index_lifecycle")) {
       val wDir = s"$scratch/winnow_index_lifecycle"
       val wPath = new org.apache.hadoop.fs.Path(wDir)
       val wfs = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       wfs.delete(wPath, true)
-      // eval docs: 40k docs × 60 id-salted tokens (fingerprints are
-      // disjoint across ids); batch docs: 2k docs × 12 tokens, half
-      // of them REPLAYING an eval doc's first 12 tokens (≥ w+k−1 run
-      // → flagged by the detection guarantee)
+      // eval docs: 2500 × factor docs of 60 id-salted tokens each
+      // (fingerprints are disjoint across ids) — the heavy EVAL side
+      // scales with the amplification factor so the octave ladder
+      // means something for this family (16× reproduces the
+      // historical fixed 40k-doc size; 64× is the 160k tier); batch
+      // docs: 2k docs × 12 tokens, half of them REPLAYING an eval
+      // doc's first 12 tokens (≥ w+k−1 run → flagged by the
+      // detection guarantee)
       def evalText(idc: org.apache.spark.sql.Column) = concat_ws(" ", (0 until 60).map(j =>
         concat(lit(s"t$j"), idc * (2 * j + 1))): _*)
-      val evalDocs = spark.range(40000L)
+      val evalN = 2500L * factor
+      val evalDocs = spark.range(evalN)
         .select($"id".as("doc_id"), evalText($"id").as("text"))
       def cleanText(idc: org.apache.spark.sql.Column) = concat_ws(" ", (0 until 12).map(j =>
         concat(lit(s"c$j"), idc * (2 * j + 3))): _*)
@@ -1238,7 +1278,11 @@ object ScaleBench {
         .select($"id".as("doc_id"), cleanText($"id").as("text"))
         .unionByName(spark.range(b * halfW, (b + 1) * halfW)
           .select(($"id" + 2000000L).as("doc_id"),
-            contamText($"id").as("text")))
+            // mod keeps the replayed id inside the eval corpus at
+            // every factor (12 batches × 1000 could exceed a small
+            // evalN); each contaminated doc still replays SOME eval
+            // doc, so the flagged count per batch stays halfW
+            contamText($"id" % evalN).as("text")))
       var rebuildFlagged = 0L
       val tRebuildW = time {
         (0 until nBatchesW).foreach { b =>
@@ -1273,7 +1317,8 @@ object ScaleBench {
       // docs. Pass = the two indexes hold the IDENTICAL fingerprint
       // set (append ≡ rebuild-on-union, the WinnowingSpec contract, at
       // scale) and the append wins on wall-clock. ----
-      val newSuite = spark.range(40000L, 42000L)
+      val newSuiteN = evalN / 20 // 5% of the accumulated eval corpus
+      val newSuite = spark.range(evalN, evalN + newSuiteN)
         .select($"id".as("doc_id"), evalText($"id").as("text"))
       val tAppend = time {
         graft.operators.Winnowing
@@ -1290,7 +1335,7 @@ object ScaleBench {
       require(appFps.exceptAll(rebFps).isEmpty &&
         rebFps.exceptAll(appFps).isEmpty,
         "appended index must hold the rebuild's exact fingerprint set")
-      println(f"""{"pipeline":"winnow_index_append","new_docs":2000,"eval_docs":40000,"append_sec":$tAppend%.2f,"rebuild_sec":$tFullRebuild%.2f,"speedup":${tFullRebuild / tAppend}%.2f}""")
+      println(f"""{"pipeline":"winnow_index_append","new_docs":$newSuiteN,"eval_docs":$evalN,"append_sec":$tAppend%.2f,"rebuild_sec":$tFullRebuild%.2f,"speedup":${tFullRebuild / tAppend}%.2f}""")
     }
 
     // ---- materialized rollup maintenance: a persisted daily rollup
@@ -1302,7 +1347,7 @@ object ScaleBench {
     // to the final recompute's (the merge-algebra gate, at scale,
     // after N real merge generations) and the incremental path's
     // marginal batch cost beats the recompute's.
-    {
+    if (guardOn("rollup_maintenance")) {
       val dir = s"$scratch/rollup_maintenance"
       val rPath = new org.apache.hadoop.fs.Path(dir)
       val rfs = rPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1377,7 +1422,7 @@ object ScaleBench {
     // ONCE, probe repeatedly — a one-shot lookup pays the load and
     // loses at small scale, the rollup-floor lesson). Breakeven counts
     // the lookups that pay off build + load. Exactness required. ----
-    {
+    if (guardOn("bloom_index")) {
       val dir = s"$scratch/bloom_index"
       val n = 16000000L * factor
       // key clustered by hash into files, ids scattered — the lookup

@@ -39,7 +39,13 @@ import org.apache.spark.sql.SparkSession
   * suppressed throwable instead (the body's failure is the diagnosis;
   * a secondary delete error replacing it would hide the real bug).
   * If the body succeeded, a cleanup failure does propagate (a leaked
-  * scratch dir on a happy path should be loud). */
+  * scratch dir on a happy path should be loud) — wrapped in an
+  * `IllegalStateException` whose message states that THE BODY'S
+  * EFFECTS ARE ALREADY COMMITTED (its writes, upserts, or returned
+  * value's side effects happened before cleanup ran), with the delete
+  * error as the cause. Callers treating the call as all-or-nothing
+  * must NOT blindly re-run on this exception: the work is done, only
+  * the scratch directory leaked. */
 object Scratch {
   def withTempDir[T](spark: SparkSession, prefix: String)
       (body: String => T): T = {
@@ -62,7 +68,14 @@ object Scratch {
       } catch {
         case cleanup: Throwable =>
           if (primary != null) primary.addSuppressed(cleanup)
-          else throw cleanup
+          // happy path: the body SUCCEEDED, so its effects are already
+          // committed — say so in the exception, or a caller that
+          // treats this as "the work failed" double-runs committed
+          // work (r15 ADVICE)
+          else throw new IllegalStateException(
+            s"scratch cleanup failed AFTER the body succeeded — the " +
+            s"body's effects are already committed; do not re-run. " +
+            s"Leaked scratch dir: $dir", cleanup)
       }
     }
   }

@@ -97,7 +97,18 @@ object EsSink {
   }
 
   /** Batch write: every executor partition posts its own bulk chunks
-    * (with bounded-backoff retry per chunk). */
+    * (with bounded-backoff retry per chunk).
+    *
+    * FAILURE CONTRACT (pinned by the failure-injection specs in
+    * UtilitySpec): a chunk that fails permanently (4xx) or exhausts
+    * the retry budget FAILS ITS TASK LOUDLY — chunks that partition
+    * already posted are NOT rolled back (ES bulk has no transaction).
+    * Spark's task retry then re-posts the WHOLE partition; with ES
+    * auto-assigned ids the re-posts are duplicate documents, never
+    * corruption — the same at-least-once contract as the reference's
+    * driver-side bulk loop. Exactly-once requires caller-controlled
+    * deterministic `_id`s, which the reference's schema (and so this
+    * sink) does not use. */
   def write(df: DataFrame, index: String,
       nodes: String = "http://localhost:9200",
       transport: Transport = httpTransport,

@@ -154,6 +154,72 @@ class UtilitySpec extends SparkSpec {
     assert(!golden.contains("_id") && sent.forall(!_._2.contains("_id")))
   }
 
+  test("EsSink.write failure injection: a permanent mid-bulk rejection " +
+      "fails the job loudly AFTER earlier chunks landed — the " +
+      "at-least-once partial-write surface, pinned") {
+    // the golden-bytes spec covers the happy path; this one injects a
+    // failure MID-BULK (chunk 2 of several) and pins the contract: the
+    // error SURFACES (a silently partial index is the bug), the chunks
+    // posted before it are not rolled back, and a permanent 400 is
+    // never retried. ES auto-ids make the subsequent task-level
+    // re-post duplicates, not corruption (write()'s scaladoc).
+    UtilitySpec.esPayloads.clear()
+    UtilitySpec.esCalls.set(0)
+    val df = (1 to 30).map(i => (i.toLong, "x" * 50)).toDF("id", "pad")
+      .coalesce(1) // one partition → deterministic chunk order
+    val failing: EsSink.Transport = (url, p) => {
+      if (UtilitySpec.esCalls.incrementAndGet() == 2)
+        throw EsSink.EsHttpError(400) // mapping/parse: permanent
+      UtilitySpec.esPayloads.add((url, p)); ()
+    }
+    val e = intercept[Exception] {
+      EsSink.write(df, "quakes", transport = failing, maxBytes = 400)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("HTTP 400")),
+      s"the bulk rejection must surface, got: ${msgs(e).mkString(" | ")}")
+    // exactly the pre-failure prefix landed: chunk 1 only (no retry of
+    // a permanent error would have grown the call count past the
+    // failing attempt within this task attempt)
+    val delivered = UtilitySpec.esPayloads.toArray
+      .map(_.asInstanceOf[(String, String)]).toSeq
+    assert(delivered.size >= 1, "the chunk accepted before the failure stays posted")
+    val idsSent = delivered.flatMap(_._2.linesIterator)
+      .flatMap("\"id\":(\\d+)".r.findAllMatchIn(_)).map(_.group(1).toInt)
+    assert(idsSent.nonEmpty && idsSent.max < 30,
+      s"a mid-bulk failure must leave a strict PREFIX posted, got max id ${idsSent.max}")
+  }
+
+  test("EsSink.write failure injection: a transient mid-bulk 429 heals " +
+      "in place — every document delivered exactly once") {
+    UtilitySpec.esPayloads.clear()
+    UtilitySpec.esCalls.set(0)
+    val df = (1 to 30).map(i => (i.toLong, "x" * 50)).toDF("id", "pad")
+      .coalesce(1)
+    // chunk 2's FIRST attempt is rejected with bulk-queue pressure;
+    // the in-sink retry re-posts the same chunk and the job completes
+    // with no duplicate documents (the failed attempt never reached
+    // the collector — exactly the broker-side semantics of a rejected
+    // bulk request).
+    val flaky: EsSink.Transport = (url, p) => {
+      if (UtilitySpec.esCalls.incrementAndGet() == 2)
+        throw EsSink.EsHttpError(429)
+      UtilitySpec.esPayloads.add((url, p)); ()
+    }
+    EsSink.write(df, "quakes", transport = flaky, maxBytes = 400,
+      retryAttempts = 3)
+    val idCounts = UtilitySpec.esPayloads.toArray
+      .map(_.asInstanceOf[(String, String)]).toSeq
+      .flatMap(_._2.linesIterator)
+      .flatMap("\"id\":(\\d+)".r.findAllMatchIn(_)).map(_.group(1).toInt)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(idCounts.keySet === (1 to 30).toSet,
+      s"all 30 documents must land, got ${idCounts.keySet.size}")
+    assert(idCounts.values.forall(_ === 1),
+      "a retried chunk must not double-deliver (the rejected attempt never landed)")
+  }
+
   test("normalizeEventTs: µs timestamps normalize exactly; post-2262 " +
       "values FAIL instead of wrapping ts_ns negative") {
     import java.sql.Timestamp
@@ -208,4 +274,5 @@ class UtilitySpec extends SparkSpec {
 
 object UtilitySpec {
   val esPayloads = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  val esCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
