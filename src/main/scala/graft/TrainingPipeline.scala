@@ -303,10 +303,27 @@ object TrainingPipeline {
       //     stage's input (same LRU/conf discipline).
       case Balance.Reweighted(key, budget, maxQ, scale) =>
         val pinned = graft.operators.Hydration.persist(banded)
-        val quotas = graft.operators.LanguageModel
+        val quotaPlan = graft.operators.LanguageModel
           .domainReweightHeldOut(reweightTrain.get, pinned,
             groupCol = key, budget = budget, scale = scale)
           .select(col(key), col("quota"))
+        // quotas is keys-scale (one row per domain) and apportion has
+        // already driver-folded its remainder ranks, yet its PLAN
+        // carries the whole reweight DAG (LM scoring, model joins,
+        // apportion windows). Downstream, quotaPerKeyFrom broadcasts
+        // the frame and packSequences' documented three consumers each
+        // re-execute the selection plan — measured fully-CACHED: the
+        // quota subtree cost ~1.4 s PER ACTION in AQE stage scheduling
+        // alone (dozens of sequential query stages over 20 rows), ~7 s
+        // of pure overhead across the composition. Materializing the
+        // keys-scale rows as a LOCAL relation (the same driver-bounded
+        // class as apportion's own shard fold, and no more than the
+        // broadcast downstream already ships) cuts every later action
+        // to a literal scan. Bit-identical: the rows ARE the quota
+        // frame; only the plan depth changes.
+        val quotas = pinned.sparkSession.createDataFrame(
+          java.util.Arrays.asList(quotaPlan.collect(): _*),
+          quotaPlan.schema)
         marked(Sampling.quotaPerKeyFrom(pinned, key, "doc_id", quotas,
           maxQ), "domain_reweighted")
     }

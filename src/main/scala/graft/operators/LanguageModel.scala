@@ -318,8 +318,18 @@ object LanguageModel {
           lit("domainReweight: domain "), col("key"),
           lit(s" sums $scale-scaled surprisal past int64 — widen to " +
             "decimal or lower scale"))).cast(LongType))
-    val weights = grouped.select(col("key"), col("n_docs"),
-      wCol.cast(LongType).as("w"))
+    // weights is keys-scale (one row per domain) but its LINEAGE is
+    // the whole per-doc scoring subtree (bigram explosion over the
+    // candidate corpus + model joins). Apportion's documented contract
+    // is THREE actions over its input (bounds pass, shard-stat fold,
+    // the returned plan) and pipeline callers broadcast the quota
+    // frame in a fourth — unpinned, the scoring subtree re-executed
+    // per action (measured: q151's composed reweight stage cost
+    // 7.9 s vs 4.1 s for the standalone reweight). Pinned, it
+    // executes once; the cache holds #domains rows (same hydration
+    // conf discipline as every pin).
+    val weights = Hydration.persist(grouped.select(col("key"),
+      col("n_docs"), wCol.cast(LongType).as("w")))
     Mixture.apportion(weights.select(col("key"), col("w")),
         "key", "w", budget)
       .join(weights.select(col("key"), col("n_docs")), "key")
