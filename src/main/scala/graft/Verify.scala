@@ -12,6 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Deep composed plans + AQE stall the DRIVER without this: every
+      // AQE stage completion posts a SQL-UI plan update whose string
+      // the driver renders AND regex-redacts in full — measured at the
+      // 64x octave: 30+ min at ~1 core in generateTreeString/redact
+      // before the first row printed (same lesson on a 1000-executor
+      // cluster: the driver, not the executors, was the bottleneck).
+      // 32 KB keeps plan strings debuggable and bounds the per-update
+      // rendering cost.
+      .config("spark.sql.maxPlanStringLength", "32768")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
