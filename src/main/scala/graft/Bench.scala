@@ -153,8 +153,16 @@ object Bench {
     // build. `run_note` carries a free-form load annotation.
     val floorRun = sys.env.get("SPARK_GRAFT_FLOOR_RUN")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    // control chars (a newline/tab pasted into the env var) would
+    // break the one-line JSON contract the driver's tail capture and
+    // BENCH_full_latest.json consumers parse — flatten them to spaces
+    // AFTER the quote/backslash escapes (order is load-bearing: the
+    // escapes introduce no control chars, and escaping after
+    // flattening would be equivalent; flattening must simply not be
+    // skippable)
     val runNote = sys.env.getOrElse("SPARK_GRAFT_RUN_NOTE", "")
       .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ")
     val ctx = s""""floor_run":$floorRun,"run_note":"$runNote","passes":$passes"""
     val fullLine = s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,$ctx,"queries_failed":$broken,"failed_passes":$failedPasses,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}"""
     println(fullLine)

@@ -871,11 +871,20 @@ object ScaleBench {
       val probe = chain.join(
         ranks.withColumnRenamed("node", "src"), "src")
       probe.count()
-      val plan = probe.queryExecution.executedPlan.toString
-      val mode =
-        if (plan.contains("BroadcastHashJoin")) "broadcast"
-        else if (plan.contains("SortMergeJoin")) "sort_merge"
-        else "other"
+      // match on the plan TREE, not its rendered string: plan strings
+      // are capped (spark.sql.maxPlanStringLength) and a truncation
+      // before the join node would misreport the mode (r16 ADVICE)
+      val finalPlan = probe.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val mode = finalPlan.collectFirst {
+        case _: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => "broadcast"
+        case _: org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec => "sort_merge"
+      }.getOrElse("other")
       println(f"""{"pipeline":"pagerank_rank_join_$label","sec":$tPr%.2f,"nodes":$nNodes,"edges":${nNodes - 1},"iters":3,"rank_join":"$mode"}""")
     }
 

@@ -325,11 +325,18 @@ object LanguageModel {
     // the returned plan) and pipeline callers broadcast the quota
     // frame in a fourth — unpinned, the scoring subtree re-executed
     // per action (measured: q151's composed reweight stage cost
-    // 7.9 s vs 4.1 s for the standalone reweight). Pinned, it
-    // executes once; the cache holds #domains rows (same hydration
-    // conf discipline as every pin).
-    val weights = Hydration.persist(grouped.select(col("key"),
-      col("n_docs"), wCol.cast(LongType).as("w")))
+    // 7.9 s vs 4.1 s for the standalone reweight). Materializing the
+    // #domains rows as a LOCAL relation (the same driver-bounded class
+    // as apportion's own shard fold, and no more than the broadcast
+    // downstream already ships) executes the subtree exactly once and
+    // leaves NOTHING persisted — a session-lifetime cache pin here
+    // leaked one entry per reweight call (r16 ADVICE), and every later
+    // action now reads a literal scan instead of a cached subtree.
+    val weightPlan = grouped.select(col("key"), col("n_docs"),
+      wCol.cast(LongType).as("w"))
+    val weights = perDoc.sparkSession.createDataFrame(
+      java.util.Arrays.asList(weightPlan.collect(): _*),
+      weightPlan.schema)
     Mixture.apportion(weights.select(col("key"), col("w")),
         "key", "w", budget)
       .join(weights.select(col("key"), col("n_docs")), "key")

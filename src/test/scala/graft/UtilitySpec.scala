@@ -179,16 +179,24 @@ class UtilitySpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("HTTP 400")),
       s"the bulk rejection must surface, got: ${msgs(e).mkString(" | ")}")
-    // exactly the pre-failure prefix landed: chunk 1 only (no retry of
-    // a permanent error would have grown the call count past the
-    // failing attempt within this task attempt)
+    // the permanent 400 was NOT retried: exactly two transport calls
+    // happened — chunk 1 (landed) and chunk 2's single failing attempt.
+    // This is the assertion that actually pins the no-retry contract;
+    // the intercept alone would also pass under a retrying regression.
+    assert(UtilitySpec.esCalls.get === 2,
+      s"a permanent 400 must not be retried, saw ${UtilitySpec.esCalls.get} transport calls")
+    // exactly the pre-failure prefix landed: chunk 1 only, and its ids
+    // are the CONTIGUOUS prefix 1..max — a hole or a post-failure id
+    // would mean the sink reordered or kept posting past the rejection
     val delivered = UtilitySpec.esPayloads.toArray
       .map(_.asInstanceOf[(String, String)]).toSeq
-    assert(delivered.size >= 1, "the chunk accepted before the failure stays posted")
+    assert(delivered.size === 1, "exactly the chunk accepted before the failure stays posted")
     val idsSent = delivered.flatMap(_._2.linesIterator)
       .flatMap("\"id\":(\\d+)".r.findAllMatchIn(_)).map(_.group(1).toInt)
     assert(idsSent.nonEmpty && idsSent.max < 30,
       s"a mid-bulk failure must leave a strict PREFIX posted, got max id ${idsSent.max}")
+    assert(idsSent === (1 to idsSent.max),
+      s"the posted ids must be the contiguous prefix 1..${idsSent.max}, got $idsSent")
   }
 
   test("EsSink.write failure injection: a transient mid-bulk 429 heals " +
