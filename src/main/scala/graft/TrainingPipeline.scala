@@ -60,6 +60,36 @@ object Balance {
 
 object TrainingPipeline {
 
+  /** How [[prepare]] materializes its macro-stage boundaries (the
+    * clean corpus feeding winnowing, the winnow-clean corpus feeding
+    * the band scorer, the banded corpus feeding balancing, the
+    * balanced corpus feeding packing):
+    *
+    *  - `local` (default) — `localCheckpoint(eager = true)`: the
+    *    boundary executes once, is held as partition blocks, and the
+    *    LINEAGE IS TRUNCATED. This is the plan-DEPTH dial, not just a
+    *    recompute dial: one Catalyst plan carrying all 11 stages costs
+    *    the DRIVER hundreds of KB of plan rendering + AQE re-planning
+    *    per stage update (measured: 228-405 KB plan strings, in-suite
+    *    q147 samples 20× its isolated floor) — truncation caps every
+    *    action's plan at one macro-stage. Same-box cost is one extra
+    *    block write per boundary; results are bit-identical (the
+    *    boundary holds exactly the rows the lazy plan computes).
+    *  - `none` — [[graft.operators.Hydration.persist]] at the same
+    *    points (the pre-r17 shape): full lineage retained, useful when
+    *    a caller needs the composed plan inspectable end-to-end
+    *    (PlanQualitySpec's sweep) or wants the hydration conf to
+    *    govern storage.
+    *
+    * 100 TB note: `localCheckpoint` blocks are executor-local — an
+    * executor loss kills the job (lineage is gone). On a real cluster
+    * a long pipeline sets `spark.checkpoint.dir` territory instead:
+    * replace the boundary with `checkpoint(eager = true)` (reliable
+    * storage) or stage to parquet (the q95ZorderSkipping pattern) —
+    * same truncation, fault-tolerant. The conf keeps that swap a
+    * one-line policy change, not a pipeline rewrite. */
+  val StageCheckpointConf = "spark.graft.pipeline.stageCheckpoint"
+
   /** The transform chain, exposed for tests (no I/O). Returns the
     * packed, split corpus: one row per kept document with lang,
     * n_tokens, pack_id, and split columns.
@@ -142,6 +172,20 @@ object TrainingPipeline {
         "is biased toward dominant domains; see domainReweight)")
     def marked(df: DataFrame, stage: String): DataFrame =
       if (instrument) mark(df, stage) else df
+    // macro-stage boundary: materialize-and-TRUNCATE under the default
+    // `local` policy (see [[StageCheckpointConf]] — the plan-depth cap
+    // that keeps an 11-stage composition from shipping one 400 KB plan
+    // to every AQE stage update), or the classic hydration pin under
+    // `none` (full lineage, for plan-inspection callers). Every call
+    // site below fans out over its input, so both policies execute the
+    // upstream chain exactly once.
+    val stagePolicy = docs.sparkSession.conf
+      .get(StageCheckpointConf, "local")
+    require(stagePolicy == "local" || stagePolicy == "none",
+      s"$StageCheckpointConf must be 'local' or 'none', got $stagePolicy")
+    def stagePin(df: DataFrame): DataFrame =
+      if (stagePolicy == "local") df.localCheckpoint(true)
+      else graft.operators.Hydration.persist(df)
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs
@@ -223,13 +267,13 @@ object TrainingPipeline {
     //     (a contaminated cluster survivor must drop even if its
     //     duplicates already did).
     // both new stages FAN OUT over their input (fingerprint pass +
-    // anti-join; LM train + score + join-back) — without a hydration
-    // pin each consumer would recompute the whole upstream chain
+    // anti-join; LM train + score + join-back) — without a boundary
+    // each consumer would recompute the whole upstream chain
     // (quality → mask → span → LSH dedup), measured ~4× the composed
-    // pipeline's cost; the pin holds the CLEAN corpus once (LRU-
-    // evicted after the job, the sparseCosineTopK discipline)
+    // pipeline's cost; stagePin holds the CLEAN corpus once and (under
+    // `local`) caps the plan every downstream action carries
     val winnowed = winnowEval.fold(cleaned) { ev =>
-      val pinned = graft.operators.Hydration.persist(cleaned)
+      val pinned = stagePin(cleaned)
       val flagged = graft.operators.Winnowing
         .evalOverlap(pinned, ev, minShared = winnowMinShared)
         .select(col("doc_id"))
@@ -257,7 +301,7 @@ object TrainingPipeline {
     //     only): the reference is curated ground truth, not cleanup
     //     input.
     val banded = surprisalBand.fold(winnowed) { case (lo, hi) =>
-      val pinned = graft.operators.Hydration.persist(winnowed)
+      val pinned = stagePin(winnowed)
       val kept = bandTrain.fold(
           graft.operators.LanguageModel.surprisalBandFilter(
             pinned, groupCol = "lang_pred", lowPct = lo, highPct = hi))(
@@ -299,10 +343,10 @@ object TrainingPipeline {
       //     quotas must weight the docs that will actually train.
       //     The reweighter + the selection + the semi-join all fan
       //     out over the banded chain, and apportion's shard folds
-      //     are EAGER at plan-build time — pinned like the band
-      //     stage's input (same LRU/conf discipline).
+      //     are EAGER at plan-build time — boundary-pinned like the
+      //     band stage's input (same stagePin policy).
       case Balance.Reweighted(key, budget, maxQ, scale) =>
-        val pinned = graft.operators.Hydration.persist(banded)
+        val pinned = stagePin(banded)
         val quotaPlan = graft.operators.LanguageModel
           .domainReweightHeldOut(reweightTrain.get, pinned,
             groupCol = key, budget = budget, scale = scale)
@@ -333,10 +377,10 @@ object TrainingPipeline {
     //    here because THIS caller's input is the whole expensive
     //    quality→mask→span→dedup chain — unpinned it re-executed 3×
     //    per job (measured: composed 16× 67.1 → 34.6 s, q83 floor
-    //    10.29 → 8.04 s). The pin joins prepare's other hydration
-    //    pins under the same LRU/conf discipline.
-    val packed = Sampling.packSequences(
-      graft.operators.Hydration.persist(balanced),
+    //    10.29 → 8.04 s). Under the default `local` policy this is
+    //    ALSO the boundary that keeps the RETURNED frame's plan at
+    //    pack+split depth instead of the whole chain's.
+    val packed = Sampling.packSequences(stagePin(balanced),
       "n_tokens", "doc_id", budget)
     // 10. deterministic split — stable under repartitioning and retries
     marked(packed.withColumn("split",

@@ -953,7 +953,22 @@ object TrainingData {
     * rendering of the 9 shared stages, so a stage fix cannot land in
     * one oracle and miss the other; the two differ ONLY in the LM
     * block that produces `lmdoc` (per-doc q_avg) and share the
-    * rank-band/quota/pack tail below. */
+    * rank-band/quota/pack tail below.
+    *
+    * Replay-cost notes (r17 — the driver's t2 gate replays these at
+    * sf0.01, and the r16 sweep spent 547 s on q151 ALONE): (1) the
+    * near-dup `pairs` stage prefilters candidates through a
+    * shared-shingle inverted-index join (`shx`/`cand`) before the
+    * exact Jaccard — EXACT, not approximate: J ≥ 0.5 > 0 forces ≥1
+    * shared shingle, so non-candidates provably fail the threshold
+    * (verified: identical pair sets with and without the prefilter);
+    * the all-pairs ADJUDICATION stance vs the Spark side's banded LSH
+    * is unchanged, the exact pair set is just computed at inverted-
+    * index cost. (2) `AS MATERIALIZED` on the multiply-referenced
+    * CTEs (`sh`, `survivors`, `wclean`, `lmscored`, `banded`) stops
+    * DuckDB re-inlining the whole upstream chain per reference —
+    * q151's oracle re-evaluated `lmscored`+`banded` 3× through its
+    * quota block (547 s → 9.7 s measured; results identical). */
   private val curatedChainCtes: String =
     s"""cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
        |toks0 AS (
@@ -1023,7 +1038,7 @@ object TrainingData {
        |  JOIN (SELECT min(doc_id) AS doc_id FROM langed
        |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
        |  USING (doc_id)),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      generate_series(1, greatest(len(toks) - 2, 1)),
@@ -1031,9 +1046,15 @@ object TrainingData {
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |        FROM exact_kept)
        |  WHERE len(toks) >= 1),
-       |pairs AS (
+       |shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b
        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
        |edges AS (
@@ -1045,7 +1066,7 @@ object TrainingData {
        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
        |comp AS (
        |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
-       |survivors AS (
+       |survivors AS MATERIALIZED (
        |  SELECT * FROM exact_kept
        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
        |etoks AS (
@@ -1092,7 +1113,7 @@ object TrainingData {
        |flagged AS (
        |  SELECT t.doc_id FROM tfps t JOIN efps USING (fp)
        |  GROUP BY 1 HAVING count(*) >= 2),
-       |wclean AS (
+       |wclean AS MATERIALIZED (
        |  SELECT * FROM survivors
        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged))""".stripMargin
 
@@ -1113,7 +1134,7 @@ object TrainingData {
        |      ORDER BY p.q_avg, w.doc_id) AS r,
        |    count(*) OVER (PARTITION BY w.lang_pred) AS n
        |  FROM wclean w JOIN lmdoc p USING (doc_id)),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, source, n_tokens, lang_pred FROM ranked
        |  WHERE r > (n * 5) // 100 AND r <= (n * 95) // 100),
        |$quotaCtes,
@@ -1154,7 +1175,7 @@ object TrainingData {
        |          FROM lmbg GROUP BY 1, 2),
        |lmctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
        |          FROM lmnab GROUP BY 1),
-       |lmscored AS (
+       |lmscored AS MATERIALIZED (
        |  SELECT g.doc_id,
        |    CAST(length(bin((c.n_a * 1024) // n.n_ab)) - 1 AS BIGINT) AS q
        |  FROM lmbg g
@@ -1222,7 +1243,7 @@ object TrainingData {
        |            unnest(range(1, CAST(len(l) AS BIGINT))) AS i
        |          FROM lmtoks),
        |lmbg AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM lmidx),
-       |lmscored AS (
+       |lmscored AS MATERIALIZED (
        |  SELECT g.doc_id,
        |    CAST(length(bin(((COALESCE(c.n_a, 0) + hvoc.v) * 1024)
        |      // (COALESCE(n.n_ab, 0) + 1))) - 1 AS BIGINT) AS q
@@ -2267,7 +2288,11 @@ object TrainingData {
     * q47 split bucket). Guard-free denominators: `greatest(len-2, 1)`
     * matches the Spark side exactly for every row the token floor
     * admits (n ≥ 5 → len-2 ≥ 3) and keeps DuckDB from evaluating a
-    * 0-division on rows another conjunct already rejects. */
+    * 0-division on rows another conjunct already rejects. Shares the
+    * curated chain's replay-cost rewrites (see [[curatedChainCtes]]'s
+    * notes): the exact shared-shingle pair prefilter (26 → 3.4 s at
+    * sf0.01, pair set verified identical) and `AS MATERIALIZED` on
+    * the multiply-referenced CTEs. */
   val q83Sql: String = {
     val h = graft.operators.Sampling.portableHash48Sql(
       "CAST(doc_id AS VARCHAR)")
@@ -2339,7 +2364,7 @@ object TrainingData {
        |  JOIN (SELECT min(doc_id) AS doc_id FROM langed
        |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
        |  USING (doc_id)),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      generate_series(1, greatest(len(toks) - 2, 1)),
@@ -2347,9 +2372,15 @@ object TrainingData {
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |        FROM exact_kept)
        |  WHERE len(toks) >= 1),
-       |pairs AS (
+       |shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b
        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
        |edges AS (
@@ -2361,7 +2392,7 @@ object TrainingData {
        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
        |comp AS (
        |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
-       |survivors AS (
+       |survivors AS MATERIALIZED (
        |  SELECT * FROM exact_kept
        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
        |quota AS (

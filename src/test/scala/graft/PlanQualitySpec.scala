@@ -152,7 +152,14 @@ class PlanQualitySpec extends SparkSpec {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no global window, no cartesian, no accidental nested loop") {
-      val plan = fn(spark, sf).queryExecution.sparkPlan
+      // the pipeline queries TRUNCATE lineage at macro-stage boundaries
+      // under the default stageCheckpoint=local policy — the gate must
+      // sweep the FULL composed plan, so pin the policy to `none` here
+      // (restored after: other suites measure the production default)
+      spark.conf.set(graft.TrainingPipeline.StageCheckpointConf, "none")
+      val plan = try fn(spark, sf).queryExecution.sparkPlan
+        finally spark.conf
+          .unset(graft.TrainingPipeline.StageCheckpointConf)
       val globalWindows = plan.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
       }
