@@ -281,6 +281,16 @@ object ScaleBench {
           d.filter($"doc_id" % 20 =!= 0),
           d.filter($"doc_id" % 20 === 0), n = 8).count(),
         () => docs1, () => docsN),
+      // exact-substring repeat spans (the Lee-et-al suffix-array
+      // family, q152): amplified copies duplicate every window of the
+      // original text, so duplicated-OCCURRENCE volume grows ~linearly
+      // with the factor — a near-linear ratio means the window
+      // hash-agg + equi-join-back + per-doc island merge (never an
+      // all-pairs or suffix-sort stage) is what scales
+      ("exact_substring_spans",
+        (d: DataFrame) => graft.operators.Dedup
+          .exactSubstringSpans(d, n = 10).count(),
+        () => docs1, () => docsN),
       // corpus drift: four aggregates over ONE reused corpus shuffle
       // plus a vocabulary-sized join — a linear ratio means the AQE
       // exchange reuse holds under amplification (without it this is

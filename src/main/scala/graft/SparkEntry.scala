@@ -179,6 +179,10 @@ object SparkEntry {
     "q150_ivf_pq_ann"     -> (Analytics.q150IvfPqAnn _),
     "q151_pipeline_heldout_reweight" ->
       (TrainingData.q151PipelineHeldoutReweight _),
+    "q152_exact_substring_spans" ->
+      (TrainingData.q152ExactSubstringSpans _),
+    "q153_exact_substring_dedup" ->
+      (TrainingData.q153ExactSubstringDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -539,5 +543,11 @@ object SparkEntry {
     // fixed quota swapped for q146's weight/apportion fragments over
     // the band survivors + the per-source quota-prefix selection.
     "q151_pipeline_heldout_reweight" -> TrainingData.q151Sql,
+    // q152/q153: exact-substring repeat spans + the Lee-et-al cut —
+    // the oracle replays duplicated 10-token windows on the LITERAL
+    // window strings (Spark joins on xxhash64 of the same string),
+    // island-merges coverage (q152) and rebuilds survivor text (q153)
+    "q152_exact_substring_spans" -> TrainingData.q152Sql,
+    "q153_exact_substring_dedup" -> TrainingData.q153Sql,
   )
 }

@@ -1366,4 +1366,135 @@ object Dedup {
         (coalesce(col("__hit"), lit(0L)).cast("double") /
           col("n_grams").cast("double")).as("frac"))
   }
+
+  /** Per-doc duplicated-window occurrences — the shared front of the
+    * exact-substring family ([[exactSubstringSpans]] /
+    * [[dedupExactSubstrings]]): every token position `p` (1-based)
+    * starting an `n`-token window whose content occurs ≥ 2 times
+    * corpus-wide (across docs OR within one doc — a self-repeat is a
+    * repeat), keyed by the window's 64-bit content hash.
+    *
+    * Shape at 100 TB: each token starts at most one window, so the
+    * explode is LINEAR in corpus tokens (not tokens × n — the window
+    * string is hashed inside the per-row transform and only the
+    * 8-byte hash leaves the row, the [[gramHashArray]] argument); the
+    * duplicate decision is one hash-aggregate shuffle on the window
+    * hash with map-side combine, and the join back to occurrences is
+    * a hash equi-join on the same key. A boilerplate window repeated
+    * 10⁶ times is ONE count row — the join back fans it to its
+    * occurrences, which is output-sized, not quadratic. Collision
+    * contract = [[decontaminate]]'s: 64-bit hash equality stands in
+    * for window equality (P(false duplicate window) ≈ pairs/2⁶⁴;
+    * over-marks a span, never misses a real repeat). */
+  private def duplicatedWindowOccurrences(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame = {
+    require(n >= 2, s"exact-substring window must be >= 2 tokens, got $n")
+    val toks = tokens(col(textCol))
+    // window starts 1..len-n+1; hash the SPACE-REJOINED window so the
+    // oracle's array_to_string(l[i:i+n-1], ' ') is the same literal
+    val winList = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val wins = docs
+      .select(col(idCol).as("__id"), posexplode(winList))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("__id"), col("p"))).as("__first"))
+      .filter(col("__c") >= 2)
+      .select(col("h"), col("__first.__id").as("c_id"),
+        col("__first.p").as("c_p"))
+    wins.join(dup, Seq("h"))
+  }
+
+  /** Exact-substring REPEAT SPANS — the suffix-array-granularity view
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499 §4.1): every maximal token span whose
+    * text participates in an exact repeat of ≥ `n` tokens anywhere in
+    * the corpus. A repeated substring of length L ≥ n covers its
+    * tokens with duplicated n-windows at every offset, and any token
+    * under a duplicated n-window sits inside a length-n repeat — so
+    * the union of duplicated-window coverage is EXACTLY the token set
+    * belonging to some ≥ n-token repeat, and merging overlapping
+    * windows yields the maximal spans without materializing suffixes
+    * (the suffix-array result, computed as hashed-window equi-joins —
+    * no all-pairs stage anywhere).
+    *
+    * Returns (idCol, span_start, span_end, n_windows), token positions
+    * 1-based inclusive, ordered within each doc by span_start. The
+    * island merge is a per-doc window function — bounded by DOC length
+    * (the [[dedupSpans]] rebuild discipline), never by corpus size;
+    * window positions are per-doc sorted, and because all windows
+    * share length `n`, coverage is contiguous iff consecutive starts
+    * differ by ≤ n (the previous window's end is lag(p)+n-1).
+    *
+    * Reference analog: none — the reference dedups whole events by
+    * eventID (`sparktoELKstream.py:127`); this is the LLM-corpus
+    * within-document generalization. */
+  def exactSubstringSpans(docs: DataFrame, n: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = duplicatedWindowOccurrences(docs, n, idCol, textCol)
+      .select(col("__id"), col("p"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("p"))
+    // gaps-and-islands: a window extends the current span iff its
+    // start is within the previous window's coverage + 1 (lag is NULL
+    // on the first row → otherwise-branch → new island)
+    val spans = occ
+      .withColumn("__brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(n - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    spans.select(col("__id").as(idCol), col("span_start"),
+      col("span_end"), col("n_windows"))
+  }
+
+  /** Exact-substring DEDUP — the cut that Lee et al. apply: every
+    * duplicated `n`-token window keeps its globally FIRST occurrence
+    * (min (doc, position) — the [[dedupSpans]] partial-aggregate
+    * first-occurrence discipline, never a window sort over the hot
+    * window's occurrence list) and every other occurrence's tokens
+    * are removed; a token is cut iff covered by ≥ 1 non-canonical
+    * duplicated window. Text is rebuilt from the surviving tokens in
+    * position order (single-space joined — the [[dedupSpans]] rebuild
+    * contract, including `""` for a fully-cut doc).
+    *
+    * Shape: [[duplicatedWindowOccurrences]]'s linear explode + one
+    * hash-agg + equi-join, then coverage expansion (≤ n rows per CUT
+    * occurrence — output-bounded), a distinct on (doc, position), one
+    * anti-join against the token table, and the per-doc rebuild
+    * aggregate (bounded by doc length). */
+  def dedupExactSubstrings(docs: DataFrame, n: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cutPositions = duplicatedWindowOccurrences(docs, n, idCol,
+        textCol)
+      .filter(!(col("__id") === col("c_id") && col("p") === col("c_p")))
+      .select(col("__id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1).cast("long")))
+          .as("t"))
+      .distinct()
+    val toks = tokens(col(textCol))
+    val tok = docs
+      .select(col(idCol).as("__id"), posexplode(toks))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("t"),
+        col("col").as("w"))
+    val rebuilt = tok.join(cutPositions, Seq("__id", "t"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("t"), col("w")))),
+        s => s("w")), " ").as("__clean"))
+    docs.join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol),
+        "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

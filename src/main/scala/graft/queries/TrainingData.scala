@@ -1335,6 +1335,94 @@ object TrainingData {
          |  WHERE rn <= quota)""".stripMargin)}""".stripMargin
   }
 
+  /** q152: exact-substring REPEAT SPANS
+    * ([[graft.operators.Dedup.exactSubstringSpans]] — the
+    * suffix-array-granularity Lee-et-al family): every maximal token
+    * span participating in an exact ≥ 10-token repeat anywhere in the
+    * corpus, as (doc_id, span_start, span_end, n_windows). The oracle
+    * replays the duplicated-window union + island merge on the LITERAL
+    * window strings (the Spark side joins on xxhash64 of the same
+    * string — the [[graft.operators.Dedup.decontaminate]] collision
+    * contract); n = 10 matches q70's span width so the planted
+    * boilerplate families produce non-trivial spans at both SFs. */
+  def q152ExactSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup
+      .exactSubstringSpans(Tables.documents(s, dir), n = 10)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val q152Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+9], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, CAST(len(l) AS BIGINT) - 9)) AS i
+      |        FROM t WHERE len(l) >= 10)),
+      |dupw AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+      |occ AS (SELECT doc_id, i FROM w JOIN dupw USING (g)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM occ),
+      |grp AS (SELECT doc_id, i,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |        FROM isl)
+      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |  CAST(max(i) + 9 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** q153: exact-substring DEDUP
+    * ([[graft.operators.Dedup.dedupExactSubstrings]]) — the cut Lee
+    * et al. apply: each duplicated 10-token window keeps its globally
+    * first occurrence, every other occurrence's tokens are removed,
+    * and text is rebuilt from the survivors in position order. The
+    * oracle replays canonical selection (row_number over the literal
+    * window string), coverage union, and the per-token rebuild in one
+    * statement — stage INTERACTION (first-occurrence tiebreak,
+    * overlap union, rebuild whitespace contract) lands in one hash. */
+  def q153ExactSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup
+      .dedupExactSubstrings(Tables.documents(s, dir), n = 10)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
+  }
+
+  val q153Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+9], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, CAST(len(l) AS BIGINT) - 9)) AS i
+      |        FROM t WHERE len(l) >= 10)),
+      |wd AS (SELECT doc_id, i,
+      |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+      |         count(*) OVER (PARTITION BY g) AS c
+      |       FROM w),
+      |cov AS (SELECT DISTINCT doc_id, p FROM (
+      |          SELECT doc_id, unnest(generate_series(i, i + 9)) AS p
+      |          FROM wd WHERE c >= 2 AND rn > 1)),
+      |tok AS (SELECT doc_id, i AS p, l[i] AS wtok
+      |        FROM (SELECT doc_id, l,
+      |                unnest(generate_series(1, CAST(len(l) AS BIGINT))) AS i
+      |              FROM t)),
+      |kept AS (SELECT k.doc_id, k.p, k.wtok FROM tok k
+      |         LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.p
+      |         WHERE c.p IS NULL),
+      |reb AS (SELECT doc_id, string_agg(wtok, ' ' ORDER BY p) AS text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(r.text, '') AS text
+      |FROM documents d LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
     * a tenth of the range play the eval/benchmark set (the q64 split

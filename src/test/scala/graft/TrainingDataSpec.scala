@@ -752,6 +752,53 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === "alpha beta gamma")
   }
 
+  test("exactSubstringSpans: overlapping duplicated windows merge into " +
+      "maximal spans; unique docs emit none") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val run = ws("r", 7) // 7 shared tokens → n=5 windows at 3 offsets
+    val fixture = Seq(
+      (0L, run + " " + ws("a", 5)), // run at token positions 1..7
+      (1L, ws("b", 3) + " " + run), // run at token positions 4..10
+      (2L, ws("u", 12))             // globally unique → no spans
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(fixture, n = 5)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((0L, 1L, 7L, 3L), (1L, 4L, 10L, 3L)))
+  }
+
+  test("exactSubstringSpans: a within-doc self-repeat is a repeat, and " +
+      "distant occurrences stay separate islands") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val run = ws("s", 5)
+    val fixture = Seq(
+      (7L, run + " " + ws("m", 4) + " " + run) // s@1..5, m@6..9, s@10..14
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(fixture, n = 5)
+      .orderBy($"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((7L, 1L, 5L, 1L), (7L, 10L, 14L, 1L)))
+  }
+
+  test("dedupExactSubstrings: globally-first occurrence kept verbatim, " +
+      "later occurrences cut, fully-duplicated docs empty, unique " +
+      "docs untouched") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val run = ws("r", 5)
+    val fixture = Seq(
+      (0L, run + " " + ws("a", 3)), // canonical occurrence → intact
+      (1L, ws("b", 2) + " " + run), // later occurrence → run cut
+      (2L, run),                    // nothing but the run → emptied
+      (3L, ws("u", 6))              // unique → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(fixture, n = 5)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out(0L) === run + " " + ws("a", 3))
+    assert(out(1L) === ws("b", 2))
+    assert(out(2L) === "")
+    assert(out(3L) === ws("u", 6))
+  }
+
   test("decontaminate: docs sharing an n-gram with the benchmark drop; " +
       "clean docs survive") {
     val bench = Seq(
