@@ -98,4 +98,33 @@ class RocksDbStateStoreSpec extends SparkSpec {
       println(f"""{"spec":"rocksdb_state_store","anomaly_sec":${(t1 - t0) / 1e9}%.2f,"quantiles_sec":${(t2 - t1) / 1e9}%.2f,"neardup_sec":${(t3 - t2) / 1e9}%.2f}""")
     }
   }
+
+  test("EVERY remaining driver-gated streaming family drained under " +
+      "RocksDB ≡ its default-provider drain (r16 Next #7 — all 12 " +
+      "families now provider-gated)") {
+    // the three biggest-state families above compare against exact
+    // BATCH twins; the remaining nine compare RocksDB-drained vs
+    // default-provider-drained results of the SAME driver query — the
+    // default drain is itself oracle-gated (DuckDB hash compare every
+    // round), so equality here chains RocksDB to the oracle. Each
+    // query fully drains a bounded file stream and stops its own
+    // StreamingQuery, so the loop holds no cross-query state.
+    val sf = "/root/testdata/sf0.001"
+    val remaining = Seq(
+      "q62_stream_window_counts", // watermarked window counts
+      "q67_stream_correlate",     // stream-stream interval join
+      "q89_stream_kmv",           // KMV sketch merge state
+      "q97_stream_funnel",        // fMGWS funnel per user
+      "q125_stream_heavy_hitters",// SpaceSaving per shard
+      "q139_stream_global_topk",  // sketch-artifact global top-k
+      "q142_stream_rollup",       // incremental rollup maintenance
+      "q144_stream_decontaminate",// stream-static gram anti-join
+      "q149_stream_decon_ttl")    // bounded decon (append + eviction)
+    for (name <- remaining) {
+      val fn = SparkEntry.queries(name)
+      val base = canon(fn(spark, sf))
+      val rocks = withRocksDb { canon(fn(spark, sf)) }
+      assert(rocks === base, s"$name drained differently under RocksDB")
+    }
+  }
 }
