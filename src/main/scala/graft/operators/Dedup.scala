@@ -481,25 +481,32 @@ object Dedup {
       .distinct()
       .cache()
     var sumCur = summarize(edges)
-    var edgesCheckpointed = false
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val step = smallStarStep(largeStarStep(edges))
-      // localCheckpoint every 3rd round truncates the per-round join
-      // lineage (otherwise plan depth grows linearly and task
-      // serialization dominates); plain cache on the other rounds.
-      // Superseded CACHED generations are released each round;
-      // CHECKPOINTED ones must stay pinned — they are the lineage root
-      // later rounds recompute from on block loss.
-      val checkpointRound = (i + 1) % 3 == 0
-      val next = if (checkpointRound) step.localCheckpoint() else step.cache()
+      // localCheckpoint EVERY round (r17). The previous shape
+      // (checkpoint every 3rd round, plain cache between) let the
+      // lineage nest ~3 generations of self-referencing star joins,
+      // and the rendered plan TREE grows ~16× per un-truncated round
+      // (each star step references its input ~4 times; string
+      // rendering shares no subtrees) — the 64× octave measured
+      // 149 MB plan strings (79 truncation events at the 32 KB cap)
+      // inside ONE corpus_dedup run, with the tree TRAVERSAL cost
+      // surviving the cap. A checkpoint costs the same materializing
+      // action the cache paid (summarize() forces either), writes
+      // executor-local blocks (freed by the ContextCleaner once the
+      // superseded generation is unreferenced), and keeps every
+      // round's plan at fixed depth — the convergence anti-join below
+      // always compares two shallow checkpoint scans.
+      val next = step.localCheckpoint()
       val sumNext = summarize(next) // materializes the round
       converged = sumNext == sumCur &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      if (!edgesCheckpointed) edges.unpersist()
+      // round 0's input is the CACHED seed frame — release it; later
+      // generations are checkpoints and need no unpersist
+      if (i == 0) edges.unpersist()
       edges = next
-      edgesCheckpointed = checkpointRound
       sumCur = sumNext
       i += 1
     }
@@ -527,11 +534,9 @@ object Dedup {
     // the CacheManager for the session's lifetime (the exact leak the
     // caching contract above forbids; checkpoint blocks, by contrast,
     // are freed by the ContextCleaner once the RDD is unreferenced)
-    val out = nodes.join(labels, Seq("id"), "left")
+    nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .localCheckpoint()
-    if (!edgesCheckpointed) edges.unpersist()
-    out
   }
 
   /** Corpus-level dedup: returns the docs to KEEP. Exact duplicates

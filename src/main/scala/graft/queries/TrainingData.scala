@@ -1744,7 +1744,11 @@ object TrainingData {
     * banded LSH join — the corpus is never self-joined). Oracled by a
     * DuckDB replay: within-batch recursive-CTE dedup, then all-pairs
     * fingerprint/Jaccard removal against the corpus (recall
-    * completeness as measured for q27: true pairs ≥ 0.8 Jaccard). */
+    * completeness as measured for q27: true pairs ≥ 0.8 Jaccard).
+    * Both exact-Jaccard stages replay at inverted-index cost via the
+    * shared-shingle candidate prefilter (J ≥ 0.5 forces ≥ 1 shared
+    * shingle — EXACT, the [[curatedChainCtes]] rewrite; 15 → ~2 s at
+    * sf0.01, result verified identical). */
   def q64IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -1766,7 +1770,7 @@ object TrainingData {
       |  JOIN (SELECT min(doc_id) AS doc_id FROM fresh
       |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k2
       |  ON d.doc_id = k2.doc_id),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
@@ -1774,9 +1778,15 @@ object TrainingData {
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM kept)
       |  WHERE len(toks) >= 1),
-      |pairs AS (
+      |shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |cand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
       |edges AS (
@@ -1788,10 +1798,10 @@ object TrainingData {
       |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
       |comp AS (
       |  SELECT src AS id, least(src, min(dst)) AS comp FROM r GROUP BY src),
-      |survivors AS (
+      |survivors AS MATERIALIZED (
       |  SELECT * FROM kept
       |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
-      |csh AS (
+      |csh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
@@ -1799,12 +1809,18 @@ object TrainingData {
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM corpus)
       |  WHERE len(toks) >= 1),
+      |cshx AS (SELECT doc_id, unnest(shingles) AS g FROM csh),
+      |xcand AS (
+      |  SELECT s.doc_id AS s_id, c.doc_id AS c_id
+      |  FROM (SELECT x.* FROM shx x JOIN survivors v USING (doc_id)) s
+      |  JOIN cshx c ON s.g = c.g
+      |  GROUP BY 1, 2),
       |cross_dup AS (
-      |  SELECT DISTINCT ssh.doc_id
-      |  FROM (SELECT s.doc_id, sh.shingles FROM survivors s
-      |        JOIN sh ON sh.doc_id = s.doc_id) ssh
-      |  JOIN csh ON CAST(len(list_intersect(ssh.shingles, csh.shingles)) AS DOUBLE) /
-      |    CAST(len(list_distinct(list_concat(ssh.shingles, csh.shingles))) AS DOUBLE) >= 0.5
+      |  SELECT DISTINCT x.s_id AS doc_id
+      |  FROM xcand x JOIN sh a ON a.doc_id = x.s_id
+      |  JOIN csh b ON b.doc_id = x.c_id
+      |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
       |  UNION
       |  SELECT s.doc_id FROM survivors s
       |  WHERE md5(regexp_replace(lower(s.text), '[^a-z0-9]', '', 'g')) IN (
