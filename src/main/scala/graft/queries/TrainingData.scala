@@ -223,22 +223,31 @@ object TrainingData {
 
   /** All-pairs exact Jaccard — the independent brute-force baseline
     * for the LSH pipeline (fine at correctness SF; the Spark side is
-    * the one that scales). Shingle/jaccard SQL identical to q25Sql. */
+    * the one that scales). Shingle/jaccard SQL identical to q25Sql.
+    * Replays at inverted-index cost via the exact shared-shingle
+    * prefilter (J ≥ 0.3 > 0 forces ≥ 1 shared shingle — the
+    * [[curatedChainCtes]] rewrite; pair set verified identical). */
   val q27Sql: String =
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM documents)
-      |  WHERE len(toks) >= 1)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |  CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+      |  WHERE len(toks) >= 1),
+      |shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b)
+      |WHERE jaccard >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-duplicate pairs (banded buckets, Hamming ≤ 6
@@ -386,7 +395,7 @@ object TrainingData {
       |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
       |        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) k
       |  ON d.doc_id = k.doc_id),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
@@ -394,9 +403,15 @@ object TrainingData {
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM kept)
       |  WHERE len(toks) >= 1),
-      |pairs AS (
+      |shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |cand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
       |edges AS (
@@ -474,7 +489,7 @@ object TrainingData {
       |kept AS (
       |  SELECT d.* FROM documents d
       |  JOIN fpr ON d.doc_id = fpr.doc_id AND fpr.doc_id = fpr.rep0),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      generate_series(1, greatest(len(toks) - 2, 1)),
@@ -482,9 +497,15 @@ object TrainingData {
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM kept)
       |  WHERE len(toks) >= 1),
-      |pairs AS (
+      |shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |cand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5),
       |edges AS (
