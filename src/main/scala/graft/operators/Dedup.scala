@@ -1372,12 +1372,10 @@ object Dedup {
           col("n_grams").cast("double")).as("frac"))
   }
 
-  /** Per-doc duplicated-window occurrences — the shared front of the
-    * exact-substring family ([[exactSubstringSpans]] /
-    * [[dedupExactSubstrings]]): every token position `p` (1-based)
-    * starting an `n`-token window whose content occurs ≥ 2 times
-    * corpus-wide (across docs OR within one doc — a self-repeat is a
-    * repeat), keyed by the window's 64-bit content hash.
+  /** Every n-token window occurrence (`__id`, 1-based start `p`,
+    * 64-bit content hash `h`) — the raw explode shared by the
+    * exact-substring family; duplicate detection happens in
+    * [[duplicatedWindowOccurrences]].
     *
     * Shape at 100 TB: each token starts at most one window, so the
     * explode is LINEAR in corpus tokens (not tokens × n — the window
@@ -1391,26 +1389,49 @@ object Dedup {
     * contract = [[decontaminate]]'s: 64-bit hash equality stands in
     * for window equality (P(false duplicate window) ≈ pairs/2⁶⁴;
     * over-marks a span, never misses a real repeat). */
-  private def duplicatedWindowOccurrences(docs: DataFrame, n: Int,
+  private def windowOccurrences(docs: DataFrame, n: Int,
       idCol: String, textCol: String): DataFrame = {
     require(n >= 2, s"exact-substring window must be >= 2 tokens, got $n")
-    val toks = tokens(col(textCol))
-    // window starts 1..len-n+1; hash the SPACE-REJOINED window so the
-    // oracle's array_to_string(l[i:i+n-1], ' ') is the same literal
-    val winList = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast(ArrayType(LongType)))
-    val wins = docs
+    // window starts 1..len-n+1; the native one-pass kernel
+    // ([[graft.functions.WindowHashes]]) hashes each SPACE-REJOINED
+    // window (xxhash64 seed 42 — the oracle's
+    // array_to_string(l[i:i+n-1], ' ') is the same literal) — the
+    // composable transform(sequence)+slice+array_join form evaluated
+    // INTERPRETED and cost 375 s at the 64× octave vs 17.4 s native
+    // (byte-identical outputs at both SFs)
+    val winList = graft.functions.WindowHashes
+      .windowHashesNative(col(textCol), n)
+    docs
       .select(col(idCol).as("__id"), posexplode(winList))
       .select(col("__id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
-    val dup = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col("__id"), col("p"))).as("__first"))
-      .filter(col("__c") >= 2)
-      .select(col("h"), col("__first.__id").as("c_id"),
-        col("__first.p").as("c_p"))
+  }
+
+  /** Per-doc duplicated-window occurrences — the shared front of the
+    * exact-substring family ([[exactSubstringSpans]] /
+    * [[dedupExactSubstrings]]): every token position `p` (1-based)
+    * starting an `n`-token window whose content occurs ≥ 2 times
+    * corpus-wide (across docs OR within one doc — a self-repeat is a
+    * repeat), keyed by the window's 64-bit content hash.
+    * `canonical = true` additionally carries each duplicated window's
+    * globally-first occurrence (c_id, c_p) — ONLY the cut variant
+    * needs it; the spans report skips the min(struct) aggregate and
+    * the two extra join-side columns. */
+  private def duplicatedWindowOccurrences(docs: DataFrame, n: Int,
+      idCol: String, textCol: String,
+      canonical: Boolean): DataFrame = {
+    val wins = windowOccurrences(docs, n, idCol, textCol)
+    val dup =
+      if (canonical) wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("__c"),
+          min(struct(col("__id"), col("p"))).as("__first"))
+        .filter(col("__c") >= 2)
+        .select(col("h"), col("__first.__id").as("c_id"),
+          col("__first.p").as("c_p"))
+      else wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("h"))
     wins.join(dup, Seq("h"))
   }
 
@@ -1440,7 +1461,8 @@ object Dedup {
     * within-document generalization. */
   def exactSubstringSpans(docs: DataFrame, n: Int = 50,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val occ = duplicatedWindowOccurrences(docs, n, idCol, textCol)
+    val occ = duplicatedWindowOccurrences(docs, n, idCol, textCol,
+        canonical = false)
       .select(col("__id"), col("p"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("p"))
@@ -1481,7 +1503,7 @@ object Dedup {
   def dedupExactSubstrings(docs: DataFrame, n: Int = 50,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cutPositions = duplicatedWindowOccurrences(docs, n, idCol,
-        textCol)
+        textCol, canonical = true)
       .filter(!(col("__id") === col("c_id") && col("p") === col("c_p")))
       .select(col("__id"),
         explode(sequence(col("p"), col("p") + lit(n - 1).cast("long")))
