@@ -183,6 +183,8 @@ object SparkEntry {
       (TrainingData.q152ExactSubstringSpans _),
     "q153_exact_substring_dedup" ->
       (TrainingData.q153ExactSubstringDedup _),
+    "q154_exact_substring_stats" ->
+      (TrainingData.q154ExactSubstringStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,5 +551,9 @@ object SparkEntry {
     // island-merges coverage (q152) and rebuilds survivor text (q153)
     "q152_exact_substring_spans" -> TrainingData.q152Sql,
     "q153_exact_substring_dedup" -> TrainingData.q153Sql,
+    // q154: the Lee-et-al headline statistic — per-source fraction of
+    // tokens inside some >=10-token exact repeat; exact integer sums,
+    // one double division computed identically by both engines
+    "q154_exact_substring_stats" -> TrainingData.q154Sql,
   )
 }

@@ -1485,6 +1485,42 @@ object Dedup {
       col("span_end"), col("n_windows"))
   }
 
+  /** Exact-substring REPEAT STATISTICS per group — the Lee-et-al
+    * paper's headline corpus measurement (what fraction of the corpus
+    * is inside some ≥ n-token exact repeat), computed per `groupCol`:
+    * (group, n_docs, docs_with_repeat, total_tokens, covered_tokens,
+    * covered_frac). Coverage per doc = the summed lengths of
+    * [[exactSubstringSpans]]' maximal spans (islands are disjoint, so
+    * the sum IS the distinct covered-token count). Docs with NULL text
+    * are excluded (they carry no tokens to measure).
+    *
+    * Shape: the spans pipeline (linear explode + hash-agg + equi-join
+    * + per-doc island merge) plus one doc-keyed aggregate and one
+    * group-keyed aggregate — both map-side combining; the group join
+    * is a left join on the doc id, output is groups-scale. */
+  def exactSubstringStats(docs: DataFrame, n: Int = 50,
+      idCol: String = "doc_id", groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val perDoc = exactSubstringSpans(base, n, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("__cov"))
+    base
+      .select(col(idCol), col(groupCol).as("__key"),
+        size(tokens(col(textCol))).cast("long").as("__tok"))
+      .join(perDoc, Seq(idCol), "left")
+      .groupBy(col("__key"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__cov")).as("docs_with_repeat"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(coalesce(col("__cov"), lit(0L))).as("covered_tokens"))
+      .select(col("__key").as(groupCol), col("n_docs"),
+        col("docs_with_repeat"), col("total_tokens"),
+        col("covered_tokens"),
+        (col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("covered_frac"))
+  }
+
   /** Exact-substring DEDUP — the cut that Lee et al. apply: every
     * duplicated `n`-token window keeps its globally FIRST occurrence
     * (min (doc, position) — the [[dedupSpans]] partial-aggregate

@@ -1444,6 +1444,51 @@ object TrainingData {
       |FROM documents d LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q154: exact-substring repeat statistics per source
+    * ([[graft.operators.Dedup.exactSubstringStats]]) — the Lee-et-al
+    * headline corpus measurement: what fraction of each source's
+    * tokens sits inside some ≥ 10-token exact repeat. Oracle replays
+    * q152's duplicated-window union, counts DISTINCT covered token
+    * positions per doc (≡ the Spark side's island-length sum — the
+    * islands are disjoint maximal intervals), and aggregates per
+    * source; the one double division is computed identically by both
+    * engines from the same exact integer sums. */
+  def q154ExactSubstringStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup
+      .exactSubstringStats(Tables.documents(s, dir), n = 10)
+      .orderBy($"source")
+  }
+
+  val q154Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+9], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, CAST(len(l) AS BIGINT) - 9)) AS i
+      |        FROM t WHERE len(l) >= 10)),
+      |dupw AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+      |occ AS (SELECT doc_id, i FROM w JOIN dupw USING (g)),
+      |cov AS (SELECT DISTINCT doc_id, p FROM (
+      |          SELECT doc_id, unnest(generate_series(i, i + 9)) AS p
+      |          FROM occ)),
+      |percov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cv
+      |           FROM cov GROUP BY 1),
+      |tok AS (SELECT doc_id, source, CAST(len(l) AS BIGINT) AS ntok
+      |        FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(p.cv) AS BIGINT) AS docs_with_repeat,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(COALESCE(p.cv, 0)) AS BIGINT) AS covered_tokens,
+      |  CAST(sum(COALESCE(p.cv, 0)) AS DOUBLE) /
+      |    CAST(sum(ntok) AS DOUBLE) AS covered_frac
+      |FROM tok LEFT JOIN percov p USING (doc_id)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
     * a tenth of the range play the eval/benchmark set (the q64 split

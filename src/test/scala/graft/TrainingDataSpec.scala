@@ -799,6 +799,24 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ws("u", 6))
   }
 
+  test("exactSubstringStats: per-source repeat coverage — exact counts, " +
+      "overlap counted once, null-text docs excluded") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val run = ws("r", 7) // 7 shared tokens → n=5 coverage of 7 per doc
+    val fixture = Seq(
+      (0L, "a", run + " " + ws("x", 5)),   // 12 tokens, 7 covered
+      (1L, "a", ws("y", 3) + " " + run),   // 10 tokens, 7 covered
+      (2L, "b", ws("u", 12)),              // unique: 12 tokens, 0 covered
+      (3L, "b", null.asInstanceOf[String]) // null text: excluded
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup.exactSubstringStats(fixture, n = 5)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 2L, 2L, 22L, 14L, 14.0 / 22.0),
+      ("b", 1L, 0L, 12L, 0L, 0.0)))
+  }
+
   test("decontaminate: docs sharing an n-gram with the benchmark drop; " +
       "clean docs survive") {
     val bench = Seq(
