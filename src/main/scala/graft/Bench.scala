@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   * measurement) so committed artifacts are self-describing — the
   * hot-pass-vs-floor distinction no longer lives only in BASELINE.md
   * prose.
+  *
+  * Outlier self-attribution (r17 verdict): any sample > 3× its
+  * query's min (and > 1 s over it) is recorded with the 1-min system
+  * loadavg at query start and the JVM GC seconds it accrued, and the
+  * query is re-run once post-suite (up to SPARK_GRAFT_BENCH_RETRIES,
+  * worst first). The full line's `outliers` map carries the evidence;
+  * `confirmed:false` means the retry landed back at the min — an
+  * environmental spike, not a plan regression. The compact line
+  * carries only `outliers_confirmed` (0 = every spike refuted).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -74,7 +83,28 @@ object Bench {
       .withDefaultValue(Nil)
     val failures = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
-    for (_ <- 1 to passes; (name, fn) <- names) {
+    // per-sample machine attribution (r17 verdict: in-suite spikes —
+    // q143 at 13× its floor — had to be adjudicated by hand from pass
+    // clustering; the bench itself should carry the evidence). For
+    // every sample we record the 1-min system loadavg at query START
+    // (other processes on the shared box) and the JVM-wide GC time the
+    // query's span accrued (local-mode: driver and executors are ONE
+    // JVM, so this IS the query's GC bill). Emitted only for outlier
+    // samples — 154 queries × passes of always-on attribution would
+    // bloat the artifact for numbers nobody reads.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    def gcSeconds: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum / 1e3
+    }
+    val attrib = scala.collection.mutable
+      .Map.empty[String, List[(Double, Double)]].withDefaultValue(Nil)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): (Boolean, Double, Double, Double) = {
+      val load = osBean.getSystemLoadAverage
+      val gc0 = gcSeconds
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case scala.util.control.NonFatal(e) =>
@@ -82,9 +112,14 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      (ok, elapsed, load, gcSeconds - gc0)
+    }
+    for (_ <- 1 to passes; (name, fn) <- names) {
+      val (ok, elapsed, load, gc) = timed(fn, name)
       // untimed: drop caches a query built (e.g. the shingle projection)
       // so accumulated storage pressure can't skew later measurements
       spark.catalog.clearCache()
+      attrib(name) = (load, gc) :: attrib(name)
       // a failed pass must NOT enter the timing stats: a query that
       // dies in 0.05 s would otherwise report a tiny min and read as a
       // 50× improvement — the exact misread the min metric exists to
@@ -128,6 +163,46 @@ object Bench {
     val mins = names.map { case (name, _) =>
       "\"" + name + "\":" + minOr(samples(name))
     }.mkString("{", ",", "}")
+    // ---- outlier self-attribution (r17 verdict task #1). A sample is
+    // an OUTLIER when it ran > 3× the query's own min in the same run
+    // AND > 1 s over it (the absolute guard keeps sub-second queries'
+    // scheduler jitter out). Each outlier query is re-run ONCE after
+    // the suite (cache-cleared, attribution recorded): a retry back
+    // near the min refutes the spike (environmental — load burst, GC
+    // wall, pass-cluster contention, all visible in the recorded
+    // loadavg/gc numbers); a retry still past the gate CONFIRMS a
+    // reproducible slowdown worth a diff hunt. Retries are capped
+    // (worst ratio first) so a pathological round cannot double the
+    // bench's runtime; attribution rides the full line only.
+    def isOutlier(sec: Double, mn: Double): Boolean =
+      mn >= 0 && sec > 3 * mn && sec > mn + 1.0
+    val retryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
+    val outlierQs = names.flatMap { case (name, fn) =>
+      val mn = minOr(samples(name))
+      val evs = samples(name).reverse.zip(attrib(name).reverse).zipWithIndex
+        .collect { case ((sec, (load, gc)), idx)
+            if isOutlier(sec, mn) =>
+          (idx + 1, sec, load, gc)
+        }
+      if (evs.isEmpty) None
+      else Some((name, fn, mn, evs, evs.map(_._2 / mn).max))
+    }.sortBy(-_._5).take(retryCap)
+    var outliersConfirmed = 0
+    val outliersJson = outlierQs.map { case (name, fn, mn, evs, _) =>
+      val (rOk, rSec, rLoad, rGc) = timed(fn, name)
+      spark.catalog.clearCache()
+      // a retry that FAILS outright cannot refute the spike — count it
+      // confirmed so the round's consumer looks at the query either way
+      val confirmed = !rOk || isOutlier(rSec, mn)
+      if (confirmed) outliersConfirmed += 1
+      val evJson = evs.map { case (pass, sec, load, gc) =>
+        f"""{"pass":$pass,"sec":$sec%.2f,"loadavg":$load%.1f,"gc_sec":$gc%.2f}"""
+      }.mkString("[", ",", "]")
+      "\"" + name + "\":" +
+        f"""{"min":$mn%.2f,"events":$evJson,"retry_sec":$rSec%.2f,""" +
+        f""""retry_loadavg":$rLoad%.1f,"retry_gc_sec":$rGc%.2f,""" +
+        s""""confirmed":$confirmed}"""
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalMin = names
       .map { case (name, _) => minOr(samples(name)) }.filter(_ >= 0).sum
@@ -164,13 +239,13 @@ object Bench {
       .replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
     val ctx = s""""floor_run":$floorRun,"run_note":"$runNote","passes":$passes"""
-    val fullLine = s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,$ctx,"queries_failed":$broken,"failed_passes":$failedPasses,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,$ctx,"queries_failed":$broken,"failed_passes":$failedPasses,"outlier_queries":${outlierQs.size},"outliers_confirmed":$outliersConfirmed,"outliers":$outliersJson,"queries":$qs,"mins":$mins,"samples":$raw,"failures":$failed,"sf":"$sfDir"}"""
     println(fullLine)
     // compact (<200 byte) summary line AFTER the full line: the
     // driver's tail capture truncates the full line mid-array (every
     // BENCH_r*.json so far has parsed:null), so the structured totals
     // must also ride a line truncation can never eat — last and short
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"floor_run":$floorRun,"queries_run":${names.size},"queries_failed":$broken,"failed_passes":$failedPasses,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","value_min":$totalMinJson,"floor_run":$floorRun,"queries_run":${names.size},"queries_failed":$broken,"failed_passes":$failedPasses,"outliers_confirmed":$outliersConfirmed,"sf":"$sfDir"}""")
     // the full line ALSO lands on disk: the stdout capture keeps only
     // a ~2 KB tail, which through r14 dropped the alphabetical head of
     // the per-query maps (q100-q146's mins survived only in BASELINE.md

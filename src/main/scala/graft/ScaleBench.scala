@@ -182,6 +182,37 @@ object ScaleBench {
           $"embedding", $"label")
         .write.mode("overwrite").parquet(s"$scratch/embeddings"),
       s"$scratch/embeddings")
+    // CLUSTERED embedding corpus (r17 verdict task #2): the testdata
+    // embeddings are near-uniform on the sphere, where recall@10 at
+    // partial probe is uninformative — with no cluster structure the
+    // true neighbors of a query spread across MANY IVF cells, so any
+    // nProbe ≪ nCells necessarily misses most of them (measured r17:
+    // 0.2-0.5) regardless of index quality. Real embedding spaces are
+    // CLUSTERED (semantic neighborhoods), which is the geometry IVF
+    // exploits. This corpus is a deterministic 64-component
+    // mixture-of-Gaussians in 64-d: centers uniform in [-1,1]^64
+    // (expected inter-center distance ≈ 6.5), noise σ = 0.25 per
+    // component (vector's expected distance from its center ≈ 2.0) —
+    // separated but not trivially so. All randomness is xxhash64-seeded
+    // per (vector, dim): reruns are bit-identical, no RNG state.
+    lazy val embClustered = materialize({
+      val dim = 64
+      def u(salt: Int, a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(lit(salt), a, b), lit(1048576L)).cast("double") +
+          lit(0.5)) / 1048576.0
+      val cId = pmod(xxhash64(lit(7), $"id"), lit(64L))
+      val vec = transform(sequence(lit(0), lit(dim - 1)), j => {
+        val center = u(1, cId, j) * 2.0 - 1.0
+        val gauss = sqrt(log(u(2, $"id", j)) * -2.0) *
+          cos(u(3, $"id", j) * (2.0 * math.Pi))
+        (center + gauss * 0.25).cast("float")
+      })
+      spark.range(60000L)
+        .select($"id".as("vec_id"), vec.as("embedding"),
+          cId.as("label"))
+        .write.mode("overwrite").parquet(s"$scratch/embeddings_clustered")
+    }, s"$scratch/embeddings_clustered")
 
     def sessionize(ev: DataFrame): Long = {
       import org.apache.spark.sql.expressions.Window
@@ -785,8 +816,15 @@ object ScaleBench {
     // factor identical copies, any one of which counts) and expose the
     // displacement, so it is a time ladder, not a recall testbed. The
     // recall-1.0 anchor at full dials is the q148/q150 oracle gate. ----
+    // The `clustered` side (r17 verdict task #2) runs the SAME dials on
+    // the mixture-of-Gaussians corpus above: recall there measures what
+    // the index buys on realistic (clustered) embedding geometry, with
+    // the uniform x1 side kept as the adversarial floor. xN stays a
+    // time ladder (duplicated vectors both inflate recall and displace
+    // the pool — see the r17 analysis above).
     if (guardOn("ann_recall")) {
-      for ((side, tbl) <- Seq(("x1", () => emb1), ("xN", () => embN))) {
+      for ((side, tbl) <- Seq(("x1", () => emb1), ("xN", () => embN),
+          ("clustered", () => embClustered))) {
         val d = tbl()
         val queries = d.filter(col("vec_id") % 37L === 0L)
         val exact = graft.operators.Similarity
@@ -826,11 +864,13 @@ object ScaleBench {
               queries, d, 10, 64, cents, books, nProbe, pool = 100))
           }
           spark.catalog.clearCache()
-          if (side == "x1") require(rPq >= prevPq - 0.02,
-            f"ivf_pq recall must be ~monotone in nProbe: " +
-              f"$rPq%.3f at nProbe=$nProbe after $prevPq%.3f")
+          // monotonicity is REPORTED, not require-d (r17 ADVICE): a
+          // fixed re-rank pool can genuinely lose recall as nProbe
+          // grows on duplicated corpora (probe displacement — measured
+          // r17), so a dip is a finding to flag, not a broken build
+          val monoPq = rPq >= prevPq - 0.02
           prevPq = rPq
-          println(f"""{"pipeline":"ann_recall_ivf_pq","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rPq%.3f,"sec":$tPq%.2f}""")
+          println(f"""{"pipeline":"ann_recall_ivf_pq","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rPq%.3f,"monotone":$monoPq,"sec":$tPq%.2f}""")
           var rIvf = 0.0
           val tIvf = time {
             rIvf = recallOf(graft.operators.Similarity.projectedIvfTopK(
@@ -838,11 +878,9 @@ object ScaleBench {
               nProbe = nProbe, pool = 100, centroids = Some(projCents)))
           }
           spark.catalog.clearCache()
-          if (side == "x1") require(rIvf >= prevIvf - 0.02,
-            f"projected-IVF recall must be ~monotone in nProbe: " +
-              f"$rIvf%.3f at nProbe=$nProbe after $prevIvf%.3f")
+          val monoIvf = rIvf >= prevIvf - 0.02
           prevIvf = rIvf
-          println(f"""{"pipeline":"ann_recall_projected_ivf","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rIvf%.3f,"sec":$tIvf%.2f}""")
+          println(f"""{"pipeline":"ann_recall_projected_ivf","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rIvf%.3f,"monotone":$monoIvf,"sec":$tIvf%.2f}""")
         }
       }
     }
@@ -965,10 +1003,16 @@ object ScaleBench {
         require(ranks.count() == nNodes, "rank row per node")
       }
       // replica of the per-iteration contribution join, against the
-      // final rank table exactly as the loop would see it
+      // final rank table exactly as the loop would see it. Execute
+      // through the probe's OWN QueryExecution (toRdd.count), so the
+      // AQE final plan inspected below is the one that actually ran —
+      // probe.count() would build a SEPARATE QueryExecution and leave
+      // this one un-executed (r17 ADVICE: reading a.executedPlan off
+      // an unexecuted AQE root re-materializes stages = a silent
+      // second run of the probe)
       val probe = chain.join(
         ranks.withColumnRenamed("node", "src"), "src")
-      probe.count()
+      probe.queryExecution.toRdd.count()
       // match on the plan TREE, not its rendered string: plan strings
       // are capped (spark.sql.maxPlanStringLength) and a truncation
       // before the join node would misreport the mode (r16 ADVICE)
@@ -977,12 +1021,20 @@ object ScaleBench {
             .AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-      val mode = finalPlan.collectFirst {
+      // QueryStageExec is a LEAF node — an already-materialized AQE
+      // stage hides its subtree from collect/collectFirst, so a join
+      // that landed inside a stage would silently report "other"
+      // (r17 ADVICE). Recurse through stage boundaries explicitly.
+      def joinMode(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[String] = p.collect {
         case _: org.apache.spark.sql.execution.joins
-            .BroadcastHashJoinExec => "broadcast"
+            .BroadcastHashJoinExec => Some("broadcast")
         case _: org.apache.spark.sql.execution.joins
-            .SortMergeJoinExec => "sort_merge"
-      }.getOrElse("other")
+            .SortMergeJoinExec => Some("sort_merge")
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => joinMode(s.plan)
+      }.flatten.headOption
+      val mode = joinMode(finalPlan).getOrElse("other")
       println(f"""{"pipeline":"pagerank_rank_join_$label","sec":$tPr%.2f,"nodes":$nNodes,"edges":${nNodes - 1},"iters":3,"rank_join":"$mode"}""")
     }
 

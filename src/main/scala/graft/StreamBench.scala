@@ -11,10 +11,59 @@ import org.apache.spark.sql.functions._
   * (the reference envelope is ≤ a few msgs/s — SURVEY §6).
   *
   * Usage: runMain graft.StreamBench [nBatches] [eventsPerBatch]
+  *    or: runMain graft.StreamBench table
+  *
+  * `table` (r17 verdict stretch) sweeps the two dials a deployment
+  * actually tunes — micro-batch size (the trigger dial: bigger
+  * batches amortize per-batch planning/commit overhead at the cost of
+  * latency) and dedup-state cardinality (the id pool: the 8-day
+  * watermark means state = distinct ids seen, so the pool size IS the
+  * steady-state state-store row count) — under BOTH state backends
+  * (on-heap default and RocksDB), at a fixed total event count so
+  * ev/s is comparable across cells. One JSON line per cell:
+  *   {"metric":"stream_dial","provider":…,"per_batch":…,
+  *    "state_keys":…,"events_per_sec":…,"sunk_rows":…}
   */
 object StreamBench {
+
+  /** One measured cell: drives `total` events in `perBatch`-sized
+    * micro-batches through the parse→enrich→watermarked-dedup
+    * pipeline, ids drawn round-robin from a pool of `idPool` (pool <
+    * total → re-sends that the dedup drops; state caps at the pool).
+    * Returns (seconds, sunk rows). Fresh checkpoint per call — state
+    * never leaks across cells. */
+  private def measure(spark: SparkSession, total: Int, perBatch: Int,
+      idPool: Long): (Double, Long) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val raw = input.toDF().selectExpr("cast(value as binary) as value")
+    @volatile var rows = 0L
+    val q = graft.streaming.Jobs.eventsToSink(raw,
+      java.nio.file.Files.createTempDirectory("sb-cp").toString,
+      (df, _) => rows += df.count()).start()
+    val nBatches = total / perBatch
+    val t0 = System.nanoTime()
+    var id = 0L
+    for (b <- 0 until nBatches) {
+      val msg = (0 until perBatch).map { i =>
+        id += 1
+        event(id % idPool, (b * 7 + i / 100) % 1200)
+      }.mkString("[", ",", "]")
+      input.addData(msg)
+    }
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (secs, rows)
+  }
+
+  private def event(id: Long, minute: Int): String =
+    f"""{"date":"2023-02-06T${4 + minute / 60}%02d:${minute % 60}%02d:00","rms":"0.5","eventID":"$id","location":"X","latitude":"37.0","longitude":"36.0","depth":"7.0","type":"Ke","magnitude":"5.1","country":"T","province":"Hatay","district":"D","neighborhood":"N","isEventUpdate":"false","lastUpdateDate":""}"""
+
   def main(args: Array[String]): Unit = {
-    val nBatches = args.headOption.map(_.toInt).getOrElse(50)
+    val nBatches = args.headOption.filter(_ != "table")
+      .map(_.toInt).getOrElse(50)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(2000)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -41,29 +90,34 @@ object StreamBench {
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
 
-    def event(id: Long, minute: Int): String =
-      f"""{"date":"2023-02-06T${4 + minute / 60}%02d:${minute % 60}%02d:00","rms":"0.5","eventID":"$id","location":"X","latitude":"37.0","longitude":"36.0","depth":"7.0","type":"Ke","magnitude":"5.1","country":"T","province":"Hatay","district":"D","neighborhood":"N","isEventUpdate":"false","lastUpdateDate":""}"""
-
-    val input = MemoryStream[String]
-    val raw = input.toDF().selectExpr("cast(value as binary) as value")
-    @volatile var rows = 0L
-    val q = graft.streaming.Jobs.eventsToSink(raw,
-      java.nio.file.Files.createTempDirectory("sb-cp").toString,
-      (df, _) => rows += df.count()).start()
-
-    val t0 = System.nanoTime()
-    var id = 0L
-    for (b <- 0 until nBatches) {
-      val msg = (0 until perBatch).map { i =>
-        id += 1; event(id, (b * 7 + i / 100) % 1200)
-      }.mkString("[", ",", "]")
-      input.addData(msg)
+    if (args.headOption.contains("table")) {
+      // dial sweep: fixed 80k events per cell. A warm-up cell runs
+      // first (untimed) so the first measured cell isn't charged
+      // codegen/JIT for the pipeline shape — the same discipline as
+      // Bench's warm-up pass.
+      val total = 80000
+      measure(spark, total = 16000, perBatch = 2000, idPool = 1L << 60)
+      val rocksdb = "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"
+      for (provider <- Seq("onheap", "rocksdb")) {
+        if (provider == "rocksdb")
+          spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", rocksdb)
+        else spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+        for (perB <- Seq(500, 2000, 8000);
+             pool <- Seq(2000L, 200000L)) {
+          val (secs, rows) = measure(spark, total, perB, pool)
+          println(f"""{"metric":"stream_dial","provider":"$provider","per_batch":$perB,"state_keys":$pool,"events":$total,"events_per_sec":${total / secs}%.0f,"sec":$secs%.2f,"sunk_rows":$rows}""")
+        }
+      }
+      spark.stop()
+      return
     }
-    q.processAllAvailable()
-    val secs = (System.nanoTime() - t0) / 1e9
-    q.stop()
+
+    val (secs, rows) =
+      measure(spark, nBatches * perBatch, perBatch, 1L << 60)
     val total = nBatches.toLong * perBatch
     println(f"""{"metric":"stream_events_per_sec","value":${total / secs}%.0f,"events":$total,"sec":$secs%.2f,"sunk_rows":$rows}""")
     spark.stop()

@@ -75,19 +75,29 @@ object TrainingPipeline {
     *    action's plan at one macro-stage. Same-box cost is one extra
     *    block write per boundary; results are bit-identical (the
     *    boundary holds exactly the rows the lazy plan computes).
+    *  - `reliable` — `checkpoint(eager = true)`: same execute-once +
+    *    lineage truncation, but the boundary blocks land on the
+    *    SparkContext checkpoint dir (`sc.setCheckpointDir` — HDFS/S3
+    *    on a cluster), so losing an executor loses nothing. This is
+    *    the 100 TB production value: `localCheckpoint` blocks are
+    *    executor-local and an executor loss KILLS the job (truncation
+    *    discarded the lineage that could recompute them). Costs one
+    *    distributed write+read per boundary — on a multi-hour
+    *    pipeline that premium is the fault-tolerance budget, not
+    *    overhead. Fails fast (before any stage executes) if no
+    *    checkpoint dir is set.
     *  - `none` — [[graft.operators.Hydration.persist]] at the same
     *    points (the pre-r17 shape): full lineage retained, useful when
     *    a caller needs the composed plan inspectable end-to-end
     *    (PlanQualitySpec's sweep) or wants the hydration conf to
     *    govern storage.
     *
-    * 100 TB note: `localCheckpoint` blocks are executor-local — an
-    * executor loss kills the job (lineage is gone). On a real cluster
-    * a long pipeline sets `spark.checkpoint.dir` territory instead:
-    * replace the boundary with `checkpoint(eager = true)` (reliable
-    * storage) or stage to parquet (the q95ZorderSkipping pattern) —
-    * same truncation, fault-tolerant. The conf keeps that swap a
-    * one-line policy change, not a pipeline rewrite. */
+    * All three policies are bit-identical in OUTPUT (each boundary
+    * holds exactly the rows the lazy plan computes — asserted by
+    * TrainingPipelineSpec's policy-equivalence test); they differ only
+    * in where the boundary's blocks live and how much plan each action
+    * ships. Staging to parquet (the q95ZorderSkipping pattern) remains
+    * the right call when a boundary should OUTLIVE the job. */
   val StageCheckpointConf = "spark.graft.pipeline.stageCheckpoint"
 
   /** The transform chain, exposed for tests (no I/O). Returns the
@@ -181,11 +191,20 @@ object TrainingPipeline {
     // upstream chain exactly once.
     val stagePolicy = docs.sparkSession.conf
       .get(StageCheckpointConf, "local")
-    require(stagePolicy == "local" || stagePolicy == "none",
-      s"$StageCheckpointConf must be 'local' or 'none', got $stagePolicy")
-    def stagePin(df: DataFrame): DataFrame =
-      if (stagePolicy == "local") df.localCheckpoint(true)
-      else graft.operators.Hydration.persist(df)
+    require(Set("local", "reliable", "none")(stagePolicy),
+      s"$StageCheckpointConf must be 'local', 'reliable' or 'none', " +
+        s"got $stagePolicy")
+    // fail BEFORE any stage executes, not at the first boundary 40
+    // minutes in: reliable checkpointing needs a checkpoint dir
+    require(stagePolicy != "reliable" ||
+        docs.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      s"$StageCheckpointConf=reliable needs a checkpoint dir — call " +
+        "sparkContext.setCheckpointDir (HDFS/S3 on a cluster) first")
+    def stagePin(df: DataFrame): DataFrame = stagePolicy match {
+      case "local"    => df.localCheckpoint(true)
+      case "reliable" => df.checkpoint(true)
+      case _          => graft.operators.Hydration.persist(df)
+    }
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs

@@ -8,6 +8,38 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The ONE tokenization every native text kernel must share with the
+  * composable column form `split(trim(text), "\\s+")`
+  * ([[TextFunctions.tokens]]) — the exact-substring family joins
+  * kernel-produced window POSITIONS against a `tokens()`-built token
+  * table ([[graft.operators.Dedup.dedupExactSubstrings]]), so any
+  * divergence shifts which tokens get cut. Two traps if written
+  * casually as `s.trim.split("\\s+")`:
+  *
+  *  - SQL `trim` strips ASCII space (U+0020) ONLY; Java `String.trim`
+  *    strips every char <= U+0020 (tab, CR, LF, NUL...). A doc with a
+  *    leading tab keeps a leading EMPTY token under SQL semantics
+  *    (`split` sees the tab and cuts before it) — Java trim eats the
+  *    tab and the whole position axis shifts left by one.
+  *  - Spark's `split(str, regex)` is `StringSplit(..., limit = -1)` —
+  *    trailing empty tokens are KEPT (`"a\n"` → `["a", ""]`);
+  *    Java's `String.split(regex)` is limit 0 and drops them.
+  */
+object CanonicalTokens {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** `split(trim(s), "\\s+")` with Spark SQL semantics, on a JVM
+    * String. Total: never null, `[""]` for empty/all-space input
+    * (same as the SQL form). */
+  def tokenize(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    WS.split(s.substring(b, e), -1)
+  }
+}
+
 /** Native word n-gram shingler.
   *
   * The composable form (`split` → `transform(sequence)` → `slice` →
@@ -36,9 +68,12 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  /** Shared kernel for interpreted eval and generated code. */
+  /** Shared kernel for interpreted eval and generated code.
+    * Tokenization = [[CanonicalTokens.tokenize]] (SQL
+    * `split(trim(..))` semantics — see its scaladoc for why Java
+    * `String.trim` is NOT equivalent). */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = CanonicalTokens.tokenize(text.toString)
     val m = math.max(toks.length - n, 0)
     val seen = new java.util.LinkedHashSet[String]((m + 1) * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -108,9 +143,15 @@ object WindowHashes {
     * `XXH64.hashUnsafeBytes(utf8(window), seed = 42)` — bit-identical
     * to Spark's `xxhash64(lit(window))`, so the migration from the
     * composable form could be (and was) verified by byte-diffing the
-    * query outputs. */
+    * query outputs.
+    *
+    * Tokenization = [[CanonicalTokens.tokenize]] — POSITIONAL
+    * agreement with the `tokens()`-built token table that
+    * `dedupExactSubstrings` joins against is load-bearing here (a
+    * Java-trim kernel shifts every window start left by one on a
+    * doc with a leading tab/newline, cutting the WRONG tokens). */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = CanonicalTokens.tokenize(text.toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val m = toks.length - n
     val out = new Array[Any](m + 1)

@@ -476,13 +476,15 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+    val seed = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .cache()
+    var edges = seed
     var sumCur = summarize(edges)
     var converged = false
     var i = 0
+    try {
     while (!converged && i < maxIter) {
       val step = smallStarStep(largeStarStep(edges))
       // localCheckpoint EVERY round (r17). The previous shape
@@ -503,12 +505,21 @@ object Dedup {
       val sumNext = summarize(next) // materializes the round
       converged = sumNext == sumCur &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      // round 0's input is the CACHED seed frame — release it; later
+      // round 0's input is the CACHED seed frame — release it as soon
+      // as it's superseded (the finally below only covers exit paths
+      // that never reached this point; unpersist is idempotent); later
       // generations are checkpoints and need no unpersist
       if (i == 0) edges.unpersist()
       edges = next
       sumCur = sumNext
       i += 1
+    }
+    } finally {
+      // every exit path releases the seed: maxIter <= 0 skips the loop
+      // entirely, and a failure inside round 0 (summarize/checkpoint)
+      // propagates before the in-loop unpersist — either would pin the
+      // seed in the CacheManager for the session's lifetime otherwise
+      seed.unpersist()
     }
     // fail FAST, like lshParams: returning possibly under-merged labels
     // would let dedupCorpus/semanticCollapse silently keep extra

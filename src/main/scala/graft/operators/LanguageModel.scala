@@ -274,7 +274,14 @@ object LanguageModel {
     * one domain-keyed aggregate (domain cardinality ≪ corpus), and
     * apportion's driver-folded remainder ranking over the tiny
     * per-domain frame. Nothing downstream of the per-doc score ever
-    * rescans the corpus. */
+    * rescans the corpus.
+    *
+    * EAGER: calling this EXECUTES the per-doc scoring subtree (the
+    * domain-weight rows become a driver-local relation so apportion's
+    * multi-action contract replays a literal scan, not the corpus —
+    * and nothing stays pinned in the CacheManager, the r16 leak).
+    * Build-plan-only callers (explain tooling, plan sweeps) pay one
+    * full scoring execution at construction time — budget for it. */
   def domainReweight(docs: DataFrame, groupCol: String = "source",
       budget: Long = 100000L, scale: Long = 10000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -286,7 +293,9 @@ object LanguageModel {
     * domain's text is for a model trained on the REFERENCE corpus,
     * not on the mixture being weighted (self-scored difficulty is
     * biased toward domains whose text dominates the training counts).
-    * Same integer weight/apportion contract through the shared tail. */
+    * Same integer weight/apportion contract through the shared tail —
+    * including its EAGER execution at construction time (see
+    * [[domainReweight]]). */
   def domainReweightHeldOut(train: DataFrame, docs: DataFrame,
       groupCol: String = "source", budget: Long = 100000L,
       scale: Long = 10000L, addK: Int = 1, idCol: String = "doc_id",

@@ -799,6 +799,41 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ws("u", 6))
   }
 
+  test("CanonicalTokens.tokenize ≡ split(trim(text), '\\s+') — SQL trim " +
+      "(ASCII space only) and Spark split limit -1 (trailing empties kept)") {
+    val tricky = Seq("\tfoo bar", "foo bar\n", "  foo  bar  ", "",
+      "   ", "\n\t", "a b", " \tmixed lead", "trail mix\r\n ",
+      "plain single", "ctl lead")
+    val viaSql = tricky.toDF("t")
+      .select(split(trim($"t"), "\\s+").as("k"))
+      .as[Seq[String]].collect().toSeq
+    val viaKernel = tricky.map(s =>
+      graft.functions.CanonicalTokens.tokenize(s).toSeq)
+    assert(viaKernel === viaSql,
+      "native kernels must tokenize exactly like the tokens() column form")
+  }
+
+  test("dedupExactSubstrings: a leading tab shifts the token axis — the " +
+      "kernel's window positions must still align with the tokens() table") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val run = ws("r", 5)
+    val fixture = Seq(
+      (0L, run),                     // canonical occurrence → intact
+      // SQL-trim tokens: ["", r0..r4, b0] — the run sits at positions
+      // 2..6; a Java-trim kernel would find it at 1..5 and cut the
+      // leading empty token plus r0..r3, leaving "r4 b0" (wrong)
+      (1L, "\t" + run + " b0")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(fixture, n = 5)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out(0L) === run)
+    // survivors: the leading empty token (p1) and b0 (p7), space-joined
+    assert(out(1L) === " b0")
+    val spans = Dedup.exactSubstringSpans(fixture, n = 5)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((0L, 1L, 5L, 1L), (1L, 2L, 6L, 1L)))
+  }
+
   test("exactSubstringStats: per-source repeat coverage — exact counts, " +
       "overlap counted once, null-text docs excluded") {
     def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")

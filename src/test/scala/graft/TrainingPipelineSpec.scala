@@ -34,6 +34,38 @@ class TrainingPipelineSpec extends SparkSpec {
       out.select($"doc_id", $"split").as[(Long, String)].collect().sorted.toSeq)
   }
 
+  test("stageCheckpoint policies are bit-identical: local ≡ reliable ≡ " +
+      "none; reliable without a checkpoint dir fails fast") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"split", $"pack_id", xxhash64($"text").as("h"))
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    val conf = spark.conf
+    def under(policy: String) = {
+      conf.set(TrainingPipeline.StageCheckpointConf, policy)
+      try keyed(TrainingPipeline.prepare(docs))
+      finally conf.unset(TrainingPipeline.StageCheckpointConf)
+    }
+    // fail-fast contract FIRST — the shared session has no checkpoint
+    // dir yet, and setCheckpointDir cannot be undone
+    val e = intercept[IllegalArgumentException](under("reliable"))
+    assert(e.getMessage.contains("setCheckpointDir"))
+    val local = under("local")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = under("reliable")
+    val none = under("none")
+    assert(reliable === local,
+      "reliable checkpoint boundaries must not change the output")
+    assert(none === local,
+      "full-lineage pins must not change the output")
+    // the reliable run actually wrote checkpoint blocks to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no reliable-checkpoint blocks under $dir")
+  }
+
   test("masking and decontamination stages compose: planted PII is " +
       "masked in the output, benchmark-overlapping docs are gone") {
     val bench = Tables.documents(spark, "/root/testdata/sf0.001")
