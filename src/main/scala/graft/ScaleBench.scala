@@ -189,19 +189,31 @@ object ScaleBench {
     // nProbe ≪ nCells necessarily misses most of them (measured r17:
     // 0.2-0.5) regardless of index quality. Real embedding spaces are
     // CLUSTERED (semantic neighborhoods), which is the geometry IVF
-    // exploits. This corpus is a deterministic 64-component
+    // exploits. This corpus is a deterministic 1024-component
     // mixture-of-Gaussians in 64-d: centers uniform in [-1,1]^64
     // (expected inter-center distance ≈ 6.5), noise σ = 0.25 per
     // component (vector's expected distance from its center ≈ 2.0) —
     // separated but not trivially so. All randomness is xxhash64-seeded
     // per (vector, dim): reruns are bit-identical, no RNG state.
+    //
+    // Component count is load-bearing: ~59 members per component keeps
+    // the semantic neighborhood UNDER the 100-row re-rank pool. A
+    // first cut used 64 components (~937 members): every in-cluster
+    // candidate is a near-tie under the APPROXIMATE scorer, so the
+    // fixed pool held a quasi-random 100 of 937 and recall pinned at
+    // ~pool/cluster ≈ 0.20 at EVERY nProbe — a real deployment lesson
+    // (pool must cover the neighborhood size) but it measures pool
+    // saturation, not index routing. At 59-member components the pool
+    // covers the whole neighborhood and recall measures what the dial
+    // is supposed to buy: whether probing more cells finds the right
+    // component.
     lazy val embClustered = materialize({
       val dim = 64
       def u(salt: Int, a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =
         (pmod(xxhash64(lit(salt), a, b), lit(1048576L)).cast("double") +
           lit(0.5)) / 1048576.0
-      val cId = pmod(xxhash64(lit(7), $"id"), lit(64L))
+      val cId = pmod(xxhash64(lit(7), $"id"), lit(1024L))
       val vec = transform(sequence(lit(0), lit(dim - 1)), j => {
         val center = u(1, cId, j) * 2.0 - 1.0
         val gauss = sqrt(log(u(2, $"id", j)) * -2.0) *
@@ -342,6 +354,15 @@ object ScaleBench {
       ("dup_matrix",
         (d: DataFrame) => graft.operators.CorpusStats
           .duplicationMatrix(d, "source").count(),
+        () => docs1, () => docsN),
+      // per-doc n-gram novelty of the (amplified) candidate corpus vs
+      // the fixed 1× reference: candidate windows grow ×factor but the
+      // reference's DISTINCT gram set is constant, so the join stays
+      // vocabulary-×-candidates — a near-linear ratio means the
+      // distinct aggregates (not a gram-set blowup) dominate
+      ("ngram_novelty",
+        (d: DataFrame) => graft.operators.CorpusStats
+          .ngramNovelty(d, docs1, n = 8).count(),
         () => docs1, () => docsN),
       // the keyless (sensor-less) as-of merge: auto-sharded into
       // time-contiguous bins — without the auto-shard this whole merge

@@ -185,6 +185,9 @@ object SparkEntry {
       (TrainingData.q153ExactSubstringDedup _),
     "q154_exact_substring_stats" ->
       (TrainingData.q154ExactSubstringStats _),
+    "q155_exact_substring_min3" ->
+      (TrainingData.q155ExactSubstringSpansMin3 _),
+    "q156_ngram_novelty" -> (TrainingData.q156NgramNovelty _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,6 +554,12 @@ object SparkEntry {
     // island-merges coverage (q152) and rebuilds survivor text (q153)
     "q152_exact_substring_spans" -> TrainingData.q152Sql,
     "q153_exact_substring_dedup" -> TrainingData.q153Sql,
+    // q155: q152's replay with the repeat threshold raised to 3 —
+    // gates that minCount binds (heavy boilerplate only)
+    "q155_exact_substring_min3" -> TrainingData.q155Sql,
+    // q156: literal-window novelty replay vs the id-split reference
+    // (the Spark side joins xxhash64 of the same window strings)
+    "q156_ngram_novelty" -> TrainingData.q156Sql,
     // q154: the Lee-et-al headline statistic — per-source fraction of
     // tokens inside some >=10-token exact repeat; exact integer sums,
     // one double division computed identically by both engines

@@ -180,4 +180,58 @@ object CorpusStats {
         (col("n_dup_docs").cast("double") / col("n_total").cast("double"))
           .as("dup_frac"))
   }
+
+  /** Per-doc n-gram NOVELTY vs a reference corpus — the memorization /
+    * freshness metric (Lee et al. arXiv:2107.06499 §6 measure novel
+    * text in model OUTPUT the same way; here it grades candidate
+    * TRAINING docs): for each candidate doc, the fraction of its
+    * DISTINCT n-token windows that appear nowhere in `reference`.
+    * Novelty 0 = every window already known (a verbatim copy or a
+    * stitched collage of reference text — near-zero marginal training
+    * value); novelty 1 = fully fresh.
+    *
+    * Distinct windows, deliberately: repetition INSIDE the candidate
+    * is [[Dedup.exactSubstringStats]]' business; novelty asks how much
+    * of the doc's distinct n-gram vocabulary is new.
+    *
+    * Docs with fewer than n tokens carry no windows and are EXCLUDED
+    * (novelty of nothing is undefined, not 0 or 1 — emitting either
+    * would bias a downstream mean). NULL text is likewise excluded.
+    *
+    * Scale shape (the [[Dedup.decontaminate]] discipline): windows
+    * never leave their row as strings — the native
+    * [[graft.functions.WindowHashes]] kernel emits 8-byte xxhash64
+    * values; both sides then hash-aggregate to DISTINCT (doc, hash) /
+    * (hash) rows (map-side combining — a window repeated 10⁶ times in
+    * the reference is ONE row before the shuffle) and meet in a
+    * LEFT join on the hash (vocabulary-sized, not corpus-sized). The
+    * 64-bit collision contract is decontaminate's: hash equality
+    * stands in for window equality, so a collision can only mark a
+    * genuinely-novel window as known (novelty under-count with
+    * probability ≈ pairs/2⁶⁴ — never a false "novel").
+    *
+    * Output: (idCol, n_windows, novel_windows, novel_frac), the one
+    * double division last from exact integer counts. */
+  def ngramNovelty(candidates: DataFrame, reference: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"novelty window must be >= 2 tokens, got $n")
+    import graft.functions.WindowHashes.windowHashesNative
+    def windows(df: DataFrame) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(windowHashesNative(col(textCol), n)).as("h"))
+    val cand = windows(candidates).distinct()
+    val known = windows(reference).select(col("h")).distinct()
+      .withColumn("__known", lit(1))
+    cand.join(known, Seq("h"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(lit(1)).minus(count(col("__known")))
+          .as("novel_windows"))
+      .select(col("__id").as(idCol), col("n_windows"),
+        col("novel_windows"),
+        (col("novel_windows").cast("double") /
+          col("n_windows").cast("double")).as("novel_frac"))
+  }
 }

@@ -1427,21 +1427,26 @@ object Dedup {
     * `canonical = true` additionally carries each duplicated window's
     * globally-first occurrence (c_id, c_p) — ONLY the cut variant
     * needs it; the spans report skips the min(struct) aggregate and
-    * the two extra join-side columns. */
+    * the two extra join-side columns. `minCount` raises the repeat
+    * threshold (a window counts as duplicated when it occurs ≥
+    * minCount times corpus-wide; 2 = any repeat, the Lee-et-al
+    * default — higher values target heavy boilerplate only). */
   private def duplicatedWindowOccurrences(docs: DataFrame, n: Int,
       idCol: String, textCol: String,
-      canonical: Boolean): DataFrame = {
+      canonical: Boolean, minCount: Int = 2): DataFrame = {
+    require(minCount >= 2,
+      s"exact-substring repeat threshold must be >= 2, got $minCount")
     val wins = windowOccurrences(docs, n, idCol, textCol)
     val dup =
       if (canonical) wins.groupBy(col("h"))
         .agg(count(lit(1)).as("__c"),
           min(struct(col("__id"), col("p"))).as("__first"))
-        .filter(col("__c") >= 2)
+        .filter(col("__c") >= minCount)
         .select(col("h"), col("__first.__id").as("c_id"),
           col("__first.p").as("c_p"))
       else wins.groupBy(col("h"))
         .agg(count(lit(1)).as("__c"))
-        .filter(col("__c") >= 2)
+        .filter(col("__c") >= minCount)
         .select(col("h"))
     wins.join(dup, Seq("h"))
   }
@@ -1467,13 +1472,19 @@ object Dedup {
     * share length `n`, coverage is contiguous iff consecutive starts
     * differ by ≤ n (the previous window's end is lag(p)+n-1).
     *
+    * `minCount` raises the repeat threshold (≥ minCount occurrences
+    * corpus-wide; default 2 = any repeat — higher values report only
+    * HEAVY boilerplate, the dial that separates "shared license
+    * header in 10⁵ docs" from "two docs quoting each other").
+    *
     * Reference analog: none — the reference dedups whole events by
     * eventID (`sparktoELKstream.py:127`); this is the LLM-corpus
     * within-document generalization. */
   def exactSubstringSpans(docs: DataFrame, n: Int = 50,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      minCount: Int = 2): DataFrame = {
     val occ = duplicatedWindowOccurrences(docs, n, idCol, textCol,
-        canonical = false)
+        canonical = false, minCount)
       .select(col("__id"), col("p"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("p"))
@@ -1511,9 +1522,9 @@ object Dedup {
     * is a left join on the doc id, output is groups-scale. */
   def exactSubstringStats(docs: DataFrame, n: Int = 50,
       idCol: String = "doc_id", groupCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", minCount: Int = 2): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
-    val perDoc = exactSubstringSpans(base, n, idCol, textCol)
+    val perDoc = exactSubstringSpans(base, n, idCol, textCol, minCount)
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).as("__cov"))
     base
@@ -1548,9 +1559,10 @@ object Dedup {
     * anti-join against the token table, and the per-doc rebuild
     * aggregate (bounded by doc length). */
   def dedupExactSubstrings(docs: DataFrame, n: Int = 50,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      minCount: Int = 2): DataFrame = {
     val cutPositions = duplicatedWindowOccurrences(docs, n, idCol,
-        textCol, canonical = true)
+        textCol, canonical = true, minCount)
       .filter(!(col("__id") === col("c_id") && col("p") === col("c_p")))
       .select(col("__id"),
         explode(sequence(col("p"), col("p") + lit(n - 1).cast("long")))

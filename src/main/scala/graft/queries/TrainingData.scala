@@ -1489,6 +1489,92 @@ object TrainingData {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q155: frequency-THRESHOLDED exact-substring spans
+    * ([[graft.operators.Dedup.exactSubstringSpans]] with `minCount` —
+    * the dial that separates heavy boilerplate from incidental
+    * repeats): maximal token spans whose every covering 10-token
+    * window occurs ≥ 3 times corpus-wide. Same island-merge contract
+    * as q152; the oracle is q152's literal-window replay with the
+    * HAVING threshold raised. The q152/q155 PAIR gates that the
+    * threshold actually binds (q155 ⊂ q152 strictly on these corpora
+    * — the planted boilerplate families repeat ≥ 3×, pair-quoted text
+    * does not; ≥ 4 finds nothing at sf0.01, probed). */
+  def q155ExactSubstringSpansMin3(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup
+      .exactSubstringSpans(Tables.documents(s, dir), n = 10,
+        minCount = 3)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val q155Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+9], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, CAST(len(l) AS BIGINT) - 9)) AS i
+      |        FROM t WHERE len(l) >= 10)),
+      |dupw AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 3),
+      |occ AS (SELECT doc_id, i FROM w JOIN dupw USING (g)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM occ),
+      |grp AS (SELECT doc_id, i,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |        FROM isl)
+      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |  CAST(max(i) + 9 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** q156: per-doc n-gram NOVELTY vs a reference corpus
+    * ([[graft.operators.CorpusStats.ngramNovelty]]) — the memorization
+    * metric: what fraction of a candidate doc's DISTINCT 8-token
+    * windows appears nowhere in the reference. Reference = docs below
+    * a tenth of the id range, candidates = the rest (the q64/q136
+    * split convention). The Spark side joins 64-bit window hashes
+    * (the decontaminate collision contract); the oracle replays the
+    * literal window strings. One double division from exact integer
+    * counts. */
+  def q156NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 10 + 1
+    graft.operators.CorpusStats.ngramNovelty(
+        docs.filter($"doc_id" >= cut), docs.filter($"doc_id" < cut),
+        n = 8)
+      .orderBy($"doc_id")
+  }
+
+  val q156Sql: String =
+    """WITH cut AS (SELECT max(doc_id) // 10 + 1 AS c FROM documents),
+      |t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, CAST(len(l) AS BIGINT) - 7)) AS i
+      |        FROM t WHERE len(l) >= 8)),
+      |cand AS (SELECT DISTINCT doc_id, g
+      |         FROM w CROSS JOIN cut WHERE doc_id >= cut.c),
+      |ref AS (SELECT DISTINCT g
+      |        FROM w CROSS JOIN cut WHERE doc_id < cut.c)
+      |SELECT c.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(count(*) - count(r.g) AS BIGINT) AS novel_windows,
+      |  CAST(count(*) - count(r.g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS novel_frac
+      |FROM cand c LEFT JOIN ref r ON c.g = r.g
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
     * a tenth of the range play the eval/benchmark set (the q64 split

@@ -120,4 +120,43 @@ class CorpusStatsSpec extends SparkSpec {
       .toDF("slice", "text")
     assert(CorpusStats.duplicationMatrix(disjoint, "slice").count() === 0L)
   }
+
+  test("ngramNovelty: exact fractions — verbatim copy 0, fresh doc 1, " +
+      "collage scores its stitch points, short docs excluded") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val refA = ws("a", 6) // windows (n=3): 4 distinct
+    val refB = ws("b", 6)
+    val reference = Seq((100L, refA), (101L, refB)).toDF("doc_id", "text")
+    val candidates = Seq(
+      (0L, refA),                 // verbatim copy → novelty 0
+      (1L, ws("f", 6)),           // fully fresh → novelty 1
+      // collage a0..a5 b0..b5: 10 windows; the 2 straddling the seam
+      // (a4 a5 b0, a5 b0 b1) exist in neither reference doc
+      (2L, refA + " " + refB),
+      (3L, "a0 a1"),              // < 3 tokens → excluded
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(candidates, reference, n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 0L, 0.0),
+      (1L, 4L, 4L, 1.0),
+      (2L, 10L, 2L, 0.2)))
+  }
+
+  test("ngramNovelty: repetition inside a candidate does not inflate " +
+      "the window count (distinct windows)") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val reference = Seq((100L, ws("r", 5))).toDF("doc_id", "text")
+    // r0..r4 r0..r4: 8 windows, but only 5 DISTINCT (3 in-run + the
+    // 2 wrap windows r3 r4 r0, r4 r0 r1 — wait: windows of the 10-token
+    // doc are 8 positions; distinct strings: r0r1r2, r1r2r3, r2r3r4,
+    // r3r4r0, r4r0r1 = 5); the 3 in-reference ones are known
+    val cand = Seq((0L, ws("r", 5) + " " + ws("r", 5)))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(cand, reference, n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((0L, 5L, 2L, 0.4)))
+  }
 }

@@ -834,6 +834,34 @@ class DedupSpec extends SparkSpec {
     assert(spans === Seq((0L, 1L, 5L, 1L), (1L, 2L, 6L, 1L)))
   }
 
+  test("exactSubstringSpans minCount: the threshold separates heavy " +
+      "boilerplate from incidental repeats") {
+    def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val boiler = ws("b", 5) // in 4 docs → survives minCount=4
+    val quote = ws("q", 5)  // in 2 docs → only the minCount=2 view
+    val fixture = Seq(
+      (0L, boiler + " " + quote),
+      (1L, boiler + " " + ws("x", 5)),
+      (2L, boiler + " " + ws("y", 5)),
+      (3L, boiler + " " + ws("z", 5)),
+      (4L, ws("u", 5) + " " + quote)
+    ).toDF("doc_id", "text")
+    val strict = Dedup.exactSubstringSpans(fixture, n = 5, minCount = 4)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // only the 4-doc boilerplate run, at positions 1..5 of docs 0-3
+    assert(strict === (0L to 3L).map(d => (d, 1L, 5L, 1L)))
+    val loose = Dedup.exactSubstringSpans(fixture, n = 5, minCount = 2)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the default view additionally covers the 2-doc quote; in doc 0
+    // the boiler (1..5) and quote (6..10) coverages are ADJACENT, so
+    // the island merge joins them into ONE span (starts differ by
+    // exactly n — the documented ≤ n contiguity rule)
+    assert(loose === Seq(
+      (0L, 1L, 10L, 2L), (1L, 1L, 5L, 1L), (2L, 1L, 5L, 1L),
+      (3L, 1L, 5L, 1L), (4L, 6L, 10L, 1L)))
+  }
+
   test("exactSubstringStats: per-source repeat coverage — exact counts, " +
       "overlap counted once, null-text docs excluded") {
     def ws(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
