@@ -903,6 +903,27 @@ object ScaleBench {
           prevIvf = rIvf
           println(f"""{"pipeline":"ann_recall_projected_ivf","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rIvf%.3f,"monotone":$monoIvf,"sec":$tIvf%.2f}""")
         }
+        // ---- pool-scaling diagnostic at the widest probe: the r17
+        // lesson says scale `pool` with nProbe — this point separates
+        // the two ways a fixed pool caps recall. If the plateau is
+        // POOL DISPLACEMENT (approximately-scored near-misses evicting
+        // true neighbors before the exact re-rank), pool 400 recovers
+        // it; if it is ROUTING error (the right cell was never probed
+        // — the projected index's hazard: cells are trained and probed
+        // in the 16-dim projected space), no pool helps. ----
+        for ((nm, run) <- Seq(
+            ("ann_recall_ivf_pq", () => graft.operators.Similarity
+              .ivfPqTopK(queries, d, 10, 64, cents, books, nProbe = 8,
+                pool = 400)),
+            ("ann_recall_projected_ivf", () => graft.operators
+              .Similarity.projectedIvfTopK(queries, d, 10, dim = 64,
+                outDim = 16, nCells = 16, nProbe = 8, pool = 400,
+                centroids = Some(projCents))))) {
+          var r = 0.0
+          val t = time { r = recallOf(run()) }
+          spark.catalog.clearCache()
+          println(f"""{"pipeline":"$nm","side":"$side","n_probe":8,"pool":400,"recall_at_10":$r%.3f,"monotone":true,"sec":$t%.2f}""")
+        }
       }
     }
     } // sections("pipelines")
