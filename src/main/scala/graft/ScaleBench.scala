@@ -338,6 +338,21 @@ object ScaleBench {
         (d: DataFrame) => graft.operators.Dedup
           .exactSubstringSpans(d, n = 10).count(),
         () => docs1, () => docsN),
+      // the CUT variant adds the canonical min(struct) aggregate, the
+      // coverage explode (≤ n rows per cut occurrence), the anti-join
+      // against the token table, and the per-doc rebuild — all
+      // output/doc-bounded stages; near-linear here means the rebuild
+      // path (not just the spans report) survives the octave. The
+      // action SUMS text lengths, deliberately: a bare count() lets
+      // Catalyst DELETE the rebuild (the left join's aggregate side is
+      // provably unique per doc, so join elimination + column pruning
+      // reduce the whole operator to docs.count() — first measurement
+      // read ratio 0.91 at 16×, i.e. nothing ran)
+      ("exact_substring_dedup",
+        (d: DataFrame) => graft.operators.Dedup
+          .dedupExactSubstrings(d, n = 10)
+          .agg(sum(length($"text"))).head().getLong(0),
+        () => docs1, () => docsN),
       // corpus drift: four aggregates over ONE reused corpus shuffle
       // plus a vocabulary-sized join — a linear ratio means the AQE
       // exchange reuse holds under amplification (without it this is

@@ -200,10 +200,27 @@ object TrainingPipeline {
         docs.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
       s"$StageCheckpointConf=reliable needs a checkpoint dir — call " +
         "sparkContext.setCheckpointDir (HDFS/S3 on a cluster) first")
-    def stagePin(df: DataFrame): DataFrame = stagePolicy match {
-      case "local"    => df.localCheckpoint(true)
-      case "reliable" => df.checkpoint(true)
-      case _          => graft.operators.Hydration.persist(df)
+    // stage-level wall-clock accounting (off by default): under the
+    // eager policies each boundary EXECUTES its macro-stage, so the
+    // time spent inside stagePin IS that stage's cost (plus everything
+    // lazy since the previous boundary) — the attribution a 100 TB
+    // operator reads before re-dialing a 12-hour run. One log line per
+    // boundary on stderr (explicit opt-in — and visible under any
+    // session log level); `none` pins lazily, so timing
+    // there measures only plan construction (documented, not hidden).
+    val stageTiming = docs.sparkSession.conf
+      .get("spark.graft.pipeline.stageTiming", "false").toBoolean
+    def stagePin(df: DataFrame, label: String): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = stagePolicy match {
+        case "local"    => df.localCheckpoint(true)
+        case "reliable" => df.checkpoint(true)
+        case _          => graft.operators.Hydration.persist(df)
+      }
+      if (stageTiming) System.err.println(
+        f"[pipeline-timing] stage boundary '$label' materialized in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s (policy=$stagePolicy)")
+      out
     }
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
@@ -292,7 +309,7 @@ object TrainingPipeline {
     // pipeline's cost; stagePin holds the CLEAN corpus once and (under
     // `local`) caps the plan every downstream action carries
     val winnowed = winnowEval.fold(cleaned) { ev =>
-      val pinned = stagePin(cleaned)
+      val pinned = stagePin(cleaned, "clean")
       val flagged = graft.operators.Winnowing
         .evalOverlap(pinned, ev, minShared = winnowMinShared)
         .select(col("doc_id"))
@@ -320,7 +337,7 @@ object TrainingPipeline {
     //     only): the reference is curated ground truth, not cleanup
     //     input.
     val banded = surprisalBand.fold(winnowed) { case (lo, hi) =>
-      val pinned = stagePin(winnowed)
+      val pinned = stagePin(winnowed, "winnow_clean")
       val kept = bandTrain.fold(
           graft.operators.LanguageModel.surprisalBandFilter(
             pinned, groupCol = "lang_pred", lowPct = lo, highPct = hi))(
@@ -365,7 +382,7 @@ object TrainingPipeline {
       //     are EAGER at plan-build time — boundary-pinned like the
       //     band stage's input (same stagePin policy).
       case Balance.Reweighted(key, budget, maxQ, scale) =>
-        val pinned = stagePin(banded)
+        val pinned = stagePin(banded, "banded")
         val quotaPlan = graft.operators.LanguageModel
           .domainReweightHeldOut(reweightTrain.get, pinned,
             groupCol = key, budget = budget, scale = scale)
@@ -399,7 +416,7 @@ object TrainingPipeline {
     //    10.29 → 8.04 s). Under the default `local` policy this is
     //    ALSO the boundary that keeps the RETURNED frame's plan at
     //    pack+split depth instead of the whole chain's.
-    val packed = Sampling.packSequences(stagePin(balanced),
+    val packed = Sampling.packSequences(stagePin(balanced, "balanced"),
       "n_tokens", "doc_id", budget)
     // 10. deterministic split — stable under repartitioning and retries
     marked(packed.withColumn("split",
