@@ -75,7 +75,8 @@ object ScaleBench {
       "bm25_stopword_query", "stream_neardup_capped_hot_bucket",
       "containment_guard_recall", "index_lifecycle_4_batches",
       "windowed_quantiles_preflight", "sketch_artifact_lifecycle",
-      "winnow_index_lifecycle", "rollup_maintenance", "bloom_index",
+      "winnow_index_lifecycle", "winnow_substages",
+      "rollup_maintenance", "bloom_index",
       // ann_recall lives in the PIPELINES section (it reads the
       // embeddings tables): select it with sections containing
       // "pipelines" — a guards-only run accepts but skips the name
@@ -337,6 +338,22 @@ object ScaleBench {
       ("exact_substring_spans",
         (d: DataFrame) => graft.operators.Dedup
           .exactSubstringSpans(d, n = 10).count(),
+        () => docs1, () => docsN),
+      // the Lee-et-al OPERATING POINT (n = 50, the paper's span
+      // length): ~5× longer windows, far fewer distinct repeats — the
+      // kernel hashes more bytes per window while the group-by and
+      // island-merge see less mass. minCount 2 vs 10 separates "any
+      // repeat" from "heavy boilerplate": on the amplified table every
+      // copy family repeats ×factor, so minCount=10 binds from 16×
+      // up (it finds NOTHING at 1× — the x1 side measures the scan +
+      // empty-result floor, the xN side the thresholded mass)
+      ("exact_substring_n50",
+        (d: DataFrame) => graft.operators.Dedup
+          .exactSubstringSpans(d, n = 50).count(),
+        () => docs1, () => docsN),
+      ("exact_substring_n50_min10",
+        (d: DataFrame) => graft.operators.Dedup
+          .exactSubstringSpans(d, n = 50, minCount = 10).count(),
         () => docs1, () => docsN),
       // the CUT variant adds the canonical min(struct) aggregate, the
       // coverage explode (≤ n rows per cut occurrence), the anti-join
@@ -917,6 +934,21 @@ object ScaleBench {
           val monoIvf = rIvf >= prevIvf - 0.02
           prevIvf = rIvf
           println(f"""{"pipeline":"ann_recall_projected_ivf","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rIvf%.3f,"monotone":$monoIvf,"sec":$tIvf%.2f}""")
+          // FULL-WIDTH routing (r18 verdict task #2): same projected
+          // scan + pool + exact re-rank, but cells assigned on exact
+          // 64-dim center distances (the raw-space kmeans codebook the
+          // IVF-PQ rows already train) — isolates how much of the
+          // projected variant's recall gap is ROUTING error vs pool
+          // displacement. No monotone flag: same single-curve protocol
+          // as the pq/ivf rows, reported per point.
+          var rFull = 0.0
+          val tFull = time {
+            rFull = recallOf(graft.operators.Similarity.projectedIvfTopK(
+              queries, d, 10, dim = 64, outDim = 16, nCells = 16,
+              nProbe = nProbe, pool = 100, centroids = Some(cents)))
+          }
+          spark.catalog.clearCache()
+          println(f"""{"pipeline":"ann_recall_projected_ivf_fullroute","side":"$side","n_probe":$nProbe,"pool":100,"recall_at_10":$rFull%.3f,"sec":$tFull%.2f}""")
         }
         // ---- pool-scaling diagnostic at the widest probe: the r17
         // lesson says scale `pool` with nProbe — this point separates
@@ -933,11 +965,18 @@ object ScaleBench {
             ("ann_recall_projected_ivf", () => graft.operators
               .Similarity.projectedIvfTopK(queries, d, 10, dim = 64,
                 outDim = 16, nCells = 16, nProbe = 8, pool = 400,
-                centroids = Some(projCents))))) {
+                centroids = Some(projCents))),
+            ("ann_recall_projected_ivf_fullroute", () => graft.operators
+              .Similarity.projectedIvfTopK(queries, d, 10, dim = 64,
+                outDim = 16, nCells = 16, nProbe = 8, pool = 400,
+                centroids = Some(cents))))) {
           var r = 0.0
           val t = time { r = recallOf(run()) }
           spark.catalog.clearCache()
-          println(f"""{"pipeline":"$nm","side":"$side","n_probe":8,"pool":400,"recall_at_10":$r%.3f,"monotone":true,"sec":$t%.2f}""")
+          // no "monotone" field: this is a single diagnostic point, not
+          // a ladder step — monotonicity was never evaluated here and a
+          // hard-coded true would fabricate a pass for flag consumers
+          println(f"""{"pipeline":"$nm","side":"$side","n_probe":8,"pool":400,"recall_at_10":$r%.3f,"sec":$t%.2f}""")
         }
       }
     }
@@ -989,6 +1028,35 @@ object ScaleBench {
       require(keepers == 1L, s"mega-span must keep exactly 1 owner, got $keepers")
     }
     println(f"""{"pipeline":"span_dedup_mega_span","sec":$tSpan%.2f,"planted":1000000,"span_copies":1000000}""")
+    }
+
+    // ---- winnow sub-stage attribution (r18 verdict stretch #7): the
+    // composed pipeline family's 'winnow_clean' boundary was its
+    // priciest macro-stage (q143 stageTiming: 3.6 of 13.7 s) — this
+    // splits it one level deeper with the q143 shape (corpus = the
+    // documents table, eval = its 500-doc head). Four cumulative
+    // compositions timed separately: corpus_fp the corpus-side
+    // fingerprint pass alone, eval_fp the eval pass + distinct set,
+    // overlap the full join+threshold, anti the decontaminating
+    // anti-join; overlap − corpus_fp − eval_fp ≈ the join's own cost,
+    // anti − overlap ≈ the anti-join's. ----
+    if (guardOn("winnow_substages")) {
+    val evW = docs1.limit(500)
+    val tCorpusFp = time(graft.operators.Winnowing
+      .fingerprints(docs1).count())
+    val tEvalFp = time(graft.operators.Winnowing
+      .fingerprints(evW).select($"fp").distinct().count())
+    val tOverlap = time(graft.operators.Winnowing
+      .evalOverlap(docs1, evW).count())
+    val tAnti = time {
+      val flagged = graft.operators.Winnowing
+        .evalOverlap(docs1, evW).select($"doc_id")
+      // consume the text column (the benchmark-validity lesson: a bare
+      // count lets Catalyst prune the anti-join's payload)
+      docs1.join(flagged, Seq("doc_id"), "left_anti")
+        .agg(sum(length($"text"))).head()
+    }
+    println(f"""{"pipeline":"winnow_substages","corpus_fp_sec":$tCorpusFp%.2f,"eval_fp_sec":$tEvalFp%.2f,"overlap_sec":$tOverlap%.2f,"anti_join_sec":$tAnti%.2f}""")
     }
 
     // ---- largest-remainder apportionment at 1M KEYS: the remainder

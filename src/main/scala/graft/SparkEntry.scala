@@ -188,6 +188,8 @@ object SparkEntry {
     "q155_exact_substring_min3" ->
       (TrainingData.q155ExactSubstringSpansMin3 _),
     "q156_ngram_novelty" -> (TrainingData.q156NgramNovelty _),
+    "q157_exact_substring_n50" ->
+      (TrainingData.q157ExactSubstringN50 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -564,5 +566,7 @@ object SparkEntry {
     // tokens inside some >=10-token exact repeat; exact integer sums,
     // one double division computed identically by both engines
     "q154_exact_substring_stats" -> TrainingData.q154Sql,
+    // q157: q152's replay at the paper's 50-token operating point
+    "q157_exact_substring_n50" -> TrainingData.q157Sql,
   )
 }

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * watermark means state = distinct ids seen, so the pool size IS the
   * steady-state state-store row count) — under BOTH state backends
   * (on-heap default and RocksDB), at a fixed total event count so
-  * ev/s is comparable across cells. One JSON line per cell:
+  * ev/s is comparable across cells. One JSON line per cell, with BOTH
+  * axes of the trade a deployment actually makes — throughput AND
+  * per-batch event→sink latency (p50/p95 of the per-chunk wall-clock):
   *   {"metric":"stream_dial","provider":…,"per_batch":…,
-  *    "state_keys":…,"events_per_sec":…,"sunk_rows":…}
+  *    "state_keys":…,"events_per_sec":…,"lat_p50_ms":…,
+  *    "lat_p95_ms":…,"sunk_rows":…}
   */
 object StreamBench {
 
@@ -30,10 +33,22 @@ object StreamBench {
     * micro-batches through the parse→enrich→watermarked-dedup
     * pipeline, ids drawn round-robin from a pool of `idPool` (pool <
     * total → re-sends that the dedup drops; state caps at the pool).
-    * Returns (seconds, sunk rows). Fresh checkpoint per call — state
-    * never leaks across cells. */
+    * Returns (seconds, sunk rows, per-batch event→sink latencies ms).
+    * Fresh checkpoint per call — state never leaks across cells.
+    *
+    * One micro-batch per chunk, enforced (r18 ADVICE): the query is
+    * drained with processAllAvailable() after EVERY addData, otherwise
+    * a trigger consumes however many chunks the producer has raced
+    * ahead by and the per_batch dial is a label, not a control. The
+    * same sync point is what makes the latency column honest: each
+    * sample is the wall-clock from "events handed to the source" to
+    * "sink commit observed" for exactly one perBatch-sized batch —
+    * the event→sink latency a deployment trades against throughput.
+    * (processAllAvailable polls on a ~10 ms tick, so samples carry
+    * up to ~10 ms of quantization — noted, and far below any cell's
+    * p50 at these batch sizes.) */
   private def measure(spark: SparkSession, total: Int, perBatch: Int,
-      idPool: Long): (Double, Long) = {
+      idPool: Long): (Double, Long, Array[Double]) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
@@ -43,19 +58,28 @@ object StreamBench {
       java.nio.file.Files.createTempDirectory("sb-cp").toString,
       (df, _) => rows += df.count()).start()
     val nBatches = total / perBatch
+    val latMs = new Array[Double](nBatches)
     val t0 = System.nanoTime()
     var id = 0L
     for (b <- 0 until nBatches) {
+      val tb = System.nanoTime()
       val msg = (0 until perBatch).map { i =>
         id += 1
         event(id % idPool, (b * 7 + i / 100) % 1200)
       }.mkString("[", ",", "]")
       input.addData(msg)
+      q.processAllAvailable()
+      latMs(b) = (System.nanoTime() - tb) / 1e6
     }
-    q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
     q.stop()
-    (secs, rows)
+    (secs, rows, latMs)
+  }
+
+  /** Nearest-rank percentile over a latency sample set. */
+  private def pct(samples: Array[Double], p: Double): Double = {
+    val s = samples.sorted
+    s(math.min(s.length - 1, math.max(0, (p * s.length).toInt)))
   }
 
   private def event(id: Long, minute: Int): String =
@@ -108,18 +132,18 @@ object StreamBench {
           "spark.sql.streaming.stateStore.providerClass")
         for (perB <- Seq(500, 2000, 8000);
              pool <- Seq(2000L, 200000L)) {
-          val (secs, rows) = measure(spark, total, perB, pool)
-          println(f"""{"metric":"stream_dial","provider":"$provider","per_batch":$perB,"state_keys":$pool,"events":$total,"events_per_sec":${total / secs}%.0f,"sec":$secs%.2f,"sunk_rows":$rows}""")
+          val (secs, rows, lat) = measure(spark, total, perB, pool)
+          println(f"""{"metric":"stream_dial","provider":"$provider","per_batch":$perB,"state_keys":$pool,"events":$total,"events_per_sec":${total / secs}%.0f,"sec":$secs%.2f,"lat_p50_ms":${pct(lat, 0.50)}%.0f,"lat_p95_ms":${pct(lat, 0.95)}%.0f,"sunk_rows":$rows}""")
         }
       }
       spark.stop()
       return
     }
 
-    val (secs, rows) =
+    val (secs, rows, lat) =
       measure(spark, nBatches * perBatch, perBatch, 1L << 60)
     val total = nBatches.toLong * perBatch
-    println(f"""{"metric":"stream_events_per_sec","value":${total / secs}%.0f,"events":$total,"sec":$secs%.2f,"sunk_rows":$rows}""")
+    println(f"""{"metric":"stream_events_per_sec","value":${total / secs}%.0f,"events":$total,"sec":$secs%.2f,"lat_p50_ms":${pct(lat, 0.50)}%.0f,"lat_p95_ms":${pct(lat, 0.95)}%.0f,"sunk_rows":$rows}""")
     spark.stop()
   }
 }

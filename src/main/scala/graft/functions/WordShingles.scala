@@ -178,3 +178,118 @@ object WindowHashes {
     GraftShims.column(WindowHashes(GraftShims.expression(text), n))
   }
 }
+
+/** Native one-pass winnowing selector — the
+  * [[graft.operators.Winnowing.fingerprints]] kernel: per k-token
+  * shingle, the portable 48-bit md5 hash
+  * ([[graft.operators.Sampling.portableHash48Jvm]] — bit-identical to
+  * the Column form and DuckDB's `md5_number_upper & (2^48-1)`, the
+  * PropertySpec-pinned equivalence); then from every window of `w`
+  * consecutive hashes the RIGHTMOST minimum, deduplicated to distinct
+  * (pos, fp) pairs IN the row. Output: array<struct<pos int, fp
+  * long>>, pos 1-based — exactly the rows the composable form
+  * (posexplode(transform(sequence…slice…)) → per-doc window frame →
+  * distinct) produced, with NO shuffle at all: the HOF projection,
+  * the per-doc window sort, and the distinct each cost a pass there
+  * (the WordShingles/WindowHashes lesson a third time — interpreted
+  * higher-order functions plus a window shuffle for an in-row
+  * computation). Fewer than k + w − 1 tokens → empty array (below the
+  * detection-guarantee length; the old filter's semantics).
+  *
+  * Selection is O(tokens) via a monotonic deque: push position j
+  * after popping every back entry with hash ≥ h(j) (ties pop, so
+  * among equal hashes the RIGHTMOST survives — standard winnowing's
+  * tie rule), pop the front when it leaves the window; the front is
+  * each window's rightmost minimum. */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowSelect.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowSelect$$.MODULE$$.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  /** Shared kernel for interpreted eval and generated code.
+    * Tokenization = [[CanonicalTokens.tokenize]] (SQL `split(trim(..))`
+    * semantics — the positional contract every text kernel shares). */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = CanonicalTokens.tokenize(text.toString)
+    if (toks.length < k + w - 1)
+      return new GenericArrayData(Array.empty[Any])
+    val nsh = toks.length - (k - 1)
+    val h = new Array[Long](nsh)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nsh) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      // digest() resets the instance — one MessageDigest per row
+      h(i) = graft.operators.Sampling.le48(
+        md.digest(sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    // rightmost-min per window via a monotonic deque. Dedup needs no
+    // set: fp is a function of pos (fp = h(pos)), and the selected
+    // position sequence is NON-DECREASING as the window slides (a
+    // selection change can only move right — the old pick either
+    // leaves the window or is beaten by a new, necessarily
+    // later-positioned element), so distinct (pos, fp) = "emit when
+    // the selected position changes", in increasing-pos order.
+    val sels = new Array[Int](nsh - w + 1)
+    var nSel = 0
+    var lastSel = -1
+    val deque = new Array[Int](nsh)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < nsh) {
+      while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val start = i - w + 1 // window [start, i] complete once start >= 0
+      while (deque(head) < start) head += 1
+      if (start >= 0 && deque(head) != lastSel) {
+        lastSel = deque(head)
+        sels(nSel) = lastSel
+        nSel += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](nSel)
+    var o = 0
+    while (o < nSel) {
+      out(o) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](sels(o) + 1, h(sels(o))))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def winnowSelectNative(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(WinnowSelect(GraftShims.expression(text), k, w))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -217,12 +217,19 @@ object CorpusStats {
       textCol: String = "text"): DataFrame = {
     require(n >= 2, s"novelty window must be >= 2 tokens, got $n")
     import graft.functions.WindowHashes.windowHashesNative
-    def windows(df: DataFrame) = df
+    // Sub-n-token docs are excluded by the KERNEL's contract, not a
+    // visible filter: WindowHashes emits an empty array when the doc
+    // has < n tokens, so explode() drops the row. A kernel swap that
+    // pads or errors instead would silently change the "EXCLUDED"
+    // semantics above — keep that contract in mind (spec'd at both SFs).
+    def windows(df: DataFrame, cols: Column*) = df
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        explode(windowHashesNative(col(textCol), n)).as("h"))
-    val cand = windows(candidates).distinct()
-    val known = windows(reference).select(col("h")).distinct()
+      .select(cols :+
+        explode(windowHashesNative(col(textCol), n)).as("h"): _*)
+    val cand = windows(candidates, col(idCol).as("__id")).distinct()
+    // reference side needs ONLY textCol — an id-less reference corpus
+    // (a raw benchmark dump, a held-out shard) is a legal input
+    val known = windows(reference).distinct()
       .withColumn("__known", lit(1))
     cand.join(known, Seq("h"), "left")
       .groupBy(col("__id"))

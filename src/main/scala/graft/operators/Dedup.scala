@@ -146,12 +146,32 @@ object Dedup {
       shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
       maxBucket: Int = HotBuckets.DefaultCap,
       strict: Boolean = false): DataFrame = {
+    val (pairs, shingled) = lshCandidatePairs(docs, idCol, textCol,
+      shingleSize, k, bands, maxBucket, strict)
+    // hydrate shingles only for surviving candidates — the DEBUG /
+    // small-scale form: each pair row carries two full string arrays,
+    // so memory per pair is O(doc length). The verification path
+    // ([[minHashDupPairs]]) does NOT go through this frame — it
+    // verifies from slim co-counts ([[coCountJaccard]]); hydrate only
+    // when a caller genuinely needs the shingle sets side by side.
+    pairs
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+  }
+
+  /** Slim LSH candidate generation: (id_a, id_b) pairs PLUS the shared
+    * hydration-persisted shingle projection, so callers verify without
+    * re-shingling. The heavy arrays never touch a pair row. */
+  private def lshCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, k: Int, bands: Int,
+      maxBucket: Int, strict: Boolean): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // hydration persist: the shingle projection feeds the signature
-    // pass AND both candidate-hydration joins — 3 recomputes at level
-    // NONE (LRU evicts it after the query; a few GB per million docs
-    // at the default level — size or disable via [[Hydration]])
+    // pass AND the verify-side lookups — 3 recomputes at level NONE
+    // (LRU evicts it after the query; a few GB per million docs at the
+    // default level — size or disable via [[Hydration]])
     val shingled = Hydration.persist(docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0))
@@ -164,25 +184,69 @@ object Dedup {
       Seq("band", "bucket"), "id", Nil, maxBucket, "minhash_lsh", strict)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // hydrate shingles only for surviving candidates
+    (pairs, shingled)
+  }
+
+  /** Exact Jaccard for an already-generated candidate pair set WITHOUT
+    * hydrating shingle arrays onto pair rows — the 128×-octave heap
+    * fix (r18 verdict #1): the hydrated shape carried BOTH full string
+    * arrays on every candidate row, so the verify stage's resident set
+    * grew with pairs × doc-length and the dedup family needed 2× heap
+    * per 2× data. Here every shuffled row is three 8-byte columns:
+    *
+    *  - each side explodes to (id, xxhash64(gram)) — [[shingles]]
+    *    emits a DISTINCT set per doc, so no per-doc dedup is needed
+    *    and `size(sh)` IS |A|;
+    *  - the explode is pruned to docs that actually appear in `pairs`
+    *    (left-semi) — same pruning the hydration join used to do;
+    *  - |A∩B| = row count of pairs ⋈ invA ⋈ invB on (id, gram-hash) —
+    *    a partial-aggregatable count, map-side combined;
+    *  - jaccard = inter / (|A| + |B| − inter), the one double division
+    *    last from exact integer counts (bit-identical to the fused
+    *    [[graft.functions.SignatureExpressions.jaccardSim]] kernel's
+    *    int/int division).
+    *
+    * Grams cross the joins as 8-byte hashes, never strings — the
+    * [[decontaminate]] collision contract (a 64-bit collision can only
+    * nudge one pair's count by one, probability ≈ grams²/2⁶⁴ per doc).
+    * Pairs with ZERO shared grams drop out (inner join) — correct for
+    * every caller here, which filters `jaccard >= threshold` with
+    * threshold > 0. Output: (aCol, bCol, jaccard). */
+  private def coCountJaccard(pairs: DataFrame, aCol: String, bCol: String,
+      shA: DataFrame, shB: DataFrame): DataFrame = {
+    def inv(s: DataFrame, idOut: String) = s
+      .join(pairs.select(col(idOut).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idOut), explode(col("sh")).as("g"))
+      .select(col(idOut), xxhash64(col("g")).as("gh"))
+    def sizes(s: DataFrame, idOut: String, out: String) =
+      s.select(col("id").as(idOut), size(col("sh")).as(out))
     pairs
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .join(inv(shA, aCol), Seq(aCol))
+      .join(inv(shB, bCol), Seq(bCol, "gh"))
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("__inter"))
+      .join(sizes(shA, aCol, "__na"), Seq(aCol))
+      .join(sizes(shB, bCol, "__nb"), Seq(bCol))
+      .select(col(aCol), col(bCol),
+        (col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double"))
+          .as("jaccard"))
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard ≥
     * threshold (false positives from banding are filtered here; false
     * NEGATIVES are bounded by [[lshParams]]' recall floor when k/bands
-    * are left defaulted). */
+    * are left defaulted). Verification is count-based
+    * ([[coCountJaccard]]) — pair rows stay slim end to end. */
   def minHashDupPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
       maxBucket: Int = HotBuckets.DefaultCap,
       strict: Boolean = false): DataFrame = {
     val (kk, bb) = resolveLsh(threshold, k, bands)
-    lshCandidates(docs, idCol, textCol, shingleSize, kk, bb, maxBucket, strict)
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val (pairs, shingled) = lshCandidatePairs(docs, idCol, textCol,
+      shingleSize, kk, bb, maxBucket, strict)
+    coCountJaccard(pairs, "id_a", "id_b", shingled, shingled)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -678,13 +742,12 @@ object Dedup {
     //    oversized buckets — a batch full of one templated page must
     //    still collapse) → hydrate from proj → exact-Jaccard verify →
     //    connected components → cluster-min
-    val selfPairs = HotBuckets.starSelfJoinCandidates(banded,
+    val selfCands = HotBuckets.starSelfJoinCandidates(banded,
       Seq("band", "bucket"), "id", Nil, maxBucket, "incremental_batch")
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(proj.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(proj.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= jaccardThreshold)
+    val selfPairs = coCountJaccard(selfCands, "id_a", "id_b", proj, proj)
+      .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val comps = connectedComponents(selfPairs)
     val dropWithin = comps.filter(col("id") =!= col("comp"))
@@ -700,7 +763,8 @@ object Dedup {
     //    never a self-join); the new side's band fan-out is FILTERED
     //    from the step-2 computation, not recomputed. Candidate volume
     //    scales with the NEW batch — the point of incremental
-    //    ingestion. Shingles hydrate only for surviving candidates.
+    //    ingestion. Verification is count-based ([[coCountJaccard]]) —
+    //    no shingle array ever rides a candidate row.
     //    Oversized buckets on EITHER side reduce to their bucket-min
     //    representative ([[HotBuckets.guardRep]]) instead of dropping:
     //    a new doc duplicating an oversized-bucket corpus mega-cluster
@@ -723,10 +787,9 @@ object Dedup {
         Seq("band", "bucket"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
-    val dupNewIds = candidates
-      .join(proj.select(col("id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
-      .join(corpusShingled.select(col("id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
-      .filter(jaccard(col("sh_n"), col("sh_o")) >= jaccardThreshold)
+    val dupNewIds = coCountJaccard(candidates, "new_id", "old_id",
+        proj, corpusShingled)
+      .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()
     (afterExact.join(dupNewIds, Seq(idCol), "left_anti"), proj)
   }

@@ -232,10 +232,12 @@ object Similarity {
 
   /** Projected IVF ANN — the 100 TB composition of [[randomProjection]]
     * and [[ivfTopK]]: project BOTH sides to `outDim` dims (JL), build
-    * the IVF assignment IN the projected space (centroid scan costs
-    * outDim/dim of the raw one), probe `nProbe` cells per query, rank
-    * candidates by projected dot product, and re-rank the `pool` best
-    * per query with the EXACT raw-vector cosine. q135's projectedTopK
+    * the IVF assignment in the projected space (default — centroid
+    * scan costs outDim/dim of the raw one) OR in full-width raw space
+    * when a dim-wide codebook is passed (routing-error-free; see the
+    * codebook-width dispatch below), probe `nProbe` cells per query,
+    * rank candidates by projected dot product, and re-rank the `pool`
+    * best per query with the EXACT raw-vector cosine. q135's projectedTopK
     * still scans every corpus row in projected space; this variant
     * also cuts the CANDIDATE count by ~nCells/nProbe — the shape a
     * billion-vector corpus wants: projection shrinks the per-row
@@ -262,22 +264,36 @@ object Similarity {
       s"projectedIvfTopK: outDim=$outDim must be in [1, dim=$dim]")
     require(nProbe >= 1 && nProbe <= nCells,
       s"projectedIvfTopK: nProbe=$nProbe must be in [1, nCells=$nCells]")
-    // TRAINED cells (the q65 precedent, in the projected space): pass
-    // [[kmeansCentroids]] run over [[randomProjection]]'s output —
-    // centroids must live in the PROJECTED space (outDim dims), where
-    // the cell scan happens; Lloyd-trained cells on clustered
-    // embeddings cut the candidate count harder than the seeded hash
-    // stand-ins for the same nProbe (measured in ScaleBench). The
-    // geometry is validated loudly — a raw-space (dim-wide) codebook
-    // would silently prefix-truncate in the dot product.
+    // TRAINED cells (the q65 precedent): pass [[kmeansCentroids]]
+    // output. The codebook's WIDTH selects the routing space:
+    //  - outDim-wide (train on [[randomProjection]]'s output): cells
+    //    are assigned in the projected space — cheapest routing, but
+    //    on clustered corpora the JL projection's distortion mis-routes
+    //    near-boundary vectors and recall plateaus BELOW the pool cap
+    //    (ScaleBench's pool-400 diagnostic isolated a ~0.17 residual
+    //    from exactly this — no pool recovers a never-probed cell);
+    //  - dim-wide (train on the RAW vectors): cells are assigned on
+    //    exact full-width center distances — routing error vanishes,
+    //    and the scan STAYS projected (the expensive per-candidate
+    //    arithmetic is still outDim/dim of brute force). The extra
+    //    cost is nCells dim-wide dot products per row instead of
+    //    outDim-wide — O(nCells·dim) per row, independent of corpus
+    //    pairings, the right trade whenever routing fidelity is the
+    //    recall bottleneck (r18 verdict task #2).
+    // Default (no codebook) stays the seeded projected-space hash
+    // centroids — fully deterministic, oracle-replayable (q141).
+    // Any other width fails loudly — a mismatched codebook would
+    // silently prefix-truncate in the dot product.
     centroids.foreach { cs =>
       require(cs.size == nCells,
         s"projectedIvfTopK: ${cs.size} centroids for nCells=$nCells")
-      require(cs.forall(_.size == outDim),
+      require(cs.forall(_.size == outDim) || cs.forall(_.size == dim),
         s"projectedIvfTopK: centroid dims ${cs.map(_.size).distinct} " +
-          s"!= projected outDim=$outDim — train on the PROJECTED vectors")
+          s"must be outDim=$outDim (projected routing) or dim=$dim " +
+          "(full-width routing) — train on the matching vectors")
     }
     val cents = centroids.getOrElse(hashCentroids(outDim, nCells))
+    val routeWide = centroids.exists(cs => cs.head.size == dim && dim != outDim)
     def side(df: DataFrame, p: String) =
       Hydration.persist(
         assertDim(finiteRows(df, idCol, vecCol, s"${p}_id", s"${p}_raw"),
@@ -286,12 +302,13 @@ object Similarity {
           projArray(col(s"${p}_raw"), dim, outDim).as(s"${p}_proj")))
     val q = side(queries, "q")
     val c = side(corpus, "n")
+    def routeVec(p: String) = if (routeWide) col(s"${p}_raw") else col(s"${p}_proj")
     val cCells = c.select(col("n_id"), col("n_proj"),
       element_at(array_sort(
-        array(cellScores(col("n_proj"), cents): _*), cellCmp),
+        array(cellScores(routeVec("n"), cents): _*), cellCmp),
         1)("cell").as("cell"))
     val qCells = q.select(col("q_id"), col("q_proj"),
-        array_sort(array(cellScores(col("q_proj"), cents): _*), cellCmp)
+        array_sort(array(cellScores(routeVec("q"), cents): _*), cellCmp)
           .as("__sorted"))
       .withColumn("__probe", explode(slice(col("__sorted"), 1, nProbe)))
       .select(col("q_id"), col("q_proj"), col("__probe")("cell").as("cell"))

@@ -1,8 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2004 —
@@ -42,39 +40,29 @@ object Winnowing {
 
   /** `(doc_id, pos, fp)` — selected fingerprints, one row per distinct
     * (window-min hash, rightmost position) pair; `pos` is the 1-based
-    * shingle position. */
+    * shingle position.
+    *
+    * The selection is the native ONE-PASS kernel
+    * ([[graft.functions.WinnowSelect]]): per-row tokenize → md5-48
+    * shingle hashes → rightmost-min deque → distinct (pos, fp), so
+    * this whole operator is a narrow projection + explode with NO
+    * shuffle. The previous composable form paid three passes for the
+    * same rows — an interpreted posexplode(transform(sequence…slice…))
+    * HOF projection, a per-doc window shuffle+sort for the frame
+    * minimum, and a distinct shuffle (the WordShingles/WindowHashes
+    * lesson a third time; outputs verified byte-identical at both SFs
+    * and by the q132/q136/q140 oracles — the kernel's
+    * [[graft.operators.Sampling.portableHash48Jvm]] values are the
+    * PropertySpec-pinned twins of the Column form's). */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"winnowing: shingle size k=$k must be >= 1")
     require(w >= 1, s"winnowing: window w=$w must be >= 1")
-    val toks = docs
+    docs
       .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(col("toks").isNotNull &&
-        size(col("toks")) >= lit(k + w - 1))
-    // shingle count bound ONCE, then referenced — not re-derived
-    // inside the posexplode input (clearer, and no reliance on CSE)
-    val sh = toks
-      .select(col("doc_id"), col("toks"),
-        (size(col("toks")) - lit(k - 1)).as("nsh"))
-      .select(col("doc_id"), col("nsh"),
-        posexplode(transform(sequence(lit(1), col("nsh")), i =>
-          Sampling.portableHash48(
-            concat_ws(" ", slice(col("toks"), i, lit(k)))))))
-      .select(col("doc_id"), col("nsh"),
-        (col("pos") + 1).as("pos"), col("col").as("h"))
-    // rightmost-min per window in ONE frame aggregate: struct ordering
-    // is (h asc, -pos asc) = smallest hash, ties to the largest pos
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    sh
-      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
-        .over(frame))
-      // full windows only: starts past nsh-w+1 see a short frame
-      .filter(col("pos") <= col("nsh") - lit(w - 1))
-      .select(col("doc_id"), (-col("m.np")).as("pos"),
-        col("m.h").as("fp"))
-      .distinct()
+        explode(graft.functions.WinnowSelect
+          .winnowSelectNative(col(textCol), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
   /** Eval-set contamination by winnowing overlap: per TRAINING doc,

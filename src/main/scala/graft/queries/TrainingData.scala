@@ -1575,6 +1575,50 @@ object TrainingData {
       |GROUP BY c.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** q157: exact-substring spans at the Lee-et-al OPERATING POINT —
+    * n = 50 tokens, the span length the paper's ExactSubstr dedup
+    * actually removes (arXiv:2107.06499 §2: 50-token threshold on
+    * real text; the q152-q155 family gates n = 10, where window
+    * COUNT dominates — at n = 50 windows are ~5× longer and rarer,
+    * stressing the island-merge and the window-hash kernel on long
+    * strings instead of the grouping on many short ones). minCount
+    * stays the default 2 — the threshold that BINDS at these SFs
+    * (corpus probe: 251 distinct 50-token windows repeat ≥ 2× at
+    * sf0.01, none reach 10; the ≥ 10 point only binds on amplified
+    * corpora and is measured in the ScaleBench ladder). Oracle =
+    * q152's literal-window replay with the window width raised. */
+  def q157ExactSubstringN50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup
+      .exactSubstringSpans(Tables.documents(s, dir), n = 50)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val q157Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(l[i:i+49], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, CAST(len(l) AS BIGINT) - 49)) AS i
+      |        FROM t WHERE len(l) >= 50)),
+      |dupw AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+      |occ AS (SELECT doc_id, i FROM w JOIN dupw USING (g)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 50
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM occ),
+      |grp AS (SELECT doc_id, i,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |        FROM isl)
+      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |  CAST(max(i) + 49 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** q136: winnowing decontamination
     * ([[graft.operators.Winnowing.evalOverlap]]) — docs with id below
     * a tenth of the range play the eval/benchmark set (the q64 split

