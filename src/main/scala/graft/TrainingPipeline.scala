@@ -264,9 +264,20 @@ object TrainingPipeline {
     // 4. language ID (pure projection, on the final text)
     val langed = counted.withColumn("lang_pred",
       TextFunctions.langIdHeuristic(col("text")))
+    // macro-stage boundary BEFORE corpus dedup (r20 optimization):
+    // dedupCorpus consumes its input THREE times in one action (the
+    // fingerprint keyed aggregate, the exact-keep semi-join's left
+    // side, and the shingle projection), and without a boundary each
+    // consumption re-executes the whole quality → mask → span-dedup
+    // chain (~2 s per re-execution at sf0.1, measured; at 100 TB the
+    // span-dedup chain is two corpus-scale shuffles re-paid per
+    // consumer). Pinning the corpus once here makes every dedup-stage
+    // consumer a block read — bit-identical rows (the boundary holds
+    // exactly what the lazy plan computes, the stagePin contract).
+    val pinnedCorpus = stagePin(langed, "corpus")
     // 5. corpus-level dedup: exact collapse + near-dup clusters, keep
     //    the canonical (min-id) survivor per cluster
-    val deduped = marked(Dedup.dedupCorpus(langed, jaccardThreshold,
+    val deduped = marked(Dedup.dedupCorpus(pinnedCorpus, jaccardThreshold,
       maxBucket = maxBucket, strict = strictBuckets), "corpus_dedup")
     // 6. semantic collapse (when embeddings are supplied): AFTER the
     //    text-level dedup — lexical clusters are already gone cheaply,

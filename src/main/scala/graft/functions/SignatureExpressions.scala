@@ -208,6 +208,32 @@ object SignatureKernels {
     val union = sizeA + seenB.size - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
+
+  /** [[jaccard]]'s twin over 64-bit gram-hash arrays — the slim
+    * candidate-verify domain ([[graft.operators.Dedup]]'s hydration
+    * ships `xxhash64(gram)` longs, never gram strings, so a pair row
+    * costs 8 bytes per gram). Same set semantics (distinct both
+    * sides, inter/union division last); identical to the string
+    * kernel's value whenever the doc's grams are collision-free in
+    * the 64-bit domain (the decontaminate collision contract). */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val seen = new java.util.HashSet[java.lang.Long](na * 2)
+    var i = 0
+    while (i < na) { seen.add(a.getLong(i)); i += 1 }
+    val sizeA = seen.size
+    val seenB = new java.util.HashSet[java.lang.Long](nb * 2)
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (seenB.add(v) && seen.contains(v)) inter += 1
+      i += 1
+    }
+    val union = sizeA + seenB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
@@ -295,6 +321,22 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class JaccardSimLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaccard_sim_long"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.jaccardLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SignatureKernels$$.MODULE$$.jaccardLong($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object SignatureExpressions {
   import org.apache.spark.sql.GraftShims
   def minHashSig(shingles: Column, k: Int): Column =
@@ -309,6 +351,8 @@ object SignatureExpressions {
     GraftShims.column(SimHash96Portable(GraftShims.expression(shingles)))
   def jaccardSim(a: Column, b: Column): Column =
     GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
+  def jaccardSimLong(a: Column, b: Column): Column =
+    GraftShims.column(JaccardSimLong(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** SQL registration of the dedup kernels — DELEGATES to the single
     * name→builder table in [[SqlRegistry]] (this method predates it;

@@ -152,7 +152,7 @@ object Dedup {
     // small-scale form: each pair row carries two full string arrays,
     // so memory per pair is O(doc length). The verification path
     // ([[minHashDupPairs]]) does NOT go through this frame — it
-    // verifies from slim co-counts ([[coCountJaccard]]); hydrate only
+    // verifies from slim hashed arrays ([[hashedGramJaccard]]); hydrate
     // when a caller genuinely needs the shingle sets side by side.
     pairs
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -187,57 +187,54 @@ object Dedup {
     (pairs, shingled)
   }
 
-  /** Exact Jaccard for an already-generated candidate pair set WITHOUT
-    * hydrating shingle arrays onto pair rows — the 128×-octave heap
-    * fix (r18 verdict #1): the hydrated shape carried BOTH full string
-    * arrays on every candidate row, so the verify stage's resident set
-    * grew with pairs × doc-length and the dedup family needed 2× heap
-    * per 2× data. Here every shuffled row is three 8-byte columns:
+  /** Exact Jaccard for an already-generated candidate pair set from
+    * slim HASHED gram arrays — keeps the 128×-octave heap fix (r18
+    * verdict #1: never hydrate gram STRINGS onto pair rows) without
+    * the r19 co-count join stack's exchange bill (the inverted-index
+    * form was O(1) per pair row but paid SIX exchanges — two explode
+    * joins, a re-aggregate, and two UNPRUNED corpus-scale size joins
+    * — measured ~1 s of pure stage overhead per dedup call at suite
+    * scale, on every dedup/pipeline query; r20 optimization):
     *
-    *  - each side explodes to (id, xxhash64(gram)) — [[shingles]]
-    *    emits a DISTINCT set per doc, so no per-doc dedup is needed
-    *    and `size(sh)` IS |A|;
-    *  - the explode is pruned to docs that actually appear in `pairs`
-    *    (left-semi) — same pruning the hydration join used to do;
-    *  - |A∩B| = row count of pairs ⋈ invA ⋈ invB on (id, gram-hash) —
-    *    a partial-aggregatable count, map-side combined;
-    *  - jaccard = inter / (|A| + |B| − inter), the one double division
-    *    last from exact integer counts (bit-identical to the fused
-    *    [[graft.functions.SignatureExpressions.jaccardSim]] kernel's
-    *    int/int division).
+    *  - each side is pruned to docs that actually appear in `pairs`
+    *    (left-semi — the same pruning both prior shapes did) and
+    *    projected to `transform(sh, xxhash64)` in-row; gram strings
+    *    never cross an exchange;
+    *  - each pair row carries two array<long> — 8 bytes per gram, vs
+    *    ~30-80 bytes per gram string + object headers in the pre-r19
+    *    hydration (the resident set that forced 2× heap per 2× data);
+    *  - jaccard = the fused set kernel
+    *    [[graft.functions.SignatureExpressions.jaccardSimLong]]
+    *    (distinct both sides, |A∩B| / (|A|+|B|−|A∩B|), one int/int
+    *    division last — [[graft.functions.SignatureKernels.jaccard]]
+    *    semantics in the hash domain, zero intermediate arrays).
     *
-    * Grams cross the joins as 8-byte hashes, never strings — the
-    * [[decontaminate]] collision contract (a 64-bit collision can only
-    * nudge one pair's count by one, probability ≈ grams²/2⁶⁴ per doc).
-    * Pairs with ZERO shared grams drop out (inner join) — correct for
-    * every caller here, which filters `jaccard >= threshold` with
-    * threshold > 0. Output: (aCol, bCol, jaccard). */
-  private def coCountJaccard(pairs: DataFrame, aCol: String, bCol: String,
+    * TWO hydration joins total, no re-aggregate, nothing corpus-scale
+    * beyond the pruned sides. Grams cross the join as 8-byte hashes,
+    * never strings — the [[decontaminate]] collision contract (a
+    * 64-bit in-doc collision can only nudge one pair's set sizes by
+    * one, probability ≈ grams²/2⁶⁴ per doc); pair sets verified
+    * identical to both prior shapes (tools/crosscheck_lsh.py).
+    * Output: (aCol, bCol, jaccard). */
+  private def hashedGramJaccard(pairs: DataFrame, aCol: String, bCol: String,
       shA: DataFrame, shB: DataFrame): DataFrame = {
-    def inv(s: DataFrame, idOut: String) = s
+    def hashed(s: DataFrame, idOut: String, out: String) = s
       .join(pairs.select(col(idOut).as("id")), Seq("id"), "left_semi")
-      .select(col("id").as(idOut), explode(col("sh")).as("g"))
-      .select(col(idOut), xxhash64(col("g")).as("gh"))
-    def sizes(s: DataFrame, idOut: String, out: String) =
-      s.select(col("id").as(idOut), size(col("sh")).as(out))
+      .select(col("id").as(idOut),
+        transform(col("sh"), g => xxhash64(g)).as(out))
     pairs
-      .join(inv(shA, aCol), Seq(aCol))
-      .join(inv(shB, bCol), Seq(bCol, "gh"))
-      .groupBy(col(aCol), col(bCol))
-      .agg(count(lit(1)).as("__inter"))
-      .join(sizes(shA, aCol, "__na"), Seq(aCol))
-      .join(sizes(shB, bCol, "__nb"), Seq(bCol))
+      .join(hashed(shA, aCol, "__ha"), Seq(aCol))
+      .join(hashed(shB, bCol, "__hb"), Seq(bCol))
       .select(col(aCol), col(bCol),
-        (col("__inter").cast("double") /
-          (col("__na") + col("__nb") - col("__inter")).cast("double"))
-          .as("jaccard"))
+        graft.functions.SignatureExpressions
+          .jaccardSimLong(col("__ha"), col("__hb")).as("jaccard"))
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard ≥
     * threshold (false positives from banding are filtered here; false
     * NEGATIVES are bounded by [[lshParams]]' recall floor when k/bands
-    * are left defaulted). Verification is count-based
-    * ([[coCountJaccard]]) — pair rows stay slim end to end. */
+    * are left defaulted). Verification hydrates HASHED gram arrays
+    * ([[hashedGramJaccard]]) — pair rows stay slim end to end. */
   def minHashDupPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
@@ -246,7 +243,7 @@ object Dedup {
     val (kk, bb) = resolveLsh(threshold, k, bands)
     val (pairs, shingled) = lshCandidatePairs(docs, idCol, textCol,
       shingleSize, kk, bb, maxBucket, strict)
-    coCountJaccard(pairs, "id_a", "id_b", shingled, shingled)
+    hashedGramJaccard(pairs, "id_a", "id_b", shingled, shingled)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -746,7 +743,7 @@ object Dedup {
       Seq("band", "bucket"), "id", Nil, maxBucket, "incremental_batch")
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val selfPairs = coCountJaccard(selfCands, "id_a", "id_b", proj, proj)
+    val selfPairs = hashedGramJaccard(selfCands, "id_a", "id_b", proj, proj)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val comps = connectedComponents(selfPairs)
@@ -763,8 +760,9 @@ object Dedup {
     //    never a self-join); the new side's band fan-out is FILTERED
     //    from the step-2 computation, not recomputed. Candidate volume
     //    scales with the NEW batch — the point of incremental
-    //    ingestion. Verification is count-based ([[coCountJaccard]]) —
-    //    no shingle array ever rides a candidate row.
+    //    ingestion. Verification hydrates hashed gram arrays
+    //    ([[hashedGramJaccard]]) — no gram STRING ever rides a
+    //    candidate row.
     //    Oversized buckets on EITHER side reduce to their bucket-min
     //    representative ([[HotBuckets.guardRep]]) instead of dropping:
     //    a new doc duplicating an oversized-bucket corpus mega-cluster
@@ -787,7 +785,7 @@ object Dedup {
         Seq("band", "bucket"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
-    val dupNewIds = coCountJaccard(candidates, "new_id", "old_id",
+    val dupNewIds = hashedGramJaccard(candidates, "new_id", "old_id",
         proj, corpusShingled)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()
@@ -1167,7 +1165,23 @@ object Dedup {
     * size, never by key frequency; the PlanQualitySpec gate pins the
     * Partial-mode aggregate and the absence of any Window.) The
     * winner row needs no join-back either — chunk is the group key
-    * and (id, idx) fall out of the min struct. */
+    * and (id, idx) fall out of the min struct.
+    *
+    * The span key crossing the wire is `xxhash64(chunk)` — 8 bytes —
+    * and the rebuild re-slices each doc's OWN tokens by the surviving
+    * chunk indexes in-row, so the chunk TEXT never crosses an
+    * exchange at all (r20 optimization; the previous shape shuffled
+    * every chunk string through the decision aggregate AND carried
+    * the winners' strings through the reassembly — at 100 TB that is
+    * the whole corpus's text through two shuffles; guide §2.3's
+    * "shuffle keys and metadata instead of payloads"). Rebuilding
+    * from sorted surviving indexes is string-identical to joining the
+    * surviving chunk texts: chunks are token slices space-joined, so
+    * both forms are exactly the surviving tokens space-joined in
+    * position order. Collision contract ([[decontaminate]]): a 64-bit
+    * chunk-hash collision would cut a non-duplicate chunk —
+    * probability ≈ chunks²/2⁶⁴ corpus-wide, deterministic, and the
+    * same stance every hash-keyed operator here takes. */
   def dedupSpans(docs: DataFrame, spanWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
@@ -1176,26 +1190,27 @@ object Dedup {
     // nChunks = 0 (empty/whitespace text) must yield NO chunks:
     // sequence(0, -1) steps DOWNWARD to [0, -1] — two phantom ""
     // chunks per empty doc that all collide in one span group
-    val chunkList = when(nChunks > 0,
+    val chunkHashes = when(nChunks > 0,
       transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
+        i => xxhash64(
+          array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))))
+      .otherwise(array().cast(ArrayType(LongType)))
     val exploded = docs
-      .select(col(idCol).as("__id"), posexplode(chunkList))
+      .select(col(idCol).as("__id"), posexplode(chunkHashes))
       .withColumnRenamed("pos", "idx")
-      .withColumnRenamed("col", "chunk")
+      .withColumnRenamed("col", "__h")
     val kept = exploded
-      .groupBy(col("chunk"))
+      .groupBy(col("__h"))
       .agg(min(struct(col("__id"), col("idx"))).as("__first"))
-      .select(col("__first.__id").as("__id"), col("__first.idx").as("idx"),
-        col("chunk"))
-    val rec = kept.groupBy(col("__id")).agg(
-      array_join(
-        transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
-          s => s("chunk")), " ").as("__clean"))
+      .select(col("__first.__id").as("__id"), col("__first.idx").as("idx"))
+    val rec = kept.groupBy(col("__id"))
+      .agg(array_sort(collect_list(col("idx"))).as("__idxs"))
     docs.join(rec.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__clean"), lit("")))
-      .drop("__clean")
+      .withColumn(textCol, coalesce(
+        array_join(flatten(transform(col("__idxs"),
+          i => slice(toks, i * spanWords + 1, lit(spanWords)))), " "),
+        lit("")))
+      .drop("__idxs")
   }
 
   /** The hashed n-gram array shared by every gram-decontamination
