@@ -703,13 +703,14 @@ object Dedup {
       idCol, textCol, shingleSize, k, bands, maxBucket)._1
 
   /** [[dedupIncrementalIndexed]] plus the internal hydrated batch
-    * projection, so an EAGER caller ([[ingestBatch]]) can unpersist it
-    * once the result is materialized — the lazy public form must leave
-    * the cache alive for the frame it returns. */
+    * projections (shingle proj + fingerprinted batch), so an EAGER
+    * caller ([[ingestBatch]]) can unpersist them once the result is
+    * materialized — the lazy public form must leave the caches alive
+    * for the frame it returns. */
   private def dedupIncrementalIndexedWithProj(newDocs: DataFrame,
       corpusIndex: DataFrame, jaccardThreshold: Double,
       idCol: String, textCol: String, shingleSize: Int, k: Int,
-      bands: Int, maxBucket: Int): (DataFrame, DataFrame) = {
+      bands: Int, maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
     // fail fast on a dial mismatch with the index's build: comparing
     // 3-gram batch shingles to a 5-gram index gives jaccard ~ 0 and
     // silently lets every cross duplicate through (pure schema check —
@@ -719,11 +720,22 @@ object Dedup {
     val (kk, bb) = resolveLsh(jaccardThreshold, k, bands)
     val r = kk / bb
     val corpusPrep = corpusIndex
+    // 0b. fingerprint the batch ONCE and hydrate it: the md5-canonical
+    //     fingerprint (lower + regex strip + md5 over full text) is the
+    //     batch's most expensive per-row projection after shingling,
+    //     and the previous shape computed it TWICE (within-batch keyed
+    //     aggregate, then AGAIN for the cross-corpus anti-join) while
+    //     re-executing the caller's upstream chain for every consumer
+    //     (keyed agg side, semi-join left side, shingle-projection
+    //     build, and the cross anti-join — 4 executions measured).
+    //     Batch-scale cache, the `proj` discipline (r20 optimization).
+    val fped = Hydration.persist(
+      newDocs.withColumn("__fp", fingerprint(col(textCol))))
     // 1. exact within-batch collapse (min-id survivor)
-    val keepExact = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    val keepExact = fped
       .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exactKept = newDocs.join(keepExact, Seq(idCol), "left_semi")
+    val exactKept = fped.join(keepExact, Seq(idCol), "left_semi")
     // 2. ONE shingle+signature projection of the exact-kept batch,
     //    cached: it feeds the within-batch banding, both hydration
     //    joins, AND the cross pass — the round-3 review flagged the
@@ -750,9 +762,9 @@ object Dedup {
     val dropWithin = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val newKept = exactKept.join(dropWithin, Seq(idCol), "left_anti")
-    // 4. exact cross-dedup: fingerprint anti-join against the corpus
+    // 4. exact cross-dedup: fingerprint anti-join against the corpus —
+    //    __fp carried from the step-0b projection, not recomputed
     val afterExact = newKept
-      .withColumn("__fp", fingerprint(col(textCol)))
       .join(corpusPrep.select(col("__fp")).distinct(), Seq("__fp"), "left_anti")
       .drop("__fp")
     // 5. near cross-dedup: ASYMMETRIC banded join (new bands × corpus
@@ -789,7 +801,8 @@ object Dedup {
         proj, corpusShingled)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()
-    (afterExact.join(dupNewIds, Seq(idCol), "left_anti"), proj)
+    (afterExact.join(dupNewIds, Seq(idCol), "left_anti"),
+      Seq(proj, fped))
   }
 
   /** Append a batch's ACCEPTED survivors to an existing corpus index —
@@ -861,13 +874,13 @@ object Dedup {
       shingleSize: Int = 3, k: Int = -1, bands: Int = -1,
       maxBucket: Int = HotBuckets.DefaultCap): DataFrame = {
     val index = spark.read.parquet(indexPath)
-    val (result, proj) = dedupIncrementalIndexedWithProj(batch, index,
+    val (result, pins) = dedupIncrementalIndexedWithProj(batch, index,
       jaccardThreshold, idCol, textCol, shingleSize, k, bands, maxBucket)
     val accepted = result.localCheckpoint()
-    // the checkpoint materialized everything the projection cache
-    // feeds; holding it past this call would leak one pinned frame
+    // the checkpoint materialized everything the projection caches
+    // feed; holding them past this call would leak pinned frames
     // per ingestion
-    proj.unpersist()
+    pins.foreach(_.unpersist())
     buildCorpusIndex(accepted, shingleSize, idCol, textCol)
       .write.mode("append").parquet(indexPath)
     accepted
@@ -1367,7 +1380,13 @@ object Dedup {
       strict: Boolean = false): DataFrame = {
     require(trainPct >= 1 && trainPct <= 99,
       s"trainPct=$trainPct must be in [1, 99] — 0 or 100 is not a split")
-    val withFp = docs.withColumn("__fp", fingerprint(col(textCol)))
+    val withFp = Hydration.persist(
+      docs.withColumn("__fp", fingerprint(col(textCol))))
+    // hydrated: withFp feeds the rep aggregate AND both joinRep sides
+    // (exactReps derivation + the final label join-back) — without the
+    // pin the md5-canonical fingerprint ran over the full corpus
+    // twice-plus, and fpRep's aggregate twice (r20 optimization; the
+    // [[dedupCorpus]] multi-consumer discipline)
     val fpRep = withFp.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__rep0"))
     // null-safe rep join (NULL <=> NULL matches): still a plain

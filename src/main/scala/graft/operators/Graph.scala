@@ -100,6 +100,22 @@ object Graph {
     // pre-layout is warranted until a profile shows the per-iteration
     // exchange dominating
     val eDeg = Hydration.persist(e.join(outDeg, "src"))
+    // Nodes with NO in-edges receive zero contribution in EVERY
+    // iteration — their rank is the constant `base`. Computing that
+    // set ONCE (one distinct + one anti-join) and UNIONing it onto
+    // each iteration's contribution readout replaces the previous
+    // per-iteration `nodes LEFT JOIN contrib` (a node-scale join ×
+    // iters; r20 optimization — union is exchange-free, so each
+    // iteration is now contribution join + aggregate only). On
+    // symmetrized graphs (q92's) the set is EMPTY and the join is
+    // saved outright. Row set per iteration is identical: contrib
+    // covers exactly the nodes with ≥ 1 in-edge (every src carries a
+    // rank), the complement gets base + damp·0 — the same arithmetic
+    // the coalesce(contrib, 0) branch produced.
+    val noInbound = Hydration.persist(
+      nodes.join(e.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .withColumn("rank", lit(base)))
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iters) {
       val contrib = eDeg
@@ -107,11 +123,11 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank div out_deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = contrib
         .select(col("node"),
-          (lit(base) +
-            expr(s"($dampNum * coalesce(contrib, 0L)) div 100"))
+          (lit(base) + expr(s"($dampNum * contrib) div 100"))
             .as("rank"))
+        .unionByName(noInbound)
       // checkpoint EVERY round: lineage stays depth-1 and each
       // iteration's small materialized rank table gives AQE real stats
       // for the next contribution join. Measured head-to-head at sf0.1
@@ -121,6 +137,7 @@ object Graph {
       ranks = ranks.localCheckpoint()
     }
     nodes.unpersist()
+    noInbound.unpersist()
     eDeg.unpersist()
     e.unpersist()
     ranks
@@ -152,12 +169,18 @@ object Graph {
     * Output: (node, triangles) for every node in ≥1 triangle,
     * triangle count attributed to all three corners. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+    // hydrated (the [[Dedup]] multi-consumer contract): the canonical
+    // edge set feeds the degree aggregate AND both annotation joins —
+    // keyed differently (u vs v), so exchange reuse cannot collapse
+    // them and the caller's whole edge-derivation chain (q104: scan →
+    // distinct → lag window) re-executed 3× unpinned (r20
+    // optimization). Slim: two longs per edge.
+    val und = Hydration.persist(edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -175,7 +198,10 @@ object Graph {
         (col("dv") === col("du") && col("v") < col("u")))
       .select(col("v").as("src"), col("u").as("dst"),
         col("du").as("ddeg"))
-    val oriented = fwd.union(bwd)
+    // hydrated: oriented feeds THREE consumers on different keys (e1/e2
+    // by pivot, the closing-edge probe by (x, y)) — three long columns
+    // per edge, the same multi-consumer rule as `und` above
+    val oriented = Hydration.persist(fwd.union(bwd))
     // wedges from each pivot: unordered pairs of out-neighbors,
     // ordered by the same (deg, id) rank so the closing edge — also
     // oriented low→high — matches by plain equality

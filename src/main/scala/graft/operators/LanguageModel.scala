@@ -76,9 +76,14 @@ object LanguageModel {
     // context counts derive from the bigram table — vocabulary-sized
     // input, so this aggregate never rescans the corpus
     val ctx = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    // model tables pre-joined on `a` (vocabulary-scale) so the
+    // corpus-bigram-scale `bg` crosses ONE exchange (keyed (a, b))
+    // instead of two — the previous bg⋈nab⋈ctx shape reshuffled every
+    // scored bigram a second time by (a) (r20 optimization). Inner
+    // joins on a self-trained model: every bg row has an nab row AND
+    // a ctx row, so the fused join is row-identical.
     bg
-      .join(nab, Seq("a", "b"))
-      .join(ctx, Seq("a"))
+      .join(nab.join(ctx, Seq("a")), Seq("a", "b"))
       .select(col("doc_id"),
         // loud scale bound (the quantize4 stance): 2¹⁰·n(a·) must
         // stay in int64 — fires at ~9·10¹⁵ context occurrences
