@@ -61,11 +61,33 @@ object Bench {
         "lineitem", "documents", "embeddings")
         .foreach(t => Tables.table(spark, sfDir, t).count())
       Tables.events(spark, sfDir).count()
-      SparkEntry.queries.get("q01_pricing_summary")
-        .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
+    // full-surface JIT/codegen warm-up at the SMALLEST SF (r20): the
+    // previous warm-up ran only q01, so pass 1 of the suite carried
+    // every query's first-run JIT/codegen/Janino cost — measured
+    // ~150 s of pass-1 inflation at sf0.1/32 cpus (q119's pass 1 ran
+    // 27 s vs its 3 s steady state). One untimed sf0.001 sweep
+    // (~60-90 s) absorbs that, so the TIMED passes measure
+    // steady-state execution — the stated purpose of the warm-up;
+    // the timed methodology (interleaved passes at sfDir, per-query
+    // median + min) is unchanged. Warm-up failures are per-query and
+    // non-fatal: the timed pass still reports them as its own
+    // failures with full attribution.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val onlyW = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => onlyW.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] warm-up $name failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
 
     // Per-query median of N interleaved passes: pass 1 runs q01..q61,
     // then pass 2 runs q01..q61 again, etc. Interleaving (rather than

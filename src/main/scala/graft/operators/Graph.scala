@@ -169,18 +169,22 @@ object Graph {
     * Output: (node, triangles) for every node in ≥1 triangle,
     * triangle count attributed to all three corners. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // hydrated (the [[Dedup]] multi-consumer contract): the canonical
-    // edge set feeds the degree aggregate AND both annotation joins —
-    // keyed differently (u vs v), so exchange reuse cannot collapse
-    // them and the caller's whole edge-derivation chain (q104: scan →
-    // distinct → lag window) re-executed 3× unpinned (r20
-    // optimization). Slim: two longs per edge.
-    val und = Hydration.persist(edges
+    // Deliberately NOT hydration-pinned (r20, measured): the canonical
+    // edge set and the oriented list look like multi-consumer pin
+    // candidates, but caching them was a PESSIMIZATION — isolated
+    // 5-pass floors at sf0.1/32 cpus: no pins 2.7 s, both pinned
+    // 5.0 s, und-only pinned 15 s. AQE's exchange reuse already
+    // collapses the duplicate subtrees here, and InMemoryRelation's
+    // accurate (decompressed) size stats push the degree/annotation
+    // joins off the broadcast path the raw-plan estimates get. The
+    // caching contract's second clause ("no exchange-level reuse can
+    // deliver the same") is load-bearing.
+    val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct())
+      .distinct()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -198,10 +202,7 @@ object Graph {
         (col("dv") === col("du") && col("v") < col("u")))
       .select(col("v").as("src"), col("u").as("dst"),
         col("du").as("ddeg"))
-    // hydrated: oriented feeds THREE consumers on different keys (e1/e2
-    // by pivot, the closing-edge probe by (x, y)) — three long columns
-    // per edge, the same multi-consumer rule as `und` above
-    val oriented = Hydration.persist(fwd.union(bwd))
+    val oriented = fwd.union(bwd)
     // wedges from each pivot: unordered pairs of out-neighbors,
     // ordered by the same (deg, id) rank so the closing edge — also
     // oriented low→high — matches by plain equality
