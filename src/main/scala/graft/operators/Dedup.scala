@@ -218,13 +218,26 @@ object Dedup {
     * Output: (aCol, bCol, jaccard). */
   private def hashedGramJaccard(pairs: DataFrame, aCol: String, bCol: String,
       shA: DataFrame, shB: DataFrame): DataFrame = {
+    // semi-probe build sides are DISTINCT ids (≤ docs, 8 bytes each) —
+    // without the distinct the probe set is pair-multiplicity-sized
+    // and a 128×-amplified corpus (pairs ~ factor²) turns the
+    // broadcast build into a driver-heap event
     def hashed(s: DataFrame, idOut: String, out: String) = s
-      .join(pairs.select(col(idOut).as("id")), Seq("id"), "left_semi")
+      .join(pairs.select(col(idOut).as("id")).distinct(),
+        Seq("id"), "left_semi")
       .select(col("id").as(idOut),
         transform(col("sh"), g => xxhash64(g)).as(out))
+    // merge-hinted: both sides are large at scale (pairs grows ~
+    // factor² on amplified corpora; the hydrated side carries the
+    // gram-hash arrays), so the planner must take the spillable
+    // sort-merge path — an estimate-driven broadcast of either side
+    // collides with the shingle cache in the same (local-mode) JVM;
+    // measured: 128×/8 GB died building exactly that broadcast. At
+    // bench scale both sides are tiny and the forced sort is
+    // negligible.
     pairs
-      .join(hashed(shA, aCol, "__ha"), Seq(aCol))
-      .join(hashed(shB, bCol, "__hb"), Seq(bCol))
+      .join(hashed(shA, aCol, "__ha").hint("merge"), Seq(aCol))
+      .join(hashed(shB, bCol, "__hb").hint("merge"), Seq(bCol))
       .select(col(aCol), col(bCol),
         graft.functions.SignatureExpressions
           .jaccardSimLong(col("__ha"), col("__hb")).as("jaccard"))
