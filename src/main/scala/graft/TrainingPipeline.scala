@@ -222,6 +222,20 @@ object TrainingPipeline {
           f"${(System.nanoTime() - t0) / 1e9}%.2f s (policy=$stagePolicy)")
       out
     }
+    // construction-side attribution sibling of stagePin's boundary
+    // lines: some stages run EAGER driver work at plan-BUILD time
+    // (dedupCorpus's connected-components fold, the reweight quota
+    // fold, packSequences' bounds/offsets) that no boundary line
+    // covers — wrap those blocks so the stageTiming dial accounts for
+    // the whole wall clock, not just the pins
+    def segTimed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      if (stageTiming) System.err.println(
+        f"[pipeline-timing] segment '$label' built in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
+    }
     // 1. quality gate: drop empty/degenerate docs before paying for
     //    signatures (cheap projections first — the 100 TB ordering).
     //    Includes the Gopher-style 3-gram repetition rule (q63): docs
@@ -277,8 +291,9 @@ object TrainingPipeline {
     val pinnedCorpus = stagePin(langed, "corpus")
     // 5. corpus-level dedup: exact collapse + near-dup clusters, keep
     //    the canonical (min-id) survivor per cluster
-    val deduped = marked(Dedup.dedupCorpus(pinnedCorpus, jaccardThreshold,
-      maxBucket = maxBucket, strict = strictBuckets), "corpus_dedup")
+    val deduped = marked(segTimed("corpus_dedup")(
+      Dedup.dedupCorpus(pinnedCorpus, jaccardThreshold,
+        maxBucket = maxBucket, strict = strictBuckets)), "corpus_dedup")
     // 6. semantic collapse (when embeddings are supplied): AFTER the
     //    text-level dedup — lexical clusters are already gone cheaply,
     //    the embedding pass only pays for the paraphrase-level
@@ -347,17 +362,42 @@ object TrainingPipeline {
     //     pipeline's mutations (mask/span-cut run on the candidates
     //     only): the reference is curated ground truth, not cleanup
     //     input.
-    val banded = surprisalBand.fold(winnowed) { case (lo, hi) =>
-      val pinned = stagePin(winnowed, "winnow_clean")
-      val kept = bandTrain.fold(
-          graft.operators.LanguageModel.surprisalBandFilter(
-            pinned, groupCol = "lang_pred", lowPct = lo, highPct = hi))(
-          train => graft.operators.LanguageModel
-            .surprisalBandFilterHeldOut(train, pinned,
-              groupCol = "lang_pred", lowPct = lo, highPct = hi))
-        .select(col("doc_id"))
-      marked(pinned.join(kept, Seq("doc_id"), "left_semi"),
-        "surprisal_band")
+    // Share the held-out scoring between the band stage and the
+    // reweighted balancing when BOTH score with a model trained on the
+    // SAME reference corpus (sameSemantics — q151's deployment shape):
+    // per-doc surprisal scores are row-independent, so scoring the
+    // winnow-clean corpus ONCE and restricting the pinned frame to the
+    // band survivors is bit-identical to re-training the model and
+    // re-scoring the survivors in the balancing stage — which is what
+    // the unshared path paid (the model-train subtree and the
+    // candidate bigram scoring executed TWICE, in different actions,
+    // where no exchange reuse can span; measured ~2 s of q151's floor
+    // at sf0.1). The scored frame is one row per doc — stagePin-scale.
+    val shareHeldOutScores = surprisalBand.nonEmpty &&
+      bandTrain.nonEmpty && reweightTrain.nonEmpty &&
+      bandTrain.get.sameSemantics(reweightTrain.get)
+    val (banded, heldOutScores) = surprisalBand match {
+      case None => (winnowed, None)
+      case Some((lo, hi)) =>
+        val pinned = stagePin(winnowed, "winnow_clean")
+        val (kept, scores) = bandTrain match {
+          case None =>
+            (graft.operators.LanguageModel.surprisalBandFilter(
+              pinned, groupCol = "lang_pred", lowPct = lo,
+              highPct = hi), None)
+          case Some(train) if shareHeldOutScores =>
+            val scored = stagePin(graft.operators.LanguageModel
+              .bigramSurprisalHeldOut(train, pinned), "heldout_scores")
+            (graft.operators.LanguageModel.bandFromScores(scored,
+              pinned, groupCol = "lang_pred", lowPct = lo,
+              highPct = hi), Some(scored))
+          case Some(train) =>
+            (graft.operators.LanguageModel.surprisalBandFilterHeldOut(
+              train, pinned, groupCol = "lang_pred", lowPct = lo,
+              highPct = hi), None)
+        }
+        (marked(pinned.join(kept.select(col("doc_id")), Seq("doc_id"),
+          "left_semi"), "surprisal_band"), scores)
     }
     // 8. per-domain balancing (when `domainQuota` or `balance` is
     //    set): balance the CLEAN corpus — after every
@@ -394,10 +434,17 @@ object TrainingPipeline {
       //     band stage's input (same stagePin policy).
       case Balance.Reweighted(key, budget, maxQ, scale) =>
         val pinned = stagePin(banded, "banded")
-        val quotaPlan = graft.operators.LanguageModel
-          .domainReweightHeldOut(reweightTrain.get, pinned,
-            groupCol = key, budget = budget, scale = scale)
-          .select(col(key), col("quota"))
+        // reuse the band stage's pinned per-doc scores when they came
+        // from the same reference model (see shareHeldOutScores above)
+        val quotaPlan = segTimed("reweight_weight_fold")(
+          heldOutScores.fold(
+            graft.operators.LanguageModel.domainReweightHeldOut(
+              reweightTrain.get, pinned, groupCol = key,
+              budget = budget, scale = scale))(scored =>
+            graft.operators.LanguageModel.domainReweightFromScores(
+              scored, pinned, groupCol = key, budget = budget,
+              scale = scale))
+          .select(col(key), col("quota")))
         // quotas is keys-scale (one row per domain) and apportion has
         // already driver-folded its remainder ranks, yet its PLAN
         // carries the whole reweight DAG (LM scoring, model joins,
@@ -412,9 +459,10 @@ object TrainingPipeline {
         // broadcast downstream already ships) cuts every later action
         // to a literal scan. Bit-identical: the rows ARE the quota
         // frame; only the plan depth changes.
-        val quotas = pinned.sparkSession.createDataFrame(
-          java.util.Arrays.asList(quotaPlan.collect(): _*),
-          quotaPlan.schema)
+        val quotas = segTimed("reweight_quota_fold")(
+          pinned.sparkSession.createDataFrame(
+            java.util.Arrays.asList(quotaPlan.collect(): _*),
+            quotaPlan.schema))
         marked(Sampling.quotaPerKeyFrom(pinned, key, "doc_id", quotas,
           maxQ), "domain_reweighted")
     }
@@ -427,8 +475,9 @@ object TrainingPipeline {
     //    10.29 → 8.04 s). Under the default `local` policy this is
     //    ALSO the boundary that keeps the RETURNED frame's plan at
     //    pack+split depth instead of the whole chain's.
-    val packed = Sampling.packSequences(stagePin(balanced, "balanced"),
-      "n_tokens", "doc_id", budget)
+    val packed = segTimed("pack")(
+      Sampling.packSequences(stagePin(balanced, "balanced"),
+        "n_tokens", "doc_id", budget))
     // 10. deterministic split — stable under repartitioning and retries
     marked(packed.withColumn("split",
       when(Sampling.portableBucket(col("doc_id"), 100) < trainPct,

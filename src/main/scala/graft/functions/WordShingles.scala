@@ -179,6 +179,145 @@ object WindowHashes {
   }
 }
 
+/** Native NON-OVERLAPPING chunk hasher — [[graft.operators.Dedup
+  * .dedupSpans]]' kernel: tokens split into consecutive
+  * `spanWords`-token chunks (the last chunk may be shorter), one
+  * xxhash64 (seed 42 — Spark's `xxhash64` value on the space-joined
+  * chunk string) per chunk, in document order. [[WindowHashes]] at
+  * stride = n instead of stride 1, with ITS composable-form edge
+  * semantics: tokenization is total (`[""]` for empty/whitespace
+  * text — `split(trim(..))`), so every non-null doc emits
+  * `ceil(tokens/n) ≥ 1` hashes; an all-whitespace doc emits the one
+  * hash of `""` (chunk 0 = the single empty token) exactly as
+  * `transform(sequence(0, nChunks-1), i => xxhash64(array_join(
+  * slice(toks, i*n+1, n), " ")))` did.
+  *
+  * Exists for the same reason its siblings do: the composable form
+  * runs as interpreted higher-order functions with a fresh array copy
+  * per slice — measured 0.35 s of the span stage's 1.6 s at sf0.1,
+  * multiplied across every pipeline query; one pass per row here, and
+  * only the 8-byte hashes leave the row. */
+case class ChunkHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chunk_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ChunkHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkHashes$$.MODULE$$.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
+object ChunkHashes {
+  /** Shared kernel for interpreted eval and generated code.
+    * Tokenization = [[CanonicalTokens.tokenize]]; hash =
+    * `XXH64.hashUnsafeBytes(utf8(chunk), seed = 42)` — bit-identical
+    * to the composable form (byte-diffed at both SFs through the
+    * q70/q83/q143/q147/q151 oracles and the ChunkKernelSpec
+    * equivalence sweep). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = CanonicalTokens.tokenize(text.toString)
+    val nChunks = (toks.length + n - 1) / n
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      val start = c * n
+      val end = math.min(start + n, toks.length)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      out(c) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def chunkHashesNative(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(ChunkHashes(GraftShims.expression(text), n))
+  }
+}
+
+/** Native chunk-index rebuild — [[ChunkHashes]]' inverse half in
+  * [[graft.operators.Dedup.dedupSpans]]: given the doc's ORIGINAL
+  * text and the sorted surviving chunk indexes, re-slice the doc's
+  * own tokens into the surviving chunks and space-join them in order
+  * — exactly `array_join(flatten(transform(idxs, i => slice(toks,
+  * i*n+1, n))), " ")` (one pass, no per-index array copies, no second
+  * tokenize of the HOF form — the text is tokenized once here for
+  * both the slice bounds and the output). An index whose chunk start
+  * lies past the token array contributes nothing (the composable
+  * `slice` returned an empty array into `flatten`); empty TOKENS
+  * ("" from the total tokenizer) are joined like any other token,
+  * separator included. Null text or null index array → null (the
+  * caller's `coalesce(.., "")` supplies the policy). */
+case class ChunkRebuild(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chunk_rebuild"
+
+  override protected def nullSafeEval(text: Any, idxs: Any): Any =
+    ChunkRebuild.compute(text.asInstanceOf[UTF8String],
+      idxs.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, i) =>
+      s"${ev.value} = graft.functions.ChunkRebuild$$.MODULE$$.compute($t, $i, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ChunkRebuild =
+    copy(left = newLeft, right = newRight)
+}
+
+object ChunkRebuild {
+  /** Shared kernel for interpreted eval and generated code. `idxs`
+    * must be sorted ascending (the caller's `array_sort` contract) for
+    * the output to be in position order — the kernel joins in the
+    * order given, exactly as the composable `transform` did. */
+  def compute(text: UTF8String, idxs: ArrayData, n: Int): UTF8String = {
+    val toks = CanonicalTokens.tokenize(text.toString)
+    val sb = new java.lang.StringBuilder(text.numBytes + 16)
+    var first = true
+    var k = 0
+    val m = idxs.numElements()
+    while (k < m) {
+      val start = idxs.getInt(k) * n
+      val end = math.min(start + n.toLong, toks.length).toInt
+      var j = start
+      while (j < end) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+        j += 1
+      }
+      k += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def chunkRebuildNative(text: Column, idxs: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(ChunkRebuild(GraftShims.expression(text),
+      GraftShims.expression(idxs), n))
+  }
+}
+
 /** Native one-pass winnowing selector — the
   * [[graft.operators.Winnowing.fingerprints]] kernel: per k-token
   * shingle, the portable 48-bit md5 hash

@@ -1211,16 +1211,18 @@ object Dedup {
   def dedupSpans(docs: DataFrame, spanWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val nChunks = ceil(size(toks).cast("double") / spanWords).cast("int")
-    // nChunks = 0 (empty/whitespace text) must yield NO chunks:
-    // sequence(0, -1) steps DOWNWARD to [0, -1] — two phantom ""
-    // chunks per empty doc that all collide in one span group
-    val chunkHashes = when(nChunks > 0,
-      transform(sequence(lit(0), nChunks - 1),
-        i => xxhash64(
-          array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))))
-      .otherwise(array().cast(ArrayType(LongType)))
+    // chunk hashing and the surviving-index rebuild are native
+    // one-pass kernels (r20 — the WordShingles/WindowHashes lesson
+    // applied to the stride-n case): the composable
+    // transform(sequence)+slice+array_join+xxhash64 projection and the
+    // slice-per-surviving-index rebuild ran as interpreted
+    // higher-order functions with an array copy per slice, ~0.6 s of
+    // every pipeline query's floor at sf0.1. Hash values and rebuilt
+    // text are BIT-IDENTICAL to the composable forms (ChunkKernelSpec
+    // pins the equivalence on the edge-case corpus; the
+    // q70/q83/q143/q147/q151 oracles re-gated at both SFs).
+    val chunkHashes = graft.functions.ChunkHashes
+      .chunkHashesNative(col(textCol), spanWords)
     val exploded = docs
       .select(col(idCol).as("__id"), posexplode(chunkHashes))
       .withColumnRenamed("pos", "idx")
@@ -1233,8 +1235,8 @@ object Dedup {
       .agg(array_sort(collect_list(col("idx"))).as("__idxs"))
     docs.join(rec.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn(textCol, coalesce(
-        array_join(flatten(transform(col("__idxs"),
-          i => slice(toks, i * spanWords + 1, lit(spanWords)))), " "),
+        graft.functions.ChunkRebuild.chunkRebuildNative(col(textCol),
+          col("__idxs"), spanWords),
         lit("")))
       .drop("__idxs")
   }

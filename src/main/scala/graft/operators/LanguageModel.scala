@@ -230,6 +230,21 @@ object LanguageModel {
     rankBand(bigramSurprisalHeldOut(train, docs, addK, idCol, textCol),
       docs, groupCol, lowPct, highPct, idCol)
 
+  /** The band selection over a PRECOMPUTED per-doc score frame
+    * ([[bigramSurprisal]] / [[bigramSurprisalHeldOut]] output — needs
+    * `doc_id`, `q_avg`) — the share-the-scoring entry point: a caller
+    * that consumes the SAME scores twice (band the corpus, then
+    * reweight the survivors — [[graft.TrainingPipeline.prepare]]'s
+    * held-out q151 shape) scores ONCE, pins the per-doc frame, and
+    * feeds it here and to [[domainReweightFromScores]] instead of
+    * re-training the model and re-scoring the corpus per stage.
+    * Selection semantics are [[surprisalBandFilter]]'s verbatim (the
+    * shared [[rankBand]] tail). */
+  def bandFromScores(scored: DataFrame, docs: DataFrame,
+      groupCol: String = "lang", lowPct: Int = 5, highPct: Int = 95,
+      idCol: String = "doc_id"): DataFrame =
+    rankBand(scored, docs, groupCol, lowPct, highPct, idCol)
+
   /** The per-group rank-band tail shared by the self-scored and
     * held-out band filters — ONE edge-arithmetic contract (`r >
     * floor(low·n/100)`, `r ≤ floor(high·n/100)`, rank order
@@ -307,6 +322,19 @@ object LanguageModel {
       textCol: String = "text"): DataFrame =
     reweightFrom(bigramSurprisalHeldOut(train, docs, addK, idCol,
       textCol), docs, groupCol, budget, scale, idCol)
+
+  /** The reweighter over a PRECOMPUTED per-doc score frame (needs
+    * `doc_id`, `n_bigrams`, `q_total`) — [[bandFromScores]]' sibling:
+    * per-doc scores are row-independent, so a frame scored over a
+    * SUPERSET corpus restricted here by the inner `doc_id` join is
+    * bit-identical to scoring `docs` directly (the band→reweight
+    * composition scores the winnow-clean corpus once and reweights
+    * the band survivors from the same frame). Same EAGER weight fold
+    * as [[domainReweight]] (see its doc). */
+  def domainReweightFromScores(perDoc: DataFrame, docs: DataFrame,
+      groupCol: String = "source", budget: Long = 100000L,
+      scale: Long = 10000L, idCol: String = "doc_id"): DataFrame =
+    reweightFrom(perDoc, docs, groupCol, budget, scale, idCol)
 
   /** The weight-and-apportion tail shared by the self-scored and
     * held-out reweighters (ONE integer contract — the [[rankBand]]
